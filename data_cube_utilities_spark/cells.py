@@ -1,0 +1,239 @@
+"""geocell — batched hierarchical spatial cell index (H3/S2-style).
+
+The engine's spine: tile assignment, spatial partitioning, PIP acceleration
+and kNN ring expansion all key off an int64 ``cell_id``. No h3/s2 library is
+available in this environment, so the index is a from-scratch hierarchical
+equirectangular quadtree with the same *API shape* as H3/S2:
+
+  encode(lat, lon, res)      -> cell_id           (batched numpy)
+  parent / children          -> hierarchy walk     (H3 parent/children)
+  k_ring(cell, k)            -> neighbor disk      (H3 kRing)
+  compact / uncompact        -> multi-res cover    (H3 compact)
+  cell_bounds / cell_center  -> geometry bridge
+
+Layout of the 63-bit id (always positive, sorts by (res, north->south, west->east)):
+
+  bits 58..62 : resolution r in [0, 28]
+  bits 29..57 : iy  row index, 0 at the NORTH pole (matches the reference's
+                descending-latitude convention, dc_chunker.py:121-125)
+  bits  0..28 : ix  column index, 0 at lon=-180
+
+At resolution r the grid is ny = 2^r rows x nx = 2^(r+1) columns
+(2:1 like the plate carree projection), so every cell is ~square in degrees:
+res 0 = 180 deg cells, res 7 = 1.40625 deg, res 12 = 0.0439 deg (~4.9 km).
+
+Everything is pure integer/float arithmetic, so the encoder has an exact
+ANSI-SQL twin (``encode_sql``) used by the DuckDB correctness oracle, and a
+Spark Column twin (``encode_col``) that stays inside whole-stage codegen —
+no UDF on the hot path.
+
+Reference parity: replaces the geographic chunking of
+data_cube_utilities/dc_chunker.py:8-85 (tiles become cells) and the
+nearest-cell lookup of data_cube_utilities/transect/xarraypath.py:3-13.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RES_SHIFT = 58
+IY_SHIFT = 29
+MAX_RES = 28
+
+_RES_MULT = 1 << RES_SHIFT
+_IY_MULT = 1 << IY_SHIFT
+
+
+def _grid_dims(res: int) -> tuple[int, int]:
+    """(ny, nx) at resolution res."""
+    return 1 << res, 1 << (res + 1)
+
+
+# ---------------------------------------------------------------------------
+# batched numpy encode/decode (used inside pandas UDFs and the synthesizer)
+# ---------------------------------------------------------------------------
+
+def encode(lat, lon, res: int):
+    """lat/lon (deg, arrays or scalars) -> int64 cell ids at `res`.
+
+    Vectorized; clamps lat to [-90, 90], wraps lon into [-180, 180).
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    ny, nx = _grid_dims(res)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    lon = ((lon + 180.0) % 360.0) - 180.0
+    ix = np.floor((lon + 180.0) / 360.0 * nx).astype(np.int64)
+    ix = np.clip(ix, 0, nx - 1)
+    # iy = 0 at the north pole (lat = +90)
+    iy = np.floor((90.0 - lat) / 180.0 * ny).astype(np.int64)
+    iy = np.clip(iy, 0, ny - 1)
+    return (np.int64(res) << RES_SHIFT) | (iy << IY_SHIFT) | ix
+
+
+def encode_scalar_reference(lat: float, lon: float, res: int) -> int:
+    """Slow, obviously-correct scalar twin of `encode` for golden tests."""
+    ny, nx = _grid_dims(res)
+    lon = ((lon + 180.0) % 360.0) - 180.0
+    ix = min(max(int((lon + 180.0) / 360.0 * nx), 0), nx - 1)
+    iy = min(max(int((90.0 - lat) / 180.0 * ny), 0), ny - 1)
+    return (res << RES_SHIFT) | (iy << IY_SHIFT) | ix
+
+
+def decode(cell_id):
+    """int64 cell ids -> (res, iy, ix) arrays."""
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    res = (cell_id >> RES_SHIFT).astype(np.int64)
+    iy = (cell_id >> IY_SHIFT) & (_IY_MULT - 1)
+    ix = cell_id & (_IY_MULT - 1)
+    return res, iy, ix
+
+
+def cell_res(cell_id):
+    return np.asarray(cell_id, dtype=np.int64) >> RES_SHIFT
+
+
+def cell_bounds(cell_id):
+    """cell ids -> (lat_south, lat_north, lon_west, lon_east) deg arrays."""
+    res, iy, ix = decode(cell_id)
+    ny = (np.int64(1) << res).astype(np.float64)
+    nx = (np.int64(1) << (res + 1)).astype(np.float64)
+    lat_n = 90.0 - iy / ny * 180.0
+    lat_s = 90.0 - (iy + 1) / ny * 180.0
+    lon_w = -180.0 + ix / nx * 360.0
+    lon_e = -180.0 + (ix + 1) / nx * 360.0
+    return lat_s, lat_n, lon_w, lon_e
+
+
+def cell_center(cell_id):
+    lat_s, lat_n, lon_w, lon_e = cell_bounds(cell_id)
+    return (lat_s + lat_n) / 2.0, (lon_w + lon_e) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# hierarchy
+# ---------------------------------------------------------------------------
+
+def parent(cell_id, parent_res: int | None = None):
+    """Ancestor cell at `parent_res` (default: res-1)."""
+    res, iy, ix = decode(cell_id)
+    if parent_res is None:
+        pres = res - 1
+    else:
+        pres = np.full_like(res, parent_res)
+    if np.any(pres < 0) or np.any(pres > res):
+        raise ValueError("parent_res must be in [0, res]")
+    shift = res - pres
+    return (pres << RES_SHIFT) | ((iy >> shift) << IY_SHIFT) | (ix >> shift)
+
+
+def children(cell_id: int, child_res: int | None = None) -> np.ndarray:
+    """All descendant cells of one cell at `child_res` (default res+1)."""
+    res, iy, ix = decode(np.int64(cell_id))
+    res, iy, ix = int(res), int(iy), int(ix)
+    cres = res + 1 if child_res is None else child_res
+    if cres < res or cres > MAX_RES:
+        raise ValueError("child_res out of range")
+    s = cres - res
+    n = 1 << s
+    cy = (iy << s) + np.arange(n, dtype=np.int64)[:, None]
+    cx = (ix << s) + np.arange(n, dtype=np.int64)[None, :]
+    return ((np.int64(cres) << RES_SHIFT) | (cy << IY_SHIFT) | cx).ravel()
+
+
+def k_ring(cell_id: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k on the grid (the H3 kRing
+    analogue). Wraps in longitude; clips at the poles. Includes the center."""
+    res, iy, ix = decode(np.int64(cell_id))
+    res, iy, ix = int(res), int(iy), int(ix)
+    ny, nx = _grid_dims(res)
+    dy = np.arange(-k, k + 1, dtype=np.int64)
+    yy = iy + dy
+    yy = yy[(yy >= 0) & (yy < ny)]
+    xx = (ix + np.arange(-k, k + 1, dtype=np.int64)) % nx
+    cy, cx = np.meshgrid(yy, xx, indexing="ij")
+    out = (np.int64(res) << RES_SHIFT) | (cy << IY_SHIFT) | cx
+    return np.unique(out.ravel())
+
+
+def ring(cell_id: int, k: int) -> np.ndarray:
+    """The hollow ring at exactly Chebyshev distance k (H3 hexRing analogue)."""
+    if k == 0:
+        return np.asarray([cell_id], dtype=np.int64)
+    outer = k_ring(cell_id, k)
+    inner = k_ring(cell_id, k - 1)
+    return np.setdiff1d(outer, inner, assume_unique=True)
+
+
+def compact(cell_ids) -> np.ndarray:
+    """Replace every complete set of 4 siblings by their parent, recursively
+    (the H3 compact analogue). Input cells may be mixed-resolution; output
+    covers exactly the same area with the minimum number of cells."""
+    cells = np.unique(np.asarray(cell_ids, dtype=np.int64))
+    while True:
+        res = cell_res(cells)
+        max_r = int(res.max(initial=0))
+        if max_r == 0:
+            return cells
+        at_max = cells[res == max_r]
+        keep = cells[res != max_r]
+        if at_max.size == 0:
+            return cells
+        par = parent(at_max)
+        uniq, counts = np.unique(par, return_counts=True)
+        promoted = uniq[counts == 4]
+        if promoted.size == 0:
+            return cells
+        drop = np.isin(par, promoted)
+        cells = np.unique(np.concatenate([keep, at_max[~drop], promoted]))
+
+
+def uncompact(cell_ids, res: int) -> np.ndarray:
+    """Expand a (possibly compacted) cover to uniform resolution `res`."""
+    cells = np.asarray(cell_ids, dtype=np.int64)
+    out = [children(int(c), res) if int(cell_res(c)) < res else np.asarray([c])
+           for c in cells]
+    return np.unique(np.concatenate(out)) if out else cells
+
+
+def polyfill_bbox(lat_min: float, lat_max: float, lon_min: float, lon_max: float,
+                  res: int) -> np.ndarray:
+    """All cells at `res` intersecting a lat/lon box (H3 polyfill for boxes)."""
+    ny, nx = _grid_dims(res)
+    iy0 = int(np.clip(np.floor((90.0 - lat_max) / 180.0 * ny), 0, ny - 1))
+    iy1 = int(np.clip(np.floor((90.0 - lat_min) / 180.0 * ny - 1e-12), 0, ny - 1))
+    ix0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * nx), 0, nx - 1))
+    ix1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * nx - 1e-12), 0, nx - 1))
+    yy = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    xx = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    cy, cx = np.meshgrid(yy, xx, indexing="ij")
+    return ((np.int64(res) << RES_SHIFT) | (cy << IY_SHIFT) | cx).ravel()
+
+
+# ---------------------------------------------------------------------------
+# Spark Column / SQL twins — the hot path stays JVM-side (codegen), no UDF
+# ---------------------------------------------------------------------------
+
+def encode_col(lat: Column, lon: Column, res: int) -> Column:
+    """Column-expression twin of `encode` (whole-stage-codegen friendly)."""
+    ny, nx = _grid_dims(res)
+    # floor-based wrap (Spark's % keeps the dividend's sign; numpy's doesn't)
+    shifted = lon + F.lit(180.0)
+    lon_w = shifted - F.lit(360.0) * F.floor(shifted / F.lit(360.0)) - F.lit(180.0)
+    ix = F.floor((lon_w + 180.0) / 360.0 * nx).cast("long")
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit(nx - 1))
+    iy = F.floor((F.lit(90.0) - lat) / 180.0 * ny).cast("long")
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit(ny - 1))
+    return (F.lit(res * _RES_MULT) + iy * F.lit(_IY_MULT) + ix).alias("cell_id")
+
+
+def encode_sql(lat_expr: str, lon_expr: str, res: int) -> str:
+    """ANSI-SQL twin of `encode` for the DuckDB oracle. Exact same arithmetic."""
+    ny, nx = _grid_dims(res)
+    lon_w = f"(( ({lon_expr}) + 180.0) - 360.0 * floor((({lon_expr}) + 180.0)/360.0) - 180.0)"
+    ix = f"least(greatest(CAST(floor(({lon_w} + 180.0)/360.0 * {nx}) AS BIGINT), 0), {nx - 1})"
+    iy = f"least(greatest(CAST(floor((90.0 - ({lat_expr}))/180.0 * {ny}) AS BIGINT), 0), {ny - 1})"
+    return f"({res} * CAST({_RES_MULT} AS BIGINT) + {iy} * CAST({_IY_MULT} AS BIGINT) + {ix})"

@@ -1,0 +1,154 @@
+"""Block codec: image bytes <-> numpy pixel blocks, PSNR, perceptual hash.
+
+The engine's input rows carry an encoded pixel block in a ``bytes`` binary
+column with ``w, h, fmt`` metadata (BASELINE.json input_hint). Bands are the
+reference's 6 spectral channels + 1 packed QA bitfield channel, in this fixed
+order (matches data_cube_utilities conventions, e.g. dc_mosaic.py:44-47):
+
+  0 blue, 1 green, 2 red, 3 nir, 4 swir1, 5 swir2, 6 qa
+
+Formats:
+  raw16 — little-endian uint16, C-order (h, w, 7). Zero-copy decode.
+  pngz  — a genuine PNG file (stdlib zlib only): 16-bit grayscale image of
+          shape (h, w*7) with the 7 channels laid side by side. Lossless,
+          so the PSNR>=40dB per-row invariant holds trivially; the PSNR
+          checker exists for any future lossy format.
+
+No PIL/imageio in this environment — the PNG writer/parser below implements
+the subset of the spec we emit (bit depth 16, color type 0, filter 0).
+
+Decode runs inside Arrow-vectorized UDFs only (mapInPandas/applyInPandas);
+nothing here touches Spark directly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+N_BANDS = 7
+BAND_NAMES = ("blue", "green", "red", "nir", "swir1", "swir2", "qa")
+QA_BAND = 6
+NO_DATA = -9999
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode_gray16(img: np.ndarray) -> bytes:
+    """(h, w) uint16 -> PNG bytes (bit depth 16, grayscale, filter 0)."""
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    big = img.astype(">u2").tobytes()
+    stride = w * 2
+    raw = b"".join(
+        b"\x00" + big[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    idat = zlib.compress(raw, 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _png_decode_gray16(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, []
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 16 or ctype != 0:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 2
+    rows = np.empty((h, w), dtype=">u2")
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        if line[0] != 0:
+            raise ValueError("only filter 0 supported")
+        rows[y] = np.frombuffer(line[1:], dtype=">u2")
+    return rows.astype(np.uint16)
+
+
+def encode_block(block: np.ndarray, fmt: str = "raw16") -> bytes:
+    """(h, w, N_BANDS) uint16 block -> bytes in `fmt`."""
+    block = np.ascontiguousarray(block, dtype=np.uint16)
+    if block.ndim != 3 or block.shape[2] != N_BANDS:
+        raise ValueError(f"block must be (h, w, {N_BANDS})")
+    if fmt == "raw16":
+        return block.astype("<u2").tobytes()
+    if fmt == "pngz":
+        h, w, b = block.shape
+        # channels laid side by side -> one (h, w*b) 16-bit grayscale plane
+        flat = np.concatenate([block[:, :, i] for i in range(b)], axis=1)
+        return _png_encode_gray16(flat)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_block(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """bytes -> (h, w, N_BANDS) uint16 block."""
+    if fmt == "raw16":
+        return (
+            np.frombuffer(data, dtype="<u2")
+            .reshape(h, w, N_BANDS)
+            .astype(np.uint16)
+        )
+    if fmt == "pngz":
+        flat = _png_decode_gray16(data)
+        if flat.shape != (h, w * N_BANDS):
+            raise ValueError("PNG dims disagree with w/h metadata")
+        return np.stack([flat[:, i * w : (i + 1) * w] for i in range(N_BANDS)], axis=2)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical blocks."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def phash64(block: np.ndarray) -> int:
+    """Deterministic 64-bit average-hash of a block's mean spectral band.
+
+    Downsample to 8x8 by block-mean, threshold at the mean -> 64 bits,
+    row-major, MSB first. Signed int64 (Spark LongType friendly).
+    """
+    gray = np.asarray(block[:, :, :QA_BAND], dtype=np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    small = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            patch = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                         xs[j] : max(xs[j + 1], xs[j] + 1)]
+            small[i, j] = patch.mean()
+    bits = (small > small.mean()).ravel()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return int(np.int64(np.uint64(val)))
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode here is the test vehicle; the config choices are the ones that
+matter on a 1000-executor cluster too: AQE (runtime re-plan + skew-join
+splitting), Arrow for every JVM<->Python crossing, shuffle partitions sized
+to parallelism rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-geocube",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores: parallelism for local mode; defaults to $SPARK_GRAFT_CPUS or '*'.
+    shuffle_partitions: defaults to max(cores, 32) — on a real cluster this
+    would be ~2-3x total executor cores; AQE coalesces the excess.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n, 32)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,132 @@
+"""geocell encoder: golden scalar parity, hierarchy, rings, compaction,
+and exact agreement between the numpy / Spark-Column / SQL twins."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from data_cube_utilities_spark import cells
+
+
+def test_encode_matches_scalar_reference():
+    rng = np.random.RandomState(7)
+    lat = rng.uniform(-90, 90, 500)
+    lon = rng.uniform(-540, 540, 500)  # includes out-of-range wrap
+    for res in (0, 1, 5, 9, 12, 28):
+        got = cells.encode(lat, lon, res)
+        exp = np.asarray(
+            [cells.encode_scalar_reference(a, o, res) for a, o in zip(lat, lon)]
+        )
+        assert (got == exp).all()
+
+
+def test_encode_known_values():
+    # res 0: 1 row x 2 cols; west hemisphere is ix=0, east is ix=1
+    assert cells.encode(0.0, -90.0, 0) == 0
+    assert cells.encode(0.0, 90.0, 0) == 1
+    # res 1: 2 rows x 4 cols; northern row is iy=0
+    c = cells.encode(45.0, -170.0, 1)
+    res, iy, ix = cells.decode(c)
+    assert (int(res), int(iy), int(ix)) == (1, 0, 0)
+    c = cells.encode(-45.0, 170.0, 1)
+    res, iy, ix = cells.decode(c)
+    assert (int(res), int(iy), int(ix)) == (1, 1, 3)
+
+
+def test_bounds_roundtrip():
+    rng = np.random.RandomState(11)
+    lat = rng.uniform(-89.9, 89.9, 200)
+    lon = rng.uniform(-179.9, 179.9, 200)
+    for res in (3, 8, 12):
+        cell = cells.encode(lat, lon, res)
+        s, n, w, e = cells.cell_bounds(cell)
+        assert ((lat >= s) & (lat <= n)).all()
+        assert ((lon >= w) & (lon <= e)).all()
+        clat, clon = cells.cell_center(cell)
+        assert (cells.encode(clat, clon, res) == cell).all()
+
+
+def test_parent_children_roundtrip():
+    c = cells.encode(12.34, 56.78, 10)
+    p = cells.parent(c)
+    assert int(cells.cell_res(p)) == 9
+    kids = cells.children(int(p))
+    assert len(kids) == 4 and int(c) in kids
+    # deep ancestor/descendants
+    anc = cells.parent(c, 4)
+    desc = cells.children(int(anc), 10)
+    assert len(desc) == 4 ** 6 and int(c) in desc
+    assert (cells.parent(desc, 4) == anc).all()
+
+
+def test_k_ring_and_ring():
+    c = int(cells.encode(10.0, 20.0, 8))
+    k1 = cells.k_ring(c, 1)
+    assert len(k1) == 9 and c in k1
+    r2 = cells.ring(c, 2)
+    assert len(r2) == 16 and c not in r2
+    # pole clipping: fewer cells near the pole
+    cp = int(cells.encode(89.99, 0.0, 8))
+    assert len(cells.k_ring(cp, 1)) == 6  # top row clipped
+    # longitude wrap: full ring at the antimeridian
+    cw = int(cells.encode(0.0, 179.99, 8))
+    assert len(cells.k_ring(cw, 1)) == 9
+
+
+def test_compact_uncompact():
+    base = int(cells.encode(40.0, -74.0, 6))
+    full = cells.children(base, 9)  # 4^3 = 64 cells
+    compacted = cells.compact(full)
+    assert list(compacted) == [base]
+    # remove one leaf -> cannot fully compact
+    partial = full[1:]
+    comp2 = cells.compact(partial)
+    assert len(comp2) < len(partial)
+    back = cells.uncompact(comp2, 9)
+    assert set(back.tolist()) == set(partial.tolist())
+
+
+def test_polyfill_bbox_covers_points():
+    rng = np.random.RandomState(3)
+    lat = rng.uniform(10, 20, 100)
+    lon = rng.uniform(-5, 5, 100)
+    cover = set(cells.polyfill_bbox(10, 20, -5, 5, 7).tolist())
+    pts = cells.encode(lat, lon, 7)
+    assert set(pts.tolist()) <= cover
+
+
+def test_sql_twin_matches_numpy():
+    rng = np.random.RandomState(5)
+    lat = rng.uniform(-90, 90, 300)
+    lon = rng.uniform(-360, 360, 300)
+    import pandas as pd
+
+    con = duckdb.connect()
+    df = pd.DataFrame({"lat": lat, "lon": lon})
+    con.register("pts", df)
+    for res in (0, 7, 12):
+        sql = cells.encode_sql("lat", "lon", res)
+        got = con.execute(f"SELECT {sql} AS c FROM pts").fetchnumpy()["c"]
+        exp = cells.encode(lat, lon, res)
+        assert (got.astype(np.int64) == exp).all()
+
+
+@pytest.mark.usefixtures("spark")
+def test_column_twin_matches_numpy(spark):
+    import pandas as pd
+
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame(
+        {"lat": rng.uniform(-90, 90, 400), "lon": rng.uniform(-360, 360, 400)}
+    )
+    sdf = spark.createDataFrame(pdf)
+    for res in (0, 7, 12):
+        got = np.sort(
+            np.asarray(
+                sdf.select(cells.encode_col(sdf.lat, sdf.lon, res)).toPandas()[
+                    "cell_id"
+                ]
+            )
+        )
+        exp = np.sort(cells.encode(pdf.lat.to_numpy(), pdf.lon.to_numpy(), res))
+        assert (got == exp).all()
