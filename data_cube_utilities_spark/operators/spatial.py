@@ -1,0 +1,382 @@
+"""Spatial joins: ray-casting point-in-polygon, kNN, zonal statistics.
+
+The north-rule core. Three physical strategies, one semantics:
+
+1. ``pip_broadcast`` — polygons are a small dim table: broadcast to every
+   task, test points against all candidate polygons inside one Arrow-batched
+   pandas UDF (bbox prefilter then vectorized crossing-number). No shuffle
+   of the (huge) point side at all. This is the 100TB default when the
+   polygon layer fits in memory (it almost always does).
+2. ``pip_cell_join`` — polygons too many to broadcast: cover each polygon
+   with geocells (polyfill of its bbox at an adaptive resolution), explode,
+   equi-join points on cell_id (AQE-skew-aware shuffle), then run the exact
+   test only on cell-collocated candidates. Join fan-in is bounded by cell
+   granularity instead of |points| x |polys|.
+3. ``pip_edges_sql`` — the pure-relational twin (explode edges, join,
+   crossing parity by sum) used as the DuckDB correctness oracle and for
+   engines without Python.
+
+Boundary convention (documented, deterministic): even-odd crossing number
+with the half-open rule — an edge from (x1,y1) to (x2,y2) crosses the
+upward ray at point p iff (y1 > py) != (y2 > py) and
+px < x1 + (py-y1)*(x2-x1)/(y2-y1). Points exactly on a horizontal edge are
+outside; on a left edge inside, right edge outside. All three strategies
+evaluate the identical float expression, so they agree bit-for-bit.
+
+Reference parity: replaces shapefile_mask.py:36-72 (rasterized polygon
+inclusion masks, `all_touched` variant documented as out-of-rule),
+dea_tools/spatial.py:778-859 (zonal_stats_parallel — the multiprocessing
+dict merge becomes a partial+final groupBy agg), and the nearest-cell
+lookup of transect/xarraypath.py:3-13 generalized to kNN via geocell ring
+expansion (SURVEY.md section 2.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import cells
+
+# ---------------------------------------------------------------------------
+# numpy kernel (shared by both UDF strategies) + scalar reference
+# ---------------------------------------------------------------------------
+
+def pip_np(px: np.ndarray, py: np.ndarray,
+           ring_xs: np.ndarray, ring_ys: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd crossing-number test: points (n,) against ONE
+    polygon ring (closed or open list of vertices). Returns bool (n,)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    xs = np.asarray(ring_xs, dtype=np.float64)
+    ys = np.asarray(ring_ys, dtype=np.float64)
+    if xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    n_edges = len(xs)
+    inside = np.zeros(px.shape, dtype=bool)
+    x1, y1 = xs, ys
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    for e in range(n_edges):
+        cond = (y1[e] > py) != (y2[e] > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xcross = x1[e] + (py - y1[e]) * (x2[e] - x1[e]) / (y2[e] - y1[e])
+        inside ^= cond & (px < xcross)
+    return inside
+
+
+def pip_scalar_reference(px: float, py: float, ring) -> bool:
+    """Slow scalar oracle: ring = [(x, y), ...]."""
+    pts = list(ring)
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    inside = False
+    for i in range(len(pts)):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % len(pts)]
+        if (y1 > py) != (y2 > py):
+            if px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                inside = not inside
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# polygon table helpers
+# ---------------------------------------------------------------------------
+
+POLY_SCHEMA = ("poly_id long, ring_xs array<double>, ring_ys array<double>, "
+               "bbox_minx double, bbox_miny double, bbox_maxx double, "
+               "bbox_maxy double")
+
+
+def polygons_df(spark: SparkSession, polys: dict[int, list[tuple[float, float]]]) -> DataFrame:
+    """Build the polygon dim table (FIXTURES.md F3) from {poly_id: ring}."""
+    rows = []
+    for pid, ring in polys.items():
+        xs = [float(p[0]) for p in ring]
+        ys = [float(p[1]) for p in ring]
+        rows.append((pid, xs, ys, min(xs), min(ys), max(xs), max(ys)))
+    return spark.createDataFrame(rows, schema=POLY_SCHEMA)
+
+
+def _poly_pdf(polygons: DataFrame) -> pd.DataFrame:
+    return polygons.select("poly_id", "ring_xs", "ring_ys",
+                           "bbox_minx", "bbox_miny",
+                           "bbox_maxx", "bbox_maxy").toPandas()
+
+
+# ---------------------------------------------------------------------------
+# strategy 1: broadcast PIP join
+# ---------------------------------------------------------------------------
+
+def pip_broadcast(points: DataFrame, polygons: DataFrame,
+                  x_col: str = "x", y_col: str = "y",
+                  how: str = "inner") -> DataFrame:
+    """points x polygons containment join; polygon layer broadcast.
+
+    Output: point columns + poly_id (inner: matched only; left: poly_id
+    null for unmatched). A point inside k polygons emits k rows.
+    """
+    polys = _poly_pdf(polygons)
+    sc = points.sparkSession.sparkContext
+    b_polys = sc.broadcast([
+        (int(r.poly_id), np.asarray(r.ring_xs), np.asarray(r.ring_ys),
+         float(r.bbox_minx), float(r.bbox_miny),
+         float(r.bbox_maxx), float(r.bbox_maxy))
+        for r in polys.itertuples()
+    ])
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields]
+        + ["poly_id long"])
+    keep_unmatched = how == "left"
+
+    def test(batches):
+        polys_local = b_polys.value
+        for pdf in batches:
+            xs = pdf[x_col].to_numpy(dtype=np.float64)
+            ys = pdf[y_col].to_numpy(dtype=np.float64)
+            matched = np.zeros(len(pdf), dtype=bool)
+            outs = []
+            for pid, rxs, rys, minx, miny, maxx, maxy in polys_local:
+                cand = (xs >= minx) & (xs <= maxx) & (ys >= miny) & (ys <= maxy)
+                if not cand.any():
+                    continue
+                hit = np.zeros(len(pdf), dtype=bool)
+                hit[cand] = pip_np(xs[cand], ys[cand], rxs, rys)
+                if hit.any():
+                    sub = pdf.loc[hit].copy()
+                    sub["poly_id"] = pid
+                    outs.append(sub)
+                    matched |= hit
+            if keep_unmatched and (~matched).any():
+                sub = pdf.loc[~matched].copy()
+                sub["poly_id"] = pd.array([None] * len(sub), dtype="Int64")
+                outs.append(sub)
+            if outs:
+                yield pd.concat(outs)
+
+    return points.mapInPandas(test, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# strategy 2: cell-cover equi-join PIP (the many-polygons scale path)
+# ---------------------------------------------------------------------------
+
+def polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
+    """Explode each polygon into the geocells covering its bbox at `res`
+    (coarse cover; exact test runs after the join)."""
+    def cover(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                cc = cells.polyfill_bbox(r.bbox_miny, r.bbox_maxy,
+                                         r.bbox_minx, r.bbox_maxx, res)
+                rows.append(pd.DataFrame({"poly_id": r.poly_id, "cell_id": cc}))
+            if rows:
+                yield pd.concat(rows)
+
+    return polygons.mapInPandas(cover, schema="poly_id long, cell_id long")
+
+
+def pip_cell_join(points: DataFrame, polygons: DataFrame, res: int,
+                  x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Equi-join points to polygon cell covers on cell_id, then exact PIP on
+    the collocated candidates (grouped per polygon inside a pandas UDF).
+    Shuffles only (point rows x avg cover multiplicity); never |P| x |Q|.
+    """
+    pts = points.withColumn(
+        "cell_id", cells.encode_col(F.col(y_col), F.col(x_col), res))
+    cover = polygon_cells(polygons, res)
+    cand = pts.join(cover, "cell_id")  # Catalyst may broadcast the cover
+    geom = polygons.select("poly_id", "ring_xs", "ring_ys")
+    cand = cand.join(F.broadcast(geom), "poly_id")
+    out_cols = [f.name for f in points.schema.fields] + ["poly_id"]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields]
+        + ["poly_id long"])
+
+    def exact(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for (_, grp) in pdf.groupby("poly_id", sort=False):
+                idx = grp.index.to_numpy()
+                rxs = np.asarray(grp["ring_xs"].iloc[0])
+                rys = np.asarray(grp["ring_ys"].iloc[0])
+                keep[pdf.index.get_indexer(idx)] = pip_np(
+                    grp[x_col].to_numpy(np.float64),
+                    grp[y_col].to_numpy(np.float64), rxs, rys)
+            out = pdf.loc[keep, out_cols]
+            if len(out):
+                yield out
+
+    return cand.mapInPandas(exact, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# strategy 3: relational twin (the SQL oracle)
+# ---------------------------------------------------------------------------
+
+def pip_edges_sql(points_table: str, polys_edges_table: str,
+                  point_cols: Sequence[str] = ("point_id", "x", "y"),
+                  x_col: str = "x", y_col: str = "y") -> str:
+    """ANSI SQL even-odd PIP: `polys_edges_table`(poly_id, x1, y1, x2, y2)
+    joined to points; inside = odd crossing count. Same float expression as
+    pip_np. Runs on Spark SQL and DuckDB unchanged."""
+    cols = ", ".join(f"p.{c}" for c in point_cols)
+    return f"""
+SELECT {cols}, e.poly_id
+FROM {points_table} p
+JOIN {polys_edges_table} e
+  ON ((e.y1 > p.{y_col}) != (e.y2 > p.{y_col}))
+ AND p.{x_col} < e.x1 + (p.{y_col} - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+GROUP BY {cols}, e.poly_id
+HAVING count(*) % 2 = 1
+"""
+
+
+def edges_rows(polys: dict[int, list[tuple[float, float]]]) -> list[tuple]:
+    """(poly_id, x1, y1, x2, y2) edge list for the relational twin."""
+    rows = []
+    for pid, ring in polys.items():
+        pts = list(ring)
+        if pts[0] == pts[-1]:
+            pts = pts[:-1]
+        for i in range(len(pts)):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % len(pts)]
+            rows.append((pid, float(x1), float(y1), float(x2), float(y2)))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics (dea_tools/spatial.py:778-859 as one agg)
+# ---------------------------------------------------------------------------
+
+def zonal_stats(points: DataFrame, polygons: DataFrame, value_col: str,
+                x_col: str = "x", y_col: str = "y",
+                stats: Sequence[str] = ("count", "min", "max", "mean", "sum", "median"),
+                strategy: str = "broadcast", res: int = 7) -> DataFrame:
+    """PIP join then per-zone aggregate. Partial aggregation (map-side
+    combine) replaces the reference's multiprocessing shared-dict merge."""
+    joined = (pip_broadcast(points, polygons, x_col, y_col)
+              if strategy == "broadcast"
+              else pip_cell_join(points, polygons, res, x_col, y_col))
+    agg_map = {
+        "count": F.count(value_col).alias("count"),
+        "min": F.min(value_col).alias("min"),
+        "max": F.max(value_col).alias("max"),
+        "mean": F.avg(value_col).alias("mean"),
+        "sum": F.sum(value_col).alias("sum"),
+        "median": F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+    }
+    return joined.groupBy("poly_id").agg(*[agg_map[s] for s in stats])
+
+
+# ---------------------------------------------------------------------------
+# kNN — brute (exact oracle) and geocell ring expansion (scale path)
+# ---------------------------------------------------------------------------
+
+def knn_brute(queries: DataFrame, targets: DataFrame, k: int,
+              qx: str = "x", qy: str = "y", qid: str = "point_id",
+              tx: str = "x", ty: str = "y", tid: str = "point_id") -> DataFrame:
+    """Exact kNN by cross join + window rank — the oracle twin and the
+    correct choice when |targets| is broadcastable. Euclidean in degrees.
+    Ties break on target id (deterministic)."""
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(qx).alias("_qx"), F.col(qy).alias("_qy"))
+    t = targets.select(F.col(tid).alias("neighbor_id"),
+                       F.col(tx).alias("_tx"), F.col(ty).alias("_ty"))
+    j = q.crossJoin(F.broadcast(t))
+    dist = F.sqrt((F.col("_qx") - F.col("_tx")) ** 2
+                  + (F.col("_qy") - F.col("_ty")) ** 2)
+    w = Window.partitionBy("query_id").orderBy(dist.asc(), F.col("neighbor_id").asc())
+    return (j.withColumn("dist", dist)
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select("query_id", "neighbor_id", "dist", "rank"))
+
+
+def knn_cells(queries: DataFrame, targets: DataFrame, k: int, res: int,
+              qx: str = "x", qy: str = "y", qid: str = "point_id",
+              tx: str = "x", ty: str = "y", tid: str = "point_id",
+              start_ring: int = 1, max_rounds: int = 6) -> DataFrame:
+    """kNN via geocell ring expansion (SURVEY.md 2.3 'kNN' row).
+
+    Round r joins each unsatisfied query's k_ring(cell, radius_r) to targets
+    bucketed by cell (equi-join — never a cross product), keeps queries whose
+    k-th best distance is <= the radius *guaranteed* covered by the ring
+    (correctness bound: ring radius x cell height), and doubles the radius
+    for the rest. Terminal round falls back to brute force for stragglers
+    (empty regions) — a vanishing fraction at scale.
+    """
+    t = targets.select(F.col(tid).alias("neighbor_id"),
+                       F.col(tx).alias("_tx"), F.col(ty).alias("_ty"),
+                       cells.encode_col(F.col(ty), F.col(tx), res).alias("cell_id"))
+    t = t.persist()
+    q_all = queries.select(F.col(qid).alias("query_id"),
+                           F.col(qx).alias("_qx"), F.col(qy).alias("_qy"),
+                           cells.encode_col(F.col(qy), F.col(qx), res).alias("qcell"))
+    cell_h = 180.0 / (1 << res)  # degrees per cell row at res
+
+    results = None
+    pending = q_all
+    radius = start_ring
+    for rnd in range(max_rounds):
+        if pending.isEmpty():
+            break
+        ring_df = _explode_rings(pending, radius)
+        cand = ring_df.join(t, "cell_id")
+        dist = F.sqrt((F.col("_qx") - F.col("_tx")) ** 2
+                      + (F.col("_qy") - F.col("_ty")) ** 2)
+        w = Window.partitionBy("query_id").orderBy(dist.asc(),
+                                                   F.col("neighbor_id").asc())
+        topk = (cand.withColumn("dist", dist)
+                    .withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k))
+        # guarantee: everything within radius*cell_h of the query is covered
+        guaranteed = radius * cell_h
+        kth = topk.groupBy("query_id").agg(
+            F.max("dist").alias("_kth"), F.count("*").alias("_n"))
+        ok_ids = kth.filter((F.col("_n") >= k) & (F.col("_kth") <= guaranteed)) \
+                    .select("query_id")
+        done = topk.join(ok_ids, "query_id", "left_semi") \
+                   .select("query_id", "neighbor_id", "dist", "rank")
+        results = done if results is None else results.unionByName(done)
+        pending = pending.join(ok_ids, pending.query_id == ok_ids.query_id,
+                               "left_anti")
+        radius *= 2
+
+    if not pending.isEmpty():
+        fallback = knn_brute(
+            pending.select(F.col("query_id").alias("point_id"),
+                           F.col("_qx").alias("x"), F.col("_qy").alias("y")),
+            targets, k, tx=tx, ty=ty, tid=tid)
+        results = fallback if results is None else results.unionByName(fallback)
+    return results
+
+
+def _explode_rings(pending: DataFrame, radius: int) -> DataFrame:
+    """(query, qcell) -> one row per cell in k_ring(qcell, radius)."""
+    schema = ("query_id long, _qx double, _qy double, cell_id long")
+
+    def expand(batches):
+        for pdf in batches:
+            outs = []
+            qid = pdf["query_id"].to_numpy()
+            qxv = pdf["_qx"].to_numpy()
+            qyv = pdf["_qy"].to_numpy()
+            qcell = pdf["qcell"].to_numpy()
+            for i in range(len(pdf)):
+                ring_cells = cells.k_ring(int(qcell[i]), radius)
+                outs.append(pd.DataFrame({
+                    "query_id": qid[i], "_qx": qxv[i], "_qy": qyv[i],
+                    "cell_id": ring_cells}))
+            if outs:
+                yield pd.concat(outs)
+
+    return pending.mapInPandas(expand, schema=schema)

@@ -1,0 +1,196 @@
+"""Spatial join suite: exact row-set agreement of every PIP strategy
+(broadcast UDF, cell-cover equi-join, relational SQL twin, numpy/scalar
+oracles), ray-casting boundary conventions, zonal stats, and kNN ring
+expansion vs brute force. North-rule gate: join output rows match exactly.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_utilities_spark.operators import spatial
+
+# convex, concave, and a triangle with horizontal/vertical edges + a
+# point-on-vertex trap (FIXTURES.md F3 requirements)
+POLYS = {
+    1: [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],          # square
+    2: [(20.0, 0.0), (30.0, 0.0), (30.0, 10.0), (25.0, 5.0), (20.0, 10.0)],  # concave
+    3: [(-20.0, -10.0), (-10.0, -10.0), (-15.0, 0.0)],                 # triangle
+}
+
+
+def points_pdf(n=3000, seed=13):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "point_id": np.arange(n, dtype=np.int64),
+        "x": rng.uniform(-35, 35, n),
+        "y": rng.uniform(-15, 15, n),
+    })
+
+
+def oracle_pairs(pdf):
+    """(point_id, poly_id) set via the scalar reference."""
+    out = set()
+    for r in pdf.itertuples():
+        for pid, ring in POLYS.items():
+            if spatial.pip_scalar_reference(r.x, r.y, ring):
+                out.add((r.point_id, pid))
+    return out
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return spark.createDataFrame(points_pdf()).cache()
+
+
+@pytest.fixture(scope="module")
+def polys(spark):
+    return spatial.polygons_df(spark, POLYS).cache()
+
+
+@pytest.fixture(scope="module")
+def expected():
+    return oracle_pairs(points_pdf())
+
+
+def pairs(df):
+    return {(r["point_id"], r["poly_id"]) for r in
+            df.select("point_id", "poly_id").collect()}
+
+
+def test_pip_numpy_matches_scalar():
+    pdf = points_pdf(500, seed=5)
+    for pid, ring in POLYS.items():
+        xs = np.asarray([p[0] for p in ring])
+        ys = np.asarray([p[1] for p in ring])
+        got = spatial.pip_np(pdf.x.to_numpy(), pdf.y.to_numpy(), xs, ys)
+        exp = np.asarray([spatial.pip_scalar_reference(r.x, r.y, ring)
+                          for r in pdf.itertuples()])
+        assert (got == exp).all(), pid
+
+
+def test_pip_boundary_conventions():
+    ring = POLYS[1]
+    xs = np.asarray([p[0] for p in ring])
+    ys = np.asarray([p[1] for p in ring])
+    # interior / exterior obvious cases
+    assert spatial.pip_np([5.0], [5.0], xs, ys)[0]
+    assert not spatial.pip_np([15.0], [5.0], xs, ys)[0]
+    # half-open rule: left edge inside, right edge outside
+    assert spatial.pip_np([0.0], [5.0], xs, ys)[0]
+    assert not spatial.pip_np([10.0], [5.0], xs, ys)[0]
+    # bottom-left vertex inside, top vertices outside
+    assert spatial.pip_np([0.0], [0.0], xs, ys)[0]
+    assert not spatial.pip_np([0.0], [10.0], xs, ys)[0]
+    # concave notch of POLYS[2]: (25, 7) sits in the notch -> outside
+    xs2 = np.asarray([p[0] for p in POLYS[2]])
+    ys2 = np.asarray([p[1] for p in POLYS[2]])
+    assert not spatial.pip_np([25.0], [7.0], xs2, ys2)[0]
+    assert spatial.pip_np([25.0], [3.0], xs2, ys2)[0]
+
+
+def test_pip_broadcast_exact(pts, polys, expected):
+    got = pairs(spatial.pip_broadcast(pts, polys))
+    assert got == expected
+
+
+def test_pip_broadcast_left_join(pts, polys, expected):
+    out = spatial.pip_broadcast(pts, polys, how="left")
+    n_pts = pts.count()
+    matched_ids = {p for p, _ in expected}
+    rows = out.collect()
+    inside = {(r["point_id"], r["poly_id"]) for r in rows if r["poly_id"] is not None}
+    outside = {r["point_id"] for r in rows if r["poly_id"] is None}
+    assert inside == expected
+    assert len(outside) == n_pts - len(matched_ids)
+
+
+def test_pip_cell_join_exact(pts, polys, expected):
+    for res in (4, 6, 8):
+        got = pairs(spatial.pip_cell_join(pts, polys, res=res))
+        assert got == expected, f"res={res}"
+
+
+def test_pip_sql_twin_duckdb(expected):
+    pdf = points_pdf()
+    edges = pd.DataFrame(spatial.edges_rows(POLYS),
+                         columns=["poly_id", "x1", "y1", "x2", "y2"])
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    con.register("edges", edges)
+    sql = spatial.pip_edges_sql("pts", "edges")
+    # result columns: point_id, x, y, poly_id
+    got = {(int(r[0]), int(r[3])) for r in con.execute(sql).fetchall()}
+    assert got == expected
+
+
+def test_pip_sql_twin_spark(spark, pts, polys, expected):
+    edges = spark.createDataFrame(
+        spatial.edges_rows(POLYS),
+        schema="poly_id long, x1 double, y1 double, x2 double, y2 double")
+    pts.createOrReplaceTempView("pts_v")
+    edges.createOrReplaceTempView("edges_v")
+    sql = spatial.pip_edges_sql("pts_v", "edges_v")
+    got = {(r["point_id"], r["poly_id"]) for r in spark.sql(sql).collect()}
+    assert got == expected
+
+
+def test_zonal_stats(spark, pts, polys):
+    vals = pts.withColumn("v", F.col("x") + F.col("y"))
+    out = spatial.zonal_stats(vals, polys, "v").toPandas().set_index("poly_id")
+    # oracle with pandas
+    pdf = points_pdf()
+    pdf["v"] = pdf.x + pdf.y
+    exp = {}
+    for pid, ring in POLYS.items():
+        xs = np.asarray([p[0] for p in ring])
+        ys = np.asarray([p[1] for p in ring])
+        m = spatial.pip_np(pdf.x.to_numpy(), pdf.y.to_numpy(), xs, ys)
+        exp[pid] = pdf.v[m]
+    for pid in POLYS:
+        assert out.loc[pid, "count"] == len(exp[pid])
+        assert np.isclose(out.loc[pid, "mean"], exp[pid].mean())
+        assert np.isclose(out.loc[pid, "sum"], exp[pid].sum())
+        assert np.isclose(out.loc[pid, "median"], np.median(exp[pid]))
+
+
+def test_knn_brute_vs_numpy(spark):
+    q = points_pdf(40, seed=31)
+    t = points_pdf(300, seed=32)
+    qs = spark.createDataFrame(q)
+    ts = spark.createDataFrame(t)
+    out = spatial.knn_brute(qs, ts, k=5).toPandas()
+    assert len(out) == 40 * 5
+    for qid in [0, 7, 39]:
+        d = np.sqrt((t.x - q.x[qid]) ** 2 + (t.y - q.y[qid]) ** 2)
+        order = np.lexsort((t.point_id.to_numpy(), d.to_numpy()))
+        exp = t.point_id.to_numpy()[order][:5]
+        got = out[out.query_id == qid].sort_values("rank").neighbor_id.to_numpy()
+        assert (got == exp).all()
+
+
+def test_knn_cells_matches_brute(spark):
+    q = points_pdf(60, seed=41)
+    t = points_pdf(800, seed=42)
+    qs = spark.createDataFrame(q)
+    ts = spark.createDataFrame(t)
+    brute = spatial.knn_brute(qs, ts, k=4).toPandas()
+    ringed = spatial.knn_cells(qs, ts, k=4, res=6).toPandas()
+    b = {(r.query_id, r["rank"]): r.neighbor_id for _, r in brute.iterrows()}
+    g = {(r.query_id, r["rank"]): r.neighbor_id for _, r in ringed.iterrows()}
+    assert b == g
+
+
+def test_knn_cells_sparse_targets_fallback(spark):
+    # only 3 targets -> rings never satisfy k=3 locally; fallback must kick in
+    q = points_pdf(10, seed=51)
+    t = points_pdf(3, seed=52)
+    qs = spark.createDataFrame(q)
+    ts = spark.createDataFrame(t)
+    out = spatial.knn_cells(qs, ts, k=3, res=8, max_rounds=2).toPandas()
+    brute = spatial.knn_brute(qs, ts, k=3).toPandas()
+    g = {(r.query_id, r["rank"]): r.neighbor_id for _, r in out.iterrows()}
+    b = {(r.query_id, r["rank"]): r.neighbor_id for _, r in brute.iterrows()}
+    assert g == b
