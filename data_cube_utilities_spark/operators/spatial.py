@@ -292,8 +292,10 @@ def knn_brute(queries: DataFrame, targets: DataFrame, k: int,
     t = targets.select(F.col(tid).alias("neighbor_id"),
                        F.col(tx).alias("_tx"), F.col(ty).alias("_ty"))
     j = q.crossJoin(F.broadcast(t))
-    dist = F.sqrt((F.col("_qx") - F.col("_tx")) ** 2
-                  + (F.col("_qy") - F.col("_ty")) ** 2)
+    # plain multiplication, not pow(x,2): bit-identical to the SQL oracle
+    dx = F.col("_qx") - F.col("_tx")
+    dy = F.col("_qy") - F.col("_ty")
+    dist = F.sqrt(dx * dx + dy * dy)
     w = Window.partitionBy("query_id").orderBy(dist.asc(), F.col("neighbor_id").asc())
     return (j.withColumn("dist", dist)
              .withColumn("rank", F.row_number().over(w))
@@ -331,8 +333,9 @@ def knn_cells(queries: DataFrame, targets: DataFrame, k: int, res: int,
             break
         ring_df = _explode_rings(pending, radius)
         cand = ring_df.join(t, "cell_id")
-        dist = F.sqrt((F.col("_qx") - F.col("_tx")) ** 2
-                      + (F.col("_qy") - F.col("_ty")) ** 2)
+        dx = F.col("_qx") - F.col("_tx")
+        dy = F.col("_qy") - F.col("_ty")
+        dist = F.sqrt(dx * dx + dy * dy)
         w = Window.partitionBy("query_id").orderBy(dist.asc(),
                                                    F.col("neighbor_id").asc())
         topk = (cand.withColumn("dist", dist)

@@ -1,0 +1,783 @@
+"""Driver-contract query registry: every SQL-expressible operator from
+SURVEY.md section 2 gets (a) a Spark DataFrame implementation over the
+/root/testdata star schema and (b) an ANSI-SQL oracle DuckDB runs on the
+same parquet. Column names/aliases match exactly on both sides; float
+aggregates are rounded identically to absorb summation-order jitter.
+
+The tables stand in for the reference's data model: `lineitem` rows play
+pixel observations (derived int16-ish bands), `events` plays the time
+series, `orders`/`customer`/`supplier` play acquisitions and footprints.
+Spatial coordinates are derived with pure integer arithmetic so Spark and
+DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import cells
+from .operators import indices, spatial
+
+# ---------------------------------------------------------------------------
+# deterministic derived columns (identical integer arithmetic both sides)
+# ---------------------------------------------------------------------------
+
+# six synthetic int bands from lineitem keys — stands in for the image bands
+BANDS_SQL = {
+    "blue": "CAST((l_partkey * 7 + l_linenumber * 131) % 5000 AS BIGINT)",
+    "green": "CAST((l_partkey * 11 + l_suppkey * 17) % 5000 AS BIGINT)",
+    "red": "CAST((l_partkey * 13 + l_orderkey * 3) % 5000 AS BIGINT)",
+    "nir": "CAST((l_suppkey * 29 + l_linenumber * 7) % 5000 AS BIGINT)",
+    "swir1": "CAST((l_orderkey * 5 + l_partkey * 3) % 5000 AS BIGINT)",
+    "swir2": "CAST((l_orderkey * 17 + l_suppkey * 23) % 5000 AS BIGINT)",
+}
+QA_SQL = ("CAST(CASE WHEN l_orderkey % 10 < 2 THEN 32 "  # 20% cloud
+          "WHEN l_orderkey % 10 < 4 THEN 4 ELSE 2 END AS BIGINT)")  # water/clear
+
+# supplier / customer footprints: lon in [-180,180), lat in [-60,60)
+SUP_X = "CAST((s_suppkey * 9301 + 49297) % 36000 AS DOUBLE) / 100.0 - 180.0"
+SUP_Y = "CAST((s_suppkey * 7919 + 12345) % 12000 AS DOUBLE) / 100.0 - 60.0"
+CUST_X = "CAST((c_custkey * 9301 + 49297) % 36000 AS DOUBLE) / 100.0 - 180.0"
+CUST_Y = "CAST((c_custkey * 7919 + 12345) % 12000 AS DOUBLE) / 100.0 - 60.0"
+
+# the polygon layer used by PIP/zonal queries (same literals both sides)
+Q_POLYS = {
+    1: [(-120.0, -30.0), (-30.0, -30.0), (-30.0, 30.0), (-120.0, 30.0)],
+    2: [(0.0, -50.0), (90.0, -50.0), (90.0, 10.0), (45.0, -20.0), (0.0, 10.0)],
+    3: [(100.0, 20.0), (170.0, 20.0), (135.0, 55.0)],
+}
+
+CELL_RES = 7
+
+
+def _us(col) -> "F.Column":
+    """Epoch microseconds of a (possibly NTZ) timestamp column. Only ever
+    used in differences, so any session-timezone shift cancels."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _lineitem_bands(spark, sf_dir) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    for b, sql in BANDS_SQL.items():
+        df = df.withColumn(b, F.expr(sql))
+    return df.withColumn("pixel_qa", F.expr(QA_SQL))
+
+
+def _bands_cte() -> str:
+    cols = ",\n       ".join(f"{sql} AS {b}" for b, sql in BANDS_SQL.items())
+    return (f"WITH px AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+            f" l_quantity, l_extendedprice, l_discount, l_returnflag,"
+            f" l_linestatus, l_shipdate,\n       {cols},\n       {QA_SQL} AS pixel_qa"
+            f" FROM lineitem)")
+
+
+# ---------------------------------------------------------------------------
+# group A: scans, aggregates, windows, joins (SURVEY.md 2.1/2.2/2.4/2.5/2.6)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """perform_timeseries_analysis analogue (dc_utilities.py:263-315):
+    grouped sum/count/min/max + normalized ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count("*").alias("n_rows"),
+                 F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+                 F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+                 F.round(F.sum("l_quantity") / F.count("*"), 6).alias("qty_ratio")))
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(sum(l_quantity) / count(*), 6) AS qty_ratio
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_query_metadata(spark, sf_dir):
+    """get_query_metadata (data_access_api.py:166-210): extent + count."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.min("o_orderdate").alias("t_min"),
+                 F.max("o_orderdate").alias("t_max"),
+                 F.count("*").alias("n"),
+                 F.countDistinct("o_custkey").alias("n_cust"),
+                 F.round(F.min("o_totalprice"), 2).alias("p_min"),
+                 F.round(F.max("o_totalprice"), 2).alias("p_max"))
+
+
+SQL_QUERY_METADATA = """
+SELECT min(o_orderdate) AS t_min, max(o_orderdate) AS t_max,
+       count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+       round(min(o_totalprice), 2) AS p_min, round(max(o_totalprice), 2) AS p_max
+FROM orders
+"""
+
+
+def q_acquisition_dates(spark, sf_dir):
+    """list_acquisition_dates (data_access_api.py:212-233)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select(F.to_date("o_orderdate").alias("acq_date"))
+             .distinct().orderBy("acq_date"))
+
+
+SQL_ACQUISITION_DATES = """
+SELECT DISTINCT CAST(o_orderdate AS DATE) AS acq_date FROM orders ORDER BY acq_date
+"""
+
+
+def q_stacked_union(spark, sf_dir):
+    """get_stacked_datasets_by_extent (data_access_api.py:101-163): multi-
+    product union with int lineage column, re-sorted by time."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").withColumn("satellite", F.lit(0))
+    b = o.filter(F.col("o_orderstatus") != "F").withColumn("satellite", F.lit(1))
+    return (a.unionByName(b)
+             .groupBy("satellite")
+             .agg(F.count("*").alias("n"),
+                  F.min("o_orderdate").alias("t_min"),
+                  F.max("o_orderdate").alias("t_max")))
+
+
+SQL_STACKED_UNION = """
+SELECT satellite, count(*) AS n, min(o_orderdate) AS t_min, max(o_orderdate) AS t_max
+FROM (
+  SELECT o_orderdate, 0 AS satellite FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderdate, 1 AS satellite FROM orders WHERE o_orderstatus != 'F'
+) GROUP BY satellite
+"""
+
+
+def q_cloud_coverage_table(spark, sf_dir):
+    """build_cloud_coverage_table_landsat (:9-59): per-acquisition clean %."""
+    px = _lineitem_bands(spark, sf_dir)
+    clean = (F.col("pixel_qa").bitwiseAND(F.lit(2)) != 0) | \
+            (F.col("pixel_qa").bitwiseAND(F.lit(4)) != 0)
+    return (px.groupBy("l_returnflag")
+              .agg(F.round(F.avg(clean.cast("int")) * 100, 4).alias("clean_pct"),
+                   F.sum(clean.cast("int")).alias("clean_px"),
+                   F.count("*").alias("total_px")))
+
+
+SQL_CLOUD_COVERAGE = _bands_cte() + """
+SELECT l_returnflag,
+       round(avg(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
+                 THEN 1 ELSE 0 END) * 100, 4) AS clean_pct,
+       sum(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
+           THEN 1 ELSE 0 END) AS clean_px,
+       count(*) AS total_px
+FROM px GROUP BY l_returnflag
+"""
+
+
+def q_frequency_counts(spark, sf_dir):
+    """get_frequency_counts (dc_clustering.py:10-33): value histogram."""
+    e = _t(spark, sf_dir, "events")
+    total = Window.partitionBy()
+    return (e.groupBy("event_type").agg(F.count("*").alias("n"))
+             .withColumn("fraction",
+                         F.round(F.col("n") / F.sum("n").over(total), 6)))
+
+
+SQL_FREQUENCY_COUNTS = """
+SELECT event_type, count(*) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS fraction
+FROM events GROUP BY event_type
+"""
+
+
+def q_reduce_on_day(spark, sf_dir):
+    """reduce_on_day (dc_load.py:382-436): calendar-day grouping + mean."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.round(F.avg("value"), 6).alias("day_mean"),
+                  F.count("*").alias("n")))
+
+
+SQL_REDUCE_ON_DAY = """
+SELECT CAST(ts AS DATE) AS day, round(avg(value), 6) AS day_mean, count(*) AS n
+FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+
+def q_find_gaps(spark, sf_dir):
+    """find_gaps (data_stats.py:5-42): per-series stats of time deltas."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 75)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _us("ts") - _us(F.lag("ts").over(w))
+    return (e.withColumn("gap", gap)
+             .filter(F.col("gap").isNotNull())
+             .groupBy("user_id")
+             .agg(F.min("gap").alias("gap_min"),
+                  F.round(F.avg("gap"), 4).alias("gap_mean"),
+                  F.max("gap").alias("gap_max"),
+                  F.count("*").alias("n_gaps")))
+
+
+SQL_FIND_GAPS = """
+WITH f AS (SELECT * FROM events WHERE value > 75),
+g AS (SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM f)
+SELECT user_id, min(gap) AS gap_min, round(avg(gap), 4) AS gap_mean,
+       max(gap) AS gap_max, count(*) AS n_gaps
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_trend_slope(spark, sf_dir):
+    """trend.linear (trend.py:30-71): per-series OLS slope as
+    covar_pop/var_pop — no UDF needed (SURVEY.md 2.8)."""
+    e = _t(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts").cast("double")
+    return (e.groupBy("user_id")
+             .agg(F.round(F.covar_pop(t, F.col("value"))
+                          / F.var_pop(t), 10).alias("slope"),
+                  F.count("*").alias("n"))
+             .filter(F.col("n") >= 5).drop("n"))
+
+
+SQL_TREND_SLOPE = """
+SELECT user_id,
+       round(covar_pop(epoch(ts), value) / var_pop(epoch(ts)), 10) AS slope
+FROM events GROUP BY user_id HAVING count(*) >= 5
+"""
+
+
+def q_first_last_valid(spark, sf_dir):
+    """create_mosaic first/last-valid (dc_mosaic.py:117-185) over orders:
+    per customer, price at earliest and latest order (min_by/max_by)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_custkey")
+             .agg(F.expr("min_by(o_totalprice, struct(o_orderdate, o_orderkey))")
+                    .alias("first_price"),
+                  F.expr("max_by(o_totalprice, struct(o_orderdate, o_orderkey))")
+                    .alias("last_price")))
+
+
+SQL_FIRST_LAST_VALID = """
+WITH r AS (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_a,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+  FROM orders)
+SELECT o_custkey,
+       max(CASE WHEN rn_a = 1 THEN o_totalprice END) AS first_price,
+       max(CASE WHEN rn_d = 1 THEN o_totalprice END) AS last_price
+FROM r GROUP BY o_custkey
+"""
+
+
+def q_max_by_selector(spark, sf_dir):
+    """create_max_ndvi_mosaic shape (dc_mosaic.py:286-352): argmax of a
+    derived selector, all columns of that row, earliest-tie-break."""
+    px = _lineitem_bands(spark, sf_dir)
+    ndvi = "(CAST(nir AS DOUBLE) - red) / nullif(CAST(nir AS DOUBLE) + red, 0)"
+    return mosaic_like_extreme(px, ndvi)
+
+
+def mosaic_like_extreme(px, selector_sql):
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.expr(selector_sql).desc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc())
+    return (px.filter(F.expr(selector_sql).isNotNull())
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("l_returnflag", "l_orderkey", "l_linenumber",
+                      F.round(F.expr(selector_sql), 8).alias("best_ndvi")))
+
+
+SQL_MAX_BY_SELECTOR = _bands_cte() + """
+, ranked AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         (CAST(nir AS DOUBLE) - red) / nullif(CAST(nir AS DOUBLE) + red, 0) AS ndvi,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY (CAST(nir AS DOUBLE) - red) / nullif(CAST(nir AS DOUBLE) + red, 0) DESC,
+                                     l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM px
+  WHERE (CAST(nir AS DOUBLE) - red) / nullif(CAST(nir AS DOUBLE) + red, 0) IS NOT NULL
+)
+SELECT l_returnflag, l_orderkey, l_linenumber, round(ndvi, 8) AS best_ndvi
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_median_mosaic(spark, sf_dir):
+    """create_median_mosaic (dc_mosaic.py:234-283) scalar twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                    .alias("median_price"),
+                   F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
+                    .alias("median_qty")))
+
+
+SQL_MEDIAN_MOSAIC = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_mean_mosaic_int(spark, sf_dir):
+    """create_mean_mosaic + restore_or_convert_dtypes (dc_mosaic.py:637-678):
+    mean then truncation-to-int cast, empty groups -> -9999 sentinel."""
+    li = _t(spark, sf_dir, "lineitem")
+    masked = F.when(F.col("l_discount") < 0.05, F.col("l_quantity"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.coalesce(F.avg(masked), F.lit(-9999.0))
+                    .cast("long").alias("mean_qty_int"),
+                   F.count(masked).alias("n_clean")))
+
+
+SQL_MEAN_MOSAIC_INT = """
+SELECT l_returnflag, l_linestatus,
+       CAST(trunc(coalesce(avg(CASE WHEN l_discount < 0.05 THEN l_quantity END),
+                           -9999.0)) AS BIGINT) AS mean_qty_int,
+       count(CASE WHEN l_discount < 0.05 THEN l_quantity END) AS n_clean
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk(spark, sf_dir):
+    """top-k pattern (get_best_classifier wasard.py:161-187 / largest_region)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             .orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(10))
+
+
+SQL_TOPK = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY o_custkey ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def q_window_baseline(spark, sf_dir):
+    """generate_baseline rolling composite (dc_baseline.py:47-59): trailing
+    mean of previous 3 orders per customer (excluding current)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey").rowsBetween(-3, -1))
+    out = (o.withColumn("baseline", F.round(F.avg("o_totalprice").over(w), 4))
+            .filter(F.col("baseline").isNotNull()))
+    return out.select("o_orderkey", "baseline",
+                      F.round(F.col("o_totalprice") - F.col("baseline"), 4)
+                       .alias("anomaly"))
+
+
+SQL_WINDOW_BASELINE = """
+WITH b AS (
+  SELECT o_orderkey, o_totalprice,
+         round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS baseline
+  FROM orders)
+SELECT o_orderkey, baseline, round(o_totalprice - baseline, 4) AS anomaly
+FROM b WHERE baseline IS NOT NULL
+"""
+
+
+def q_ffill(spark, sf_dir):
+    """fast_completion forward-fill (dea temporal.py:78-119): last non-null
+    over time-ordered window."""
+    e = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "click", F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = F.last(v, ignorenulls=True).over(w)
+    return (e.withColumn("filled", F.round(filled, 6))
+             .groupBy("user_id")
+             .agg(F.round(F.sum("filled"), 4).alias("filled_sum"),
+                  F.count("filled").alias("n_filled")))
+
+
+SQL_FFILL = """
+WITH f AS (
+  SELECT user_id,
+         round(last_value(CASE WHEN event_type != 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+  FROM events)
+SELECT user_id, round(sum(filled), 4) AS filled_sum, count(filled) AS n_filled
+FROM f GROUP BY user_id
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """as-of (nearest-before) join (dea datahandling.py:806-872 /
+    dc_displayutil.py:13-24): each click joined to the user's most recent
+    prior view."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts"))
+    views = e.filter(F.col("event_type") == "view") \
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").alias("view_ts"))
+    j = clicks.join(views, "user_id").filter(F.col("view_ts") <= F.col("click_ts"))
+    w = Window.partitionBy("click_id").orderBy(
+        F.desc("view_ts"), F.desc("view_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("click_id", "view_id",
+                     (_us("click_ts") - _us("view_ts"))
+                     .alias("lag_us")))
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'),
+j AS (SELECT c.click_id, v.view_id,
+             epoch_us(c.click_ts) - epoch_us(v.view_ts) AS lag_us,
+             row_number() OVER (PARTITION BY c.click_id
+                                ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+      FROM c JOIN v ON c.user_id = v.user_id AND v.view_ts <= c.click_ts)
+SELECT click_id, view_id, lag_us FROM j WHERE rn = 1
+"""
+
+
+def q_time_buffer(spark, sf_dir):
+    """time_buffer (dea temporal.py:687-728): +-N day predicate window."""
+    e = _t(spark, sf_dir, "events")
+    # anchor derived IN-QUERY on both sides to stay deterministic
+    anchored = e.crossJoin(e.agg(F.min("ts").alias("t0")))
+    return (anchored
+            .filter((F.col("ts") >= F.expr("t0 + INTERVAL 1 DAY"))
+                    & (F.col("ts") <= F.expr("t0 + INTERVAL 3 DAY")))
+            .groupBy("event_type").agg(F.count("*").alias("n"),
+                                       F.round(F.sum("value"), 4).alias("v_sum")))
+
+
+SQL_TIME_BUFFER = """
+WITH t AS (SELECT min(ts) AS t0 FROM events)
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS v_sum
+FROM events, t
+WHERE ts >= t0 + INTERVAL 1 DAY AND ts <= t0 + INTERVAL 3 DAY
+GROUP BY event_type
+"""
+
+
+def q_anti_join_quality_gate(spark, sf_dir):
+    """find_desired_acq_inds / load_ard quality gate (dc_load.py:338-379):
+    drop groups failing an aggregate predicate via anti join."""
+    li = _t(spark, sf_dir, "lineitem")
+    bad = (li.groupBy("l_orderkey")
+             .agg(F.avg("l_discount").alias("d"))
+             .filter(F.col("d") > 0.05).select("l_orderkey"))
+    kept = li.join(bad, "l_orderkey", "left_anti")
+    return kept.agg(F.count("*").alias("n_rows"),
+                    F.countDistinct("l_orderkey").alias("n_orders"),
+                    F.round(F.sum("l_extendedprice"), 2).alias("kept_value"))
+
+
+SQL_ANTI_JOIN_GATE = """
+WITH bad AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             HAVING avg(l_discount) > 0.05)
+SELECT count(*) AS n_rows, count(DISTINCT l.l_orderkey) AS n_orders,
+       round(sum(l_extendedprice), 2) AS kept_value
+FROM lineitem l WHERE l.l_orderkey NOT IN (SELECT l_orderkey FROM bad)
+"""
+
+
+def q_overlapping_extents(spark, sf_dir):
+    """get_overlapping_area (dc_load.py:295-332): greatest-min/least-max
+    intersection across per-product extents."""
+    s = _t(spark, sf_dir, "supplier").withColumn("x", F.expr(SUP_X)) \
+                                     .withColumn("y", F.expr(SUP_Y))
+    ext = (s.withColumn("product", F.col("s_nationkey") % 3)
+            .groupBy("product")
+            .agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+                 F.min("y").alias("ymin"), F.max("y").alias("ymax")))
+    return ext.agg(F.round(F.max("xmin"), 6).alias("ix_min"),
+                   F.round(F.min("xmax"), 6).alias("ix_max"),
+                   F.round(F.max("ymin"), 6).alias("iy_min"),
+                   F.round(F.min("ymax"), 6).alias("iy_max"))
+
+
+SQL_OVERLAPPING_EXTENTS = f"""
+WITH pts AS (SELECT {SUP_X} AS x, {SUP_Y} AS y, s_nationkey % 3 AS product
+             FROM supplier),
+ext AS (SELECT product, min(x) AS xmin, max(x) AS xmax,
+               min(y) AS ymin, max(y) AS ymax FROM pts GROUP BY product)
+SELECT round(max(xmin), 6) AS ix_min, round(min(xmax), 6) AS ix_max,
+       round(max(ymin), 6) AS iy_min, round(min(ymax), 6) AS iy_max
+FROM ext
+"""
+
+
+def q_scale_minmax(spark, sf_dir):
+    """np_scale / xr_scale (scale.py:4-78): min-max normalize per group."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    rng = F.max("s_acctbal").over(w) - F.min("s_acctbal").over(w)
+    # nullif guard: single-member groups divide by zero -> NULL (any ANSI mode)
+    scaled = ((F.col("s_acctbal") - F.min("s_acctbal").over(w))
+              / F.nullif(rng, F.lit(0.0)))
+    return (s.withColumn("scaled", F.round(scaled, 8))
+             .select("s_suppkey", "s_nationkey", "scaled"))
+
+
+SQL_SCALE_MINMAX = """
+SELECT s_suppkey, s_nationkey,
+       round((s_acctbal - min(s_acctbal) OVER (PARTITION BY s_nationkey))
+             / nullif(max(s_acctbal) OVER (PARTITION BY s_nationkey)
+                      - min(s_acctbal) OVER (PARTITION BY s_nationkey), 0), 8) AS scaled
+FROM supplier
+"""
+
+
+def q_qa_bit_predicates(spark, sf_dir):
+    """landsat_qa_clean_mask bit algebra (clean_mask.py:204-294)."""
+    px = _lineitem_bands(spark, sf_dir)
+    clear = F.col("pixel_qa").bitwiseAND(F.lit(2)) != 0
+    water = F.col("pixel_qa").bitwiseAND(F.lit(4)) != 0
+    cloud = F.col("pixel_qa").bitwiseAND(F.lit(32)) != 0
+    return (px.agg(F.sum(clear.cast("int")).alias("n_clear"),
+                   F.sum(water.cast("int")).alias("n_water"),
+                   F.sum(cloud.cast("int")).alias("n_cloud"),
+                   F.sum((clear | water).cast("int")).alias("n_clean")))
+
+
+SQL_QA_BIT_PREDICATES = _bands_cte() + """
+SELECT sum(CASE WHEN (pixel_qa & 2) != 0 THEN 1 ELSE 0 END) AS n_clear,
+       sum(CASE WHEN (pixel_qa & 4) != 0 THEN 1 ELSE 0 END) AS n_water,
+       sum(CASE WHEN (pixel_qa & 32) != 0 THEN 1 ELSE 0 END) AS n_cloud,
+       sum(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
+           THEN 1 ELSE 0 END) AS n_clean
+FROM px
+"""
+
+
+def q_wofs_classify(spark, sf_dir):
+    """wofs_classify (dc_water_classifier.py:89-316) over derived bands."""
+    px = _lineitem_bands(spark, sf_dir)
+    return (px.withColumn("water", F.expr(indices.wofs_sql()))
+              .groupBy("l_returnflag")
+              .agg(F.sum("water").alias("n_water"),
+                   F.count("*").alias("n_px"),
+                   F.round(F.avg("water"), 6).alias("water_frac")))
+
+
+SQL_WOFS_CLASSIFY = _bands_cte() + f"""
+SELECT l_returnflag, sum(water) AS n_water, count(*) AS n_px,
+       round(avg(water), 6) AS water_frac
+FROM (SELECT l_returnflag, {indices.wofs_sql()} AS water FROM px)
+GROUP BY l_returnflag
+"""
+
+
+def q_band_indices(spark, sf_dir):
+    """calculate_indices registry (dea bandindices.py:29-421): several
+    recipes in one pass."""
+    px = _lineitem_bands(spark, sf_dir)
+    aggs = [F.round(F.avg(indices.index_col(n)), 6).alias(f"avg_{n}")
+            for n in ("ndvi", "evi", "savi", "nbr", "mndwi", "ndbi", "tcw")]
+    return px.groupBy("l_linestatus").agg(*aggs)
+
+
+SQL_BAND_INDICES = _bands_cte() + """
+SELECT l_linestatus,
+""" + ",\n".join(
+    f"       round(avg({indices.index_sql(n)}), 6) AS avg_{n}"
+    for n in ("ndvi", "evi", "savi", "nbr", "mndwi", "ndbi", "tcw")
+) + "\nFROM px GROUP BY l_linestatus"
+
+
+def q_cell_assignment(spark, sf_dir):
+    """tile assignment: geocell encode (the H3/S2 spine) via the pure-
+    arithmetic Column twin; histogram per cell."""
+    s = _t(spark, sf_dir, "supplier").withColumn("x", F.expr(SUP_X)) \
+                                     .withColumn("y", F.expr(SUP_Y))
+    return (s.withColumn("cell_id",
+                         cells.encode_col(F.col("y"), F.col("x"), CELL_RES))
+             .groupBy("cell_id").agg(F.count("*").alias("n"),
+                                     F.round(F.avg("s_acctbal"), 4).alias("bal")))
+
+
+SQL_CELL_ASSIGNMENT = f"""
+WITH pts AS (SELECT {SUP_X} AS x, {SUP_Y} AS y, s_acctbal FROM supplier)
+SELECT {cells.encode_sql('y', 'x', CELL_RES)} AS cell_id,
+       count(*) AS n, round(avg(s_acctbal), 4) AS bal
+FROM pts GROUP BY cell_id
+"""
+
+
+def q_pip_relational(spark, sf_dir):
+    """shapefile_mask as a spatial join (shapefile_mask.py:36-72): customers
+    inside each polygon — broadcast ray-casting UDF on the Spark side, the
+    relational edge-parity twin as oracle."""
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("point_id"),
+                 F.expr(CUST_X).alias("x"), F.expr(CUST_Y).alias("y")))
+    polys = spatial.polygons_df(spark, Q_POLYS)
+    j = spatial.pip_broadcast(c, polys)
+    return j.groupBy("poly_id").agg(F.count("*").alias("n_inside"),
+                                    F.sum("point_id").alias("id_sum"))
+
+
+def _edges_values() -> str:
+    rows = ", ".join(f"({pid}, {x1}, {y1}, {x2}, {y2})"
+                     for pid, x1, y1, x2, y2 in spatial.edges_rows(Q_POLYS))
+    return f"(VALUES {rows}) AS e(poly_id, x1, y1, x2, y2)"
+
+
+SQL_PIP_RELATIONAL = f"""
+WITH pts AS (SELECT c_custkey AS point_id, {CUST_X} AS x, {CUST_Y} AS y
+             FROM customer),
+hits AS (
+  SELECT p.point_id, e.poly_id
+  FROM pts p JOIN {_edges_values()}
+    ON ((e.y1 > p.y) != (e.y2 > p.y))
+   AND p.x < e.x1 + (p.y - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+  GROUP BY p.point_id, e.poly_id
+  HAVING count(*) % 2 = 1)
+SELECT poly_id, count(*) AS n_inside, sum(point_id) AS id_sum
+FROM hits GROUP BY poly_id
+"""
+
+
+def q_zonal_stats(spark, sf_dir):
+    """zonal_stats_parallel (dea spatial.py:778-859) as PIP join + agg."""
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("point_id"),
+                 F.expr(CUST_X).alias("x"), F.expr(CUST_Y).alias("y"),
+                 F.col("c_acctbal").alias("v")))
+    polys = spatial.polygons_df(spark, Q_POLYS)
+    out = spatial.zonal_stats(c, polys, "v",
+                              stats=("count", "min", "max", "mean", "sum"))
+    return out.select("poly_id", "count",
+                      F.round("min", 2).alias("min"),
+                      F.round("max", 2).alias("max"),
+                      F.round("mean", 4).alias("mean"),
+                      F.round("sum", 2).alias("sum"))
+
+
+SQL_ZONAL_STATS = f"""
+WITH pts AS (SELECT c_custkey AS point_id, {CUST_X} AS x, {CUST_Y} AS y,
+                    c_acctbal AS v FROM customer),
+hits AS (
+  SELECT p.point_id, p.v, e.poly_id
+  FROM pts p JOIN {_edges_values()}
+    ON ((e.y1 > p.y) != (e.y2 > p.y))
+   AND p.x < e.x1 + (p.y - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+  GROUP BY p.point_id, p.v, e.poly_id
+  HAVING count(*) % 2 = 1)
+SELECT poly_id, count(*) AS count, round(min(v), 2) AS min,
+       round(max(v), 2) AS max, round(avg(v), 4) AS mean,
+       round(sum(v), 2) AS sum
+FROM hits GROUP BY poly_id
+"""
+
+
+def q_knn(spark, sf_dir):
+    """kNN via geocell ring expansion (SURVEY.md 2.3): 8 fixed query
+    points against supplier footprints, k=3."""
+    t = (_t(spark, sf_dir, "supplier")
+         .select(F.col("s_suppkey").alias("point_id"),
+                 F.expr(SUP_X).alias("x"), F.expr(SUP_Y).alias("y")))
+    qrows = [(i, -150.0 + 40.0 * i, -45.0 + 12.0 * i) for i in range(8)]
+    q = spark.createDataFrame(qrows, schema="point_id long, x double, y double")
+    out = spatial.knn_cells(q, t, k=3, res=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("dist", 8).alias("dist"), "rank")
+
+
+def _knn_queries_values() -> str:
+    rows = ", ".join(f"({i}, {-150.0 + 40.0 * i}, {-45.0 + 12.0 * i})"
+                     for i in range(8))
+    return f"(VALUES {rows}) AS q(query_id, qx, qy)"
+
+
+SQL_KNN = f"""
+WITH t AS (SELECT s_suppkey AS point_id, {SUP_X} AS x, {SUP_Y} AS y FROM supplier),
+d AS (SELECT q.query_id, t.point_id AS neighbor_id,
+             sqrt((q.qx - t.x) * (q.qx - t.x) + (q.qy - t.y) * (q.qy - t.y)) AS dist
+      FROM {_knn_queries_values()} CROSS JOIN t),
+r AS (SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id ASC) AS rank
+      FROM d)
+SELECT query_id, neighbor_id, round(dist, 8) AS dist, rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_chunk_combine(spark, sf_dir):
+    """combine_geographic_chunks invariant (dc_chunker.py:87-125): two
+    overlapping tile scans union + dedup == monolithic."""
+    s = (_t(spark, sf_dir, "supplier")
+         .select("s_suppkey", F.expr(SUP_X).alias("x"), F.expr(SUP_Y).alias("y")))
+    left = s.filter(F.col("x") < 20.0)
+    right = s.filter(F.col("x") >= -20.0)  # overlap band [-20, 20)
+    combined = left.unionByName(right).dropDuplicates(["s_suppkey"])
+    return combined.agg(F.count("*").alias("n"),
+                        F.round(F.sum("x"), 6).alias("x_sum"),
+                        F.round(F.sum("y"), 6).alias("y_sum"))
+
+
+SQL_CHUNK_COMBINE = f"""
+WITH pts AS (SELECT s_suppkey, {SUP_X} AS x, {SUP_Y} AS y FROM supplier),
+u AS (SELECT * FROM pts WHERE x < 20.0
+      UNION SELECT * FROM pts WHERE x >= -20.0)
+SELECT count(*) AS n, round(sum(x), 6) AS x_sum, round(sum(y), 6) AS y_sum
+FROM u
+"""
+
+
+# registry ------------------------------------------------------------------
+
+GROUP_A = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
+    "acquisition_dates": (q_acquisition_dates, SQL_ACQUISITION_DATES),
+    "stacked_union": (q_stacked_union, SQL_STACKED_UNION),
+    "cloud_coverage_table": (q_cloud_coverage_table, SQL_CLOUD_COVERAGE),
+    "frequency_counts": (q_frequency_counts, SQL_FREQUENCY_COUNTS),
+    "reduce_on_day": (q_reduce_on_day, SQL_REDUCE_ON_DAY),
+    "find_gaps": (q_find_gaps, SQL_FIND_GAPS),
+    "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
+    "first_last_valid": (q_first_last_valid, SQL_FIRST_LAST_VALID),
+    "max_by_selector": (q_max_by_selector, SQL_MAX_BY_SELECTOR),
+    "median_mosaic": (q_median_mosaic, SQL_MEDIAN_MOSAIC),
+    "mean_mosaic_int": (q_mean_mosaic_int, SQL_MEAN_MOSAIC_INT),
+    "topk": (q_topk, SQL_TOPK),
+    "window_baseline": (q_window_baseline, SQL_WINDOW_BASELINE),
+    "ffill": (q_ffill, SQL_FFILL),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "time_buffer": (q_time_buffer, SQL_TIME_BUFFER),
+    "anti_join_quality_gate": (q_anti_join_quality_gate, SQL_ANTI_JOIN_GATE),
+    "overlapping_extents": (q_overlapping_extents, SQL_OVERLAPPING_EXTENTS),
+    "scale_minmax": (q_scale_minmax, SQL_SCALE_MINMAX),
+    "qa_bit_predicates": (q_qa_bit_predicates, SQL_QA_BIT_PREDICATES),
+    "wofs_classify": (q_wofs_classify, SQL_WOFS_CLASSIFY),
+    "band_indices": (q_band_indices, SQL_BAND_INDICES),
+    "cell_assignment": (q_cell_assignment, SQL_CELL_ASSIGNMENT),
+    "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
+    "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
+    "knn": (q_knn, SQL_KNN),
+    "chunk_combine": (q_chunk_combine, SQL_CHUNK_COMBINE),
+}
+
+
+def registry() -> dict[str, tuple]:
+    """name -> (spark_callable, oracle_sql_or_None)."""
+    return dict(GROUP_A)

@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # permissive arithmetic (NULL on /0, truncating casts) — matches the
+        # DuckDB-oracle semantics; operators still nullif-guard divisions so
+        # they stay correct under a foreign ANSI-enabled session too
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

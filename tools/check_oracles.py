@@ -1,0 +1,104 @@
+"""Driver-simulator: run every queries() entry on Spark and its oracle_sql()
+on DuckDB at a given sf_dir; compare row count, column names, and
+order-insensitive values. Usage: python tools/check_oracles.py [sf_dir] [name...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    df = pdf.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if sorted(a.columns) != sorted(b.columns):
+        return f"schema: spark={sorted(a.columns)} duck={sorted(b.columns)}"
+    if len(a) != len(b):
+        return f"rows: spark={len(a)} duck={len(b)}"
+    na, nb = normalize(a), normalize(b)
+    for c in na.columns:
+        ca, cb = na[c], nb[c]
+        if pd.api.types.is_float_dtype(ca) or pd.api.types.is_float_dtype(cb):
+            ok = np.allclose(ca.astype(float), cb.astype(float),
+                             rtol=1e-9, atol=1e-9, equal_nan=True)
+        else:
+            ok = (ca.astype(str) == cb.astype(str)).all()
+        if not ok:
+            bad = (ca.astype(str) != cb.astype(str))
+            i = int(np.argmax(bad.to_numpy()))
+            return (f"values[{c}] row{i}: spark={ca.iloc[i]!r} duck={cb.iloc[i]!r}")
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from data_cube_utilities_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in sqls:
+            print(f"ok(rows-only) {name}: {len(got)} rows {time.time()-t0:.1f}s")
+            n_pass += 1
+            continue
+        try:
+            exp = con.execute(sqls[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        err = compare(got, exp)
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"ok {name}: {len(got)} rows {time.time()-t0:.1f}s")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
