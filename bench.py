@@ -1,0 +1,126 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32), plus the
+engine's image pipeline (synthesized image table: scan -> PIP spatial join
+-> geocell tile assignment -> composite agg) at a fixed deterministic size.
+
+Output: {"metric": "...", "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
+TILE_PX = int(os.environ.get("SPARK_GRAFT_BENCH_TILEPX", "16"))
+IMG_DIR = os.environ.get("SPARK_GRAFT_BENCH_IMGDIR",
+                         f"/tmp/geocube_bench/images_{N_IMAGES}")
+
+HEADLINE = [
+    "pricing_summary", "median_mosaic", "max_by_selector", "wofs_classify",
+    "band_indices", "cell_assignment", "first_last_valid", "window_baseline",
+    "asof_join", "find_gaps", "pip_relational", "zonal_stats", "knn",
+    "anti_join_quality_gate",
+]
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_images(spark):
+    """Materialize the deterministic image table once (setup, untimed)."""
+    from data_cube_utilities_spark import synth
+
+    marker = os.path.join(IMG_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(IMG_DIR, ignore_errors=True)
+        (synth.synthesize_images(spark, N_IMAGES, tile_px=TILE_PX,
+                                 partitions=CPUS * 4)
+         .write.mode("overwrite").parquet(IMG_DIR))
+    return IMG_DIR
+
+
+def image_pipeline(spark):
+    """The north-rule measured stage: scan -> spatial join -> tile assign ->
+    composite agg. Bytes column pruned at scan (only footprint/metadata)."""
+    from pyspark.sql import functions as F
+
+    from data_cube_utilities_spark import cells
+    from data_cube_utilities_spark.operators import spatial
+
+    imgs = (spark.read.parquet(IMG_DIR)
+            .select("image_id", "phash", "acquired_at",
+                    F.col("lon0").alias("x"), F.col("lat0").alias("y")))
+    polys = spatial.polygons_df(spark, {
+        1: [(-130.0, 20.0), (-60.0, 20.0), (-60.0, 55.0), (-130.0, 55.0)],
+        2: [(-20.0, 35.0), (20.0, 35.0), (20.0, 60.0), (-20.0, 60.0)],
+        3: [(60.0, -45.0), (160.0, -45.0), (160.0, 45.0), (110.0, 5.0), (60.0, 45.0)],
+        4: [(-90.0, -40.0), (-30.0, -40.0), (-30.0, 0.0), (-90.0, 0.0)],
+    })
+    j = spatial.pip_broadcast(imgs, polys)
+    tiled = j.withColumn("cell_id",
+                         cells.encode_col(F.col("y"), F.col("x"), 9))
+    out = (tiled.groupBy("poly_id", "cell_id")
+                .agg(F.count("*").alias("n_tiles"),
+                     F.min("acquired_at").alias("t0"),
+                     F.max("acquired_at").alias("t1"),
+                     F.avg(F.col("phash") % 1024).alias("phash_mix")))
+    return out
+
+
+def main():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    from data_cube_utilities_spark.session import get_spark
+    from data_cube_utilities_spark import queries as q
+
+    spark = get_spark("geocube-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 32))
+    reg = q.registry()
+    times: dict[str, float] = {}
+
+    ensure_images(spark)
+    # warm the JVM/Python workers once (untimed)
+    _noop(reg["pricing_summary"][0](spark, SF_DIR))
+
+    for name in HEADLINE:
+        fn = reg[name][0]
+        t0 = time.time()
+        _noop(fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    out = image_pipeline(spark)
+    _noop(out)
+    img_sec = time.time() - t0
+    times["image_pipeline"] = round(img_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "headline_suite_plus_image_pipeline_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
+        "throughput": {
+            "image_rows": N_IMAGES,
+            "image_rows_per_sec": round(N_IMAGES / img_sec, 1),
+            "cpus": CPUS,
+        },
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

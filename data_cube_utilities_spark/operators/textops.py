@@ -1,0 +1,312 @@
+"""Training-data pipeline operators: text analysis, deduplication,
+similarity search — first-class engine components for the 100TB corpus
+case (documents / embeddings tables).
+
+Everything is built from JVM-side primitives (split/explode/md5/
+higher-order array functions) — no Python UDFs anywhere in this module, so
+the plans are whole-stage-codegen end to end and shuffle only on the
+natural keys (token, band signature, bucket).
+
+Design notes per operator:
+  exact_dedup      hash-groupBy on md5(text) — one shuffle.
+  minhash_lsh      shingle explode -> per-(doc, band) min of a keyed md5 ->
+                   band-signature self-join. The md5-string min IS the
+                   minhash (a uniform hash ordered lexicographically);
+                   bands give the classic OR-of-ANDs LSH recall curve.
+  ngram_jaccard    token-set explode + pair join on token + count algebra.
+  simhash          per-hex-digit bit votes aggregated with sum, rebuilt to
+                   two 32-bit halves; generated SQL shared with the oracle.
+  cosine_topk      zip_with/aggregate dot product over array<float> —
+                   brute-force baseline.
+  lsh_ann          deterministic integer hyperplanes -> sign-bit bucket ->
+                   exact cosine within bucket (the scale path: candidates
+                   per query bounded by bucket size, equi-join on bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingles (identical semantics to the SQL oracles)
+# ---------------------------------------------------------------------------
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def explode_trigrams(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, shingle) rows of word trigrams, order-preserving."""
+    t = with_tokens(df, text_col)
+    tri = F.expr(
+        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+        "i -> concat_ws(' ', element_at(tokens, i), "
+        "element_at(tokens, i + 1), element_at(tokens, i + 2)))")
+    return (t.withColumn("shingle", F.explode(tri))
+             .select(id_col, "shingle"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+              .agg(F.min(id_col).alias("keeper_id"),
+                   F.count("*").alias("n_copies")))
+
+
+def minhash_signatures(df: DataFrame, n_bands: int,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, band, sig): sig = min over shingles of md5(shingle || '#' || band)."""
+    sh = explode_trigrams(df, id_col, text_col)
+    bands = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))))
+    keyed = bands.withColumn(
+        "h", F.md5(F.concat_ws("#", F.col("shingle"), F.col("band"))))
+    return keyed.groupBy(id_col, "band").agg(F.min("h").alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, n_bands: int = 8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing >=1 band signature.
+    Output (doc_a, doc_b, n_bands_shared), doc_a < doc_b."""
+    sig = minhash_signatures(df, n_bands, id_col, text_col)
+    a = sig.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = sig.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (a.join(b, ["band", "sig"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_bands_shared")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        block_col: str | None = "lang") -> DataFrame:
+    """Token-set Jaccard similarity for same-block pairs above threshold.
+    Blocking (e.g. by lang/source) bounds the pair fan-out at scale."""
+    t = with_tokens(df, text_col)
+    tok = (t.select(F.col(id_col).alias("id"),
+                    *( [F.col(block_col).alias("blk")] if block_col else []),
+                    F.explode(F.array_distinct("tokens")).alias("tok")))
+    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
+    a = tok.select(F.col("id").alias("doc_a"),
+                   *( [F.col("blk")] if block_col else []), "tok")
+    b = tok.select(F.col("id").alias("doc_b"),
+                   *( [F.col("blk")] if block_col else []), "tok")
+    on = ["tok", "blk"] if block_col else ["tok"]
+    inter = (a.join(b, on).filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (inter.join(sa, "doc_a").join(sb, "doc_b")
+              .withColumn("jaccard",
+                          F.round(F.col("inter")
+                                  / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                                  6)))
+    return (j.filter(F.col("jaccard") >= threshold)
+             .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# simhash — generated SQL shared verbatim with the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _digit_val_sql(ch_expr: str) -> str:
+    cases = " ".join(f"WHEN '{c}' THEN {v}" for v, c in enumerate(_HEX))
+    return f"(CASE {ch_expr} {cases} END)"
+
+
+def simhash_sql(docs_table: str, id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """64-bit simhash as two 32-bit halves (hi, lo), pure ANSI SQL.
+
+    Token hash = md5(token); each of the 16 hex chars contributes 4 bits;
+    votes are +1/-1 per token occurrence; signature bit = (vote sum > 0).
+    """
+    vote_cols = []
+    for p in range(16):  # hex char positions 1..16
+        d = _digit_val_sql(f"substr(h, {p + 1}, 1)")
+        for b in range(4):
+            bit = f"(({d} // {1 << b}) % 2)"
+            vote_cols.append(
+                f"sum(2 * {bit} - 1) AS v{p * 4 + b}")
+    votes = ",\n         ".join(vote_cols)
+    hi_bits = " + ".join(
+        f"(CASE WHEN v{32 + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    lo_bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, md5(tok) AS h
+  FROM (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok
+        FROM {docs_table})
+),
+votes AS (
+  SELECT id,
+         {votes}
+  FROM toks GROUP BY id
+)
+SELECT id AS {id_col},
+       CAST({hi_bits} AS BIGINT) AS simhash_hi,
+       CAST({lo_bits} AS BIGINT) AS simhash_lo
+FROM votes
+"""
+
+
+def simhash_spark_sql(docs_table: str, id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Spark dialect twin: explode() instead of unnest, div for //."""
+    s = simhash_sql(docs_table, id_col, text_col)
+    s = s.replace(f"unnest(string_split({text_col}, ' ')) AS tok",
+                  f"explode(split({text_col}, ' ')) AS tok")
+    s = s.replace("//", "div")
+    return s
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    spark = df.sparkSession
+    df.createOrReplaceTempView("__simhash_in")
+    return spark.sql(simhash_spark_sql("__simhash_in", id_col, text_col))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+MARKERS = {
+    "en": ["the", "a", "row"],
+    "fr": ["table", "valeur", "ligne"],
+    "de": ["fenster", "wert", "zeile"],
+}
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Length / token / stopword features + a composite quality score
+    (the reference-free doc-quality heuristic family)."""
+    t = with_tokens(df, text_col)
+    n_tok = F.size("tokens")
+    n_chars = F.length(text_col)
+    stop = F.size(F.filter("tokens", lambda x: x.isin("the", "a")))
+    distinct_ratio = F.size(F.array_distinct("tokens")) / n_tok
+    avg_tok_len = (n_chars - (n_tok - 1)) / n_tok  # spaces removed
+    score = (F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+             + distinct_ratio * 0.4
+             + (1.0 - stop / n_tok) * 0.2)
+    return t.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        F.round(distinct_ratio, 6).alias("type_token_ratio"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"))
+
+
+def language_scores(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Marker-token language-ID heuristic: per-language hit counts +
+    argmax prediction (deterministic tie-break by language order)."""
+    t = with_tokens(df, text_col)
+    cols = []
+    for lang, toks in MARKERS.items():
+        hits = F.size(F.filter("tokens", lambda x: x.isin(*toks)))
+        cols.append(hits.alias(f"score_{lang}"))
+    out = t.select(id_col, *cols)
+    langs = list(MARKERS)
+    pred = F.lit(langs[0])
+    best = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+    return out.withColumn("pred_lang", pred)
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Winnowing-style fingerprint: min/max hashed trigram + trigram count."""
+    sh = explode_trigrams(df, id_col, text_col)
+    h = sh.withColumn("h", F.md5("shingle"))
+    return (h.groupBy(id_col)
+             .agg(F.min("h").alias("fp_min"),
+                  F.max("h").alias("fp_max"),
+                  F.countDistinct("h").alias("n_shingles")))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k against one stored vector — the exact
+    baseline (JVM higher-order functions, no Python)."""
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    q = (e.filter(F.col("vec_id") == query_id)
+          .select(F.col("v").alias("qv")))
+    j = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != query_id)
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    w = Window.orderBy(F.round(cos, 6).desc(), F.col("vec_id").asc())
+    return (j.withColumn("cosine", F.round(cos, 6))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select("vec_id", "cosine", "rank"))
+
+
+N_PLANES = 4
+
+
+def _plane_coef(h: int, dims: int):
+    """Deterministic integer hyperplane coefficients (identical in SQL)."""
+    return [((i * 31 + h * 17) % 7) - 3 for i in range(dims)]
+
+
+def lsh_bucket_col(vec_col, dims: int):
+    """Sign-bit bucket id over N_PLANES deterministic hyperplanes."""
+    bucket = F.lit(0)
+    for h in range(N_PLANES):
+        coef = F.array(*[F.lit(float(c)) for c in _plane_coef(h, dims)])
+        d = _dot(F.col(vec_col).cast("array<double>"), coef)
+        bucket = bucket + F.when(d > 0, F.lit(1 << h)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: restrict the exact cosine scan to the query's LSH bucket —
+    the scale path (bucket equi-join instead of full cross join)."""
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"),
+                   lsh_bucket_col(vec_col, dims).alias("bucket"))
+    q = (e.filter(F.col("vec_id") == query_id)
+          .select(F.col("v").alias("qv"), F.col("bucket").alias("qbucket")))
+    j = (e.join(F.broadcast(q), e.bucket == F.col("qbucket"))
+          .filter(F.col("vec_id") != query_id))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    w = Window.orderBy(F.round(cos, 6).desc(), F.col("vec_id").asc())
+    return (j.withColumn("cosine", F.round(cos, 6))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select("vec_id", "bucket", "cosine", "rank"))

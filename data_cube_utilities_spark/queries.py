@@ -780,4 +780,8 @@ GROUP_A = {
 
 def registry() -> dict[str, tuple]:
     """name -> (spark_callable, oracle_sql_or_None)."""
-    return dict(GROUP_A)
+    from . import queries_text
+
+    out = dict(GROUP_A)
+    out.update(queries_text.GROUP_B)
+    return out

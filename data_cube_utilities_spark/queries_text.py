@@ -1,0 +1,264 @@
+"""Group B driver-contract queries: training-data pipeline operators over
+the documents / embeddings tables — dedup (exact, MinHash-LSH, n-gram
+Jaccard, SimHash), similarity search (brute cosine, LSH-bucketed ANN), and
+text analysis (quality features, language-ID heuristic, token stats,
+fingerprinting). Spark side is JVM-only (no Python UDFs); oracles are ANSI
+SQL with identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import textops
+from .queries import _t
+
+N_BANDS = 8
+JACCARD_T = 0.8
+TOPK = 10
+QUERY_VEC = 0
+EMB_DIMS = 64
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
+    return textops.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: trigram shingles -> banded min-hash
+    signatures -> band-signature self-join."""
+    return textops.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                     n_bands=N_BANDS)
+
+
+SQL_MINHASH_LSH = f"""
+WITH sh AS (
+  SELECT doc_id, unnest([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+                         for i in generate_series(1, greatest(len(sp)-2, 0))]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+),
+sig AS (
+  SELECT doc_id, band, min(md5(shingle || '#' || band)) AS sig
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
+  GROUP BY doc_id, band
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_shared
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs within the same lang block."""
+    return textops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                       threshold=JACCARD_T, block_col="lang")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH tok AS (
+  SELECT doc_id AS id, lang AS blk, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk
+  WHERE a.id < b.id GROUP BY a.id, b.id
+)
+SELECT doc_a, doc_b,
+       round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = doc_a
+JOIN sizes sb ON sb.id = doc_b
+WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {JACCARD_T}
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash signatures (two 32-bit halves), generated-SQL twin."""
+    return textops.simhash(_t(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH = textops.simhash_sql("documents")
+
+
+def q_quality_score(spark, sf_dir):
+    """Doc quality features: token counts, type-token ratio, stopword
+    ratio, composite score."""
+    return textops.quality_features(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS type_token_ratio,
+       round((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+       round(len([x for x in toks if x IN ('the', 'a')]) / CAST(len(toks) AS DOUBLE), 6)
+         AS stopword_ratio,
+       round(least(len(toks) / 100.0, 1.0) * 0.4
+             + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.4
+             + (1.0 - len([x for x in toks if x IN ('the', 'a')])
+                      / CAST(len(toks) AS DOUBLE)) * 0.2, 6) AS quality_score
+FROM t
+"""
+
+
+def q_language_id(spark, sf_dir):
+    """Marker-token language-ID heuristic with deterministic argmax."""
+    return textops.language_scores(_t(spark, sf_dir, "documents"))
+
+
+def _marker_list_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in textops.MARKERS[lang])
+    return f"len([x for x in toks if x IN ({toks})])"
+
+
+SQL_LANGUAGE_ID = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+             {_marker_list_sql('en')} AS score_en,
+             {_marker_list_sql('fr')} AS score_fr,
+             {_marker_list_sql('de')} AS score_de
+      FROM t)
+SELECT doc_id, score_en, score_fr, score_de,
+       CASE WHEN score_de > greatest(score_en, score_fr) THEN 'de'
+            WHEN score_fr > score_en THEN 'fr'
+            ELSE 'en' END AS pred_lang
+FROM s
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting per source (whitespace tokenizer)."""
+    d = textops.with_tokens(_t(spark, sf_dir, "documents"))
+    return (d.groupBy("source")
+             .agg(F.sum(F.size("tokens")).alias("total_tokens"),
+                  F.round(F.avg(F.size("tokens")), 6).alias("avg_tokens"),
+                  F.max(F.size("tokens")).alias("max_tokens"),
+                  F.count("*").alias("n_docs")))
+
+
+SQL_TOKEN_STATS = """
+SELECT source,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+       max(len(string_split(text, ' '))) AS max_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style trigram fingerprints."""
+    return textops.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH sh AS (
+  SELECT doc_id, unnest([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+                         for i in generate_series(1, greatest(len(sp)-2, 0))]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+)
+SELECT doc_id, min(md5(shingle)) AS fp_min, max(md5(shingle)) AS fp_max,
+       count(DISTINCT md5(shingle)) AS n_shingles
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against stored vector QUERY_VEC."""
+    return textops.cosine_topk(_t(spark, sf_dir, "embeddings"),
+                               query_id=QUERY_VEC, k=TOPK)
+
+
+SQL_COSINE_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, v, i FROM (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+),
+q AS (SELECT i, v AS qv FROM e WHERE vec_id = {QUERY_VEC}),
+dots AS (
+  SELECT e.vec_id,
+         sum(e.v * q.qv) AS dot,
+         sqrt(sum(e.v * e.v)) AS na,
+         sqrt(sum(q.qv * q.qv)) AS nq
+  FROM e JOIN q ON e.i = q.i
+  WHERE e.vec_id != {QUERY_VEC}
+  GROUP BY e.vec_id
+),
+r AS (SELECT vec_id, round(dot / (na * nq), 6) AS cosine FROM dots)
+SELECT vec_id, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM r ORDER BY rank LIMIT {TOPK}
+"""
+
+
+def q_lsh_ann(spark, sf_dir):
+    """LSH-bucketed ANN: sign-bit bucket equi-join then exact cosine."""
+    return textops.lsh_ann_topk(_t(spark, sf_dir, "embeddings"),
+                                query_id=QUERY_VEC, dims=EMB_DIMS, k=5)
+
+
+def _plane_sql(h: int) -> str:
+    """sum(v[i] * coef(h, i)) with 1-based list positions."""
+    return (f"sum(v * ((((i - 1) * 31 + {h} * 17) % 7) - 3))")
+
+
+SQL_LSH_ANN = f"""
+WITH e AS (
+  SELECT vec_id, v, i FROM (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+),
+b AS (
+  SELECT vec_id,
+         {" + ".join(f"(CASE WHEN {_plane_sql(h)} > 0 THEN {1 << h} ELSE 0 END)"
+                     for h in range(textops.N_PLANES))} AS bucket
+  FROM e GROUP BY vec_id
+),
+q AS (SELECT bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC}),
+cand AS (SELECT b.vec_id, b.bucket FROM b, q
+         WHERE b.bucket = q.qbucket AND b.vec_id != {QUERY_VEC}),
+qv AS (SELECT i, v AS qval FROM e WHERE vec_id = {QUERY_VEC}),
+dots AS (
+  SELECT e.vec_id,
+         sum(e.v * qv.qval) AS dot,
+         sqrt(sum(e.v * e.v)) AS na,
+         sqrt(sum(qv.qval * qv.qval)) AS nq
+  FROM e JOIN qv ON e.i = qv.i
+  JOIN cand c ON c.vec_id = e.vec_id
+  GROUP BY e.vec_id
+),
+r AS (SELECT d.vec_id, c.bucket, round(d.dot / (d.na * d.nq), 6) AS cosine
+      FROM dots d JOIN cand c ON c.vec_id = d.vec_id)
+SELECT vec_id, bucket, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM r ORDER BY rank LIMIT 5
+"""
+
+
+GROUP_B = {
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "quality_score": (q_quality_score, SQL_QUALITY),
+    "language_id": (q_language_id, SQL_LANGUAGE_ID),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
+}

@@ -1,0 +1,108 @@
+"""Training-data operators: dedup / similarity / text analysis semantics.
+(Cross-engine oracle parity is covered by tools/check_oracles.py; these
+pin the operator semantics themselves.)"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_utilities_spark.operators import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s0"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s1"),  # exact dup of 1
+        (4, "completely different words entirely unrelated text here now", "en", "s0"),
+        (5, "la table est grande et la valeur est petite", "fr", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup(docs):
+    out = textops.exact_dedup(docs).toPandas()
+    dup = out[out.n_copies == 2]
+    assert len(dup) == 1 and dup.iloc[0].keeper_id == 1
+    assert out.n_copies.sum() == 5
+
+
+def test_trigram_shingles(docs):
+    sh = textops.explode_trigrams(docs.filter("doc_id = 1")).toPandas()
+    assert sh.shingle.iloc[0] == "the quick brown"
+    assert len(sh) == 9 - 2
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = textops.minhash_lsh_pairs(docs, n_bands=8).toPandas()
+    got = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    assert (1, 3) in got          # exact dup: all bands match
+    assert (1, 2) in got or (2, 3) in got  # near-dup shares most shingles
+    full = pairs[(pairs.doc_a == 1) & (pairs.doc_b == 3)]
+    assert full.n_bands_shared.iloc[0] == 8
+
+
+def test_jaccard_exact_value(docs):
+    out = textops.ngram_jaccard_pairs(docs, threshold=0.1,
+                                      block_col="source").toPandas()
+    row = out[(out.doc_a == 1) & (out.doc_b == 2)]
+    # tokens 1: {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
+    # tokens 2: same but cat for dog -> intersection 7, union 9
+    assert np.isclose(row.jaccard.iloc[0], 7 / 9, atol=1e-6)
+
+
+def test_simhash_locality(docs):
+    out = textops.simhash(docs).toPandas().set_index("doc_id")
+    def bits(r):
+        return (int(r.simhash_hi) << 32) | int(r.simhash_lo)
+    h1, h2, h4 = bits(out.loc[1]), bits(out.loc[2]), bits(out.loc[4])
+    assert bits(out.loc[3]) == h1  # identical text -> identical signature
+    d_near = bin(h1 ^ h2).count("1")
+    d_far = bin(h1 ^ h4).count("1")
+    assert d_near < d_far
+
+
+def test_quality_features(docs):
+    out = textops.quality_features(docs).toPandas().set_index("doc_id")
+    r = out.loc[1]
+    assert r.n_tokens == 9 and r.n_distinct == 8
+    assert np.isclose(r.stopword_ratio, 2 / 9, atol=1e-6)
+    assert 0 < r.quality_score <= 1
+
+
+def test_language_scores(docs):
+    out = textops.language_scores(docs).toPandas().set_index("doc_id")
+    assert out.loc[1].pred_lang == "en"
+    assert out.loc[5].score_fr > out.loc[5].score_en
+
+
+def test_cosine_topk_exact(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                        "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    out = textops.cosine_topk(emb, query_id=0, k=5).toPandas()
+    q = vecs[0].astype(np.float64)
+    sims = vecs.astype(np.float64) @ q / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q))
+    sims[0] = -np.inf
+    order = np.argsort(np.round(-sims, 6), kind="stable")[:5]
+    assert out.sort_values("rank").vec_id.tolist() == list(order)
+
+
+def test_lsh_ann_subset_of_brute(spark):
+    rng = np.random.RandomState(4)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                        "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    ann = textops.lsh_ann_topk(emb, query_id=0, dims=16, k=5).toPandas()
+    assert 1 <= len(ann) <= 5
+    # every ANN hit shares the query's bucket by construction
+    assert ann.bucket.nunique() == 1
+    # ANN cosines are a subset of the true candidate set's cosines
+    brute = textops.cosine_topk(emb, query_id=0, k=200).toPandas()
+    assert set(ann.vec_id) <= set(brute.vec_id)
