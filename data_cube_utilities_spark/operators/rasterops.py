@@ -1,0 +1,343 @@
+"""Raster operators over encoded tile rows: decode bridge, per-cell
+composites over time stacks, focal (kernel) filters with halo exchange,
+dilation, slope, coastal-change edges, fractional-cover NNLS.
+
+Physical model: one row = one tile = (tile_x, tile_y, [time], bytes, w, h,
+fmt). tile_x/tile_y are integer grid coordinates (in the engine these are
+the geocell ix/iy at the working resolution — cells.decode). All pixel math
+is numpy inside Arrow-vectorized UDFs; everything row-level stays JVM-side.
+
+Kernel-filter semantics follow the reference's NaN-padded edges
+(data_cube_utilities/raster_filter.py:94-225): a window hanging off the
+RASTER edge sees NaN (skipped by the nan-aggregates). Tile borders are NOT
+raster edges — ``focal_filter_halo`` exchanges r-wide strips between the 8
+grid neighbors (one extra narrow shuffle) so the tiled result equals the
+monolithic result exactly (the dc_chunker.py:90-92 invariant, extended to
+kernel ops). Spark has no native 2-D windows; this halo join is the
+distributed equivalent.
+
+Other reference parity:
+  per-cell composite stack   dc_mosaic.py (+ .chunk({'time':-1}) analogue:
+                             the groupBy(cell) shuffle)
+  _coastline_classification_2 dc_coastal_change.py:132-144 (3x3 edge conv)
+  dilate                     dea_tools/datahandling.py:619-660
+  create_slope_mask          dc_slip.py:70-94 (np.gradient)
+  frac_coverage_classify     dc_fractional_coverage_classifier.py:23-145
+                             (64-feature design + NNLS; scipy-free
+                             active-set solver below)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import cells, codec
+
+# ---------------------------------------------------------------------------
+# decode bridge: image rows -> long pixel rows (raster -> relational)
+# ---------------------------------------------------------------------------
+
+PIXEL_SCHEMA = ("cell_id long, acquired_at timestamp, px int, py int, "
+                "blue long, green long, red long, nir long, swir1 long, "
+                "swir2 long, pixel_qa long")
+
+
+def decode_to_long(images: DataFrame) -> DataFrame:
+    """Explode encoded tiles to (cell, time, px, py, band...) rows — the
+    raster->vector bridge (xr_vectorize-adjacent; SURVEY.md 2.3)."""
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            outs = []
+            for r in b.itertuples():
+                blk = codec.decode_block(r.bytes, r.w, r.h, r.fmt).astype(np.int64)
+                h, w, _ = blk.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                flat = blk.reshape(-1, codec.N_BANDS)
+                outs.append(pd.DataFrame({
+                    "cell_id": r.cell_id, "acquired_at": r.acquired_at,
+                    "px": xx.ravel().astype(np.int32),
+                    "py": yy.ravel().astype(np.int32),
+                    "blue": flat[:, 0], "green": flat[:, 1], "red": flat[:, 2],
+                    "nir": flat[:, 3], "swir1": flat[:, 4], "swir2": flat[:, 5],
+                    "pixel_qa": flat[:, 6]}))
+            if outs:
+                yield pd.concat(outs)
+
+    return images.mapInPandas(explode, schema=PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# per-cell composite over the time stack (tile form of dc_mosaic)
+# ---------------------------------------------------------------------------
+
+TILE_OUT_SCHEMA = "cell_id long, bytes binary, w int, h int, fmt string, n_scenes int"
+
+
+def tile_composite(images: DataFrame, method: str = "median",
+                   clean_cover_bits: int = 2 | 4) -> DataFrame:
+    """groupBy(cell_id).applyInPandas: decode the cell's tiles, stack over
+    time, per-pixel composite with QA masking, re-encode.
+
+    The shuffle on cell_id is the Spark analogue of the reference's
+    `.chunk({'time': -1})` repartition (dc_mosaic.py:274-275): each task
+    owns a full time stack for its pixels. Methods: median, mean,
+    first (earliest valid), max_ndvi.
+    """
+
+    def composite(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("acquired_at")
+        blks = [codec.decode_block(r.bytes, r.w, r.h, r.fmt)
+                for r in pdf.itertuples()]
+        h, w, _ = blks[0].shape
+        stack = np.stack(blks).astype(np.float64)  # (t, h, w, bands)
+        qa = stack[:, :, :, codec.QA_BAND].astype(np.int64)
+        clean = (qa & clean_cover_bits) != 0
+        data = stack[:, :, :, :codec.QA_BAND]
+        data[~clean] = np.nan
+        with np.errstate(all="ignore"):
+            if method == "median":
+                out = np.nanmedian(data, axis=0)
+            elif method == "mean":
+                out = np.nanmean(data, axis=0)
+            elif method == "first":
+                idx = np.argmax(~np.isnan(data[:, :, :, 0]), axis=0)
+                out = np.take_along_axis(
+                    data, idx[None, :, :, None], axis=0)[0]
+            elif method == "max_ndvi":
+                nir, red = data[:, :, :, 3], data[:, :, :, 2]
+                ndvi = (nir - red) / (nir + red)
+                ndvi = np.where(np.isnan(ndvi), -np.inf, ndvi)
+                idx = np.argmax(ndvi, axis=0)
+                out = np.take_along_axis(
+                    data, idx[None, :, :, None], axis=0)[0]
+            else:
+                raise ValueError(f"unknown method {method!r}")
+        out = np.where(np.isnan(out), 0, out)
+        block = np.zeros((h, w, codec.N_BANDS), dtype=np.uint16)
+        block[:, :, :codec.QA_BAND] = np.clip(out, 0, 65535).astype(np.uint16)
+        block[:, :, codec.QA_BAND] = np.where(clean.any(axis=0), 2, 1)
+        return pd.DataFrame({
+            "cell_id": [int(pdf["cell_id"].iloc[0])],
+            "bytes": [codec.encode_block(block, "raw16")],
+            "w": [w], "h": [h], "fmt": ["raw16"],
+            "n_scenes": [len(pdf)]})
+
+    return images.groupBy("cell_id").applyInPandas(composite, TILE_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# focal (kernel) numpy primitives — NaN-padded edges, no scipy
+# ---------------------------------------------------------------------------
+
+def _window_view(arr: np.ndarray, r: int) -> np.ndarray:
+    """(h, w) NaN-padded sliding windows -> (h, w, (2r+1)^2)."""
+    padded = np.pad(arr.astype(np.float64), r, constant_values=np.nan)
+    k = 2 * r + 1
+    win = np.lib.stride_tricks.sliding_window_view(padded, (k, k))
+    return win.reshape(arr.shape[0], arr.shape[1], k * k)
+
+
+def focal_stat_np(arr: np.ndarray, radius: int, stat: str = "mean") -> np.ndarray:
+    """2-D moving-window stat with NaN edge padding
+    (raster_filter.py:94-225 semantics)."""
+    win = _window_view(arr, radius)
+    with np.errstate(all="ignore"):
+        if stat == "mean":
+            return np.nanmean(win, axis=2)
+        if stat == "median":
+            return np.nanmedian(win, axis=2)
+        if stat == "std":
+            return np.nanstd(win, axis=2)
+        if stat == "min":
+            return np.nanmin(win, axis=2)
+        if stat == "max":
+            return np.nanmax(win, axis=2)
+    raise ValueError(stat)
+
+
+def conv3x3_np(arr: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """3x3 convolution, zero-padded edges (coastal-change edge detector,
+    dc_coastal_change.py:132-144)."""
+    padded = np.pad(arr.astype(np.float64), 1, constant_values=0.0)
+    win = np.lib.stride_tricks.sliding_window_view(padded, (3, 3))
+    return np.einsum("ijkl,kl->ij", win, kernel.astype(np.float64))
+
+
+def dilate_np(mask: np.ndarray, radius: int) -> np.ndarray:
+    """Disk-shaped binary dilation (dea datahandling.py:619-660)."""
+    from .masks import circular_kernel
+
+    kern = circular_kernel(radius)
+    win = _window_view(mask.astype(np.float64), radius)
+    sel = kern.ravel()[None, None, :]
+    with np.errstate(all="ignore"):
+        return np.nansum(win * sel, axis=2) > 0
+
+
+def slope_np(dem: np.ndarray, dx: float = 1.0, dy: float = 1.0) -> np.ndarray:
+    """Gradient-magnitude slope in degrees (dc_slip.py:70-94)."""
+    gy, gx = np.gradient(dem.astype(np.float64), dy, dx)
+    return np.degrees(np.arctan(np.sqrt(gx ** 2 + gy ** 2)))
+
+
+# ---------------------------------------------------------------------------
+# halo exchange: tiled kernel filter == monolithic kernel filter
+# ---------------------------------------------------------------------------
+
+STRIP_SCHEMA = ("tx long, ty long, src_tx long, src_ty long, "
+                "strip binary, sh int, sw int")
+HALO_OUT_SCHEMA = "tx long, ty long, data binary, h int, w int"
+
+
+def _decode_plane(data: bytes, h: int, w: int) -> np.ndarray:
+    return np.frombuffer(data, dtype="<f8").reshape(h, w)
+
+
+def _encode_plane(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype="<f8").tobytes()
+
+
+def plane_df(spark, tiles: dict[tuple[int, int], np.ndarray]) -> DataFrame:
+    """Helper: {(tx, ty): 2-D float array} -> tile-plane DataFrame."""
+    rows = [(int(tx), int(ty), _encode_plane(a), a.shape[0], a.shape[1])
+            for (tx, ty), a in tiles.items()]
+    return spark.createDataFrame(rows, "tx long, ty long, data binary, h int, w int")
+
+
+def focal_filter_halo(planes: DataFrame, radius: int, stat: str = "mean") -> DataFrame:
+    """Distributed focal filter: each tile ships r-wide strips to its 8 grid
+    neighbors, every tile assembles a (h+2r, w+2r) padded plane (NaN where no
+    neighbor exists = true raster edge), filters, crops. Result is exactly
+    equal to filtering the stitched monolithic raster.
+
+    Cost model at scale: the strip shuffle moves only 2r(h+w) pixels per
+    tile (a few % of the tile) instead of re-shuffling whole tiles.
+    """
+    r = radius
+
+    def emit_strips(batches):
+        for b in batches:
+            outs = []
+            for row in b.itertuples():
+                arr = _decode_plane(row.data, row.h, row.w)
+                pieces = {
+                    (0, 0): arr,
+                    (-1, 0): arr[:, :r], (1, 0): arr[:, -r:],
+                    (0, -1): arr[:r, :], (0, 1): arr[-r:, :],
+                    (-1, -1): arr[:r, :r], (1, -1): arr[:r, -r:],
+                    (-1, 1): arr[-r:, :r], (1, 1): arr[-r:, -r:],
+                }
+                for (dx, dy), piece in pieces.items():
+                    outs.append((row.tx + dx, row.ty + dy, row.tx, row.ty,
+                                 _encode_plane(piece),
+                                 piece.shape[0], piece.shape[1]))
+            if outs:
+                yield pd.DataFrame(outs, columns=[
+                    "tx", "ty", "src_tx", "src_ty", "strip", "sh", "sw"])
+
+    strips = planes.mapInPandas(emit_strips, schema=STRIP_SCHEMA)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        own = pdf[(pdf.src_tx == tx) & (pdf.src_ty == ty)]
+        if own.empty:
+            return pd.DataFrame(columns=["tx", "ty", "data", "h", "w"])
+        center = _decode_plane(own["strip"].iloc[0],
+                               int(own["sh"].iloc[0]), int(own["sw"].iloc[0]))
+        h, w = center.shape
+        pad = np.full((h + 2 * r, w + 2 * r), np.nan)
+        pad[r:r + h, r:r + w] = center
+        for row in pdf.itertuples():
+            dx, dy = int(row.src_tx) - tx, int(row.src_ty) - ty
+            if (dx, dy) == (0, 0):
+                continue
+            piece = _decode_plane(row.strip, int(row.sh), int(row.sw))
+            ys = {  # where the neighbor's strip lands in the padded plane
+                -1: slice(0, r), 0: slice(r, r + h), 1: slice(r + h, 2 * r + h)}
+            xs = {-1: slice(0, r), 0: slice(r, r + w), 1: slice(r + w, 2 * r + w)}
+            pad[ys[dy], xs[dx]] = piece
+        filtered = focal_stat_np(pad, r, stat)[r:r + h, r:r + w]
+        # windows that saw padded-NaN only at true raster edges: focal_stat
+        # NaN-skips, matching the reference's edge semantics
+        return pd.DataFrame({"tx": [tx], "ty": [ty],
+                             "data": [_encode_plane(filtered)],
+                             "h": [h], "w": [w]})
+
+    return strips.groupBy("tx", "ty").applyInPandas(assemble, HALO_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# coastal change + SLIP style derived products (numpy kernels)
+# ---------------------------------------------------------------------------
+
+EDGE_KERNEL = np.array([[1, 1, 1], [1, -8, 1], [1, 1, 1]], dtype=np.float64)
+
+
+def coastline_edges_np(water: np.ndarray) -> np.ndarray:
+    """Coastline = nonzero response of the 3x3 Laplacian edge kernel on the
+    binary water mask (dc_coastal_change.py:132-144 semantics)."""
+    resp = conv3x3_np(water.astype(np.float64), EDGE_KERNEL)
+    return (resp != 0) & (water > 0)
+
+
+def coastal_change_np(old_water: np.ndarray, new_water: np.ndarray) -> np.ndarray:
+    """new minus old water: +1 new water, -1 lost water, 0 unchanged
+    (dc_coastal_change.py:26-61)."""
+    return new_water.astype(np.int8) - old_water.astype(np.int8)
+
+
+# ---------------------------------------------------------------------------
+# fractional coverage: scipy-free NNLS (active-set / Lawson-Hanson)
+# ---------------------------------------------------------------------------
+
+def nnls_np(A: np.ndarray, b: np.ndarray, max_iter: int | None = None):
+    """Solve min ||Ax - b|| s.t. x >= 0 (Lawson-Hanson active set)."""
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    m, n = A.shape
+    x = np.zeros(n)
+    P = np.zeros(n, dtype=bool)
+    w = A.T @ (b - A @ x)
+    it = 0
+    max_iter = max_iter or 3 * n
+    tol = 1e-10 * np.linalg.norm(A, 1)
+    while (~P).any() and (w[~P] > tol).any():
+        j = int(np.argmax(np.where(~P, w, -np.inf)))
+        P[j] = True
+        while True:
+            s = np.zeros(n)
+            Ap = A[:, P]
+            s[P] = np.linalg.lstsq(Ap, b, rcond=None)[0]
+            if (s[P] > 0).all():
+                x = s
+                break
+            mask = P & (s <= 0)
+            alpha = np.min(x[mask] / (x[mask] - s[mask]))
+            x = x + alpha * (s - x)
+            P[x <= tol] = False
+            it += 1
+            if it > max_iter:
+                break
+        w = A.T @ (b - A @ x)
+        it += 1
+        if it > max_iter:
+            break
+    return x
+
+
+def frac_coverage_np(bands: np.ndarray, endmembers: np.ndarray) -> np.ndarray:
+    """Per-pixel spectral unmixing: bands (n_px, n_features) against
+    endmember matrix (n_features, 3) -> fractions (n_px, 3) scaled to %.
+    The feature design mirrors the reference's band/log/product/ratio
+    construction (dc_fractional_coverage_classifier.py:84-106)."""
+    out = np.empty((bands.shape[0], endmembers.shape[1]))
+    for i in range(bands.shape[0]):
+        out[i] = nnls_np(endmembers, bands[i])
+    return out * 100.0

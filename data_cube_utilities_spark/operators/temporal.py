@@ -1,0 +1,204 @@
+"""Temporal operators: rolling baselines, anomaly, forward-fill, gap stats,
+as-of joins, trend slope, calendar grouping, time chunking.
+
+All pure Column/Window algebra — one shuffle on (series key), zero Python.
+
+Reference parity (SURVEY.md 2.5 / 2.3 / 2.4):
+  generate_baseline        dc_baseline.py:47-59, dc_chunker.py:174-204
+  compute_ndvi_anomaly     dc_ndvi_anomaly.py:28-78
+  fast_completion (ffill)  dea_tools/temporal.py:78-119
+  find_gaps                data_stats.py:5-42
+  nearest / as-of          dea_tools/datahandling.py:806-872
+  trend.linear             trend.py:30-71 (closed form covar/var)
+  group_datetimes_by_year/month  dc_chunker.py:150-165
+  create_time_chunks       dc_chunker.py:128-147
+  first/last valid + time  dea_tools/datahandling.py:736-803
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(keys: Sequence[str], time_col: str, *tiebreak: str) -> Window:
+    return Window.partitionBy(*keys).orderBy(time_col, *tiebreak)
+
+
+def rolling_baseline(df: DataFrame, keys: Sequence[str], value_col: str,
+                     time_col: str, window: int = 10,
+                     method: str = "mean", include_current: bool = False,
+                     tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Trailing composite over the previous `window` observations
+    (dc_baseline.py generate_baseline). method: mean | last_valid."""
+    hi = 0 if include_current else -1
+    w = _w(keys, time_col, *tiebreak).rowsBetween(-window, hi)
+    if method == "mean":
+        base = F.avg(value_col).over(w)
+    elif method == "last_valid":
+        base = F.last(value_col, ignorenulls=True).over(w)
+    else:
+        raise ValueError(method)
+    return df.withColumn("baseline", base)
+
+
+def anomaly(df: DataFrame, keys: Sequence[str], value_col: str,
+            time_col: str, window: int = 10,
+            tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Scene value vs trailing-median baseline: diff + % change
+    (compute_ndvi_anomaly semantics with a rolling baseline)."""
+    w = _w(keys, time_col, *tiebreak).rowsBetween(-window, -1)
+    base = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    return (df.withColumn("baseline", base)
+              .withColumn("anomaly", F.col(value_col) - F.col("baseline"))
+              .withColumn("pct_change",
+                          (F.col(value_col) - F.col("baseline"))
+                          / F.nullif(F.col("baseline"), F.lit(0.0))))
+
+
+def ffill(df: DataFrame, keys: Sequence[str], value_col: str,
+          time_col: str, out_col: str | None = None,
+          tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Forward-fill along time (fast_completion)."""
+    w = _w(keys, time_col, *tiebreak).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col or f"{value_col}_filled",
+                         F.last(value_col, ignorenulls=True).over(w))
+
+
+def bfill(df: DataFrame, keys: Sequence[str], value_col: str,
+          time_col: str, out_col: str | None = None,
+          tiebreak: Sequence[str] = ()) -> DataFrame:
+    w = _w(keys, time_col, *tiebreak).rowsBetween(0, Window.unboundedFollowing)
+    return df.withColumn(out_col or f"{value_col}_bfilled",
+                         F.first(value_col, ignorenulls=True).over(w))
+
+
+def gap_stats(df: DataFrame, keys: Sequence[str], time_col: str,
+              tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Per-series min/mean/median/max gap between observations, in
+    microseconds (find_gaps)."""
+    w = _w(keys, time_col, *tiebreak)
+    gap = (F.unix_micros(F.col(time_col).cast("timestamp"))
+           - F.unix_micros(F.lag(time_col).over(w).cast("timestamp")))
+    g = df.withColumn("_gap", gap).filter(F.col("_gap").isNotNull())
+    return g.groupBy(*keys).agg(
+        F.min("_gap").alias("gap_min"),
+        F.avg("_gap").alias("gap_mean"),
+        F.expr("percentile(_gap, 0.5)").alias("gap_median"),
+        F.max("_gap").alias("gap_max"),
+        F.count("*").alias("n_gaps"))
+
+
+def trend_slope(df: DataFrame, keys: Sequence[str], value_col: str,
+                time_col: str) -> DataFrame:
+    """Per-series OLS slope+intercept via covar_pop/var_pop — the closed
+    form of trend.linear; no per-pixel UDF fan-out needed."""
+    t = F.unix_micros(F.col(time_col).cast("timestamp")).cast("double") / 1e6
+    return df.groupBy(*keys).agg(
+        (F.covar_pop(t, F.col(value_col)) / F.var_pop(t)).alias("slope"),
+        (F.avg(value_col)
+         - (F.covar_pop(t, F.col(value_col)) / F.var_pop(t)) * F.avg(t))
+        .alias("intercept"),
+        F.corr(t, F.col(value_col)).alias("r"),
+        F.count("*").alias("n"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
+              left_time: str, right_time: str,
+              direction: str = "backward",
+              right_cols: Sequence[str] = (),
+              tolerance_sec: float | None = None) -> DataFrame:
+    """As-of join: each left row matched to the nearest right row at or
+    before (backward) / after (forward) its time, per key.
+
+    Implemented as the union-tag trick: one sort-based window pass instead
+    of a range join — O(n log n) with a single shuffle on the keys, the
+    scalable formulation (the join+rank fallback in queries.py is the
+    oracle twin).
+    """
+    keys = list(keys)
+    lcols = left.columns
+    tag_l = left.select(*keys,
+                        F.col(left_time).alias("_t"),
+                        F.lit(1).alias("_is_left"),
+                        F.struct(*lcols).alias("_lrow"),
+                        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+                          for c in right_cols])
+    tag_r = right.select(*keys,
+                         F.col(right_time).alias("_t"),
+                         F.lit(0).alias("_is_left"),
+                         F.lit(None).cast(tag_l.schema["_lrow"].dataType).alias("_lrow"),
+                         *[F.col(c).alias(f"_r_{c}") for c in right_cols])
+    u = tag_l.unionByName(tag_r)
+    if direction == "backward":
+        w = (Window.partitionBy(*keys).orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        matched = [F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+                   for c in right_cols]
+        rt = F.last(F.when(F.col("_is_left") == 0, F.col("_t")),
+                    ignorenulls=True).over(w).alias("_rt")
+    elif direction == "forward":
+        w = (Window.partitionBy(*keys).orderBy(F.col("_t").asc(), F.col("_is_left").desc())
+             .rowsBetween(0, Window.unboundedFollowing))
+        matched = [F.first(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+                   for c in right_cols]
+        rt = F.first(F.when(F.col("_is_left") == 0, F.col("_t")),
+                     ignorenulls=True).over(w).alias("_rt")
+    else:
+        raise ValueError(direction)
+    out = (u.select("*", *matched, rt)
+            .filter(F.col("_is_left") == 1))
+    if tolerance_sec is not None:
+        within = (F.abs(F.unix_micros(F.col("_t").cast("timestamp"))
+                        - F.unix_micros(F.col("_rt").cast("timestamp")))
+                  <= tolerance_sec * 1e6)
+        out = out.select(
+            "_lrow", "_rt",
+            *[F.when(within, F.col(c)).alias(c) for c in right_cols])
+    return out.select(F.col("_lrow.*"),
+                      *[F.col(c) for c in right_cols],
+                      F.col("_rt").alias("asof_time"))
+
+
+def group_by_calendar(df: DataFrame, keys: Sequence[str], time_col: str,
+                      unit: str = "year") -> DataFrame:
+    """Calendar grouping (group_datetimes_by_year/month): adds the bucket
+    column, caller aggregates."""
+    if unit == "year":
+        b = F.year(time_col)
+    elif unit == "month":
+        b = F.year(time_col) * 100 + F.month(time_col)
+    elif unit == "day":
+        b = F.to_date(time_col)
+    else:
+        raise ValueError(unit)
+    return df.withColumn("time_bucket", b)
+
+
+def time_chunks(df: DataFrame, keys: Sequence[str], time_col: str,
+                chunk_size: int = 10, descending: bool = False,
+                tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Assign each observation to a fixed-size time chunk
+    (create_time_chunks): chunk = floor((rank-1)/size)."""
+    order = [F.col(time_col).desc() if descending else F.col(time_col).asc()] \
+        + [F.col(t).asc() for t in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(
+        "time_chunk",
+        F.floor((F.row_number().over(w) - 1) / chunk_size).cast("int"))
+
+
+def first_last_valid(df: DataFrame, keys: Sequence[str], value_col: str,
+                     time_col: str) -> DataFrame:
+    """First/last non-null value and their times (dea first/last)."""
+    v = F.col(value_col)
+    t = F.col(time_col)
+    return df.groupBy(*keys).agg(
+        F.expr(f"min_by({value_col}, {time_col}) FILTER (WHERE {value_col} IS NOT NULL)")
+         .alias("first_value"),
+        F.min(F.when(v.isNotNull(), t)).alias("first_time"),
+        F.expr(f"max_by({value_col}, {time_col}) FILTER (WHERE {value_col} IS NOT NULL)")
+         .alias("last_value"),
+        F.max(F.when(v.isNotNull(), t)).alias("last_time"))

@@ -1,0 +1,124 @@
+"""Tiling / partitioning layer: geographic chunking, chunk combination,
+H3-style compaction covers, and salting for skewed cells.
+
+Scale rationale (the north rule's partitioning/shuffle/skew clause):
+- `assign_cells` is the tile assignment — pure Column arithmetic.
+- `compact_cover` shrinks a polygon/region cover to mixed resolutions so
+  partition pruning touches the fewest partitions.
+- `salt_hot_cells` splits cells whose row count exceeds a threshold into
+  `n_salt` subgroups. AQE's skew-join handles *join* skew at runtime, but
+  grouped-map UDFs (applyInPandas composites) materialize whole groups in
+  one Python worker — a 10^8-row coastline cell would OOM it. Salting keys
+  the group by (cell, salt) and a second-stage re-agg merges partials,
+  which is exact for algebraic composites (mean/sum/count/min/max/first)
+  and documented-approximate for holistic ones (median/geomedian).
+
+Reference parity:
+  create_geographic_chunks   dc_chunker.py:8-85
+  combine_geographic_chunks  dc_chunker.py:87-125 (dedup invariant)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import cells
+
+
+def assign_cells(df: DataFrame, lat_col: str, lon_col: str, res: int,
+                 out_col: str = "cell_id") -> DataFrame:
+    """Tile assignment: geocell id per row (codegen, no UDF)."""
+    return df.withColumn(out_col,
+                         cells.encode_col(F.col(lat_col), F.col(lon_col), res))
+
+
+def geographic_chunks(lat_range: tuple[float, float],
+                      lon_range: tuple[float, float],
+                      res: int) -> np.ndarray:
+    """The chunk list for a bbox = geocell cover (replaces the reference's
+    degree-sized chunk tuples; dc_chunker.py:8-85)."""
+    return cells.polyfill_bbox(lat_range[0], lat_range[1],
+                               lon_range[0], lon_range[1], res)
+
+
+def combine_chunks(parts: Sequence[DataFrame],
+                   dedup_keys: Sequence[str]) -> DataFrame:
+    """Union per-chunk results and drop boundary duplicates — the
+    combine_geographic_chunks invariant: identical to a monolithic run."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(list(dedup_keys))
+
+
+def compact_cover(df: DataFrame, cell_col: str = "cell_id") -> np.ndarray:
+    """Distinct cells of a DataFrame compacted to a minimal mixed-res cover
+    (H3 compact analogue) — used for partition pruning manifests."""
+    cell_ids = [r[0] for r in df.select(cell_col).distinct().collect()]
+    return cells.compact(np.asarray(cell_ids, dtype=np.int64))
+
+
+def cell_pruning_filter(cover: np.ndarray, cell_col: str = "cell_id",
+                        res: int | None = None):
+    """Predicate keeping rows whose cell (at `res`) falls under any cover
+    cell: parent-match per cover resolution. Expressed as OR of integer
+    range tests on the packed id — pushdown-friendly."""
+    conds = None
+    cover = np.asarray(cover, dtype=np.int64)
+    cres = cells.cell_res(cover)
+    for c, r in zip(cover.tolist(), cres.tolist()):
+        if res is None or r == res:
+            cond = F.col(cell_col) == c
+        else:
+            # a row's cell is under cover cell c iff its grid coords shifted
+            # by the resolution gap equal c's coords (ancestor test)
+            shift = res - r
+            _, iy, ix = cells.decode(np.int64(c))
+            iy_c = F.shiftright(F.col(cell_col), cells.IY_SHIFT) \
+                .bitwiseAND(F.lit((1 << 29) - 1))
+            ix_c = F.col(cell_col).bitwiseAND(F.lit((1 << 29) - 1))
+            cond = ((F.shiftright(iy_c, shift) == int(iy))
+                    & (F.shiftright(ix_c, shift) == int(ix)))
+        conds = cond if conds is None else (conds | cond)
+    return conds
+
+
+def salt_hot_cells(df: DataFrame, cell_col: str = "cell_id",
+                   threshold: int = 100_000, n_salt: int = 16,
+                   id_col: str | None = None) -> DataFrame:
+    """Add a `salt` column: 0 for cold cells; hash-spread 0..n_salt-1 for
+    cells whose count exceeds `threshold`. Downstream groups key on
+    (cell, salt); re-agg merges partials.
+
+    The hot-cell set is computed with one cheap count agg (broadcast back);
+    at 100TB this is a tiny side table (#distinct cells)."""
+    counts = df.groupBy(cell_col).agg(F.count("*").alias("_cnt"))
+    hot = counts.filter(F.col("_cnt") > threshold).select(cell_col) \
+                .withColumn("_hot", F.lit(True))
+    j = df.join(F.broadcast(hot), cell_col, "left")
+    spread = F.pmod(F.hash(id_col) if id_col else
+                    F.pmod(F.monotonically_increasing_id(), F.lit(2 ** 31)),
+                    F.lit(n_salt))
+    return (j.withColumn("salt",
+                         F.when(F.col("_hot").isNotNull(), spread)
+                          .otherwise(F.lit(0)).cast("int"))
+             .drop("_hot"))
+
+
+def salted_mean(df: DataFrame, cell_col: str, value_cols: Sequence[str],
+                threshold: int = 100_000, n_salt: int = 16,
+                id_col: str | None = None) -> DataFrame:
+    """Exact two-stage mean under salting: partial (sum, count) per
+    (cell, salt), final merge per cell."""
+    salted = salt_hot_cells(df, cell_col, threshold, n_salt, id_col)
+    partial = salted.groupBy(cell_col, "salt").agg(
+        *[F.sum(c).alias(f"_s_{c}") for c in value_cols],
+        F.count("*").alias("_n"))
+    return partial.groupBy(cell_col).agg(
+        *[(F.sum(f"_s_{c}") / F.sum("_n")).alias(f"{c}_mean")
+          for c in value_cols],
+        F.sum("_n").alias("n"))

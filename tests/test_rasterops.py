@@ -1,0 +1,120 @@
+"""Raster/tile operators: decode bridge, per-cell composites, focal filters
+with NaN edges, the tiled==monolithic halo invariant, NNLS, derived products."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_utilities_spark import codec, synth
+from data_cube_utilities_spark.operators import rasterops
+
+
+def test_focal_stat_nan_edges():
+    a = np.arange(16, dtype=float).reshape(4, 4)
+    out = rasterops.focal_stat_np(a, 1, "mean")
+    # corner window sees 4 valid values (NaN padding skipped)
+    assert np.isclose(out[0, 0], np.mean([0, 1, 4, 5]))
+    # interior window is the full 3x3 mean
+    assert np.isclose(out[1, 1], np.mean(a[0:3, 0:3]))
+
+
+def test_conv3x3_edge_detector():
+    water = np.zeros((6, 6))
+    water[2:5, 2:5] = 1
+    edges = rasterops.coastline_edges_np(water)
+    assert edges[2, 2] and edges[2, 4]      # boundary water px
+    assert not edges[3, 3]                  # interior water is not edge
+    assert not edges[0, 0]                  # land is not edge
+
+
+def test_dilate_disk():
+    m = np.zeros((7, 7), dtype=bool)
+    m[3, 3] = True
+    d = rasterops.dilate_np(m, 2)
+    assert d[3, 5] and d[1, 3] and not d[1, 1]  # disk, not square
+    assert d.sum() == 13
+
+
+def test_slope():
+    dem = np.tile(np.arange(8, dtype=float), (8, 1))  # plane rising 1/px in x
+    s = rasterops.slope_np(dem)
+    assert np.allclose(s[1:-1, 1:-1], 45.0)
+
+
+def test_nnls_matches_known():
+    rng = np.random.RandomState(7)
+    A = rng.rand(10, 3)
+    x_true = np.array([0.7, 0.0, 0.3])
+    b = A @ x_true
+    x = rasterops.nnls_np(A, b)
+    assert np.allclose(x, x_true, atol=1e-8)
+    # negative-leaning system stays nonnegative
+    b2 = -A[:, 0]
+    x2 = rasterops.nnls_np(A, b2)
+    assert (x2 >= 0).all()
+
+
+def test_frac_coverage_rows():
+    rng = np.random.RandomState(8)
+    E = rng.rand(6, 3)
+    fracs = np.array([[0.2, 0.3, 0.5], [1.0, 0.0, 0.0]])
+    B = fracs @ E.T
+    out = rasterops.frac_coverage_np(B, E)
+    assert np.allclose(out, fracs * 100, atol=1e-6)
+
+
+def test_coastal_change():
+    old = np.array([[1, 0], [0, 0]])
+    new = np.array([[1, 1], [0, 0]])
+    d = rasterops.coastal_change_np(old, new)
+    assert d[0, 1] == 1 and d[0, 0] == 0
+    assert rasterops.coastal_change_np(new, old)[0, 1] == -1
+
+
+@pytest.mark.usefixtures("spark")
+def test_halo_filter_equals_monolithic(spark):
+    """The dc_chunker tiled==monolithic invariant, extended to kernel ops."""
+    rng = np.random.RandomState(11)
+    big = rng.rand(48, 64)
+    big[5, 7] = np.nan  # NaN inside the raster must propagate identically
+    tiles = {}
+    for ty in range(3):
+        for tx in range(4):
+            tiles[(tx, ty)] = big[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+    planes = rasterops.plane_df(spark, tiles)
+    for radius, stat in [(1, "mean"), (2, "median"), (1, "std")]:
+        out = rasterops.focal_filter_halo(planes, radius, stat).toPandas()
+        got = np.full_like(big, np.nan)
+        for r in out.itertuples():
+            arr = np.frombuffer(r.data, dtype="<f8").reshape(r.h, r.w)
+            got[r.ty * 16:(r.ty + 1) * 16, r.tx * 16:(r.tx + 1) * 16] = arr
+        exp = rasterops.focal_stat_np(big, radius, stat)
+        assert np.allclose(got, exp, equal_nan=True), (radius, stat)
+
+
+@pytest.mark.usefixtures("spark")
+def test_decode_to_long_and_tile_composite(spark):
+    imgs = synth.synthesize_images(spark, 40, tile_px=8, partitions=4)
+    # decode bridge row count: 40 tiles x 64 px
+    long = rasterops.decode_to_long(imgs)
+    assert long.count() == 40 * 64
+    comp = rasterops.tile_composite(imgs, method="median").toPandas()
+    assert (comp.n_scenes >= 1).all()
+    assert comp.cell_id.is_unique
+    # decoded composite equals a pandas/numpy oracle for the largest cell
+    biggest = comp.sort_values("n_scenes").iloc[-1]
+    cell = int(biggest.cell_id)
+    rows = imgs.filter(F.col("cell_id") == cell).toPandas() \
+               .sort_values("acquired_at")
+    stack = np.stack([codec.decode_block(bytes(r.bytes), r.w, r.h, r.fmt)
+                      for r in rows.itertuples()]).astype(float)
+    clean = (stack[:, :, :, codec.QA_BAND].astype(np.int64) & 6) != 0
+    data = stack[:, :, :, :6]
+    data[~clean] = np.nan
+    with np.errstate(all="ignore"):
+        exp = np.nanmedian(data, axis=0)
+    exp = np.where(np.isnan(exp), 0, np.clip(exp, 0, 65535)).astype(np.uint16)
+    got = codec.decode_block(bytes(biggest.bytes), biggest.w, biggest.h,
+                             biggest.fmt)[:, :, :6]
+    assert (got == exp).all()

@@ -1,0 +1,174 @@
+"""Temporal window operators and the tiling/salting layer."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_utilities_spark import cells
+from data_cube_utilities_spark.operators import temporal, tiling
+
+
+def series_pdf(n_keys=4, n_obs=30, seed=17):
+    rng = np.random.RandomState(seed)
+    rows = []
+    t0 = datetime(2020, 1, 1)
+    for k in range(n_keys):
+        for i in range(n_obs):
+            rows.append(dict(
+                key=k, obs=i,
+                ts=t0 + timedelta(hours=i * (k + 1), minutes=int(rng.randint(0, 50))),
+                v=float(rng.randint(0, 100)),
+                vn=(None if rng.rand() < 0.3 else float(rng.randint(0, 100)))))
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    return spark.createDataFrame(series_pdf()).cache()
+
+
+def test_rolling_baseline_matches_pandas(sdf):
+    out = temporal.rolling_baseline(sdf, ["key"], "v", "ts", window=3,
+                                    tiebreak=["obs"]).toPandas()
+    pdf = series_pdf().sort_values(["key", "ts", "obs"])
+    exp = (pdf.groupby("key")["v"]
+           .apply(lambda s: s.shift(1).rolling(3, min_periods=1).mean())
+           .reset_index(drop=True))
+    got = out.sort_values(["key", "ts", "obs"]).baseline.reset_index(drop=True)
+    pd.testing.assert_series_equal(got.rename(None), exp.rename(None),
+                                   check_names=False, atol=1e-9)
+
+
+def test_ffill_bfill(sdf):
+    out = temporal.ffill(sdf, ["key"], "vn", "ts", tiebreak=["obs"]).toPandas()
+    pdf = series_pdf().sort_values(["key", "ts", "obs"])
+    exp = pdf.groupby("key")["vn"].ffill().reset_index(drop=True)
+    got = (out.sort_values(["key", "ts", "obs"])
+              .vn_filled.reset_index(drop=True))
+    pd.testing.assert_series_equal(got.rename(None), exp.rename(None),
+                                   check_names=False)
+
+
+def test_gap_stats(sdf):
+    out = temporal.gap_stats(sdf, ["key"], "ts", tiebreak=["obs"]).toPandas()
+    pdf = series_pdf().sort_values(["key", "ts", "obs"])
+    for k in range(4):
+        gaps = pdf[pdf.key == k].ts.diff().dropna().dt.total_seconds() * 1e6
+        row = out[out.key == k].iloc[0]
+        assert row.gap_min == gaps.min() and row.gap_max == gaps.max()
+        assert np.isclose(row.gap_mean, gaps.mean())
+
+
+def test_trend_slope_closed_form(sdf):
+    out = temporal.trend_slope(sdf, ["key"], "v", "ts").toPandas()
+    pdf = series_pdf()
+    for k in range(4):
+        sub = pdf[pdf.key == k]
+        t = sub.ts.astype("int64").to_numpy() / 1e9
+        v = sub.v.to_numpy()
+        slope, intercept = np.polyfit(t, v, 1)
+        row = out[out.key == k].iloc[0]
+        assert np.isclose(row.slope, slope, rtol=1e-6)
+        assert np.isclose(row.intercept, intercept, rtol=1e-4)
+
+
+def test_asof_join_backward_forward(spark):
+    left = spark.createDataFrame(
+        [(1, datetime(2020, 1, 1, 12)), (1, datetime(2020, 1, 3, 12)),
+         (2, datetime(2020, 1, 2, 0))],
+        "k long, lt timestamp")
+    right = spark.createDataFrame(
+        [(1, datetime(2020, 1, 1, 0), 10.0), (1, datetime(2020, 1, 2, 0), 20.0),
+         (1, datetime(2020, 1, 4, 0), 30.0), (2, datetime(2020, 1, 5, 0), 99.0)],
+        "k long, rt timestamp, rv double")
+    back = temporal.asof_join(left, right, ["k"], "lt", "rt",
+                              direction="backward", right_cols=["rv"]) \
+        .toPandas().sort_values(["k", "lt"])
+    assert back.rv.tolist()[:2] == [10.0, 20.0] and pd.isna(back.rv.tolist()[2])
+    fwd = temporal.asof_join(left, right, ["k"], "lt", "rt",
+                             direction="forward", right_cols=["rv"]) \
+        .toPandas().sort_values(["k", "lt"])
+    assert fwd.rv.tolist() == [20.0, 30.0, 99.0]
+
+
+def test_asof_exact_timestamp_matches(spark):
+    # a right row exactly at the left time must match in backward mode
+    left = spark.createDataFrame([(1, datetime(2020, 1, 2, 0))], "k long, lt timestamp")
+    right = spark.createDataFrame([(1, datetime(2020, 1, 2, 0), 7.0)],
+                                  "k long, rt timestamp, rv double")
+    out = temporal.asof_join(left, right, ["k"], "lt", "rt",
+                             direction="backward", right_cols=["rv"]).toPandas()
+    assert out.rv.tolist() == [7.0]
+
+
+def test_time_chunks(sdf):
+    out = temporal.time_chunks(sdf, ["key"], "ts", chunk_size=10,
+                               tiebreak=["obs"]).toPandas()
+    assert set(out.time_chunk) == {0, 1, 2}
+    assert (out.groupby(["key", "time_chunk"]).size() == 10).all()
+
+
+def test_calendar_grouping(sdf):
+    out = temporal.group_by_calendar(sdf, ["key"], "ts", "month").toPandas()
+    assert out.time_bucket.min() == 202001
+
+
+def test_first_last_valid(sdf):
+    out = temporal.first_last_valid(sdf, ["key"], "vn", "ts").toPandas()
+    pdf = series_pdf().sort_values(["key", "ts"])
+    for k in range(4):
+        sub = pdf[(pdf.key == k) & pdf.vn.notna()]
+        row = out[out.key == k].iloc[0]
+        assert row.first_value == sub.vn.iloc[0]
+        assert row.last_value == sub.vn.iloc[-1]
+
+
+# --- tiling / salting ---
+
+def test_assign_cells_and_combine(spark):
+    pdf = pd.DataFrame({"id": range(200),
+                        "lat": np.linspace(-10, 10, 200),
+                        "lon": np.linspace(-20, 20, 200)})
+    df = spark.createDataFrame(pdf)
+    tiled = tiling.assign_cells(df, "lat", "lon", 6)
+    # two overlapping chunk scans combine to the monolithic row set
+    left = tiled.filter(F.col("lon") < 5.0)
+    right = tiled.filter(F.col("lon") >= -5.0)
+    combined = tiling.combine_chunks([left, right], ["id"])
+    assert combined.count() == 200
+    mono = set(r["id"] for r in tiled.select("id").collect())
+    assert set(r["id"] for r in combined.select("id").collect()) == mono
+
+
+def test_compact_cover_and_pruning(spark):
+    pdf = pd.DataFrame({"lat": np.random.RandomState(3).uniform(30, 40, 300),
+                        "lon": np.random.RandomState(4).uniform(-100, -90, 300)})
+    df = tiling.assign_cells(spark.createDataFrame(pdf), "lat", "lon", 8)
+    cover = tiling.compact_cover(df)
+    assert len(cover) > 0
+    # every original cell is under the cover
+    pred = tiling.cell_pruning_filter(cover, res=8)
+    assert df.filter(pred).count() == 300
+
+
+def test_salting_exact_mean(spark):
+    # one hot cell (many rows), several cold ones
+    rng = np.random.RandomState(9)
+    hot = pd.DataFrame({"cell_id": 7, "id": range(5000),
+                        "v": rng.rand(5000)})
+    cold = pd.DataFrame({"cell_id": np.arange(100, 120).repeat(10),
+                         "id": range(200), "v": rng.rand(200)})
+    df = spark.createDataFrame(pd.concat([hot, cold]))
+    salted = tiling.salt_hot_cells(df, threshold=1000, n_salt=8, id_col="id")
+    sp = salted.toPandas()
+    assert sp[sp.cell_id == 7].salt.nunique() > 1      # hot cell spread
+    assert (sp[sp.cell_id != 7].salt == 0).all()        # cold cells untouched
+    out = tiling.salted_mean(df, "cell_id", ["v"],
+                             threshold=1000, n_salt=8, id_col="id") \
+        .toPandas().set_index("cell_id")
+    assert np.isclose(out.loc[7, "v_mean"], hot.v.mean())
+    assert out.loc[7, "n"] == 5000
+    assert np.isclose(out.loc[100, "v_mean"], cold[cold.cell_id == 100].v.mean())
