@@ -51,9 +51,17 @@ def ensure_images(spark):
     return IMG_DIR
 
 
+BENCH_POLYS = {
+    1: [(-130.0, 20.0), (-60.0, 20.0), (-60.0, 55.0), (-130.0, 55.0)],
+    2: [(-20.0, 35.0), (20.0, 35.0), (20.0, 60.0), (-20.0, 60.0)],
+    3: [(60.0, -45.0), (160.0, -45.0), (160.0, 45.0), (110.0, 5.0), (60.0, 45.0)],
+    4: [(-90.0, -40.0), (-30.0, -40.0), (-30.0, 0.0), (-90.0, 0.0)],
+}
+
+
 def image_pipeline(spark):
-    """The north-rule measured stage: scan -> spatial join -> tile assign ->
-    composite agg. Bytes column pruned at scan (only footprint/metadata)."""
+    """Metadata-side stage: scan (bytes pruned) -> PIP spatial join ->
+    geocell tile assignment -> agg. Pure join+assign throughput."""
     from pyspark.sql import functions as F
 
     from data_cube_utilities_spark import cells
@@ -62,13 +70,7 @@ def image_pipeline(spark):
     imgs = (spark.read.parquet(IMG_DIR)
             .select("image_id", "phash", "acquired_at",
                     F.col("lon0").alias("x"), F.col("lat0").alias("y")))
-    polys = spatial.polygons_df(spark, {
-        1: [(-130.0, 20.0), (-60.0, 20.0), (-60.0, 55.0), (-130.0, 55.0)],
-        2: [(-20.0, 35.0), (20.0, 35.0), (20.0, 60.0), (-20.0, 60.0)],
-        3: [(60.0, -45.0), (160.0, -45.0), (160.0, 45.0), (110.0, 5.0), (60.0, 45.0)],
-        4: [(-90.0, -40.0), (-30.0, -40.0), (-30.0, 0.0), (-90.0, 0.0)],
-    })
-    j = spatial.pip_broadcast(imgs, polys)
+    j = spatial.pip_broadcast(imgs, BENCH_POLYS)
     tiled = j.withColumn("cell_id",
                          cells.encode_col(F.col("y"), F.col("x"), 9))
     out = (tiled.groupBy("poly_id", "cell_id")
@@ -77,6 +79,28 @@ def image_pipeline(spark):
                      F.max("acquired_at").alias("t1"),
                      F.avg(F.col("phash") % 1024).alias("phash_mix")))
     return out
+
+
+def image_pipeline_full(spark):
+    """The flagship engine stage end to end: scan (incl. pixel payload) ->
+    fused [PIP spatial join + geocell tile assignment + decode + QA mask +
+    WOfS/NDVI raster features] -> per-cell composite agg. Fused so the
+    binary pixel column crosses the JVM<->Python Arrow boundary exactly
+    once (rasterops.spatial_raster_features)."""
+    from pyspark.sql import functions as F
+
+    from data_cube_utilities_spark.operators import rasterops
+
+    imgs = spark.read.parquet(IMG_DIR).select(
+        "image_id", "bytes", "w", "h", "fmt",
+        F.col("lon0").alias("x"), F.col("lat0").alias("y"))
+    feats = rasterops.spatial_raster_features(imgs, BENCH_POLYS, res=9)
+    return (feats.groupBy("poly_id", "cell_id")
+                 .agg(F.count("*").alias("n_tiles"),
+                      F.avg("clean_frac").alias("clean_frac"),
+                      F.avg("water_frac").alias("water_frac"),
+                      F.avg("mean_ndvi").alias("mean_ndvi"),
+                      F.avg("mean_nir").alias("mean_nir")))
 
 
 def main():
@@ -100,10 +124,14 @@ def main():
         times[name] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    out = image_pipeline(spark)
-    _noop(out)
+    _noop(image_pipeline(spark))
     img_sec = time.time() - t0
     times["image_pipeline"] = round(img_sec, 3)
+
+    t0 = time.time()
+    _noop(image_pipeline_full(spark))
+    full_sec = time.time() - t0
+    times["image_pipeline_full"] = round(full_sec, 3)
 
     total = round(sum(times.values()), 3)
     result = {
@@ -114,7 +142,8 @@ def main():
         "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
         "throughput": {
             "image_rows": N_IMAGES,
-            "image_rows_per_sec": round(N_IMAGES / img_sec, 1),
+            "join_assign_rows_per_sec": round(N_IMAGES / img_sec, 1),
+            "full_raster_rows_per_sec": round(N_IMAGES / full_sec, 1),
             "cpus": CPUS,
         },
     }

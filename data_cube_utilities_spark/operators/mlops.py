@@ -1,0 +1,221 @@
+"""ML-adjacent operators: k-means clustering, per-series curve fitting,
+FFT temporal statistics, Bresenham line-scan transects.
+
+Reference parity (SURVEY.md 2.8/2.9):
+  kmeans_cluster_dataset    dc_clustering.py:36-119 — sklearn KMeans over
+                            flattened non-NaN pixels. Here: Lloyd's
+                            algorithm fitted driver-side on a bounded
+                            sample (deterministic seeding), assignment as a
+                            pure Column expression (argmin of squared
+                            distances) — fit is O(sample), predict is
+                            codegen over the full table, no UDF.
+  gaussian_fit/poly_fit/fourier_fit  curve_fitting.py:11-187 — np.polyfit /
+                            FFT per group via applyInPandas.
+  temporal_statistics       dea_tools/temporal.py:500-684 — per-series FFT
+                            coefficient means, mean/abs change, complexity.
+  line_scan / create_pixel_trail  transect/line_scan.py:7-48,
+                            transect/xarraypath.py:15-23 — integer line
+                            rasterization -> explode -> join on (cell, px).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# k-means: Lloyd fit on a sample, codegen assignment
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(df: DataFrame, feature_cols: Sequence[str], k: int,
+               sample_rows: int = 100_000, max_iter: int = 50,
+               seed: int = 42) -> np.ndarray:
+    """Fit k centroids with Lloyd's algorithm on a deterministic sample
+    (k-means++-style farthest-point seeding). Returns (k, d) centers."""
+    n = df.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = (df.select(*feature_cols).sample(frac, seed=seed)
+                .limit(sample_rows).toPandas().to_numpy(dtype=np.float64))
+    sample = sample[~np.isnan(sample).any(axis=1)]
+    rng = np.random.RandomState(seed)
+    centers = sample[rng.randint(len(sample), size=1)]
+    for _ in range(k - 1):  # farthest-point init (deterministic given seed)
+        d2 = ((sample[:, None, :] - centers[None]) ** 2).sum(axis=2).min(axis=1)
+        centers = np.vstack([centers, sample[int(np.argmax(d2))]])
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - centers[None]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        new = np.vstack([
+            sample[lab == j].mean(axis=0) if (lab == j).any() else centers[j]
+            for j in range(k)])
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def kmeans_assign_col(feature_cols: Sequence[str], centers: np.ndarray):
+    """Cluster assignment as a Column expression: argmin_j ||x - c_j||^2 —
+    whole-stage codegen, no Python on the scoring path. NaN rows -> -1
+    (the reference's missing-pixel label, dc_clustering.py:56-58)."""
+    k = len(centers)
+    d2 = []
+    for j in range(k):
+        expr = None
+        for i, c in enumerate(feature_cols):
+            t = (F.col(c) - F.lit(float(centers[j][i])))
+            term = t * t
+            expr = term if expr is None else expr + term
+        d2.append(expr)
+    best = F.lit(0)
+    best_d = d2[0]
+    for j in range(1, k):
+        cond = d2[j] < best_d
+        best = F.when(cond, F.lit(j)).otherwise(best)
+        best_d = F.when(cond, d2[j]).otherwise(best_d)
+    any_null = None
+    for c in feature_cols:
+        n = F.col(c).isNull()
+        any_null = n if any_null is None else (any_null | n)
+    return F.when(any_null, F.lit(-1)).otherwise(best)
+
+
+def kmeans_cluster(df: DataFrame, feature_cols: Sequence[str], k: int,
+                   **fit_kw) -> DataFrame:
+    centers = kmeans_fit(df, feature_cols, k, **fit_kw)
+    return df.withColumn("cluster",
+                         kmeans_assign_col(feature_cols, centers))
+
+
+# ---------------------------------------------------------------------------
+# per-series curve fitting (grouped-map)
+# ---------------------------------------------------------------------------
+
+def poly_fit(df: DataFrame, keys: Sequence[str], x_col: str, y_col: str,
+             degree: int = 2) -> DataFrame:
+    """Per-group np.polyfit; returns one row per group with coef array
+    (highest power first, numpy convention) and R^2."""
+    key_list = list(keys)
+    schema = (", ".join(f"{k} string" for k in key_list)
+              + ", coefs array<double>, r2 double, n int")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy(np.float64)
+        y = pdf[y_col].to_numpy(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[ok], y[ok]
+        if len(x) <= degree:
+            coefs, r2 = [float("nan")] * (degree + 1), float("nan")
+        else:
+            c = np.polyfit(x, y, degree)
+            pred = np.polyval(c, x)
+            ss_res = float(((y - pred) ** 2).sum())
+            ss_tot = float(((y - y.mean()) ** 2).sum())
+            r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else float("nan")
+            coefs = [float(v) for v in c]
+        row = {k: [str(pdf[k].iloc[0])] for k in key_list}
+        row.update({"coefs": [coefs], "r2": [r2], "n": [len(x)]})
+        return pd.DataFrame(row)
+
+    return df.groupBy(*keys).applyInPandas(fit, schema)
+
+
+def fourier_fit_features(df: DataFrame, keys: Sequence[str], time_col: str,
+                         value_col: str, n_coefs: int = 3,
+                         tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Per-series FFT magnitude features + change stats — the
+    temporal_statistics family (dea temporal.py:500-684): mean |fft| of the
+    first n_coefs non-DC coefficients, mean change, mean abs change,
+    complexity (sqrt of sum of squared diffs)."""
+    key_list = list(keys)
+    schema = (", ".join(f"{k} long" for k in key_list)
+              + ", " + ", ".join(f"f{i+1} double" for i in range(n_coefs))
+              + ", mean_change double, mean_abs_change double, "
+                "complexity double, n int")
+    sort_cols = [time_col, *tiebreak]
+
+    def feats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        y = pdf[value_col].to_numpy(np.float64)
+        y = y[~np.isnan(y)]
+        row = {k: [pdf[k].iloc[0]] for k in key_list}
+        if len(y) < 2:
+            for i in range(n_coefs):
+                row[f"f{i+1}"] = [float("nan")]
+            row.update(mean_change=[float("nan")],
+                       mean_abs_change=[float("nan")],
+                       complexity=[float("nan")], n=[len(y)])
+            return pd.DataFrame(row)
+        mag = np.abs(np.fft.rfft(y))
+        for i in range(n_coefs):
+            row[f"f{i+1}"] = [float(mag[i + 1]) if i + 1 < len(mag)
+                              else float("nan")]
+        d = np.diff(y)
+        row.update(mean_change=[float(d.mean())],
+                   mean_abs_change=[float(np.abs(d).mean())],
+                   complexity=[float(np.sqrt((d ** 2).sum()))],
+                   n=[len(y)])
+        return pd.DataFrame(row)
+
+    return df.groupBy(*keys).applyInPandas(feats, schema)
+
+
+# ---------------------------------------------------------------------------
+# line-scan transect (Bresenham) — UDTF-style explode
+# ---------------------------------------------------------------------------
+
+def line_scan_np(x0: int, y0: int, x1: int, y1: int) -> np.ndarray:
+    """Integer line rasterization with the reference's exact semantics
+    (transect/line_scan.py:7-48, goldens transect/tests/test_linescan.py):
+    step along the dominant axis, floor the other coordinate. The
+    reference's direction quirks are part of the contract and reproduced
+    deliberately: right-to-left / top-to-bottom runs use `stop+1` with a
+    negative step, so they stop two short of the endpoint."""
+    x0, y0, x1, y1 = int(x0), int(y0), int(x1), int(y1)
+    xdir = 1 if x0 < x1 else -1
+    ydir = 1 if y0 < y1 else -1
+    if x0 == x1:
+        ys = np.arange(y0, y1 + 1, ydir, dtype=np.int64)
+        xs = np.full_like(ys, x0)
+        return np.stack([xs, ys], axis=1)
+    if y0 == y1:
+        xs = np.arange(x0, x1 + 1, xdir, dtype=np.int64)
+        ys = np.full_like(xs, y0)
+        return np.stack([xs, ys], axis=1)
+    m = (y1 - y0) / (x1 - x0)
+    sign = 1 if m > 0 else -1
+    if abs(m) >= 1:
+        ys = np.arange(y0, y1 + sign, sign * xdir, dtype=np.int64)
+        xs = np.floor((ys - y0) / m + x0).astype(np.int64)
+    else:
+        xs = np.arange(x0, x1 + 1, xdir, dtype=np.int64)
+        ys = (np.floor(m * (xs - x0)) + y0).astype(np.int64)
+    return np.stack([xs, ys], axis=1)
+
+
+def transect(df_lines: DataFrame, pixels: DataFrame,
+             px_col: str = "px", py_col: str = "py") -> DataFrame:
+    """Explode each line row (line_id, x0, y0, x1, y1) into its visited
+    cells, equi-join to the pixel table -> ordered pixel trail
+    (create_pixel_trail, transect/xarraypath.py:15-23)."""
+    def expand(batches):
+        for b in batches:
+            outs = []
+            for r in b.itertuples():
+                pts = line_scan_np(r.x0, r.y0, r.x1, r.y1)
+                outs.append(pd.DataFrame({
+                    "line_id": r.line_id,
+                    "seq": np.arange(len(pts), dtype=np.int64),
+                    px_col: pts[:, 0], py_col: pts[:, 1]}))
+            if outs:
+                yield pd.concat(outs)
+
+    cells_df = df_lines.mapInPandas(
+        expand, f"line_id long, seq long, {px_col} long, {py_col} long")
+    return cells_df.join(pixels, [px_col, py_col], "left") \
+                   .orderBy("line_id", "seq")

@@ -112,15 +112,26 @@ def _poly_pdf(polygons: DataFrame) -> pd.DataFrame:
 # strategy 1: broadcast PIP join
 # ---------------------------------------------------------------------------
 
-def pip_broadcast(points: DataFrame, polygons: DataFrame,
-                  x_col: str = "x", y_col: str = "y",
-                  how: str = "inner") -> DataFrame:
+def pip_broadcast(points: DataFrame, polygons, x_col: str = "x",
+                  y_col: str = "y", how: str = "inner") -> DataFrame:
     """points x polygons containment join; polygon layer broadcast.
 
+    `polygons` is either the polygon dim DataFrame or a plain
+    {poly_id: ring} dict (literal layers skip the collect round-trip).
     Output: point columns + poly_id (inner: matched only; left: poly_id
     null for unmatched). A point inside k polygons emits k rows.
     """
-    polys = _poly_pdf(polygons)
+    if isinstance(polygons, dict):
+        rows = []
+        for pid, ring in polygons.items():
+            xs = [float(p[0]) for p in ring]
+            ys = [float(p[1]) for p in ring]
+            rows.append((pid, xs, ys, min(xs), min(ys), max(xs), max(ys)))
+        polys = pd.DataFrame(rows, columns=[
+            "poly_id", "ring_xs", "ring_ys",
+            "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"])
+    else:
+        polys = _poly_pdf(polygons)
     sc = points.sparkSession.sparkContext
     b_polys = sc.broadcast([
         (int(r.poly_id), np.asarray(r.ring_xs), np.asarray(r.ring_ys),
@@ -257,7 +268,7 @@ def edges_rows(polys: dict[int, list[tuple[float, float]]]) -> list[tuple]:
 # zonal statistics (dea_tools/spatial.py:778-859 as one agg)
 # ---------------------------------------------------------------------------
 
-def zonal_stats(points: DataFrame, polygons: DataFrame, value_col: str,
+def zonal_stats(points: DataFrame, polygons, value_col: str,
                 x_col: str = "x", y_col: str = "y",
                 stats: Sequence[str] = ("count", "min", "max", "mean", "sum", "median"),
                 strategy: str = "broadcast", res: int = 7) -> DataFrame:
@@ -306,7 +317,7 @@ def knn_brute(queries: DataFrame, targets: DataFrame, k: int,
 def knn_cells(queries: DataFrame, targets: DataFrame, k: int, res: int,
               qx: str = "x", qy: str = "y", qid: str = "point_id",
               tx: str = "x", ty: str = "y", tid: str = "point_id",
-              start_ring: int = 1, max_rounds: int = 6) -> DataFrame:
+              start_ring: int | None = None, max_rounds: int = 6) -> DataFrame:
     """kNN via geocell ring expansion (SURVEY.md 2.3 'kNN' row).
 
     Round r joins each unsatisfied query's k_ring(cell, radius_r) to targets
@@ -324,6 +335,15 @@ def knn_cells(queries: DataFrame, targets: DataFrame, k: int, res: int,
                            F.col(qx).alias("_qx"), F.col(qy).alias("_qy"),
                            cells.encode_col(F.col(qy), F.col(qx), res).alias("qcell"))
     cell_h = 180.0 / (1 << res)  # degrees per cell row at res
+
+    if start_ring is None:
+        # size the first ring so it is *expected* to hold k targets —
+        # one count() on the cached target side, saves whole rounds
+        n_cells = float((1 << res) * (1 << (res + 1)))
+        per_cell = max(t.count() / n_cells, 1e-9)
+        est = int(np.ceil((np.sqrt(k / per_cell) - 1) / 2))
+        start_ring = min(max(1, est), 8)  # cap: very sparse regions go
+        # through one cheap round then the brute fallback
 
     results = None
     pending = q_all

@@ -628,8 +628,7 @@ def q_pip_relational(spark, sf_dir):
     c = (_t(spark, sf_dir, "customer")
          .select(F.col("c_custkey").alias("point_id"),
                  F.expr(CUST_X).alias("x"), F.expr(CUST_Y).alias("y")))
-    polys = spatial.polygons_df(spark, Q_POLYS)
-    j = spatial.pip_broadcast(c, polys)
+    j = spatial.pip_broadcast(c, Q_POLYS)
     return j.groupBy("poly_id").agg(F.count("*").alias("n_inside"),
                                     F.sum("point_id").alias("id_sum"))
 
@@ -661,8 +660,7 @@ def q_zonal_stats(spark, sf_dir):
          .select(F.col("c_custkey").alias("point_id"),
                  F.expr(CUST_X).alias("x"), F.expr(CUST_Y).alias("y"),
                  F.col("c_acctbal").alias("v")))
-    polys = spatial.polygons_df(spark, Q_POLYS)
-    out = spatial.zonal_stats(c, polys, "v",
+    out = spatial.zonal_stats(c, Q_POLYS, "v",
                               stats=("count", "min", "max", "mean", "sum"))
     return out.select("poly_id", "count",
                       F.round("min", 2).alias("min"),
@@ -743,6 +741,75 @@ FROM u
 """
 
 
+def q_coastal_change(spark, sf_dir):
+    """compute_coastal_change (dc_coastal_change.py:26-61) as epochs:
+    WOfS water fraction per group for an old and a new epoch, plus delta."""
+    px = _lineitem_bands(spark, sf_dir)
+    water = F.expr(indices.wofs_sql())
+    epoch = F.when(F.col("l_shipdate") < F.lit("1996-01-01"), F.lit("old")) \
+             .otherwise(F.lit("new"))
+    per = (px.withColumn("water", water).withColumn("epoch", epoch)
+             .groupBy("l_returnflag", "epoch")
+             .agg(F.round(F.avg("water"), 6).alias("water_frac")))
+    old = per.filter(F.col("epoch") == "old") \
+             .select("l_returnflag", F.col("water_frac").alias("water_old"))
+    new = per.filter(F.col("epoch") == "new") \
+             .select("l_returnflag", F.col("water_frac").alias("water_new"))
+    return (old.join(new, "l_returnflag")
+               .withColumn("delta", F.round(F.col("water_new") - F.col("water_old"), 6)))
+
+
+SQL_COASTAL_CHANGE = _bands_cte() + f"""
+, per AS (
+  SELECT l_returnflag,
+         CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 'old' ELSE 'new' END AS epoch,
+         round(avg({indices.wofs_sql()}), 6) AS water_frac
+  FROM px GROUP BY 1, 2)
+SELECT o.l_returnflag, o.water_frac AS water_old, n.water_frac AS water_new,
+       round(n.water_frac - o.water_frac, 6) AS delta
+FROM per o JOIN per n ON o.l_returnflag = n.l_returnflag
+WHERE o.epoch = 'old' AND n.epoch = 'new'
+"""
+
+
+def q_rollup_cube(spark, sf_dir):
+    """grouping-sets coverage (SURVEY.md 2.4 'free via rollup/cube')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("l_quantity"), 2).alias("qty"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                      "n", "qty"))
+
+
+SQL_ROLLUP_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_intersect_except(spark, sf_dir):
+    """relation set ops (SURVEY.md 2.7): suppliers in both/either/only-one
+    of two predicates."""
+    s = _t(spark, sf_dir, "supplier")
+    a = s.filter(F.col("s_acctbal") > 0).select("s_suppkey")
+    b = s.filter(F.col("s_nationkey") % 2 == 0).select("s_suppkey")
+    return (a.intersect(b).agg(F.count("*").alias("n_both"))
+             .crossJoin(a.exceptAll(b).agg(F.count("*").alias("n_only_a")))
+             .crossJoin(a.union(b).distinct().agg(F.count("*").alias("n_any"))))
+
+
+SQL_INTERSECT_EXCEPT = """
+WITH a AS (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0),
+b AS (SELECT s_suppkey FROM supplier WHERE s_nationkey % 2 = 0)
+SELECT (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+       (SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)) AS n_only_a,
+       (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_any
+"""
+
+
 # registry ------------------------------------------------------------------
 
 GROUP_A = {
@@ -775,6 +842,9 @@ GROUP_A = {
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),
     "chunk_combine": (q_chunk_combine, SQL_CHUNK_COMBINE),
+    "coastal_change": (q_coastal_change, SQL_COASTAL_CHANGE),
+    "rollup_cube": (q_rollup_cube, SQL_ROLLUP_CUBE),
+    "intersect_except": (q_intersect_except, SQL_INTERSECT_EXCEPT),
 }
 
 

@@ -1,0 +1,117 @@
+"""Structured Streaming: incremental compositing over an arriving image
+stream, plus snapshot-committed micro-batch accumulation.
+
+The reference's incremental idiom is checkpointed batch recursion
+(`intermediate_product` accumulation, dc_mosaic.py:117-185; chunked
+load->combine, dc_chunker.py — SURVEY.md 2.10). Two Spark-native
+re-expressions:
+
+1. ``streaming_cell_stats`` — a true Structured Streaming query:
+   readStream(parquet dir) -> event-time window + watermark ->
+   per-(cell, window) incremental aggregates (sum/count/min/max — the
+   perform_timeseries_analysis family, which is algebraic and therefore
+   exactly mergeable across micro-batches).
+2. ``foreach_batch_snapshot`` — micro-batch sink committing each batch as
+   an *append* snapshot (sources/snapshots.py), giving resumable,
+   inspectable incremental state; late acquisitions are handled by
+   recompute-of-affected-cells at read time (the reference's combine_first
+   semantics), not by watermark eviction.
+
+Holistic composites (median/geomedian) are NOT streamed incrementally —
+they aren't mergeable; the engine recomputes them per affected cell from
+the snapshot chain (documented limitation, same as the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import synth
+
+
+def read_image_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream of image rows (schema = synth.IMAGES_SCHEMA)."""
+    return (spark.readStream
+            .schema(synth.IMAGES_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def streaming_cell_stats(stream: DataFrame,
+                         window: str = "30 days",
+                         watermark: str = "60 days") -> DataFrame:
+    """Event-time windowed per-cell stats with late-data watermark —
+    the streaming twin of perform_timeseries_analysis (algebraic only)."""
+    return (stream
+            .withWatermark("acquired_at", watermark)
+            .groupBy("cell_id", F.window("acquired_at", window))
+            .agg(F.count("*").alias("n_obs"),
+                 F.min("acquired_at").alias("t_first"),
+                 F.max("acquired_at").alias("t_last"),
+                 F.avg(F.col("phash") % 1024).alias("phash_mix")))
+
+
+def run_stream_to_memory(stream_stats: DataFrame, name: str,
+                         timeout_sec: float = 60.0):
+    """Drive a streaming aggregate to completion against a finite directory
+    (test harness): complete-mode memory sink, processAllAvailable."""
+    q = (stream_stats.writeStream
+         .format("memory").queryName(name)
+         .outputMode("complete")
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return q
+
+
+def foreach_batch_snapshot(stream: DataFrame, table_path: str,
+                           checkpoint_dir: str):
+    """Commit every micro-batch as an append snapshot with batch lineage.
+    Restart-safe twice over: Spark's checkpoint replays uncommitted
+    batches, and the snapshot lineage records exactly which batch ids
+    landed (idempotence check at read time)."""
+    from ..sources.snapshots import SnapshotTable
+
+    table = SnapshotTable(table_path)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        # skip replayed batches that already committed (exactly-once-ish)
+        done = {m.get("lineage", {}).get("batch_id") for m in table.history()}
+        if batch_id in done:
+            return
+        table.commit(batch_df, operation="append",
+                     lineage={"step": "stream_ingest", "batch_id": batch_id})
+
+    return (stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def incremental_first_valid_merge(spark: SparkSession, table_path: str,
+                                  keys, bands) -> DataFrame:
+    """Read the snapshot chain and reduce it with the incremental
+    combine-first semantics (earliest-committed value wins per key) — the
+    intermediate_product accumulation expressed over snapshots."""
+    from ..operators.mosaic import incremental_combine_first
+    from ..sources.snapshots import SnapshotTable
+
+    table = SnapshotTable(table_path)
+    versions = sorted(m["version"] for m in table.history())
+    out = None
+    for v in versions:
+        m = table.manifest(v)
+        if m["operation"] != "append":
+            continue
+        df = spark.read.parquet(
+            f"{table_path}/data/{m['data_dir']}")
+        out = df if out is None else incremental_combine_first(
+            out, df, keys, bands)
+    return out

@@ -1,0 +1,37 @@
+"""The fused spatial_raster_features stage must equal the composition of
+its parts (pip_broadcast -> encode_col -> tile_features) row for row."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_utilities_spark import cells, synth
+from data_cube_utilities_spark.operators import rasterops, spatial
+
+POLYS = {
+    1: [(-130.0, 20.0), (-60.0, 20.0), (-60.0, 55.0), (-130.0, 55.0)],
+    2: [(60.0, -45.0), (160.0, -45.0), (160.0, 45.0), (110.0, 5.0), (60.0, 45.0)],
+}
+
+
+def test_fused_equals_composition(spark):
+    imgs = synth.synthesize_images(spark, 300, tile_px=8, partitions=6) \
+        .select("image_id", "bytes", "w", "h", "fmt",
+                F.col("lon0").alias("x"), F.col("lat0").alias("y")).cache()
+
+    fused = rasterops.spatial_raster_features(imgs, POLYS, res=9) \
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+
+    composed_j = spatial.pip_broadcast(imgs, POLYS)
+    composed_t = composed_j.withColumn(
+        "cell_id", cells.encode_col(F.col("y"), F.col("x"), 9))
+    composed = rasterops.tile_features(composed_t) \
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+
+    assert fused.image_id.tolist() == composed.image_id.tolist()
+    assert fused.cell_id.tolist() == composed.cell_id.tolist()
+    for col in ["clean_frac", "water_frac", "mean_ndvi", "mean_nir"]:
+        assert np.allclose(fused[col], composed[col], equal_nan=True), col
+    # non-matching tiles are dropped by both
+    n_in_polys = composed_j.count()
+    assert len(fused) == n_in_polys

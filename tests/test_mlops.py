@@ -1,0 +1,106 @@
+"""k-means, curve fits, FFT features, and line-scan golden parity with the
+reference's own transect tests (transect/tests/test_linescan.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_utilities_spark.operators import mlops
+
+# every orientation/slope golden from the reference suite
+LINESCAN_GOLDENS = [
+    ((1, 10), (4, 2), [[1, 10], [1, 9], [1, 8], [2, 7], [2, 6], [2, 5],
+                       [3, 4], [3, 3], [4, 2]]),
+    ((1, 10), (10, 5), [[1, 10], [2, 9], [3, 8], [4, 8], [5, 7], [6, 7],
+                        [7, 6], [8, 6], [9, 5], [10, 5]]),
+    ((1, 10), (10, 1), [[1, 10], [2, 9], [3, 8], [4, 7], [5, 6], [6, 5],
+                        [7, 4], [8, 3], [9, 2], [10, 1]]),
+    ((1, 2), (4, 10), [[1, 2], [1, 3], [1, 4], [2, 5], [2, 6], [2, 7],
+                       [3, 8], [3, 9], [4, 10]]),
+    ((1, 5), (10, 10), [[1, 5], [2, 5], [3, 6], [4, 6], [5, 7], [6, 7],
+                        [7, 8], [8, 8], [9, 9], [10, 10]]),
+    ((1, 1), (10, 10), [[1, 1], [2, 2], [3, 3], [4, 4], [5, 5], [6, 6],
+                        [7, 7], [8, 8], [9, 9], [10, 10]]),
+    ((4, 10), (1, 2), [[4, 10], [3, 9], [3, 8], [2, 7], [2, 6], [2, 5],
+                       [1, 4]]),
+    ((8, 10), (1, 5), [[8, 10], [7, 9], [6, 8], [5, 7], [4, 7], [3, 6]]),
+    ((8, 10), (4, 5), [[8, 10], [7, 9], [6, 8], [5, 7]]),
+    ((4, 2), (1, 10), [[4, 2], [3, 3], [3, 4], [2, 5], [2, 6], [2, 7],
+                       [1, 8]]),
+    ((10, 2), (1, 6), [[10, 2], [9, 2], [8, 2], [7, 3], [6, 3], [5, 4],
+                       [4, 4], [3, 5]]),
+    ((11, 5), (1, 15), [[11, 5], [10, 6], [9, 7], [8, 8], [7, 9], [6, 10],
+                        [5, 11], [4, 12], [3, 13]]),
+    ((10, 4), (2, 4), [[10, 4], [9, 4], [8, 4], [7, 4], [6, 4], [5, 4],
+                       [4, 4]]),
+    ((2, 4), (10, 4), [[2, 4], [3, 4], [4, 4], [5, 4], [6, 4], [7, 4],
+                       [8, 4], [9, 4], [10, 4]]),
+    ((4, 10), (4, 2), [[4, 10], [4, 9], [4, 8], [4, 7], [4, 6], [4, 5],
+                       [4, 4]]),
+    ((4, 2), (4, 10), [[4, 2], [4, 3], [4, 4], [4, 5], [4, 6], [4, 7],
+                       [4, 8], [4, 9], [4, 10]]),
+]
+
+
+@pytest.mark.parametrize("a,b,expected", LINESCAN_GOLDENS)
+def test_line_scan_golden(a, b, expected):
+    got = mlops.line_scan_np(a[0], a[1], b[0], b[1])
+    assert got.tolist() == expected
+
+
+def test_transect_join(spark):
+    lines = spark.createDataFrame([(0, 1, 1, 4, 4)],
+                                  "line_id long, x0 long, y0 long, x1 long, y1 long")
+    px = spark.createDataFrame(
+        [(x, y, float(x * 10 + y)) for x in range(6) for y in range(6)],
+        "px long, py long, v double")
+    out = mlops.transect(lines, px).toPandas()
+    assert out.v.tolist() == [11.0, 22.0, 33.0, 44.0]
+    assert out.seq.tolist() == [0, 1, 2, 3]
+
+
+def test_kmeans_recovers_blobs(spark):
+    rng = np.random.RandomState(5)
+    blobs = np.vstack([rng.normal(c, 0.3, size=(200, 2))
+                       for c in [(0, 0), (10, 0), (0, 10)]])
+    pdf = pd.DataFrame({"a": blobs[:, 0], "b": blobs[:, 1]})
+    df = spark.createDataFrame(pdf)
+    out = mlops.kmeans_cluster(df, ["a", "b"], k=3,
+                               sample_rows=600).toPandas()
+    # each true blob maps to exactly one predicted cluster
+    labels = [out.cluster[i * 200:(i + 1) * 200] for i in range(3)]
+    assert all(lab.nunique() == 1 for lab in labels)
+    assert len({lab.iloc[0] for lab in labels}) == 3
+
+
+def test_kmeans_nan_label(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1.0, None, 2.0], "b": [1.0, 2.0, None]}))
+    centers = np.array([[0.0, 0.0], [5.0, 5.0]])
+    out = df.withColumn("cluster",
+                        mlops.kmeans_assign_col(["a", "b"], centers)).toPandas()
+    assert out.cluster.tolist() == [0, -1, -1]
+
+
+def test_poly_fit(spark):
+    x = np.linspace(0, 10, 50)
+    rows = [("g", float(xi), float(2 * xi ** 2 - 3 * xi + 1)) for xi in x]
+    df = spark.createDataFrame(rows, "key string, x double, y double")
+    out = mlops.poly_fit(df, ["key"], "x", "y", degree=2).toPandas()
+    assert np.allclose(out.coefs.iloc[0], [2.0, -3.0, 1.0], atol=1e-8)
+    assert np.isclose(out.r2.iloc[0], 1.0)
+
+
+def test_fourier_features(spark):
+    t = np.arange(64)
+    y = np.sin(2 * np.pi * t / 16.0)  # pure tone -> energy at coef 4
+    rows = [(1, int(ti), float(yi)) for ti, yi in zip(t, y)]
+    df = spark.createDataFrame(rows, "key long, t long, v double")
+    out = mlops.fourier_fit_features(df, ["key"], "t", "v",
+                                     n_coefs=5).toPandas()
+    r = out.iloc[0]
+    assert r.f4 > 10 * max(r.f1, r.f2, r.f3, r.f5)
+    exp = np.abs(np.fft.rfft(y))
+    assert np.isclose(r.f4, exp[4])
+    assert np.isclose(r.complexity, np.sqrt((np.diff(y) ** 2).sum()))

@@ -1,0 +1,54 @@
+"""Structured Streaming: windowed incremental stats equal the batch twin;
+micro-batch snapshot commits are idempotent and resume."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_utilities_spark import synth
+from data_cube_utilities_spark.streaming import incremental as S
+from data_cube_utilities_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def image_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("imgstream"))
+    (synth.synthesize_images(spark, 120, tile_px=8, partitions=6)
+     .write.mode("overwrite").parquet(d))
+    return d
+
+
+def test_streaming_stats_equal_batch(spark, image_dir):
+    stream = S.read_image_stream(spark, image_dir, max_files_per_trigger=2)
+    agg = S.streaming_cell_stats(stream, window="365 days", watermark="0 seconds")
+    S.run_stream_to_memory(agg, "cellstats")
+    got = spark.sql("SELECT cell_id, window.start AS ws, n_obs FROM cellstats") \
+        .toPandas().sort_values(["cell_id", "ws"]).reset_index(drop=True)
+    batch = (spark.read.parquet(image_dir)
+             .groupBy("cell_id", F.window("acquired_at", "365 days"))
+             .agg(F.count("*").alias("n_obs"))
+             .select("cell_id", F.col("window.start").alias("ws"), "n_obs")
+             .toPandas().sort_values(["cell_id", "ws"]).reset_index(drop=True))
+    assert got.equals(batch)
+
+
+def test_foreach_batch_snapshot_commits(spark, image_dir, tmp_path):
+    table_path = str(tmp_path / "snap_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = S.read_image_stream(spark, image_dir, max_files_per_trigger=2) \
+        .select("image_id", "cell_id", "acquired_at", "phash")
+    q = S.foreach_batch_snapshot(stream, table_path, ckpt)
+    q.awaitTermination(120)
+    table = SnapshotTable(table_path)
+    assert table.current_version() is not None
+    total = table.read(spark).count()
+    assert total == 120
+    batch_ids = [m["lineage"]["batch_id"] for m in table.history()]
+    assert len(batch_ids) == len(set(batch_ids))  # idempotent commits
+    # restart with same checkpoint: no new data -> no new snapshots
+    v_before = table.current_version()
+    q2 = S.foreach_batch_snapshot(stream, table_path, ckpt)
+    q2.awaitTermination(60)
+    assert table.current_version() == v_before
