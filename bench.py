@@ -114,8 +114,10 @@ def main():
     times: dict[str, float] = {}
 
     ensure_images(spark)
-    # warm the JVM/Python workers once (untimed)
+    # warm the JVM/Python workers once (untimed) — incl. the raster UDF
+    # path so per-worker package imports don't land in the timed runs
     _noop(reg["pricing_summary"][0](spark, SF_DIR))
+    _noop(image_pipeline_full(spark))
 
     for name in HEADLINE:
         fn = reg[name][0]

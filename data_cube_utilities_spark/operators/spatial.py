@@ -317,7 +317,7 @@ def knn_brute(queries: DataFrame, targets: DataFrame, k: int,
 def knn_cells(queries: DataFrame, targets: DataFrame, k: int, res: int,
               qx: str = "x", qy: str = "y", qid: str = "point_id",
               tx: str = "x", ty: str = "y", tid: str = "point_id",
-              start_ring: int | None = None, max_rounds: int = 6) -> DataFrame:
+              start_ring: int | None = None, max_rounds: int = 3) -> DataFrame:
     """kNN via geocell ring expansion (SURVEY.md 2.3 'kNN' row).
 
     Round r joins each unsatisfied query's k_ring(cell, radius_r) to targets
@@ -337,12 +337,14 @@ def knn_cells(queries: DataFrame, targets: DataFrame, k: int, res: int,
     cell_h = 180.0 / (1 << res)  # degrees per cell row at res
 
     if start_ring is None:
-        # size the first ring so it is *expected* to hold k targets —
-        # one count() on the cached target side, saves whole rounds
+        # size the first ring to hold ~4k expected targets (oversampled so
+        # the guarantee radius usually also passes in round one) — one
+        # count() on the cached target side saves whole Spark rounds, and
+        # each avoided round is several jobs of fixed latency
         n_cells = float((1 << res) * (1 << (res + 1)))
         per_cell = max(t.count() / n_cells, 1e-9)
-        est = int(np.ceil((np.sqrt(k / per_cell) - 1) / 2))
-        start_ring = min(max(1, est), 8)  # cap: very sparse regions go
+        est = int(np.ceil((np.sqrt(4.0 * k / per_cell) - 1) / 2))
+        start_ring = min(max(1, est), 16)  # cap: very sparse regions go
         # through one cheap round then the brute fallback
 
     results = None
@@ -372,7 +374,7 @@ def knn_cells(queries: DataFrame, targets: DataFrame, k: int, res: int,
         results = done if results is None else results.unionByName(done)
         pending = pending.join(ok_ids, pending.query_id == ok_ids.query_id,
                                "left_anti")
-        radius *= 2
+        radius *= 3  # cover ground fast: every extra round is several jobs
 
     if not pending.isEmpty():
         fallback = knn_brute(
