@@ -810,6 +810,63 @@ SELECT (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_b
 """
 
 
+def q_tumbling_window(spark, sf_dir):
+    """Event-time tumbling window (streaming twin in streaming/incremental):
+    hourly windows of the events stream."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("win"))
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("value"), 4).alias("v_sum"),
+                  F.countDistinct("user_id").alias("n_users")))
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT date_trunc('hour', ts) AS win, count(*) AS n,
+       round(sum(value), 4) AS v_sum, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
+def q_smooth(spark, sf_dir):
+    """Centered rolling-mean smoothing, window 3 (dea temporal.py:121-127
+    smooth / rolling mean)."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-1, 1))
+    return (e.withColumn("smoothed", F.round(F.avg("value").over(w), 6))
+             .groupBy("user_id")
+             .agg(F.round(F.sum("smoothed"), 4).alias("smoothed_sum"),
+                  F.round(F.max("smoothed"), 6).alias("smoothed_max")))
+
+
+SQL_SMOOTH = """
+WITH s AS (
+  SELECT user_id,
+         round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS smoothed
+  FROM events)
+SELECT user_id, round(sum(smoothed), 4) AS smoothed_sum,
+       round(max(smoothed), 6) AS smoothed_max
+FROM s GROUP BY user_id
+"""
+
+
+def q_calendar_grouping(spark, sf_dir):
+    """group_datetimes_by_year/month (dc_chunker.py:150-165)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy((F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                      .alias("yyyymm"))
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("month_value")))
+
+
+SQL_CALENDAR_GROUPING = """
+SELECT year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm,
+       count(*) AS n, round(sum(o_totalprice), 2) AS month_value
+FROM orders GROUP BY 1
+"""
+
+
 # registry ------------------------------------------------------------------
 
 GROUP_A = {
@@ -845,6 +902,9 @@ GROUP_A = {
     "coastal_change": (q_coastal_change, SQL_COASTAL_CHANGE),
     "rollup_cube": (q_rollup_cube, SQL_ROLLUP_CUBE),
     "intersect_except": (q_intersect_except, SQL_INTERSECT_EXCEPT),
+    "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "smooth": (q_smooth, SQL_SMOOTH),
+    "calendar_grouping": (q_calendar_grouping, SQL_CALENDAR_GROUPING),
 }
 
 

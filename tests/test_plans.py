@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the optimizer behaviors the engine relies on
+at 100TB must actually appear in the plans (SURVEY.md section 4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_utilities_spark import cells
+from data_cube_utilities_spark.operators import spatial
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity"))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_column_pruning(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .select("l_orderkey").limit(5))
+    plan = plan_of(df)
+    # ReadSchema must not include unprojected wide columns
+    assert "l_comment" not in plan and "l_extendedprice" not in plan
+    assert "ReadSchema" in plan and "l_orderkey" in plan
+
+
+def test_cell_join_broadcasts_and_never_cartesian(spark):
+    pts = (spark.read.parquet(f"{SF}/supplier.parquet")
+           .select(F.col("s_suppkey").alias("point_id"),
+                   (F.col("s_suppkey") % 100).cast("double").alias("x"),
+                   (F.col("s_suppkey") % 50).cast("double").alias("y")))
+    polys = spatial.polygons_df(spark, {1: [(0.0, 0.0), (50.0, 0.0),
+                                            (50.0, 40.0), (0.0, 40.0)]})
+    plan = plan_of(spatial.pip_cell_join(pts, polys, res=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_composite_agg_is_partial_final(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.avg("l_quantity"))
+    plan = plan_of(agg)
+    # map-side partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_avg" in plan or "partial" in plan.lower()
+
+
+def test_scalar_path_is_whole_stage_codegen(spark):
+    from data_cube_utilities_spark.operators import indices
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .withColumn("blue", F.col("l_partkey") % 5000) \
+        .withColumn("green", F.col("l_suppkey") % 5000) \
+        .withColumn("red", F.col("l_orderkey") % 5000) \
+        .withColumn("nir", F.col("l_linenumber") % 5000) \
+        .withColumn("swir1", F.col("l_partkey") % 4000) \
+        .withColumn("swir2", F.col("l_suppkey") % 4000)
+    out = li.select(F.expr(indices.wofs_sql()).alias("w"),
+                    indices.index_col("ndvi").alias("ndvi"))
+    plan = plan_of(out)
+    # '*(n)' node prefix marks WholeStageCodegen in the string form
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cell_encode_is_jvm_side(spark):
+    pts = spark.range(100).select(
+        (F.col("id") % 90 - 45).cast("double").alias("lat"),
+        (F.col("id") % 360 - 180).cast("double").alias("lon"))
+    out = pts.select(cells.encode_col(F.col("lat"), F.col("lon"), 9))
+    plan = plan_of(out)
+    assert "Python" not in plan
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
