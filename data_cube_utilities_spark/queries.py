@@ -867,6 +867,57 @@ FROM orders GROUP BY 1
 """
 
 
+def q_phenology(spark, sf_dir):
+    """xr_phenology (dea temporal.py:278-497) over the events series:
+    per-user POS/SOS/EOS (amplitude method, factor 0.5) via the engine's
+    grouped-map kernel; times rounded to whole seconds for the oracle."""
+    from .operators import phenology as ph
+
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", "ts", F.col("value").alias("v"), "event_id"))
+    out = ph.phenology(e, ["user_id"], "ts", "v", factor=0.5,
+                       tiebreak=["event_id"])
+    return out.select(
+        "user_id",
+        F.round("SOS", 0).alias("sos_s"),
+        F.round("POS", 0).alias("pos_s"),
+        F.round("EOS", 0).alias("eos_s"),
+        F.round("vPOS", 6).alias("vpos"),
+        F.round("Trough", 6).alias("trough"),
+        F.round("AOS", 6).alias("aos"),
+        F.col("n"))
+
+
+SQL_PHENOLOGY = """
+WITH s AS (SELECT user_id, ts, value AS v, event_id FROM events),
+st AS (SELECT user_id, max(v) AS vmax, min(v) AS vmin, count(*) AS n
+       FROM s GROUP BY user_id),
+pos AS (SELECT s.user_id, min(s.ts) AS pos_ts
+        FROM s JOIN st ON s.user_id = st.user_id AND s.v = st.vmax
+        GROUP BY s.user_id),
+th AS (SELECT user_id, vmin + 0.5 * (vmax - vmin) AS thresh FROM st),
+sos AS (SELECT s.user_id, min(s.ts) AS sos_ts
+        FROM s JOIN pos ON s.user_id = pos.user_id
+        JOIN th ON s.user_id = th.user_id
+        WHERE s.ts <= pos.pos_ts AND s.v >= th.thresh GROUP BY s.user_id),
+eos AS (SELECT s.user_id, max(s.ts) AS eos_ts
+        FROM s JOIN pos ON s.user_id = pos.user_id
+        JOIN th ON s.user_id = th.user_id
+        WHERE s.ts >= pos.pos_ts AND s.v >= th.thresh GROUP BY s.user_id)
+SELECT st.user_id,
+       round(epoch_us(sos.sos_ts) / 1000000.0, 0) AS sos_s,
+       round(epoch_us(pos.pos_ts) / 1000000.0, 0) AS pos_s,
+       round(epoch_us(eos.eos_ts) / 1000000.0, 0) AS eos_s,
+       round(st.vmax, 6) AS vpos,
+       round(st.vmin, 6) AS trough,
+       round(st.vmax - st.vmin, 6) AS aos,
+       st.n
+FROM st JOIN pos ON st.user_id = pos.user_id
+JOIN sos ON st.user_id = sos.user_id
+JOIN eos ON st.user_id = eos.user_id
+"""
+
+
 # registry ------------------------------------------------------------------
 
 GROUP_A = {
@@ -905,6 +956,7 @@ GROUP_A = {
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "smooth": (q_smooth, SQL_SMOOTH),
     "calendar_grouping": (q_calendar_grouping, SQL_CALENDAR_GROUPING),
+    "phenology": (q_phenology, SQL_PHENOLOGY),
 }
 
 
