@@ -198,6 +198,12 @@ def wofs_col(**bands: str) -> Column:
     return F.expr(wofs_sql(**bands))
 
 
+def pan_sharpen_brovey(band: Column, total: Column, pan: Column) -> Column:
+    """Brovey pan-sharpening: band / total * pan
+    (dea_tools/datahandling.py:663-701)."""
+    return band / F.nullif(total, F.lit(0.0)) * pan
+
+
 def wofs_np(blue, green, red, nir, swir1, swir2) -> np.ndarray:
     """numpy twin of the WOfS tree — the reference-semantics oracle.
 

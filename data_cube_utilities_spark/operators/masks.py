@@ -138,6 +138,13 @@ def values_in_mask(col: Column, values: list) -> Column:
     return col.isin(*values)
 
 
+def wofs_fuser(a: Column, b: Column) -> Column:
+    """Fuse two WO observations: bitwise OR, except both-nodata stays
+    nodata (dea_tools/datahandling.py:606-616 semantics)."""
+    return F.when(a.isNull(), b).when(b.isNull(), a) \
+            .otherwise(a.bitwiseOR(b))
+
+
 def circular_kernel(radius: int) -> np.ndarray:
     """Boolean disk kernel — clean_mask.py:45-76 (create_circular_mask);
     used by dilation / focal filters in the tile UDFs."""

@@ -397,6 +397,130 @@ def focal_filter_halo(planes: DataFrame, radius: int, stat: str = "mean") -> Dat
 
 
 # ---------------------------------------------------------------------------
+# connected components: label / vectorize / largest region / lone-object
+# (xr_vectorize dea spatial.py:51-161, largest_region :716-753,
+#  lone_object_filter raster_filter.py:7-88) — scipy-free two-pass labeling
+# ---------------------------------------------------------------------------
+
+def label_regions_np(mask: np.ndarray, connectivity: int = 4) -> np.ndarray:
+    """Label connected True-regions (two-pass union-find). 0 = background;
+    labels are 1..n in first-pixel scan order (deterministic)."""
+    mask = np.asarray(mask, dtype=bool)
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int64)
+    parent = [0]
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    nxt = 1
+    for y in range(h):
+        for x in range(w):
+            if not mask[y, x]:
+                continue
+            neigh = []
+            if y > 0 and mask[y - 1, x]:
+                neigh.append(labels[y - 1, x])
+            if x > 0 and mask[y, x - 1]:
+                neigh.append(labels[y, x - 1])
+            if connectivity == 8:
+                if y > 0 and x > 0 and mask[y - 1, x - 1]:
+                    neigh.append(labels[y - 1, x - 1])
+                if y > 0 and x < w - 1 and mask[y - 1, x + 1]:
+                    neigh.append(labels[y - 1, x + 1])
+            if not neigh:
+                parent.append(nxt)
+                labels[y, x] = nxt
+                nxt += 1
+            else:
+                roots = [find(int(n)) for n in neigh]
+                m = min(roots)
+                labels[y, x] = m
+                for r in roots:
+                    parent[r] = m
+    # second pass: flatten + renumber in scan order
+    remap: dict[int, int] = {}
+    out = np.zeros_like(labels)
+    n = 0
+    flat = labels.ravel()
+    for i in range(flat.size):
+        lb = flat[i]
+        if lb == 0:
+            continue
+        r = find(int(lb))
+        if r not in remap:
+            n += 1
+            remap[r] = n
+        out.ravel()[i] = remap[r]
+    return out
+
+
+def largest_region_np(mask: np.ndarray, connectivity: int = 4) -> np.ndarray:
+    """Keep only the largest connected True-region (dea largest_region)."""
+    labels = label_regions_np(mask, connectivity)
+    if labels.max() == 0:
+        return np.zeros_like(mask, dtype=bool)
+    counts = np.bincount(labels.ravel())
+    counts[0] = 0
+    return labels == int(np.argmax(counts))
+
+
+def lone_object_filter_np(classes: np.ndarray, min_size: int = 2,
+                          connectivity: int = 4) -> np.ndarray:
+    """Replace connected same-class regions smaller than min_size with the
+    modal value of their border neighborhood (raster_filter.py:7-88
+    semantics: small lone objects dissolve into their surroundings)."""
+    classes = np.asarray(classes)
+    out = classes.copy()
+    for val in np.unique(classes):
+        labels = label_regions_np(classes == val, connectivity)
+        counts = np.bincount(labels.ravel())
+        for lb in range(1, labels.max() + 1):
+            if counts[lb] >= min_size:
+                continue
+            region = labels == lb
+            border = dilate_np(region, 1) & ~region
+            neigh = out[border]
+            if neigh.size:
+                vals, cnt = np.unique(neigh, return_counts=True)
+                out[region] = vals[int(np.argmax(cnt))]
+    return out
+
+
+def vectorize_regions(planes: DataFrame, threshold: float = 0.5,
+                      connectivity: int = 4) -> DataFrame:
+    """raster -> vector bridge (xr_vectorize): per tile, label regions of
+    (plane > threshold) and emit one polygon row per region as its pixel
+    bbox ring + pixel count + centroid. Cross-tile regions stay split per
+    tile (merge = a groupBy on touching bboxes downstream; documented)."""
+    schema = ("tx long, ty long, region long, n_px long, "
+              "min_x long, min_y long, max_x long, max_y long, "
+              "cx double, cy double")
+
+    def vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            outs = []
+            for r in b.itertuples():
+                arr = _decode_plane(r.data, r.h, r.w)
+                labels = label_regions_np(arr > threshold, connectivity)
+                for lb in range(1, int(labels.max()) + 1):
+                    ys, xs = np.nonzero(labels == lb)
+                    outs.append((r.tx, r.ty, lb, len(xs),
+                                 int(xs.min()), int(ys.min()),
+                                 int(xs.max()), int(ys.max()),
+                                 float(xs.mean()), float(ys.mean())))
+            if outs:
+                yield pd.DataFrame(outs, columns=[
+                    "tx", "ty", "region", "n_px", "min_x", "min_y",
+                    "max_x", "max_y", "cx", "cy"])
+
+    return planes.mapInPandas(vec, schema=schema)
+
+
+# ---------------------------------------------------------------------------
 # coastal change + SLIP style derived products (numpy kernels)
 # ---------------------------------------------------------------------------
 

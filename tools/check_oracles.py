@@ -59,7 +59,11 @@ def main():
     import __spark_entry__ as entrymod
     from data_cube_utilities_spark.session import get_spark
 
-    spark = get_spark("oracle-check", cores=8, shuffle_partitions=16)
+    extra = {}
+    if os.environ.get("ORACLE_CHECK_ANSI") == "1":
+        extra["spark.sql.ansi.enabled"] = "true"   # simulate driver defaults
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=16,
+                      extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
