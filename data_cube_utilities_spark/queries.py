@@ -110,8 +110,10 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def q_query_metadata(spark, sf_dir):
     """get_query_metadata (data_access_api.py:166-210): extent + count."""
     o = _t(spark, sf_dir, "orders")
-    return o.agg(F.min("o_orderdate").alias("t_min"),
-                 F.max("o_orderdate").alias("t_max"),
+    return o.agg(F.date_format(F.min("o_orderdate"),
+                               "yyyy-MM-dd HH:mm:ss").alias("t_min"),
+                 F.date_format(F.max("o_orderdate"),
+                               "yyyy-MM-dd HH:mm:ss").alias("t_max"),
                  F.count("*").alias("n"),
                  F.countDistinct("o_custkey").alias("n_cust"),
                  F.round(F.min("o_totalprice"), 2).alias("p_min"),
@@ -119,7 +121,8 @@ def q_query_metadata(spark, sf_dir):
 
 
 SQL_QUERY_METADATA = """
-SELECT min(o_orderdate) AS t_min, max(o_orderdate) AS t_max,
+SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS t_min,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS t_max,
        count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
        round(min(o_totalprice), 2) AS p_min, round(max(o_totalprice), 2) AS p_max
 FROM orders
@@ -129,12 +132,13 @@ FROM orders
 def q_acquisition_dates(spark, sf_dir):
     """list_acquisition_dates (data_access_api.py:212-233)."""
     o = _t(spark, sf_dir, "orders")
-    return (o.select(F.to_date("o_orderdate").alias("acq_date"))
+    return (o.select(F.date_format("o_orderdate", "yyyy-MM-dd")
+                      .alias("acq_date"))
              .distinct().orderBy("acq_date"))
 
 
 SQL_ACQUISITION_DATES = """
-SELECT DISTINCT CAST(o_orderdate AS DATE) AS acq_date FROM orders ORDER BY acq_date
+SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS acq_date FROM orders ORDER BY acq_date
 """
 
 
@@ -147,12 +151,16 @@ def q_stacked_union(spark, sf_dir):
     return (a.unionByName(b)
              .groupBy("satellite")
              .agg(F.count("*").alias("n"),
-                  F.min("o_orderdate").alias("t_min"),
-                  F.max("o_orderdate").alias("t_max")))
+                  F.date_format(F.min("o_orderdate"),
+                                "yyyy-MM-dd HH:mm:ss").alias("t_min"),
+                  F.date_format(F.max("o_orderdate"),
+                                "yyyy-MM-dd HH:mm:ss").alias("t_max")))
 
 
 SQL_STACKED_UNION = """
-SELECT satellite, count(*) AS n, min(o_orderdate) AS t_min, max(o_orderdate) AS t_max
+SELECT satellite, count(*) AS n,
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS t_min,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS t_max
 FROM (
   SELECT o_orderdate, 0 AS satellite FROM orders WHERE o_orderstatus = 'F'
   UNION ALL
@@ -202,14 +210,14 @@ FROM events GROUP BY event_type
 def q_reduce_on_day(spark, sf_dir):
     """reduce_on_day (dc_load.py:382-436): calendar-day grouping + mean."""
     e = _t(spark, sf_dir, "events")
-    return (e.groupBy(F.to_date("ts").alias("day"))
+    return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
              .agg(F.round(F.avg("value"), 6).alias("day_mean"),
                   F.count("*").alias("n")))
 
 
 SQL_REDUCE_ON_DAY = """
-SELECT CAST(ts AS DATE) AS day, round(avg(value), 6) AS day_mean, count(*) AS n
-FROM events GROUP BY CAST(ts AS DATE)
+SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 6) AS day_mean, count(*) AS n
+FROM events GROUP BY 1
 """
 
 
@@ -814,16 +822,17 @@ def q_tumbling_window(spark, sf_dir):
     """Event-time tumbling window (streaming twin in streaming/incremental):
     hourly windows of the events stream."""
     e = _t(spark, sf_dir, "events")
-    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("win"))
+    return (e.groupBy(F.date_format(F.date_trunc("hour", F.col("ts")),
+                                    "yyyy-MM-dd HH:mm:ss").alias("win"))
              .agg(F.count("*").alias("n"),
                   F.round(F.sum("value"), 4).alias("v_sum"),
                   F.countDistinct("user_id").alias("n_users")))
 
 
 SQL_TUMBLING_WINDOW = """
-SELECT date_trunc('hour', ts) AS win, count(*) AS n,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win, count(*) AS n,
        round(sum(value), 4) AS v_sum, count(DISTINCT user_id) AS n_users
-FROM events GROUP BY date_trunc('hour', ts)
+FROM events GROUP BY 1
 """
 
 
