@@ -25,6 +25,7 @@ Design notes per operator:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -291,6 +292,48 @@ def lsh_bucket_col(vec_col, dims: int):
         d = _dot(F.col(vec_col).cast("array<double>"), coef)
         bucket = bucket + F.when(d > 0, F.lit(1 << h)).otherwise(F.lit(0))
     return bucket
+
+
+def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
+                 n_lists: int = 8, n_probe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors to their nearest k-means
+    centroid (mlops.kmeans_fit on a sample; assignment is pure codegen),
+    then exact cosine only within the query's n_probe nearest lists —
+    the classic inverted-file index as an equi-join on list id.
+
+    At 100TB the list id becomes a partition column: a query touches
+    n_probe partitions instead of the full table.
+    """
+    from .mlops import kmeans_assign_col, kmeans_fit
+
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    flat = e.select("vec_id", *[F.element_at("v", i + 1).alias(f"_d{i}")
+                                for i in range(dims)])
+    feat_cols = [f"_d{i}" for i in range(dims)]
+    centers = kmeans_fit(flat, feat_cols, k=n_lists, seed=seed)
+    listed = flat.withColumn("list_id", kmeans_assign_col(feat_cols, centers)) \
+                 .select("vec_id", "list_id")
+    e = e.join(listed, "vec_id")
+
+    # query's n_probe nearest lists (driver-side: centers are tiny)
+    qrow = e.filter(F.col("vec_id") == query_id).select("v").first()
+    qv = np.asarray(qrow["v"], dtype=np.float64)
+    d2 = ((centers - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+
+    cand = e.filter(F.col("list_id").isin(probe) &
+                    (F.col("vec_id") != query_id))
+    q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    j = cand.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    w = Window.orderBy(F.round(cos, 6).desc(), F.col("vec_id").asc())
+    return (j.withColumn("cosine", F.round(cos, 6))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select("vec_id", "list_id", "cosine", "rank"))
 
 
 def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,

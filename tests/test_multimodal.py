@@ -1,0 +1,61 @@
+"""Multimodal plumbing: real image resize/pyramid + resolution-match join;
+audio/video stubs with deterministic fakes (Spark-side plumbing real)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_cube_utilities_spark import codec, synth
+from data_cube_utilities_spark.operators import multimodal as mm
+
+
+def test_resize_block_mean_pool():
+    blk = np.arange(8 * 8 * 7, dtype=np.uint16).reshape(8, 8, 7)
+    small = mm.resize_block_np(blk, 2)
+    assert small.shape == (4, 4, 7)
+    exp00 = np.rint(blk[0:2, 0:2, 0].astype(float).mean())
+    assert small[0, 0, 0] == exp00
+    up = mm.upsample_block_np(small, 2)
+    assert up.shape == (8, 8, 7)
+
+
+def test_resize_images_and_join(spark):
+    imgs = synth.synthesize_images(spark, 24, tile_px=8, partitions=2) \
+        .select("image_id", "bytes", "w", "h", "fmt", "cell_id").cache()
+    small = mm.resize_images(imgs, 2).toPandas()
+    assert (small.w == 4).all() and (small.h == 4).all()
+    blk = codec.decode_block(bytes(small.iloc[0].bytes), 4, 4, "raw16")
+    assert blk.shape == (4, 4, 7)
+    j = mm.resolution_match_join(imgs, imgs, 2)
+    assert j.count() >= 24  # every tile matches at least itself per cell
+
+
+def test_audio_stub_and_features(spark):
+    a = mm.synth_audio(spark, 6, sr=8000, n_samples=2048)
+    out = mm.audio_features(a).toPandas()
+    assert len(out) == 6
+    assert (out.duration_s == 2048 / 8000).all()
+    assert (out.rms > 0.5).all() and (out.rms < 1.0).all()  # ~sine RMS
+    assert (out.zcr > 0).all()
+    # unsupported codec raises the documented stub error
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio_np(b"xx", "mp3", 1, 1)
+
+
+def test_video_stub_and_frame_sampling(spark):
+    v = mm.synth_video(spark, 3, w=8, h=8, n_frames=20)
+    out = mm.video_frame_features(v, every=5).toPandas()
+    # 20 frames sampled every 5 -> 4 rows per video
+    assert len(out) == 3 * 4
+    assert sorted(out.frame_idx.unique()) == [0, 5, 10, 15]
+    per = out[out.video_id == "vid-00000000"].sort_values("frame_idx")
+    assert per.motion.iloc[0] == 0.0
+    assert (per.motion.iloc[1:] > 0).all()  # the pan moves
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames_np(b"xx", "h264", 1, 1, 1, 1)
+
+
+def test_deterministic_fakes(spark):
+    a1 = mm.synth_audio(spark, 4).toPandas().sort_values("clip_id")
+    a2 = mm.synth_audio(spark, 4).toPandas().sort_values("clip_id")
+    assert all(x == y for x, y in zip(a1.bytes, a2.bytes))

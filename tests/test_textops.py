@@ -106,3 +106,18 @@ def test_lsh_ann_subset_of_brute(spark):
     # ANN cosines are a subset of the true candidate set's cosines
     brute = textops.cosine_topk(emb, query_id=0, k=200).toPandas()
     assert set(ann.vec_id) <= set(brute.vec_id)
+
+
+def test_ivf_ann(spark):
+    rng = np.random.RandomState(6)
+    vecs = rng.normal(size=(300, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64),
+                        "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    out = textops.ivf_ann_topk(emb, query_id=0, dims=8, k=5,
+                               n_lists=6, n_probe=2).toPandas()
+    assert 1 <= len(out) <= 5
+    assert out.list_id.nunique() <= 2  # only probed lists searched
+    # recall sanity: IVF top hit should appear in the brute-force top-20
+    brute = textops.cosine_topk(emb, query_id=0, k=20).toPandas()
+    assert out.vec_id.iloc[0] in set(brute.vec_id)
