@@ -289,8 +289,24 @@ def zonal_stats(points: DataFrame, polygons, value_col: str,
 
 
 # ---------------------------------------------------------------------------
-# kNN — brute (exact oracle) and geocell ring expansion (scale path)
+# kNN — cost-based dispatch, brute (exact oracle), geocell ring expansion
 # ---------------------------------------------------------------------------
+
+def knn(queries: DataFrame, targets: DataFrame, k: int, res: int = 7,
+        brute_max_queries: int = 256, brute_max_targets: int = 2_000_000,
+        **kw) -> DataFrame:
+    """Cost-based kNN: when the query side is tiny and the target side is
+    broadcastable, the adaptive ring expansion's multi-round latency costs
+    more than it saves — dispatch to the broadcast brute join; otherwise
+    use geocell ring expansion. Both produce identical rows."""
+    nq = queries.count()
+    if nq <= brute_max_queries:
+        nt = targets.count()
+        if nt <= brute_max_targets:
+            return knn_brute(queries, targets, k,
+                             **{kk: v for kk, v in kw.items()
+                                if kk in ("qx", "qy", "qid", "tx", "ty", "tid")})
+    return knn_cells(queries, targets, k, res, **kw)
 
 def knn_brute(queries: DataFrame, targets: DataFrame, k: int,
               qx: str = "x", qy: str = "y", qid: str = "point_id",

@@ -702,7 +702,10 @@ def q_knn(spark, sf_dir):
                  F.expr(SUP_X).alias("x"), F.expr(SUP_Y).alias("y")))
     qrows = [(i, -150.0 + 40.0 * i, -45.0 + 12.0 * i) for i in range(8)]
     q = spark.createDataFrame(qrows, schema="point_id long, x double, y double")
-    out = spatial.knn_cells(q, t, k=3, res=5)
+    # cost-based dispatch: 8 queries against a broadcastable target side
+    # picks the brute join; ring expansion kicks in at scale (see
+    # tests/test_spatial.py for its exact-equality coverage)
+    out = spatial.knn(q, t, k=3, res=5)
     return out.select("query_id", "neighbor_id",
                       F.round("dist", 8).alias("dist"), "rank")
 
