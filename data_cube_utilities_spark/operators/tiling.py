@@ -45,6 +45,36 @@ def geographic_chunks(lat_range: tuple[float, float],
                                lon_range[0], lon_range[1], res)
 
 
+def geographic_chunks_degrees(longitude: tuple[float, float],
+                              latitude: tuple[float, float],
+                              geographic_chunk_size: float = 0.5) -> list[dict]:
+    """Degree-based latitude-strip chunking with the reference's exact
+    semantics (dc_chunker.py:8-42): n = max(1, ceil(area / size)) equal lat
+    strips, full longitude range each. Provided for parity/migration; the
+    engine's native chunking is the geocell cover above."""
+    if not (len(latitude) == 2 and latitude[1] >= latitude[0]):
+        raise ValueError("latitude must be (lo, hi) with hi >= lo")
+    if not (len(longitude) == 2 and longitude[1] >= longitude[0]):
+        raise ValueError("longitude must be (lo, hi) with hi >= lo")
+    import math
+
+    area = (latitude[1] - latitude[0]) * (longitude[1] - longitude[0])
+    n = max(1, math.ceil(area / geographic_chunk_size))
+    h = (latitude[1] - latitude[0]) / n
+    return [{"longitude": tuple(longitude),
+             "latitude": (latitude[0] + h * i, latitude[0] + h * (i + 1))}
+            for i in range(n)]
+
+
+def time_chunks_list(dates: Sequence, chunk_size: int = 10,
+                     descending: bool = False) -> list[list]:
+    """Sorted fixed-size chunking of a datetime list (dc_chunker.py:128-147
+    create_time_chunks twin; the DataFrame form is temporal.time_chunks)."""
+    ordered = sorted(dates, reverse=descending)
+    return [ordered[i:i + chunk_size]
+            for i in range(0, len(ordered), chunk_size)]
+
+
 def combine_chunks(parts: Sequence[DataFrame],
                    dedup_keys: Sequence[str]) -> DataFrame:
     """Union per-chunk results and drop boundary duplicates — the

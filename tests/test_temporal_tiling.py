@@ -172,3 +172,40 @@ def test_salting_exact_mean(spark):
     assert np.isclose(out.loc[7, "v_mean"], hot.v.mean())
     assert out.loc[7, "n"] == 5000
     assert np.isclose(out.loc[100, "v_mean"], cold[cold.cell_id == 100].v.mean())
+
+
+def test_geographic_chunks_degrees_reference_invariants():
+    """The reference's own chunker test invariants (test_dc_chunker.py:22-39)."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tiling.geographic_chunks_degrees((1, -1), (1, -1))
+    chunks = tiling.geographic_chunks_degrees(
+        longitude=(-1, 1), latitude=(-1, 1), geographic_chunk_size=0.1)
+    assert len(chunks) == 40
+    for c in chunks:
+        assert c["longitude"] == (-1, 1)
+        assert c["latitude"][0] >= -1 and c["latitude"][1] <= 1
+    assert chunks[0]["latitude"][0] == -1
+    assert chunks[-1]["latitude"][1] == 1
+
+
+def test_time_chunks_list_reference_invariants():
+    from datetime import datetime
+    dates = [datetime(2005, 1, 1), datetime(2006, 1, 1), datetime(2007, 5, 3),
+             datetime(2014, 2, 1), datetime(2000, 1, 1)]
+    groups = tiling.time_chunks_list(dates, chunk_size=2)
+    assert len(groups) == 3
+    assert groups[0][0] == datetime(2000, 1, 1)   # sorted ascending
+    desc = tiling.time_chunks_list(dates, chunk_size=2, descending=True)
+    assert desc[0][0] == datetime(2014, 2, 1)
+
+
+def test_cfmask_reference_golden(spark):
+    """create_cfmask_clean_mask golden (test_dc_utilities.py:36-49):
+    values [1,2,3,0,5] per time -> clean [T,F,F,T,F]."""
+    import pandas as pd
+    from data_cube_utilities_spark.operators import masks
+    pdf = pd.DataFrame({"cf_mask": [1, 2, 3, 0, 5]})
+    out = spark.createDataFrame(pdf).select(
+        masks.cfmask_clean_mask(F.col("cf_mask")).alias("m")).toPandas()
+    assert out.m.tolist() == [True, False, False, True, False]
