@@ -173,22 +173,29 @@ def compact(cell_ids) -> np.ndarray:
     (the H3 compact analogue). Input cells may be mixed-resolution; output
     covers exactly the same area with the minimum number of cells."""
     cells = np.unique(np.asarray(cell_ids, dtype=np.int64))
+    if cells.size == 0:
+        return cells
+    frozen = []   # max-res cells proven un-promotable; set aside, keep going
     while True:
         res = cell_res(cells)
         max_r = int(res.max(initial=0))
         if max_r == 0:
-            return cells
+            break
         at_max = cells[res == max_r]
         keep = cells[res != max_r]
-        if at_max.size == 0:
-            return cells
         par = parent(at_max)
         uniq, counts = np.unique(par, return_counts=True)
         promoted = uniq[counts == 4]
-        if promoted.size == 0:
-            return cells
-        drop = np.isin(par, promoted)
-        cells = np.unique(np.concatenate([keep, at_max[~drop], promoted]))
+        # Un-promotable deepest cells can never merge again — freeze them and
+        # continue at the next-shallower resolution instead of returning
+        # (ADVICE r1: the early return left complete sibling sets at
+        # shallower resolutions uncompacted).
+        frozen.append(at_max[~np.isin(par, promoted)])
+        cells = np.unique(np.concatenate([keep, promoted]))
+        if cells.size == 0:
+            break
+    frozen.append(cells)
+    return np.unique(np.concatenate(frozen))
 
 
 def uncompact(cell_ids, res: int) -> np.ndarray:

@@ -184,8 +184,8 @@ SQL_CLOUD_COVERAGE = _bands_cte() + """
 SELECT l_returnflag,
        round(avg(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
                  THEN 1 ELSE 0 END) * 100, 4) AS clean_pct,
-       sum(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
-           THEN 1 ELSE 0 END) AS clean_px,
+       CAST(sum(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS clean_px,
        count(*) AS total_px
 FROM px GROUP BY l_returnflag
 """
@@ -226,11 +226,15 @@ def q_find_gaps(spark, sf_dir):
     e = _t(spark, sf_dir, "events").filter(F.col("value") > 75)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = _us("ts") - _us(F.lag("ts").over(w))
+    # Mean via exact int64 sum + ONE double division (in seconds): avg() over
+    # microsecond magnitudes needs 15 significant digits and summation-order
+    # jitter flips the 4th decimal between engines (CORRECTNESS_r01 hash fail).
     return (e.withColumn("gap", gap)
              .filter(F.col("gap").isNotNull())
              .groupBy("user_id")
              .agg(F.min("gap").alias("gap_min"),
-                  F.round(F.avg("gap"), 4).alias("gap_mean"),
+                  F.round(F.sum("gap").cast("double") / F.count("*") / 1e6,
+                          6).alias("gap_mean_s"),
                   F.max("gap").alias("gap_max"),
                   F.count("*").alias("n_gaps")))
 
@@ -240,7 +244,8 @@ WITH f AS (SELECT * FROM events WHERE value > 75),
 g AS (SELECT user_id,
              epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
       FROM f)
-SELECT user_id, min(gap) AS gap_min, round(avg(gap), 4) AS gap_mean,
+SELECT user_id, min(gap) AS gap_min,
+       round(CAST(sum(gap) AS DOUBLE) / count(*) / 1000000, 6) AS gap_mean_s,
        max(gap) AS gap_max, count(*) AS n_gaps
 FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
@@ -566,11 +571,11 @@ def q_qa_bit_predicates(spark, sf_dir):
 
 
 SQL_QA_BIT_PREDICATES = _bands_cte() + """
-SELECT sum(CASE WHEN (pixel_qa & 2) != 0 THEN 1 ELSE 0 END) AS n_clear,
-       sum(CASE WHEN (pixel_qa & 4) != 0 THEN 1 ELSE 0 END) AS n_water,
-       sum(CASE WHEN (pixel_qa & 32) != 0 THEN 1 ELSE 0 END) AS n_cloud,
-       sum(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
-           THEN 1 ELSE 0 END) AS n_clean
+SELECT CAST(sum(CASE WHEN (pixel_qa & 2) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clear,
+       CAST(sum(CASE WHEN (pixel_qa & 4) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_water,
+       CAST(sum(CASE WHEN (pixel_qa & 32) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cloud,
+       CAST(sum(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
 FROM px
 """
 
@@ -586,7 +591,7 @@ def q_wofs_classify(spark, sf_dir):
 
 
 SQL_WOFS_CLASSIFY = _bands_cte() + f"""
-SELECT l_returnflag, sum(water) AS n_water, count(*) AS n_px,
+SELECT l_returnflag, CAST(sum(water) AS BIGINT) AS n_water, count(*) AS n_px,
        round(avg(water), 6) AS water_frac
 FROM (SELECT l_returnflag, {indices.wofs_sql()} AS water FROM px)
 GROUP BY l_returnflag
@@ -597,7 +602,11 @@ def q_band_indices(spark, sf_dir):
     """calculate_indices registry (dea bandindices.py:29-421): several
     recipes in one pass."""
     px = _lineitem_bands(spark, sf_dir)
-    aggs = [F.round(F.avg(indices.index_col(n)), 6).alias(f"avg_{n}")
+    # cast(double): decimal literals in the EVI/TCW templates otherwise
+    # surface DecimalType -> pandas object dtype (ADVICE r1: lexicographic
+    # sort misaligns rows vs the oracle's float column at small SF).
+    aggs = [F.round(F.avg(indices.index_col(n)), 6).cast("double")
+             .alias(f"avg_{n}")
             for n in ("ndvi", "evi", "savi", "nbr", "mndwi", "ndbi", "tcw")]
     return px.groupBy("l_linestatus").agg(*aggs)
 
@@ -657,7 +666,7 @@ hits AS (
    AND p.x < e.x1 + (p.y - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
   GROUP BY p.point_id, e.poly_id
   HAVING count(*) % 2 = 1)
-SELECT poly_id, count(*) AS n_inside, sum(point_id) AS id_sum
+SELECT poly_id, count(*) AS n_inside, CAST(sum(point_id) AS BIGINT) AS id_sum
 FROM hits GROUP BY poly_id
 """
 

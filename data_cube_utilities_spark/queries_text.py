@@ -150,7 +150,7 @@ def q_token_stats(spark, sf_dir):
 
 SQL_TOKEN_STATS = """
 SELECT source,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
        max(len(string_split(text, ' '))) AS max_tokens,
        count(*) AS n_docs

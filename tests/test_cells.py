@@ -86,6 +86,21 @@ def test_compact_uncompact():
     assert set(back.tolist()) == set(partial.tolist())
 
 
+def test_compact_continues_past_unpromotable_deepest():
+    # ADVICE r1: 4 complete res-4 siblings + 1 stray res-5 cell must give
+    # 2 cells (the res-3 parent + the stray), not 5 — the stray alone makes
+    # the deepest level un-promotable but must not stop shallower merges.
+    base3 = int(cells.encode(40.0, -74.0, 3))
+    sibs4 = cells.children(base3, 4)            # the 4 res-4 children
+    stray5 = int(cells.encode(-20.0, 100.0, 5))  # far away, never merges
+    out = cells.compact(np.concatenate([sibs4, [stray5]]))
+    assert sorted(out.tolist()) == sorted([base3, stray5])
+    # and recursion keeps going: 16 res-5 grandchildren + stray -> same
+    grand = cells.uncompact(sibs4, 5)
+    out2 = cells.compact(np.concatenate([grand, [stray5]]))
+    assert sorted(out2.tolist()) == sorted([base3, stray5])
+
+
 def test_polyfill_bbox_covers_points():
     rng = np.random.RandomState(3)
     lat = rng.uniform(10, 20, 100)

@@ -88,12 +88,12 @@ def test_line_scan_starts_at_origin(x0, y0, x1, y1):
     from data_cube_utilities_spark.operators import mlops
 
     pts = mlops.line_scan_np(x0, y0, x1, y1)
-    if x0 == x1 and y0 == y1:
-        # reference semantics: same-point "line" yields the empty walk
-        # (range(y, y+1, -1) in the vertical branch); pinned deliberately
-        assert len(pts) in (0, 1)
-        return
+    # non-empty guarantee: quirky descending runs degenerate to the origin
+    assert len(pts) >= 1
     assert tuple(pts[0]) == (x0, y0)
+    if x0 == x1 and y0 == y1:
+        assert len(pts) == 1
+        return
     # the dominant axis advances by exactly 1 per step
     d = np.abs(np.diff(pts, axis=0))
     if len(d):

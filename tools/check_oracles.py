@@ -28,8 +28,35 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(9)
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # Decimal columns (Spark DecimalType) must sort numerically, not
+            # lexicographically, or rows misalign vs the oracle's float sort
+            # (ADVICE r1). Strings stay strings.
+            try:
+                df[c] = pd.to_numeric(df[c]).round(9)
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _kind(s: pd.Series) -> str:
+    """Coarse dtype kind as the driver's value-hash sees it: 'i' integer,
+    'f' float, 'd' datetime, 's' everything stringish."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "d"
+    if pd.api.types.is_integer_dtype(s):
+        return "i"
+    if pd.api.types.is_float_dtype(s):
+        return "f"
+    if s.dtype == object and len(s):
+        v = s.dropna()
+        if len(v) and all(isinstance(x, (int, np.integer)) for x in v):
+            return "i"
+        try:
+            pd.to_numeric(v)
+            return "f"   # Decimal / mixed numerics hash as floats
+        except (ValueError, TypeError):
+            pass
+    return "s"
 
 
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
@@ -37,6 +64,15 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         return f"schema: spark={sorted(a.columns)} duck={sorted(b.columns)}"
     if len(a) != len(b):
         return f"rows: spark={len(a)} duck={len(b)}"
+    # dtype-strict: the driver hashes values *with their repr*, so int64 6 vs
+    # float64 6.0 is a FAIL even when np.allclose passes (r1 root cause —
+    # un-cast DuckDB sum() comes back HUGEINT->float64).
+    for c in sorted(a.columns):
+        ka, kb = _kind(a[c]), _kind(b[c])
+        if ka != kb:
+            return (f"dtype[{c}]: spark kind={ka}({a[c].dtype}) "
+                    f"duck kind={kb}({b[c].dtype}) — driver hash would differ;"
+                    " CAST the oracle (or the query) so dtypes agree")
     na, nb = normalize(a), normalize(b)
     for c in na.columns:
         ca, cb = na[c], nb[c]
