@@ -600,15 +600,22 @@ GROUP BY l_returnflag
 
 def q_band_indices(spark, sf_dir):
     """calculate_indices registry (dea bandindices.py:29-421): several
-    recipes in one pass."""
+    recipes in one pass.
+
+    Shape matters (VERDICT r1: 28% of suite wall): (1) project the six
+    derived bands ONCE as double — otherwise each of the 7 index trees
+    re-derives the %-arithmetic per band reference, and the decimal
+    literals (2.5/7.5/0.0315) drag the whole tree into DecimalType
+    arithmetic, ~10x slower per op than double codegen; (2) compute each
+    index once per row in a projection; (3) aggregate 7 plain columns."""
     px = _lineitem_bands(spark, sf_dir)
-    # cast(double): decimal literals in the EVI/TCW templates otherwise
-    # surface DecimalType -> pandas object dtype (ADVICE r1: lexicographic
-    # sort misaligns rows vs the oracle's float column at small SF).
-    aggs = [F.round(F.avg(indices.index_col(n)), 6).cast("double")
-             .alias(f"avg_{n}")
-            for n in ("ndvi", "evi", "savi", "nbr", "mndwi", "ndbi", "tcw")]
-    return px.groupBy("l_linestatus").agg(*aggs)
+    names = ("ndvi", "evi", "savi", "nbr", "mndwi", "ndbi", "tcw")
+    dbl = px.select("l_linestatus",
+                    *[F.col(b).cast("double").alias(b) for b in BANDS_SQL])
+    proj = dbl.select("l_linestatus",
+                      *[indices.index_col(n).alias(n) for n in names])
+    return proj.groupBy("l_linestatus").agg(
+        *[F.round(F.avg(n), 6).alias(f"avg_{n}") for n in names])
 
 
 SQL_BAND_INDICES = _bands_cte() + """
