@@ -946,6 +946,41 @@ JOIN eos ON st.user_id = eos.user_id
 """
 
 
+def q_frac_coverage(spark, sf_dir):
+    """frac_coverage_classify end-to-end (dc_fractional_coverage_classifier
+    .py:23-145): 64-feature design + batched active-set NNLS unmixing per
+    pixel row, aggregated per flag. Genuinely non-SQL (NNLS optimizer) —
+    no oracle entry; the driver records the rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import fractional_cover as fc_mod
+
+    px = (_lineitem_bands(spark, sf_dir)
+          .filter(F.col("l_orderkey") % 50 == 0)   # deterministic 2% sample
+          .select("l_returnflag", "blue", "green", "red", "nir",
+                  "swir1", "swir2", "pixel_qa"))
+
+    def kern(batches):
+        for b in batches:
+            bands = b[["blue", "green", "red", "nir",
+                       "swir1", "swir2"]].to_numpy(np.float64)
+            clean = (b["pixel_qa"].to_numpy(np.int64) & 6) != 0
+            out = fc_mod.frac_coverage_np(bands, clean)
+            yield pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                                "pv": out[:, 0], "npv": out[:, 1],
+                                "bs": out[:, 2], "clean": clean})
+
+    rows = px.mapInPandas(
+        kern, "l_returnflag string, pv int, npv int, bs int, clean boolean")
+    return (rows.filter("clean")
+                .groupBy("l_returnflag")
+                .agg(F.count("*").alias("n_px"),
+                     F.round(F.avg("pv"), 4).alias("mean_pv"),
+                     F.round(F.avg("npv"), 4).alias("mean_npv"),
+                     F.round(F.avg("bs"), 4).alias("mean_bs")))
+
+
 # registry ------------------------------------------------------------------
 
 GROUP_A = {
@@ -985,6 +1020,7 @@ GROUP_A = {
     "smooth": (q_smooth, SQL_SMOOTH),
     "calendar_grouping": (q_calendar_grouping, SQL_CALENDAR_GROUPING),
     "phenology": (q_phenology, SQL_PHENOLOGY),
+    "frac_coverage": (q_frac_coverage, None),
 }
 
 
