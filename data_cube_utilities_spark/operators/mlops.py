@@ -165,6 +165,109 @@ def fourier_fit_features(df: DataFrame, keys: Sequence[str], time_col: str,
     return df.groupBy(*keys).applyInPandas(feats, schema)
 
 
+TS_STATS = ("discordance", "f_std", "f_mean", "f_median", "mean_change",
+            "median_change", "abs_change", "complexity", "central_diff",
+            "num_peaks")
+
+
+def temporal_statistics_np(y: np.ndarray, stats: Sequence[str],
+                           peak_window: int = 10) -> dict[str, float]:
+    """Per-series numpy kernel for the full temporal_statistics metric set
+    (dea temporal.py:500-684, which wraps the compiled hdstats ts library).
+    hdstats is not importable here, so each metric's formula is documented
+    and pinned by tests against this twin:
+
+      mean_change    mean(diff(y))            (reference docstring verbatim)
+      median_change  median(diff(y))
+      abs_change     mean(|diff(y)|)
+      complexity     sqrt(sum(diff(y)^2))     (complexity-invariant distance)
+      central_diff   mean(y[i+1] - 2 y[i] + y[i-1])
+      discordance    1 - lag-1 autocorrelation (Pearson r of y[:-1], y[1:])
+      f_mean/f_std/f_median_n{1,2,3}
+                     mean/std/median of |rfft(y)| magnitudes inside the
+                     k-th third of the non-DC half spectrum
+      num_peaks      count of i where y[i] is the strict maximum of the
+                     centered window of size `peak_window` (reference note:
+                     'local window of size 10')
+    """
+    y = np.asarray(y, dtype=np.float64)
+    y = y[~np.isnan(y)]
+    out: dict[str, float] = {}
+    d = np.diff(y) if len(y) >= 2 else np.asarray([np.nan])
+    for s in stats:
+        if s == "mean_change":
+            out[s] = float(np.mean(d))
+        elif s == "median_change":
+            out[s] = float(np.median(d))
+        elif s == "abs_change":
+            out[s] = float(np.mean(np.abs(d)))
+        elif s == "complexity":
+            out[s] = float(np.sqrt(np.sum(d * d)))
+        elif s == "central_diff":
+            out[s] = (float(np.mean(y[2:] - 2.0 * y[1:-1] + y[:-2]))
+                      if len(y) >= 3 else float("nan"))
+        elif s == "discordance":
+            if len(y) >= 3 and np.std(y[:-1]) > 0 and np.std(y[1:]) > 0:
+                r = np.corrcoef(y[:-1], y[1:])[0, 1]
+                out[s] = float(1.0 - r)
+            else:
+                out[s] = float("nan")
+        elif s in ("f_std", "f_mean", "f_median"):
+            mag = np.abs(np.fft.rfft(y))[1:] if len(y) >= 4 else np.asarray([])
+            fn = {"f_std": np.std, "f_mean": np.mean,
+                  "f_median": np.median}[s]
+            for k in range(3):
+                lo = k * len(mag) // 3
+                hi = (k + 1) * len(mag) // 3
+                band = mag[lo:hi]
+                out[f"{s}_n{k+1}"] = (float(fn(band)) if band.size
+                                      else float("nan"))
+        elif s == "num_peaks":
+            half = peak_window // 2
+            n_pk = 0
+            for i in range(len(y)):
+                lo, hi = max(0, i - half), min(len(y), i + half + 1)
+                win = y[lo:hi]
+                if len(win) > 1 and y[i] > np.max(
+                        np.delete(win, i - lo)):
+                    n_pk += 1
+            out[s] = float(n_pk)
+        else:
+            raise KeyError(f"unknown temporal statistic {s!r}")
+    return out
+
+
+def temporal_statistics(df: DataFrame, keys: Sequence[str], time_col: str,
+                        value_col: str, stats: Sequence[str] = TS_STATS,
+                        tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Grouped-map form of the full temporal_statistics family — one
+    applyInPandas per series, all requested metrics in a single pass
+    (completes the r1 partial that had only f1..f3 + change stats)."""
+    key_list = list(keys)
+    out_cols: list[str] = []
+    for s in stats:
+        if s in ("f_std", "f_mean", "f_median"):
+            out_cols += [f"{s}_n{k}" for k in (1, 2, 3)]
+        else:
+            out_cols.append(s)
+    schema = (", ".join(f"{k} long" for k in key_list)
+              + ", " + ", ".join(f"{c} double" for c in out_cols)
+              + ", n int")
+    sort_cols = [time_col, *list(tiebreak)]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        y = pdf[value_col].to_numpy(np.float64)
+        vals = temporal_statistics_np(y, stats)
+        row = {k: [pdf[k].iloc[0]] for k in key_list}
+        for c in out_cols:
+            row[c] = [vals[c]]
+        row["n"] = [int((~np.isnan(y)).sum())]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*keys).applyInPandas(run, schema)
+
+
 # ---------------------------------------------------------------------------
 # line-scan transect (Bresenham) — UDTF-style explode
 # ---------------------------------------------------------------------------

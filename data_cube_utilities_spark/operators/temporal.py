@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,6 +104,133 @@ def trend_slope(df: DataFrame, keys: Sequence[str], value_col: str,
         .alias("intercept"),
         F.corr(t, F.col(value_col)).alias("r"),
         F.count("*").alias("n"))
+
+
+def _betacf(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Continued fraction for the incomplete beta function (modified Lentz,
+    the classic public-domain numerical recipe) — vectorized over x."""
+    x = np.asarray(x, dtype=np.float64)
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < tiny, tiny, d)
+    d = 1.0 / d
+    h = d.copy()
+    for m in range(1, 200):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if np.all(np.abs(delta - 1.0) < 1e-12):
+            break
+    return h
+
+
+def _betainc(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Regularized incomplete beta I_x(a, b), vectorized."""
+    from math import lgamma
+
+    x = np.clip(np.asarray(x, dtype=np.float64), 0.0, 1.0)
+    ln_pre = (lgamma(a + b) - lgamma(a) - lgamma(b))
+    with np.errstate(all="ignore"):
+        bt = np.where((x > 0) & (x < 1),
+                      np.exp(ln_pre + a * np.log(x) + b * np.log1p(-x)), 0.0)
+        direct = x < (a + 1.0) / (a + b + 2.0)
+        lo = bt * _betacf(a, b, x) / a
+        hi = 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+        out = np.where(direct, lo, hi)
+    out = np.where(x <= 0, 0.0, out)
+    out = np.where(x >= 1, 1.0, out)
+    return out
+
+
+def t_sf(t: np.ndarray, df: np.ndarray) -> np.ndarray:
+    """Student-t survival function P(T > t), matching scipy.stats.t.sf —
+    needed for lag_linregress p-values (dea temporal.py:877-881)."""
+    t = np.asarray(t, dtype=np.float64)
+    df = np.asarray(df, dtype=np.float64)
+    out = np.empty(np.broadcast(t, df).shape, dtype=np.float64)
+    tb, db = np.broadcast_arrays(t, df)
+    for i in np.ndindex(out.shape):
+        ti, di = float(tb[i]), float(db[i])
+        if not np.isfinite(ti) or di <= 0:
+            out[i] = np.nan
+            continue
+        x = di / (di + ti * ti)
+        half = 0.5 * float(_betainc(di / 2.0, 0.5, np.asarray([x]))[0])
+        out[i] = half if ti > 0 else 1.0 - half
+    return out
+
+
+LINREG_SCHEMA_TAIL = (", n long, cov double, cor double, slope double, "
+                      "intercept double, pval double, stderr double")
+
+
+def lag_linregress(df: DataFrame, keys: Sequence[str], x_col: str,
+                   y_col: str, time_col: str, lagx: int = 0, lagy: int = 0,
+                   tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Full lag_linregress_3D (dea temporal.py:811-881): covariance,
+    correlation, slope, intercept, p-value, stderr of y on x per series,
+    with optional integer lags.
+
+    Spark shape: lags are window lead()s (reference: shift + dropna), the
+    five moments are ONE groupBy with map-side partial aggregation
+    (covar_pop / corr / var_pop — population semantics exactly as the
+    reference's ddof=0 numpy path), and only the tiny per-group result
+    crosses into Python for the t-distribution p-value (no scipy: Student-t
+    sf via the regularized incomplete beta). The reference computes
+    ``pval = t.sf(tstats, n-2) * 2`` literally — for negative correlations
+    that exceeds 1; reproduced as-is since it is the published contract."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(time_col, *list(tiebreak))
+    xv = F.lead(x_col, lagx).over(w) if lagx else F.col(x_col)
+    yv = F.lead(y_col, lagy).over(w) if lagy else F.col(y_col)
+    paired = (df.withColumn("_x", xv).withColumn("_y", yv)
+                .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+    agg = paired.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.avg("_x").alias("_xm"), F.avg("_y").alias("_ym"),
+        F.covar_pop("_x", "_y").alias("cov"),
+        F.corr("_x", "_y").alias("cor"),
+        F.var_pop("_x").alias("_xvar"))
+
+    key_schema = ", ".join(
+        f"{k} {agg.schema[k].dataType.simpleString()}" for k in keys)
+
+    def finish(batches):
+        for b in batches:
+            n = b["n"].to_numpy(np.float64)
+            cov = b["cov"].to_numpy(np.float64)
+            cor = b["cor"].to_numpy(np.float64)
+            xvar = b["_xvar"].to_numpy(np.float64)
+            with np.errstate(all="ignore"):
+                slope = cov / xvar
+                intercept = (b["_ym"].to_numpy(np.float64)
+                             - b["_xm"].to_numpy(np.float64) * slope)
+                tstats = cor * np.sqrt(n - 2) / np.sqrt(1 - cor * cor)
+                stderr = slope / tstats
+                pval = t_sf(tstats, n - 2) * 2.0
+            out = b[keys].copy()
+            out["n"] = b["n"]
+            out["cov"], out["cor"] = cov, cor
+            out["slope"], out["intercept"] = slope, intercept
+            out["pval"], out["stderr"] = pval, stderr
+            yield out
+
+    return agg.mapInPandas(finish, schema=key_schema + LINREG_SCHEMA_TAIL)
 
 
 def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],

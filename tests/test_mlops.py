@@ -104,3 +104,100 @@ def test_fourier_features(spark):
     exp = np.abs(np.fft.rfft(y))
     assert np.isclose(r.f4, exp[4])
     assert np.isclose(r.complexity, np.sqrt((np.diff(y) ** 2).sum()))
+
+
+def test_temporal_statistics_numpy_twin_known_values():
+    # linear ramp: every diff = 2
+    y = np.arange(0, 40, 2, dtype=np.float64)
+    v = mlops.temporal_statistics_np(y, mlops.TS_STATS)
+    assert v["mean_change"] == 2.0 and v["median_change"] == 2.0
+    assert v["abs_change"] == 2.0
+    assert np.isclose(v["complexity"], np.sqrt(len(y[1:]) * 4.0))
+    assert np.isclose(v["central_diff"], 0.0)
+    assert np.isclose(v["discordance"], 0.0)          # perfect lag-1 corr
+    assert v["num_peaks"] == 1.0                      # only the end point
+    # two-cycle sine: two interior peaks, near-zero mean change
+    t = np.linspace(0, 4 * np.pi, 80, endpoint=False)
+    s = np.sin(t)
+    vs = mlops.temporal_statistics_np(s, ["num_peaks", "mean_change"])
+    # two interior crests + the final boundary point, which ends a rising
+    # segment and is therefore the max of its (truncated) window
+    assert vs["num_peaks"] == 3.0
+    assert abs(vs["mean_change"]) < 1e-2
+    # fourier bands partition the non-DC half spectrum
+    mag = np.abs(np.fft.rfft(s))[1:]
+    vf = mlops.temporal_statistics_np(s, ["f_mean"])
+    thirds = [mag[k * len(mag) // 3:(k + 1) * len(mag) // 3] for k in range(3)]
+    for k in range(3):
+        assert np.isclose(vf[f"f_mean_n{k+1}"], thirds[k].mean())
+
+
+def test_temporal_statistics_spark_matches_twin(spark):
+    rng = np.random.RandomState(23)
+    rows = []
+    for uid in range(6):
+        y = np.cumsum(rng.randn(50)) + 10 * np.sin(np.arange(50) / 4.0)
+        for i, v in enumerate(y):
+            rows.append((uid, i, float(v)))
+    df = spark.createDataFrame(rows, "user_id long, t long, v double")
+    out = mlops.temporal_statistics(df, ["user_id"], "t", "v") \
+        .toPandas().set_index("user_id").sort_index()
+    by_uid = {}
+    for uid, t, v in rows:
+        by_uid.setdefault(uid, []).append(v)
+    for uid, ys in by_uid.items():
+        exp = mlops.temporal_statistics_np(np.asarray(ys), mlops.TS_STATS)
+        for col, ev in exp.items():
+            gv = out.loc[uid, col]
+            assert np.isclose(gv, ev, equal_nan=True), (uid, col, gv, ev)
+
+
+def test_lag_linregress_full_outputs(spark):
+    from data_cube_utilities_spark.operators import temporal as T
+
+    rng = np.random.RandomState(9)
+    rows = []
+    series = {}
+    for uid in range(4):
+        x = rng.randn(40)
+        y = 2.5 * x + rng.randn(40) * 0.5 + uid
+        series[uid] = (x, y)
+        for i in range(40):
+            rows.append((uid, i, float(x[i]), float(y[i])))
+    df = spark.createDataFrame(rows, "user_id long, t long, x double, y double")
+    out = T.lag_linregress(df, ["user_id"], "x", "y", "t") \
+        .toPandas().set_index("user_id").sort_index()
+    for uid, (x, y) in series.items():
+        n = len(y)
+        cov = ((x - x.mean()) * (y - y.mean())).sum() / n
+        cor = cov / (x.std() * y.std())
+        slope = cov / (x.std() ** 2)
+        intercept = y.mean() - x.mean() * slope
+        tstats = cor * np.sqrt(n - 2) / np.sqrt(1 - cor ** 2)
+        stderr = slope / tstats
+        pval = float(T.t_sf(np.array([tstats]), np.array([n - 2]))[0] * 2)
+        r = out.loc[uid]
+        for name, ev in [("cov", cov), ("cor", cor), ("slope", slope),
+                         ("intercept", intercept), ("stderr", stderr),
+                         ("pval", pval)]:
+            assert np.isclose(r[name], ev, rtol=1e-9), (uid, name)
+
+
+def test_lag_linregress_lag_matches_shifted_series(spark):
+    from data_cube_utilities_spark.operators import temporal as T
+
+    rng = np.random.RandomState(13)
+    x = rng.randn(60)
+    y = np.roll(x, -2) * 3.0          # y[i] = 3 * x[i+2] (except wrap tail)
+    rows = [(0, i, float(x[i]), float(y[i])) for i in range(60)]
+    df = spark.createDataFrame(rows, "user_id long, t long, x double, y double")
+    out = T.lag_linregress(df, ["user_id"], "x", "y", "t", lagx=2) \
+        .toPandas().iloc[0]
+    # reference semantics: x shifted back by lagx, NaN tail dropped
+    xs, ys = x[2:], y[:-2]
+    n = len(xs)
+    cov = ((xs - xs.mean()) * (ys - ys.mean())).sum() / n
+    slope = cov / (xs.std() ** 2)
+    assert out["n"] == n
+    assert np.isclose(out["slope"], slope, rtol=1e-9)
+    assert np.isclose(out["cor"], 1.0, atol=1e-9)     # exact linear relation
