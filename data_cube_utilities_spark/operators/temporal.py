@@ -233,6 +233,56 @@ def lag_linregress(df: DataFrame, keys: Sequence[str], x_col: str,
     return agg.mapInPandas(finish, schema=key_schema + LINREG_SCHEMA_TAIL)
 
 
+def tidal_stats(observed: DataFrame, modelled: DataFrame,
+                keys: Sequence[str], time_col: str = "ts",
+                height_col: str = "tide_height",
+                round_stats: int = 3) -> DataFrame:
+    """Bishop-Taylor tidal bias statistics (dea coastal.py:188-330):
+    compare the satellite-OBSERVED tide-height series against the full
+    MODELLED series per key — min/max/range of each, spread
+    (obs_range/all_range), low/high tide offsets, and the OLS slope +
+    p-value of height vs time on both sides.
+
+    The reference's OTPS/TPXO tide *model* is an external artifact (out of
+    scope, SURVEY 7.4); this operator is the statistics stage, taking the
+    modelled series as a table. Both sides reduce with one map-side
+    partial groupBy each; slopes/p-values reuse lag_linregress (t-sf via
+    incomplete beta), then a tiny key-on-key join assembles the row."""
+    keys = list(keys)
+    tsec = F.unix_micros(F.col(time_col).cast("timestamp")).cast("double") / 1e6
+
+    def side(df, tag):
+        rng = df.groupBy(*keys).agg(
+            F.min(height_col).alias(f"{tag}_min_m"),
+            F.max(height_col).alias(f"{tag}_max_m"),
+            (F.max(height_col) - F.min(height_col)).alias(f"{tag}_range_m"))
+        lr = lag_linregress(
+            df.withColumn("_tsec", tsec), keys, "_tsec", height_col, time_col)
+        lr = lr.select(*keys, F.col("slope").alias(f"{tag}_slope"),
+                       F.col("pval").alias(f"{tag}_pval"))
+        return rng.join(lr, keys)
+
+    obs = side(observed, "observed")
+    allm = side(modelled, "all")
+    j = obs.join(allm, keys)
+    spread = F.col("observed_range_m") / F.col("all_range_m")
+    low_off = (F.abs(F.col("all_min_m") - F.col("observed_min_m"))
+               / F.col("all_range_m"))
+    high_off = (F.abs(F.col("all_max_m") - F.col("observed_max_m"))
+                / F.col("all_range_m"))
+    r = round_stats
+    return j.select(
+        *keys,
+        *[F.round(c, r).alias(c) for c in
+          ("observed_min_m", "all_min_m", "observed_max_m", "all_max_m",
+           "observed_range_m", "all_range_m")],
+        F.round(spread, r).alias("spread_m"),
+        F.round(low_off, r).alias("low_tide_offset"),
+        F.round(high_off, r).alias("high_tide_offset"),
+        F.col("observed_slope"), F.col("observed_pval"),
+        F.col("all_slope"), F.col("all_pval"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
               left_time: str, right_time: str,
               direction: str = "backward",

@@ -118,3 +118,77 @@ def test_decode_to_long_and_tile_composite(spark):
     got = codec.decode_block(bytes(biggest.bytes), biggest.w, biggest.h,
                              biggest.fmt)[:, :, :6]
     assert (got == exp).all()
+
+
+def test_xr_rasterize_burn_and_replace(spark):
+    polys = {
+        1: [(2.0, 2.0), (20.0, 2.0), (20.0, 20.0), (2.0, 20.0)],
+        2: [(10.0, 10.0), (30.0, 10.0), (30.0, 28.0), (10.0, 28.0)],
+    }
+    out = rasterops.xr_rasterize(spark, polys, {1: 5.0, 2: 9.0},
+                                 n_tx=2, n_ty=2, tile_w=16, tile_h=16) \
+        .toPandas()
+    assert len(out) == 4
+    full = np.zeros((32, 32))
+    for _, r in out.iterrows():
+        full[r.ty*16:(r.ty+1)*16, r.tx*16:(r.tx+1)*16] = \
+            np.frombuffer(r.data, dtype="<f8").reshape(16, 16)
+    # pixel centers: (x, y) = (px + .5, py + .5)
+    assert full[5, 5] == 5.0            # inside poly 1 only
+    assert full[15, 15] == 9.0          # overlap -> later poly wins
+    assert full[25, 25] == 9.0          # inside poly 2 only
+    assert full[0, 0] == 0.0            # outside -> nodata
+    # PIP parity on a sample of points (replace semantics = last match)
+    from data_cube_utilities_spark.operators import spatial
+    rng = np.random.RandomState(2)
+    px = rng.randint(0, 32, 60)
+    py = rng.randint(0, 32, 60)
+    pts = spark.createDataFrame(
+        [(int(i), float(x) + 0.5, float(y) + 0.5)
+         for i, (x, y) in enumerate(zip(px, py))],
+        "point_id long, x double, y double")
+    hits = spatial.pip_broadcast(pts, polys).toPandas()
+    last = hits.groupby("point_id").poly_id.max()   # poly 2 overwrites 1
+    for i, (x, y) in enumerate(zip(px, py)):
+        exp = {1: 5.0, 2: 9.0}.get(last.get(i, 0), 0.0)
+        assert full[y, x] == exp, (x, y)
+
+
+def test_compute_slip_full_product(spark):
+    h = w = 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    dem = (xx * 20.0).astype(np.float64)      # steep east-west ramp
+    b_red = np.full((h, w), 1000.0)
+    b_nir = np.full((h, w), 3000.0)
+    b_swir = np.full((h, w), 1000.0)
+    t_red, t_nir, t_swir = b_red.copy(), b_nir.copy(), b_swir.copy()
+    # landslide patch: red up 60%, nir crashes (vegetation loss)
+    t_red[4:8, 4:8] = 1600.0
+    t_nir[4:8, 4:8] = 500.0
+    # no_data hole in the baseline inside the patch
+    b_red[5, 5] = -9999.0
+
+    def planes3(spark, red, nir, swir):
+        return spark.createDataFrame(
+            [(0, 0, rasterops._encode_plane(red), rasterops._encode_plane(nir),
+              rasterops._encode_plane(swir), h, w)],
+            "tx long, ty long, data_red binary, data_nir binary, "
+            "data_swir1 binary, h int, w int")
+
+    base = planes3(spark, b_red, b_nir, b_swir)
+    targ = planes3(spark, t_red, t_nir, t_swir)
+    demdf = spark.createDataFrame(
+        [(0, 0, rasterops._encode_plane(dem))], "tx long, ty long, data binary")
+    out = rasterops.compute_slip(base, targ, demdf).toPandas().iloc[0]
+    slip = np.frombuffer(out.slip, dtype=np.int16).reshape(h, w)
+    # hand-compute the expectation
+    brm = b_red.copy(); brm[brm == -9999.0] = np.nan
+    ndwi_t = (t_nir - t_swir) / (t_nir + t_swir)
+    ndwi_b = (b_nir - b_swir) / (b_nir + b_swir)
+    red_ch = (t_red - brm) / brm
+    slope = rasterops.slope_np(dem, 30.0, 30.0)
+    exp = ((np.abs(ndwi_t - ndwi_b) > 0.2) & (red_ch > 0.4) & (slope > 15.0))
+    exp &= ~np.isnan(brm)
+    assert (slip == exp.astype(np.int16)).all()
+    assert out.n_slip == int(exp.sum()) and out.n_slip > 0
+    assert slip[5, 5] == 0              # no_data pixel masked out

@@ -209,3 +209,32 @@ def test_cfmask_reference_golden(spark):
     out = spark.createDataFrame(pdf).select(
         masks.cfmask_clean_mask(F.col("cf_mask")).alias("m")).toPandas()
     assert out.m.tolist() == [True, False, False, True, False]
+
+
+def test_tidal_stats_spread_and_offsets(spark):
+    from data_cube_utilities_spark.operators import temporal as T
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01")
+    times = pd.date_range(t0, periods=400, freq="2h")
+    heights = 2.0 * np.sin(np.arange(400) / 8.0)        # full range [-2, 2]
+    modelled = spark.createDataFrame(
+        pd.DataFrame({"site": 1, "ts": times, "tide_height": heights}))
+    # satellite observes every 13th sample -> misses extremes a bit
+    obs_idx = np.arange(0, 400, 13)
+    observed = spark.createDataFrame(
+        pd.DataFrame({"site": 1, "ts": times[obs_idx],
+                      "tide_height": heights[obs_idx]}))
+    out = T.tidal_stats(observed, modelled, ["site"]).toPandas().iloc[0]
+    all_rng = heights.max() - heights.min()
+    obs = heights[obs_idx]
+    assert np.isclose(out.all_range_m, round(all_rng, 3))
+    assert np.isclose(out.observed_range_m, round(obs.max() - obs.min(), 3))
+    assert np.isclose(out.spread_m, round((obs.max() - obs.min()) / all_rng, 3))
+    assert np.isclose(out.low_tide_offset,
+                      round(abs(heights.min() - obs.min()) / all_rng, 3))
+    assert np.isclose(out.high_tide_offset,
+                      round(abs(heights.max() - obs.max()) / all_rng, 3))
+    assert 0 <= out.spread_m <= 1
+    # a flat-ish sine has near-zero trend; p-value must be defined
+    assert abs(out.all_slope) < 1e-4 and 0 <= out.all_pval <= 2
