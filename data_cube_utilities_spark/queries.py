@@ -981,6 +981,20 @@ def q_frac_coverage(spark, sf_dir):
                      F.round(F.avg("bs"), 4).alias("mean_bs")))
 
 
+def q_mostcommon_crs(spark, sf_dir):
+    """mostcommon_crs (dea datahandling.py:498-546): distributed mode with
+    deterministic tie-break — the CRS vote, one partial-agg count."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type").agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("event_type")).limit(1))
+
+
+SQL_MOSTCOMMON_CRS = """
+SELECT event_type, count(*) AS n FROM events
+GROUP BY event_type ORDER BY n DESC, event_type LIMIT 1
+"""
+
+
 # registry ------------------------------------------------------------------
 
 GROUP_A = {
@@ -1021,6 +1035,7 @@ GROUP_A = {
     "calendar_grouping": (q_calendar_grouping, SQL_CALENDAR_GROUPING),
     "phenology": (q_phenology, SQL_PHENOLOGY),
     "frac_coverage": (q_frac_coverage, None),
+    "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
 }
 
 

@@ -1,0 +1,84 @@
+"""Catalog / discovery helpers — the metadata side of the source layer.
+
+Reference parity:
+  mostcommon_crs            dea_tools/datahandling.py:498-546 (Counter over
+                            dataset CRS strings -> most common, warn on mix)
+  paths_to_datetimeindex    dea_tools/datahandling.py:704-727 (slice of the
+                            file BASENAME -> datetime)
+  validate_measurements     data_cube_utilities/data_access_api.py:310-317
+                            (requested measurements subset of product's)
+  get_full_dataset_extent   data_cube_utilities/data_access_api.py:274-294
+                            (per-dimension coordinate arrays of a query)
+
+All distributed work stays in one grouped aggregate or projection; only
+single-row / coordinate-sized results are collected.
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mostcommon_crs(datasets: DataFrame, crs_col: str = "crs") -> str | None:
+    """Most common CRS among matching datasets; deterministic tie-break on
+    the CRS string. Warns when several CRSs are present, like the
+    reference. One distributed count + a 2-row collect."""
+    top = (datasets.groupBy(crs_col).agg(F.count("*").alias("n"))
+                   .orderBy(F.desc("n"), F.asc(crs_col))
+                   .limit(2).collect())
+    if not top:
+        return None
+    if len(top) > 1:
+        warnings.warn(
+            f"Multiple CRSs were returned for this query. Defaulting to "
+            f"the most common: {top[0][crs_col]}")
+    return top[0][crs_col]
+
+
+def paths_to_datetimeindex(df: DataFrame, path_col: str = "path",
+                           string_slice: tuple[int, int] = (0, 10),
+                           fmt: str = "yyyy-MM-dd",
+                           out_col: str = "datetime") -> DataFrame:
+    """Parse acquisition datetimes out of file-path strings: slice
+    [start, stop) of the BASENAME (reference semantics — the slice applies
+    to the file name, not the whole path), then to_timestamp. Pure JVM
+    expressions, safe on billions of paths."""
+    start, stop = string_slice
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    piece = F.substring(base, start + 1, stop - start)
+    return df.withColumn(out_col, F.to_timestamp(piece, fmt))
+
+
+def validate_measurements(df: DataFrame | Sequence[str],
+                          measurements: Sequence[str]) -> bool:
+    """True iff every requested measurement exists for the product
+    (reference: set-subset over the product's measurement list)."""
+    cols = df.columns if isinstance(df, DataFrame) else list(df)
+    return set(measurements).issubset(set(cols))
+
+
+def missing_measurements(df: DataFrame | Sequence[str],
+                         measurements: Sequence[str]) -> list[str]:
+    """The actionable twin: which requested measurements are absent."""
+    cols = set(df.columns if isinstance(df, DataFrame) else list(df))
+    return sorted(set(measurements) - cols)
+
+
+def full_dataset_extent(df: DataFrame, time_col: str = "acquired_at",
+                        lat_col: str = "y", lon_col: str = "x") -> dict:
+    """Per-dimension coordinate arrays of a query result — the reference
+    returns {'time': ..., 'latitude': ..., 'longitude': ...} dataarrays;
+    here each value is the sorted-distinct single-column DataFrame (lazy;
+    collect only what you need). Empty input -> empty dict, matching the
+    reference's `return []` on zero dims."""
+    if df.isEmpty():
+        return {}
+    return {
+        "time": df.select(time_col).distinct().orderBy(time_col),
+        "latitude": df.select(lat_col).distinct().orderBy(lat_col),
+        "longitude": df.select(lon_col).distinct().orderBy(lon_col),
+    }
