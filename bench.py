@@ -119,20 +119,25 @@ def main():
     _noop(reg["pricing_summary"][0](spark, SF_DIR))
     _noop(image_pipeline_full(spark))
 
+    def timed(make_df, reps: int = 2) -> float:
+        # min-of-reps: this host's effective clock oscillates between
+        # phases ~1.6x apart on multi-minute periods (BENCH/BASELINE.md
+        # protocol); a single-shot timing is phase luck.
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _noop(make_df())
+            best = min(best, time.time() - t0)
+        return best
+
     for name in HEADLINE:
         fn = reg[name][0]
-        t0 = time.time()
-        _noop(fn(spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
+        times[name] = round(timed(lambda: fn(spark, SF_DIR)), 3)
 
-    t0 = time.time()
-    _noop(image_pipeline(spark))
-    img_sec = time.time() - t0
+    img_sec = timed(lambda: image_pipeline(spark))
     times["image_pipeline"] = round(img_sec, 3)
 
-    t0 = time.time()
-    _noop(image_pipeline_full(spark))
-    full_sec = time.time() - t0
+    full_sec = timed(lambda: image_pipeline_full(spark))
     times["image_pipeline_full"] = round(full_sec, 3)
 
     total = round(sum(times.values()), 3)
