@@ -78,3 +78,37 @@ def test_cell_encode_is_jvm_side(spark):
     plan = plan_of(out)
     assert "Python" not in plan
     assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_topk_is_take_ordered_not_global_window(spark):
+    # r2: orderBy().limit(k) must plan as TakeOrderedAndProject (distributed
+    # partial top-k); the only Window allowed is the rank over the k rows
+    # AFTER the limit (VERDICT r1 scale-killer #5).
+    from data_cube_utilities_spark.operators import textops
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(textops.cosine_topk(emb, 0, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), \
+        "rank window must sit above (after) the limit, never below it"
+
+
+def test_extreme_selector_is_partial_agg_not_window(spark):
+    # r2: max_by over an ordering struct aggregates map-side; the old
+    # row_number formulation forced a per-group total sort.
+    from data_cube_utilities_spark import queries as q
+
+    plan = plan_of(q.registry()["max_by_selector"][0](spark, SF))
+    assert "Window" not in plan
+    assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_band_indices_is_double_not_decimal(spark):
+    # r2: decimal literals must not drag the index trees into DecimalType
+    # arithmetic (11.6s -> ~0.7s at sf0.1 once projected as double).
+    from data_cube_utilities_spark import queries as q
+
+    df = q.registry()["band_indices"][0](spark, SF)
+    assert all(f.dataType.simpleString() == "double"
+               for f in df.schema.fields if f.name.startswith("avg_"))
+    assert "Window" not in plan_of(df)
