@@ -72,12 +72,13 @@ def kmeans_assign_col(feature_cols: Sequence[str], centers: np.ndarray):
             term = t * t
             expr = term if expr is None else expr + term
         d2.append(expr)
-    best = F.lit(0)
-    best_d = d2[0]
-    for j in range(1, k):
-        cond = d2[j] < best_d
-        best = F.when(cond, F.lit(j)).otherwise(best)
-        best_d = F.when(cond, d2[j]).otherwise(best_d)
+    # argmin via array_min + array_position: each distance expression
+    # appears ONCE. The previous when/otherwise fold nested the running
+    # best inside every comparison — expression size O(2^k) copies of the
+    # d-term sums, which at 64 dims x 8 centers stalled Catalyst for
+    # minutes. First-position ties match the old strict-< fold (lowest j).
+    arr = F.array(*d2)
+    best = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
     any_null = None
     for c in feature_cols:
         n = F.col(c).isNull()

@@ -316,6 +316,32 @@ def lsh_bucket_col(vec_col, dims: int):
     return bucket
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                             dims: int = 64, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the fifth dedup mode of the
+    training-data family (exact / MinHash-LSH / Jaccard / SimHash /
+    embedding-cosine). Candidates come from a sign-bit LSH bucket
+    self-join (equi-join on bucket — never all-pairs), then the exact
+    cosine keeps pairs >= threshold. Standard LSH recall contract: a pair
+    split across buckets is not a candidate; more planes / multi-probe
+    tighten it. Scale: pair fan-out is bounded per bucket, and the bucket
+    id doubles as a partition key at 100 TB."""
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"),
+                   lsh_bucket_col(vec_col, dims).alias("bucket"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 "bucket")
+    j = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(_dot(F.col("va"), F.col("vb"))
+                  / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+    return (j.withColumn("cosine", cos)
+             .filter(F.col("cosine") >= threshold)
+             .select("vec_a", "vec_b", "bucket", "cosine"))
+
+
 def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                  n_lists: int = 8, n_probe: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -336,8 +362,13 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                                 for i in range(dims)])
     feat_cols = [f"_d{i}" for i in range(dims)]
     centers = kmeans_fit(flat, feat_cols, k=n_lists, seed=seed)
+    # Materialize the (vec_id, list_id) assignment — this IS the IVF
+    # index-build step (at 100TB list_id becomes a partition column written
+    # once). It also keeps the k x d assignment expression out of every
+    # downstream plan: left inline, Catalyst re-optimizes the pushed-down
+    # giant predicate per action (~90s of pure planning at 64 dims).
     listed = flat.withColumn("list_id", kmeans_assign_col(feat_cols, centers)) \
-                 .select("vec_id", "list_id")
+                 .select("vec_id", "list_id").localCheckpoint(eager=True)
     e = e.join(listed, "vec_id")
 
     # query's n_probe nearest lists (driver-side: centers are tiny)

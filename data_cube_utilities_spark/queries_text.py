@@ -255,6 +255,57 @@ FROM r ORDER BY rank LIMIT 5
 """
 
 
+NEARDUP_T = 0.3   # synthetic embeddings are near-random; 0.3 is the tail
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH bucket self-join then
+    exact cosine >= threshold (the fifth dedup mode)."""
+    return textops.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=NEARDUP_T, dims=EMB_DIMS)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH e AS (
+  SELECT vec_id, v, i FROM (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+),
+b AS (
+  SELECT vec_id,
+         {" + ".join(f"(CASE WHEN {_plane_sql(h)} > 0 THEN {1 << h} ELSE 0 END)"
+                     for h in range(textops.N_PLANES))} AS bucket
+  FROM e GROUP BY vec_id
+),
+pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+dots AS (
+  SELECT p.vec_a, p.vec_b, p.bucket,
+         sum(ea.v * eb.v) AS dot,
+         sqrt(sum(ea.v * ea.v)) AS na,
+         sqrt(sum(eb.v * eb.v)) AS nb
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.vec_a
+  JOIN e eb ON eb.vec_id = p.vec_b AND eb.i = ea.i
+  GROUP BY 1, 2, 3
+)
+SELECT vec_a, vec_b, bucket, round(dot / (na * nb), 6) AS cosine
+FROM dots WHERE round(dot / (na * nb), 6) >= {NEARDUP_T}
+"""
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer, exact cosine within n_probe
+    lists. The quantizer's sampled Lloyd iterations are not
+    SQL-expressible — rows-only driver check; exactness vs brute force is
+    pinned in tests/test_textops.py."""
+    return textops.ivf_ann_topk(_t(spark, sf_dir, "embeddings"),
+                                query_id=QUERY_VEC, dims=EMB_DIMS, k=5)
+
+
 GROUP_B = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
@@ -266,4 +317,6 @@ GROUP_B = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ivf_ann": (q_ivf_ann, None),
 }

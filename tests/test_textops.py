@@ -121,3 +121,26 @@ def test_ivf_ann(spark):
     # recall sanity: IVF top hit should appear in the brute-force top-20
     brute = textops.cosine_topk(emb, query_id=0, k=20).toPandas()
     assert out.vec_id.iloc[0] in set(brute.vec_id)
+
+
+def test_embedding_near_dup_pairs(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(44)
+    base = rng.randn(20, 16)
+    vecs = list(base)
+    vecs.append(base[3] + rng.randn(16) * 0.01)   # near-dup of vector 3
+    vecs.append(base[7] * 1.5)                    # exact direction dup of 7
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    out = textops.embedding_near_dup_pairs(emb, threshold=0.95, dims=16) \
+        .toPandas()
+    got = {(int(r.vec_a), int(r.vec_b)) for _, r in out.iterrows()}
+    # the planted pairs are in the same sign-bucket by construction of
+    # near-identical directions, so LSH must surface them
+    assert (3, 20) in got and (7, 21) in got
+    assert (out.cosine >= 0.95).all()
+    # random pairs of independent gaussians never reach 0.95
+    assert got == {(3, 20), (7, 21)}
