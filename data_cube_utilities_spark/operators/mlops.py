@@ -93,6 +93,99 @@ def kmeans_cluster(df: DataFrame, feature_cols: Sequence[str], k: int,
                          kmeans_assign_col(feature_cols, centers))
 
 
+def birch_fit(df: DataFrame, feature_cols: Sequence[str], n_clusters: int,
+              threshold: float = 0.5, max_subclusters: int = 256,
+              sample_rows: int = 100_000, seed: int = 42):
+    """BIRCH fit (dc_clustering.py:122-157 wraps sklearn.Birch; this is a
+    real CF implementation, not a k-means stand-in):
+
+    1. one-pass CF insertion over a deterministic sample — a point joins
+       the nearest subcluster iff the merged radius stays <= threshold,
+       else opens a new one; when the subcluster count exceeds
+       max_subclusters the tree is rebuilt with threshold * 1.5 (the
+       classic BIRCH memory-bound rebuild);
+    2. global step: average-linkage agglomeration of the weighted
+       subcluster centroids down to n_clusters (sklearn's default global
+       clusterer is agglomerative too).
+
+    Returns (subcenters (m, d), labels (m,)): a point is assigned to its
+    nearest SUBCLUSTER, whose global label it inherits — exactly the
+    two-stage Birch.predict contract."""
+    n = df.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    X = (df.select(*feature_cols).sample(frac, seed=seed)
+           .limit(sample_rows).toPandas().to_numpy(dtype=np.float64))
+    X = X[~np.isnan(X).any(axis=1)]
+
+    def build(thr):
+        # CF = (count, linear sum, squared-norm sum) per subcluster
+        cnt: list[int] = []
+        ls: list[np.ndarray] = []
+        ss: list[float] = []
+        for x in X:
+            if cnt:
+                C = np.asarray(ls) / np.asarray(cnt)[:, None]
+                d2 = ((C - x) ** 2).sum(axis=1)
+                j = int(np.argmin(d2))
+                nc = cnt[j] + 1
+                nls = ls[j] + x
+                nss = ss[j] + float(x @ x)
+                # radius of the merged subcluster
+                r2 = nss / nc - float(nls @ nls) / nc / nc
+                if r2 <= thr * thr:
+                    cnt[j], ls[j], ss[j] = nc, nls, nss
+                    continue
+            cnt.append(1)
+            ls.append(x.copy())
+            ss.append(float(x @ x))
+            if len(cnt) > max_subclusters:
+                return None
+        return np.asarray(cnt, dtype=np.float64), np.asarray(ls)
+
+    thr = float(threshold)
+    built = build(thr)
+    while built is None:
+        thr *= 1.5
+        built = build(thr)
+    w, lsum = built
+    sub = lsum / w[:, None]
+
+    # average-linkage agglomeration of subcluster centroids, weighted
+    groups = [[i] for i in range(len(sub))]
+    cent = [sub[i].copy() for i in range(len(sub))]
+    wt = [float(w[i]) for i in range(len(sub))]
+    while len(groups) > max(n_clusters, 1):
+        best, bi, bj = np.inf, -1, -1
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                d = float(((cent[i] - cent[j]) ** 2).sum())
+                if d < best:
+                    best, bi, bj = d, i, j
+        cent[bi] = (cent[bi] * wt[bi] + cent[bj] * wt[bj]) / (wt[bi] + wt[bj])
+        wt[bi] += wt[bj]
+        groups[bi] += groups[bj]
+        del groups[bj], cent[bj], wt[bj]
+    labels = np.zeros(len(sub), dtype=np.int64)
+    for g, members in enumerate(groups):
+        labels[members] = g
+    return sub, labels
+
+
+def birch_cluster(df: DataFrame, feature_cols: Sequence[str],
+                  n_clusters: int, **fit_kw) -> DataFrame:
+    """birch_cluster_dataset analogue: nearest-subcluster assignment in
+    whole-stage codegen (same argmin machinery as k-means), then the
+    subcluster -> global-label map as one array lookup; NULL rows -> -1
+    (the reference's missing-pixel label)."""
+    sub, labels = birch_fit(df, feature_cols, n_clusters, **fit_kw)
+    sub_idx = kmeans_assign_col(feature_cols, sub)
+    label_arr = F.array(*[F.lit(int(v)) for v in labels])
+    return df.withColumn(
+        "cluster",
+        F.when(sub_idx < 0, F.lit(-1))
+         .otherwise(F.element_at(label_arr, sub_idx + 1)))
+
+
 # ---------------------------------------------------------------------------
 # per-series curve fitting (grouped-map)
 # ---------------------------------------------------------------------------

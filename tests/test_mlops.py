@@ -201,3 +201,48 @@ def test_lag_linregress_lag_matches_shifted_series(spark):
     assert out["n"] == n
     assert np.isclose(out["slope"], slope, rtol=1e-9)
     assert np.isclose(out["cor"], 1.0, atol=1e-9)     # exact linear relation
+
+
+def test_birch_recovers_blobs_and_respects_threshold(spark):
+    rng = np.random.RandomState(8)
+    blobs = np.vstack([rng.normal(c, 0.3, size=(150, 2))
+                       for c in [(0, 0), (10, 0), (0, 10)]])
+    pdf = pd.DataFrame({"a": blobs[:, 0], "b": blobs[:, 1]})
+    df = spark.createDataFrame(pdf)
+    out = mlops.birch_cluster(df, ["a", "b"], n_clusters=3,
+                              threshold=0.8, sample_rows=450).toPandas()
+    assert set(out.cluster.unique()) == {0, 1, 2}
+    # every blob lands (almost) entirely in one cluster
+    lab = out.cluster.to_numpy()
+    for s in range(3):
+        seg = lab[s * 150:(s + 1) * 150]
+        counts = np.bincount(seg, minlength=3)
+        assert counts.max() >= 0.99 * 150
+    # the three blobs get three DIFFERENT labels
+    assert len({np.bincount(lab[s*150:(s+1)*150], minlength=3).argmax()
+                for s in range(3)}) == 3
+
+
+def test_birch_fit_cf_invariants():
+    rng = np.random.RandomState(3)
+    import pandas as pd
+    from data_cube_utilities_spark.session import get_spark
+    spark = get_spark("birch-t", cores=2, shuffle_partitions=4)
+    X = rng.randn(300, 3)
+    df = spark.createDataFrame(pd.DataFrame(X, columns=["x", "y", "z"]))
+    sub, labels = mlops.birch_fit(df, ["x", "y", "z"], n_clusters=4,
+                                  threshold=0.7, sample_rows=300)
+    assert sub.shape[1] == 3 and len(labels) == len(sub)
+    assert set(labels.tolist()) == set(range(4))
+    # tight threshold -> more subclusters than global clusters
+    assert len(sub) > 4
+
+
+def test_birch_null_rows_get_minus_one(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"a": [0.0, 10.0, None, 0.1], "b": [0.0, 10.0, 1.0, 0.2]})
+    df = spark.createDataFrame(pdf)
+    out = mlops.birch_cluster(df, ["a", "b"], n_clusters=2,
+                              threshold=1.0, sample_rows=10).toPandas()
+    assert out.cluster.iloc[2] == -1
+    assert out.cluster.iloc[0] == out.cluster.iloc[3] != out.cluster.iloc[1]
