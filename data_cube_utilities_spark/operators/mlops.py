@@ -42,21 +42,7 @@ def kmeans_fit(df: DataFrame, feature_cols: Sequence[str], k: int,
     sample = (df.select(*feature_cols).sample(frac, seed=seed)
                 .limit(sample_rows).toPandas().to_numpy(dtype=np.float64))
     sample = sample[~np.isnan(sample).any(axis=1)]
-    rng = np.random.RandomState(seed)
-    centers = sample[rng.randint(len(sample), size=1)]
-    for _ in range(k - 1):  # farthest-point init (deterministic given seed)
-        d2 = ((sample[:, None, :] - centers[None]) ** 2).sum(axis=2).min(axis=1)
-        centers = np.vstack([centers, sample[int(np.argmax(d2))]])
-    for _ in range(max_iter):
-        d2 = ((sample[:, None, :] - centers[None]) ** 2).sum(axis=2)
-        lab = d2.argmin(axis=1)
-        new = np.vstack([
-            sample[lab == j].mean(axis=0) if (lab == j).any() else centers[j]
-            for j in range(k)])
-        if np.allclose(new, centers):
-            break
-        centers = new
-    return centers
+    return _lloyd_np(sample, k, max_iter=max_iter, seed=seed)
 
 
 def kmeans_assign_col(feature_cols: Sequence[str], centers: np.ndarray):
@@ -91,6 +77,181 @@ def kmeans_cluster(df: DataFrame, feature_cols: Sequence[str], k: int,
     centers = kmeans_fit(df, feature_cols, k, **fit_kw)
     return df.withColumn("cluster",
                          kmeans_assign_col(feature_cols, centers))
+
+
+def kmeans_tree_fit(df: DataFrame, feature_cols: Sequence[str],
+                    n_levels: int = 2, n_clusters: int = 3,
+                    sample_rows: int = 100_000, seed: int = 42):
+    """Hierarchical k-means (dea classification.py:797-908 KMeans_tree):
+    fit k clusters, then recursively fit k children on each partition of
+    the sample. Returns a nested dict {centers, children} mirroring the
+    reference's branches; labels compose as base * k^(levels-1) + child."""
+    n = df.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    X = (df.select(*feature_cols).sample(frac, seed=seed)
+           .limit(sample_rows).toPandas().to_numpy(dtype=np.float64))
+    X = X[~np.isnan(X).any(axis=1)]
+
+    def fit_node(Xn, levels, node_seed):
+        centers = _lloyd_np(Xn, n_clusters, seed=node_seed)
+        node = {"centers": centers, "children": None}
+        if levels > 1:
+            d2 = ((Xn[:, None, :] - centers[None]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)
+            node["children"] = [
+                fit_node(Xn[lab == j] if (lab == j).sum() >= n_clusters
+                         else Xn,           # degenerate branch: refit on all
+                         levels - 1, node_seed + j + 1)
+                for j in range(n_clusters)]
+        return node
+
+    return fit_node(X, n_levels, seed)
+
+
+def kmeans_tree_assign_col(feature_cols: Sequence[str], tree,
+                           n_clusters: int = 3):
+    """Greedy per-level assignment exactly like KMeans_tree.predict: pick
+    the nearest base cluster, then the nearest child within that branch —
+    NOT global nearest-leaf. Pure Column expression; every distance sum
+    appears once (k + k^2 + ... terms)."""
+    def d2_arr(centers):
+        outs = []
+        for c in centers:
+            expr = None
+            for i, col in enumerate(feature_cols):
+                t = F.col(col) - F.lit(float(c[i]))
+                term = t * t
+                expr = term if expr is None else expr + term
+            outs.append(expr)
+        return F.array(*outs)
+
+    def assign(node):
+        arr = d2_arr(node["centers"])
+        base = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        if node["children"] is None:
+            return base, n_clusters   # leaf label space is [0, k)
+        sub_exprs = []
+        width = None
+        for child in node["children"]:
+            s, width = assign(child)
+            sub_exprs.append(s)
+        chosen = F.lit(None).cast("int")
+        for j in range(n_clusters - 1, -1, -1):
+            chosen = F.when(base == j, sub_exprs[j]).otherwise(chosen)
+        # reference composition: labels *= k^(levels-1); += child labels
+        return base * F.lit(width) + chosen, n_clusters * width
+
+    expr, total = assign(tree)
+    any_null = None
+    for c in feature_cols:
+        nn = F.col(c).isNull()
+        any_null = nn if any_null is None else (any_null | nn)
+    return F.when(any_null, F.lit(-1)).otherwise(expr.cast("int"))
+
+
+def _lloyd_np(X: np.ndarray, k: int, max_iter: int = 50,
+              seed: int = 42) -> np.ndarray:
+    """Driver-side Lloyd with farthest-point init (shared by the sample
+    fitters)."""
+    rng = np.random.RandomState(seed)
+    centers = X[rng.randint(len(X), size=1)]
+    for _ in range(k - 1):
+        d2 = ((X[:, None, :] - centers[None]) ** 2).sum(axis=2).min(axis=1)
+        centers = np.vstack([centers, X[int(np.argmax(d2))]])
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - centers[None]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        new = np.vstack([X[lab == j].mean(axis=0) if (lab == j).any()
+                         else centers[j] for j in range(k)])
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def spatial_kfold(df: DataFrame, n_splits: int, x_col: str = "x",
+                  y_col: str = "y", n_groups: int | None = None,
+                  balance: bool = True, seed: int = 42) -> DataFrame:
+    """SKCV / SpatialKFold (dea classification.py:909-1105): cluster the
+    COORDINATES into spatial groups, then deal whole groups to folds, so
+    spatially-autocorrelated points never straddle a train/test boundary.
+
+    Spark shape: the group assignment is the k-means codegen expression
+    over (x, y); group sizes are one partial-aggregated count; the greedy
+    balanced deal (largest group -> currently-smallest fold, the
+    balance=True contract) runs driver-side over n_groups rows; the fold
+    map returns as one broadcast array lookup. Adds a `fold` column in
+    [0, n_splits); rows with null coordinates get fold -1."""
+    n_groups = n_groups or max(n_splits * 5, 10)
+    centers = kmeans_fit(df.select(F.col(x_col).alias("_sx"),
+                                   F.col(y_col).alias("_sy")),
+                         ["_sx", "_sy"], k=n_groups, seed=seed)
+    grp = kmeans_assign_col([x_col, y_col], centers)
+    tagged = df.withColumn("_grp", grp)
+    sizes = {int(r["_grp"]): int(r["n"]) for r in
+             tagged.groupBy("_grp").agg(F.count("*").alias("n")).collect()
+             if r["_grp"] is not None and r["_grp"] >= 0}
+    fold_of = np.zeros(n_groups, dtype=np.int64)
+    if balance:
+        load = [0] * n_splits
+        for g, sz in sorted(sizes.items(), key=lambda kv: -kv[1]):
+            f = int(np.argmin(load))
+            fold_of[g] = f
+            load[f] += sz
+    else:
+        for i, g in enumerate(sorted(sizes)):
+            fold_of[g] = i % n_splits
+    fold_arr = F.array(*[F.lit(int(v)) for v in fold_of])
+    return (tagged.withColumn(
+                "fold",
+                F.when(F.col("_grp") < 0, F.lit(-1))
+                 .otherwise(F.element_at(fold_arr, F.col("_grp") + 1)))
+            .drop("_grp"))
+
+
+def svm_fit(df: DataFrame, feature_cols: Sequence[str], label_col: str,
+            reg: float = 1e-3, epochs: int = 20,
+            sample_rows: int = 100_000, seed: int = 42):
+    """Linear SVM via Pegasos SGD on a deterministic sample — the trainer
+    behind a wasard-style classifier (wasard.py:19-210 trains an sklearn
+    SVC on SAR bands against WOfS water labels; linear kernel is its
+    documented default configuration). Labels are 0/1; features are
+    z-scored internally. Returns (w, b, mean, std)."""
+    n = df.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    pdf = (df.select(*feature_cols, label_col).sample(frac, seed=seed)
+             .limit(sample_rows).toPandas().dropna())
+    X = pdf[list(feature_cols)].to_numpy(dtype=np.float64)
+    y = pdf[label_col].to_numpy(dtype=np.float64) * 2.0 - 1.0   # {0,1}->{-1,1}
+    mean, std = X.mean(axis=0), X.std(axis=0)
+    std[std == 0] = 1.0
+    Xs = (X - mean) / std
+    rng = np.random.RandomState(seed)
+    w = np.zeros(Xs.shape[1])
+    b = 0.0
+    t = 0
+    for _ in range(epochs):
+        order = rng.permutation(len(Xs))
+        for i in order:
+            t += 1
+            eta = 1.0 / (reg * t)
+            margin = y[i] * (Xs[i] @ w + b)
+            w *= (1.0 - eta * reg)
+            if margin < 1.0:
+                w += eta * y[i] * Xs[i]
+                b += eta * y[i]
+    return w, b, mean, std
+
+
+def svm_classify_col(feature_cols: Sequence[str], w: np.ndarray, b: float,
+                     mean: np.ndarray, std: np.ndarray):
+    """Decision function as a pure Column expression (codegen): the
+    wasard_classifier.wasard_classify scoring path — sign(w.z + b) with
+    the training z-score folded into the weights."""
+    expr = F.lit(float(b - (w * mean / std).sum()))
+    for i, c in enumerate(feature_cols):
+        expr = expr + F.col(c) * F.lit(float(w[i] / std[i]))
+    return F.when(expr > 0, F.lit(1)).otherwise(F.lit(0))
 
 
 def birch_fit(df: DataFrame, feature_cols: Sequence[str], n_clusters: int,

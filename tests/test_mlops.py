@@ -246,3 +246,74 @@ def test_birch_null_rows_get_minus_one(spark):
                               threshold=1.0, sample_rows=10).toPandas()
     assert out.cluster.iloc[2] == -1
     assert out.cluster.iloc[0] == out.cluster.iloc[3] != out.cluster.iloc[1]
+
+
+def test_kmeans_tree_two_levels(spark):
+    # 9 well-separated micro-blobs arranged as 3 super-groups of 3
+    rng = np.random.RandomState(17)
+    supers = [(0, 0), (100, 0), (0, 100)]
+    pts, blob_of = [], []
+    bi = 0
+    for sx, sy in supers:
+        for dx, dy in [(0, 0), (12, 0), (0, 12)]:
+            pts.append(rng.normal((sx + dx, sy + dy), 0.4, size=(60, 2)))
+            blob_of += [bi] * 60
+            bi += 1
+    X = np.vstack(pts)
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": X[:, 0], "b": X[:, 1]}))
+    tree = mlops.kmeans_tree_fit(df, ["a", "b"], n_levels=2, n_clusters=3,
+                                 sample_rows=len(X))
+    out = df.withColumn(
+        "cluster", mlops.kmeans_tree_assign_col(["a", "b"], tree)).toPandas()
+    lab = out.cluster.to_numpy()
+    assert set(lab) <= set(range(9))
+    # each micro-blob -> one label; 9 distinct labels overall
+    per_blob = [np.bincount(lab[i*60:(i+1)*60]).argmax() for i in range(9)]
+    for i in range(9):
+        assert (lab[i*60:(i+1)*60] == per_blob[i]).mean() >= 0.99
+    assert len(set(per_blob)) == 9
+    # greedy composition: blobs of one super-group share the base digit
+    for s in range(3):
+        assert len({per_blob[3*s + j] // 3 for j in range(3)}) == 1
+
+
+def test_spatial_kfold_groups_never_straddle_folds(spark):
+    rng = np.random.RandomState(29)
+    # 12 spatial clumps of different sizes
+    rows = []
+    for g in range(12):
+        cx, cy = rng.uniform(-50, 50, 2)
+        for _ in range(rng.randint(30, 120)):
+            rows.append((float(cx + rng.randn() * 0.1),
+                         float(cy + rng.randn() * 0.1)))
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = mlops.spatial_kfold(df, n_splits=4, n_groups=12, seed=1).toPandas()
+    assert set(out.fold.unique()) <= {0, 1, 2, 3}
+    # points within one clump share a fold: group by rounded centroid
+    key = (out.x.round(0) * 1000 + out.y.round(0)).astype(int)
+    assert (out.groupby(key).fold.nunique() == 1).all()
+    # balanced deal: fold sizes within 40% of each other
+    sizes = out.fold.value_counts()
+    assert sizes.min() >= 0.6 * sizes.max()
+
+
+def test_svm_fit_separates_and_scores_in_codegen(spark):
+    rng = np.random.RandomState(7)
+    n = 2000
+    X = rng.randn(n, 3)
+    y = (X @ np.array([2.0, -1.0, 0.5]) + 0.3 > 0).astype(int)
+    pdf = pd.DataFrame(X, columns=["vv", "vh", "angle"])
+    pdf["water"] = y
+    df = spark.createDataFrame(pdf)
+    w, b, mean, std = mlops.svm_fit(df, ["vv", "vh", "angle"], "water",
+                                    sample_rows=n, epochs=15)
+    out = df.withColumn(
+        "pred", mlops.svm_classify_col(["vv", "vh", "angle"], w, b, mean, std)
+    ).toPandas()
+    acc = (out.pred == out.water).mean()
+    assert acc >= 0.97
+    # the scoring path is a plain expression: no Python in the plan
+    plan = df.withColumn("pred", mlops.svm_classify_col(
+        ["vv", "vh", "angle"], w, b, mean, std))._jdf         .queryExecution().executedPlan().toString()
+    assert "Python" not in plan
