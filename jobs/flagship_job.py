@@ -84,8 +84,24 @@ def main(argv=None):
         ("features", features),
         ("composite", composite),
     ], metrics_cols=[])
-    print(f"steps run: {ran or 'none (all checkpointed)'}; "
-          f"table at version {table.current_version()}")
+
+    # fractional cover runs off the same polygon-joined scan into its own
+    # snapshot table (per-image PV/NPV/BS unmixing summary + lineage)
+    fc_table = SnapshotTable(args.out + "_fc")
+
+    def frac_cover():
+        from data_cube_utilities_spark.operators import fractional_cover as fcm
+
+        src = tiled().select("image_id", "bytes", "w", "h", "fmt")
+        return (fcm.frac_coverage_classify(src)
+                .select("image_id", "n_clean",
+                        "mean_pv", "mean_npv", "mean_bs"))
+
+    ran_fc = run_resumable(fc_table, [("frac_cover", frac_cover)],
+                           metrics_cols=[])
+    print(f"steps run: {(ran or []) + (ran_fc or []) or 'none (all checkpointed)'}; "
+          f"table at version {table.current_version()}, "
+          f"fc table at version {fc_table.current_version()}")
     spark.stop()
 
 
