@@ -1005,6 +1005,68 @@ GROUP BY event_type ORDER BY n DESC, event_type LIMIT 1
 """
 
 
+def q_lag_linregress(spark, sf_dir):
+    """lag_linregress_3D moments (dea temporal.py:811-881): the four
+    SQL-expressible outputs (cov/cor/slope/intercept; the p-value needs a
+    t-CDF and is covered by pytest parity instead)."""
+    from .operators import temporal as T
+
+    e = _t(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 1e6
+    out = T.lag_linregress(e.withColumn("_t", t), ["user_id"],
+                           "_t", "value", "ts", tiebreak=["event_id"])
+    return out.select("user_id", "n",
+                      F.round("cov", 4).alias("cov"),
+                      F.round("cor", 6).alias("cor"),
+                      F.round(F.col("slope") * 1e6, 6).alias("slope_per_ms"),
+                      F.round("intercept", 4).alias("intercept"))
+
+
+SQL_LAG_LINREGRESS = """
+WITH s AS (SELECT user_id, epoch_us(ts) / 1000000.0 AS t, value FROM events)
+SELECT user_id, count(*) AS n,
+       round(covar_pop(t, value), 4) AS cov,
+       round(corr(t, value), 6) AS cor,
+       round(covar_pop(t, value) / var_pop(t) * 1000000.0, 6) AS slope_per_ms,
+       round(avg(value) - covar_pop(t, value) / var_pop(t) * avg(t), 4)
+         AS intercept
+FROM s GROUP BY user_id
+"""
+
+
+def q_temporal_change_stats(spark, sf_dir):
+    """temporal_statistics change family (dea temporal.py:500-684 /
+    hdstats): mean/median/abs change + complexity per series — the
+    SQL-expressible subset of mlops.temporal_statistics."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.col("value") - F.lag("value").over(w)
+    g = e.withColumn("d", d).filter(F.col("d").isNotNull())
+    return (g.groupBy("user_id")
+             .agg(F.round(F.avg("d"), 6).alias("mean_change"),
+                  F.round(F.expr("percentile(d, 0.5)"), 6).alias("median_change"),
+                  F.round(F.avg(F.abs("d")), 6).alias("abs_change"),
+                  F.round(F.sqrt(F.sum(F.col("d") * F.col("d"))), 4)
+                   .alias("complexity"),
+                  F.count("*").alias("n_diffs")))
+
+
+SQL_TEMPORAL_CHANGE = """
+WITH d AS (
+  SELECT user_id,
+         value - lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS d
+  FROM events)
+SELECT user_id,
+       round(avg(d), 6) AS mean_change,
+       round(quantile_cont(d, 0.5), 6) AS median_change,
+       round(avg(abs(d)), 6) AS abs_change,
+       round(sqrt(sum(d * d)), 4) AS complexity,
+       count(*) AS n_diffs
+FROM d WHERE d IS NOT NULL GROUP BY user_id
+"""
+
+
 # registry ------------------------------------------------------------------
 
 GROUP_A = {
@@ -1046,6 +1108,8 @@ GROUP_A = {
     "phenology": (q_phenology, SQL_PHENOLOGY),
     "frac_coverage": (q_frac_coverage, None),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
+    "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
+    "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
 }
 
 
