@@ -420,6 +420,92 @@ def fourier_fit_features(df: DataFrame, keys: Sequence[str], time_col: str,
     return df.groupBy(*keys).applyInPandas(feats, schema)
 
 
+def gauss_np(x, a, x0, sigma):
+    """The reference's model function (curve_fitting.py:7-8)."""
+    return a * np.exp(-(x - x0) ** 2 / (2 * sigma ** 2))
+
+
+def gaussian_fit_np(x: np.ndarray, y: np.ndarray,
+                    max_iter: int = 100) -> np.ndarray:
+    """Least-squares gaussian fit a*exp(-(x-x0)^2/(2 sigma^2)) —
+    curve_fitting.py:11-41 uses scipy.curve_fit (Levenberg-Marquardt);
+    this is a self-contained LM with moment-based init (no scipy).
+    Returns [a, x0, sigma]."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ok = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[ok], y[ok]
+    w = np.clip(y - y.min(), 0.0, None) + 1e-12
+    x0 = float((x * w).sum() / w.sum())
+    sigma = float(np.sqrt((w * (x - x0) ** 2).sum() / w.sum()))
+    if sigma <= 0:
+        sigma = float(x.std()) or 1.0
+    p = np.array([float(y.max()), x0, sigma])
+    r = gauss_np(x, *p) - y
+    cost = float(r @ r)
+    lam = 1e-3
+    for _ in range(max_iter):
+        a_, mu, s = p
+        e = np.exp(-(x - mu) ** 2 / (2 * s * s))
+        J = np.stack([e,
+                      a_ * e * (x - mu) / (s * s),
+                      a_ * e * (x - mu) ** 2 / (s ** 3)], axis=1)
+        g = J.T @ r
+        H = J.T @ J
+        try:
+            step = np.linalg.solve(
+                H + lam * np.diag(np.diag(H)) + 1e-12 * np.eye(3), -g)
+        except np.linalg.LinAlgError:
+            break
+        pn = p + step
+        if pn[2] == 0:
+            pn[2] = 1e-12
+        rn = gauss_np(x, *pn) - y
+        cn = float(rn @ rn)
+        if cn < cost:
+            if cost - cn < 1e-15 * (cost + 1e-30):
+                p, r, cost = pn, rn, cn
+                break
+            p, r, cost = pn, rn, cn
+            lam = max(lam * 0.3, 1e-12)
+        else:
+            lam *= 3.0
+            if lam > 1e12:
+                break
+    return p
+
+
+def gaussian_fit(df: DataFrame, keys: Sequence[str], x_col: str,
+                 y_col: str) -> DataFrame:
+    """Per-series gaussian curve fit (grouped-map): returns amplitude,
+    center, sigma, R^2 and n, completing the poly/fourier/gaussian curve
+    family without scipy."""
+    key_list = list(keys)
+    schema = (", ".join(f"{k} string" for k in key_list)
+              + ", a double, x0 double, sigma double, r2 double, n int")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy(np.float64)
+        y = pdf[y_col].to_numpy(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[ok], y[ok]
+        row = {k: [str(pdf[k].iloc[0])] for k in key_list}
+        if len(x) < 4:
+            row.update(a=[np.nan], x0=[np.nan], sigma=[np.nan],
+                       r2=[np.nan], n=[len(x)])
+            return pd.DataFrame(row)
+        a, x0, s = gaussian_fit_np(x, y)
+        pred = gauss_np(x, a, x0, s)
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else float("nan")
+        row.update(a=[float(a)], x0=[float(x0)], sigma=[float(s)],
+                   r2=[r2], n=[len(x)])
+        return pd.DataFrame(row)
+
+    return df.groupBy(*keys).applyInPandas(fit, schema)
+
+
 TS_STATS = ("discordance", "f_std", "f_mean", "f_median", "mean_change",
             "median_change", "abs_change", "complexity", "central_diff",
             "num_peaks")

@@ -317,3 +317,31 @@ def test_svm_fit_separates_and_scores_in_codegen(spark):
     plan = df.withColumn("pred", mlops.svm_classify_col(
         ["vv", "vh", "angle"], w, b, mean, std))._jdf         .queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_gaussian_fit_np_exact_recovery():
+    x = np.linspace(-5, 5, 200)
+    y = mlops.gauss_np(x, 3.5, 1.2, 0.8)
+    a, x0, s = mlops.gaussian_fit_np(x, y)
+    assert np.allclose([a, x0, abs(s)], [3.5, 1.2, 0.8], atol=1e-6)
+    # noisy recovery within tolerance
+    rng = np.random.RandomState(2)
+    yn = y + rng.randn(len(x)) * 0.05
+    a2, x02, s2 = mlops.gaussian_fit_np(x, yn)
+    assert abs(a2 - 3.5) < 0.1 and abs(x02 - 1.2) < 0.05
+    assert abs(abs(s2) - 0.8) < 0.05
+
+
+def test_gaussian_fit_spark(spark):
+    x = np.linspace(0, 10, 80)
+    rows = []
+    for key, (a, mu, s) in {"p": (2.0, 4.0, 1.0), "q": (5.0, 7.0, 0.5)}.items():
+        for xi, yi in zip(x, mlops.gauss_np(x, a, mu, s)):
+            rows.append((key, float(xi), float(yi)))
+    df = spark.createDataFrame(rows, "key string, x double, y double")
+    out = mlops.gaussian_fit(df, ["key"], "x", "y").toPandas() \
+        .set_index("key").sort_index()
+    assert np.allclose(out.loc["p", ["a", "x0"]], [2.0, 4.0], atol=1e-5)
+    assert np.isclose(abs(out.loc["p", "sigma"]), 1.0, atol=1e-5)
+    assert np.allclose(out.loc["q", ["a", "x0"]], [5.0, 7.0], atol=1e-5)
+    assert (out.r2 > 0.999999).all()
