@@ -193,6 +193,43 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     return spark.sql(simhash_spark_sql("__simhash_in", id_col, text_col))
 
 
+def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """SimHash near-duplicate PAIRS: split each 64-bit signature into four
+    16-bit bands; by pigeonhole, any pair within hamming distance <= 3
+    shares at least one identical band, so a (band, key) equi-join has
+    EXACT recall at the default threshold — never an all-pairs scan. The
+    surviving candidates get the true popcount-XOR hamming filter
+    (F.bit_count, pure codegen)."""
+    sig = simhash(df, id_col, text_col)
+    bands = [F.shiftrightunsigned(F.col("simhash_hi"), 16),
+             F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
+             F.shiftrightunsigned(F.col("simhash_lo"), 16),
+             F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF))]
+    e = (sig.select(F.col(id_col).alias("id"), "simhash_hi", "simhash_lo",
+                    F.explode(F.array(*[
+                        F.struct(F.lit(i).alias("band"),
+                                 b.cast("long").alias("key"))
+                        for i, b in enumerate(bands)])).alias("bk"))
+            .select("id", "simhash_hi", "simhash_lo",
+                    F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
+    a = e.select(F.col("id").alias("doc_a"), F.col("simhash_hi").alias("ha"),
+                 F.col("simhash_lo").alias("la"), "band", "key")
+    b = e.select(F.col("id").alias("doc_b"), F.col("simhash_hi").alias("hb"),
+                 F.col("simhash_lo").alias("lb"), "band", "key")
+    cand = (a.join(b, ["band", "key"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "ha", "la", "doc_b", "hb", "lb")
+             .distinct())
+    ham = (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+           + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).cast("long")
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("doc_a", "doc_b", "hamming"))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

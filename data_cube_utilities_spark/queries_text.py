@@ -255,6 +255,39 @@ FROM r ORDER BY rank LIMIT 5
 """
 
 
+MAX_HAMMING = 3   # pigeonhole-exact for the 4x16-bit banding
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs: banded equi-join candidates + popcount-XOR
+    hamming <= 3 (exact recall at this threshold by pigeonhole)."""
+    return textops.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"),
+                                          max_hamming=MAX_HAMMING)
+
+
+SQL_SIMHASH_NEAR_DUP = f"""
+WITH sig AS ({textops.simhash_sql('documents')}),
+e AS (
+  SELECT doc_id, simhash_hi, simhash_lo,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([simhash_hi // 65536, simhash_hi % 65536,
+                 simhash_lo // 65536, simhash_lo % 65536]) AS key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash_hi AS ha, a.simhash_lo AS la,
+                  b.doc_id AS doc_b, b.simhash_hi AS hb, b.simhash_lo AS lb
+  FROM e a JOIN e b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {MAX_HAMMING}
+"""
+
+
 NEARDUP_T = 0.3   # synthetic embeddings are near-random; 0.3 is the tail
 
 
@@ -318,5 +351,6 @@ GROUP_B = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "ivf_ann": (q_ivf_ann, None),
 }

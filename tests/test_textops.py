@@ -144,3 +144,23 @@ def test_embedding_near_dup_pairs(spark):
     assert (out.cosine >= 0.95).all()
     # random pairs of independent gaussians never reach 0.95
     assert got == {(3, 20), (7, 21)}
+
+
+def test_simhash_near_dup_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = [
+        (0, base),
+        (1, base),                                  # exact dup -> hamming 0
+        (2, base.replace("lazy", "sleepy", 1)),     # one token changed
+        (3, "completely different content about spark and parquet tables "
+            "with nothing shared at all " * 6),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textops.simhash_near_dup_pairs(df, max_hamming=3).toPandas()
+    pairs = {(int(r.doc_a), int(r.doc_b)): int(r.hamming)
+             for _, r in out.iterrows()}
+    assert pairs[(0, 1)] == 0
+    assert (2, 3) not in pairs and (0, 3) not in pairs and (1, 3) not in pairs
+    # the one-token variant is within a few flipped bits of the original
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 3
