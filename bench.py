@@ -103,6 +103,27 @@ def image_pipeline_full(spark):
                       F.avg("mean_nir").alias("mean_nir")))
 
 
+def _busy_cpu_s() -> float:
+    """Whole-machine busy CPU-seconds (/proc/stat) — the phase-robust
+    secondary metric from the BENCH/BASELINE.md protocol: the host's
+    effective clock oscillates ~1.6x between multi-minute phases, so wall
+    alone can report a 7x 'regression' on identical plans (VERDICT r2)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]
+    busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6] + vals[7]
+    return busy / os.sysconf("SC_CLK_TCK")
+
+
+def entry_flagship(spark):
+    """The driver-contract entry() query (sf0.001 WOfS + indices + cell
+    agg) — timed here so regressions on the contract path are visible
+    (VERDICT r2 #9)."""
+    import __spark_entry__ as entrymod
+
+    return entrymod.entry(spark)
+
+
 def main():
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from data_cube_utilities_spark.session import get_spark
@@ -111,7 +132,6 @@ def main():
     spark = get_spark("geocube-bench", cores=CPUS,
                       shuffle_partitions=max(CPUS, 32))
     reg = q.registry()
-    times: dict[str, float] = {}
 
     ensure_images(spark)
     # warm the JVM/Python workers once (untimed) — incl. the raster UDF
@@ -119,29 +139,37 @@ def main():
     _noop(reg["pricing_summary"][0](spark, SF_DIR))
     _noop(image_pipeline_full(spark))
 
-    def timed(make_df, reps: int = 2) -> float:
-        # min-of-reps: this host's effective clock oscillates between
-        # phases ~1.6x apart on multi-minute periods (BENCH/BASELINE.md
-        # protocol); a single-shot timing is phase luck.
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            _noop(make_df())
-            best = min(best, time.time() - t0)
-        return best
-
+    # name -> (thunk, extra_reps)
+    jobs: dict[str, tuple] = {}
     for name in HEADLINE:
         fn = reg[name][0]
-        times[name] = round(timed(lambda: fn(spark, SF_DIR)), 3)
-
+        jobs[name] = (lambda fn=fn: fn(spark, SF_DIR), 0)
+    jobs["entry_flagship"] = (lambda: entry_flagship(spark), 0)
     # the two long pipelines get a third rep: they are the most exposed to
     # a sustained slow clock phase (observed 2.1s vs 15.5s for identical
     # code across runs)
-    img_sec = timed(lambda: image_pipeline(spark), reps=3)
-    times["image_pipeline"] = round(img_sec, 3)
+    jobs["image_pipeline"] = (lambda: image_pipeline(spark), 1)
+    jobs["image_pipeline_full"] = (lambda: image_pipeline_full(spark), 1)
 
-    full_sec = timed(lambda: image_pipeline_full(spark), reps=3)
-    times["image_pipeline_full"] = round(full_sec, 3)
+    # Interleaved rounds (q1..qn, q1..qn, ...), min per query of both wall
+    # and busy-cpu: one slow clock phase can no longer poison a whole
+    # column of BENCH_r{N}.json (VERDICT r2 #5).
+    REPS = 2
+    walls: dict[str, list[float]] = {n: [] for n in jobs}
+    cpus_used: dict[str, list[float]] = {n: [] for n in jobs}
+    for rnd in range(REPS + 1):
+        for name, (thunk, extra) in jobs.items():
+            if rnd >= REPS + extra:
+                continue
+            c0, t0 = _busy_cpu_s(), time.time()
+            _noop(thunk())
+            walls[name].append(time.time() - t0)
+            cpus_used[name].append(_busy_cpu_s() - c0)
+
+    times = {n: round(min(w), 3) for n, w in walls.items()}
+    cpu_times = {n: round(min(c), 3) for n, c in cpus_used.items()}
+    img_sec = min(walls["image_pipeline"])
+    full_sec = min(walls["image_pipeline_full"])
 
     total = round(sum(times.values()), 3)
     result = {
@@ -149,6 +177,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "cpu_seconds": cpu_times,
         "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
         "throughput": {
             "image_rows": N_IMAGES,

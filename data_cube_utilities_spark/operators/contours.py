@@ -19,8 +19,13 @@ raster — so a driver-side walk is safe at scale, same bound as the
 vectorize_regions_global merge table).
 
 The interpolation contract matches find_contours: a contour vertex on the
-edge between pixels a and b sits at fraction (level - a) / (b - a); saddle
-cells are disambiguated by the cell's mean value, skimage's default.
+edge between pixels a and b sits at fraction (level - a) / (b - a).
+Saddle cells (cases 5/10) are disambiguated by the cell's MEAN value — a
+deliberate deviation from skimage, which resolves them with its
+vertex_connect_high flag (default False) irrespective of the mean
+(ADVICE r2). The mean rule is self-consistent and tile-invariant (the
+tiled==monolithic test pins it); contours through saddle cells can differ
+from dea_tools/skimage output there, and only there.
 Cells touching NaN are skipped (skimage masks them).
 """
 

@@ -25,6 +25,7 @@ This module reproduces that math exactly but Spark-first:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import Iterator
 
 import numpy as np
@@ -153,7 +154,20 @@ def fc_solve_np(feats: np.ndarray, A: np.ndarray | None = None) -> np.ndarray:
     """Exact batched NNLS: min ||A x - f|| s.t. x >= 0 for every row of
     `feats` at once. Enumerates the 8 active sets of the 3-variable problem;
     the minimum-residual feasible candidate is the NNLS optimum. Returns
-    (n_px, 3) float fractions (pre clip/scale)."""
+    (n_px, 3) float fractions (pre clip/scale).
+
+    Candidate selection is strict first-occurrence argmin (sequential
+    `r < best` — an exact later tie does NOT replace), the same convention
+    the generated-SQL twin (fc_pixel_sql) uses via least() + first-match
+    CASE, so both paths agree everywhere off measure-zero ties.
+
+    Rows containing clamped log(0) infinities (|feat| >= float32 max) are
+    routed through the pixel-wise Lawson-Hanson fallback: the batched
+    residual formula bb - 2(X.C) + XGX operates on ~1e77 magnitudes there
+    and candidate comparison drowns in cancellation (ADVICE r2). Such rows
+    are rare (a zero band value) by construction."""
+    from . import rasterops
+
     if A is None:
         A = fc_endmember_matrix()
     feats = np.asarray(feats, dtype=np.float64)
@@ -166,12 +180,16 @@ def fc_solve_np(feats: np.ndarray, A: np.ndarray | None = None) -> np.ndarray:
         C = feats @ A[:, S]                 # (n, |S|) = A_S^T b per row
         r = bb - 2.0 * (X * C).sum(axis=1) + np.einsum(
             "ni,ij,nj->n", X, G, X)
-        ok = (X >= -1e-12).all(axis=1) & (r < best_r - 1e-12)
+        ok = (X >= -1e-12).all(axis=1) & (r < best_r)
         if ok.any():
             best_r[ok] = r[ok]
             full = np.zeros((n, 3))
             full[:, S] = np.clip(X, 0.0, None)
             best_x[ok] = full[ok]
+    clamped = (np.abs(feats) >= float(np.finfo(np.float32).max)).any(axis=1)
+    if clamped.any():
+        for i in np.nonzero(clamped)[0]:
+            best_x[i] = rasterops.nnls_np(A, feats[i])
     return best_x
 
 
@@ -185,6 +203,122 @@ def frac_coverage_np(bands6: np.ndarray, clean: np.ndarray | None = None) -> np.
     if clean is not None:
         out[~np.asarray(clean, dtype=bool)] = NODATA
     return out
+
+
+# ---------------------------------------------------------------------------
+# generated-SQL twin: the whole 64-feature design + exact active-set NNLS as
+# one engine-agnostic SQL string (the simhash codegen trick, textops.py) —
+# runs identically on Spark SQL and DuckDB, which makes it the driver oracle
+# for the numpy kernel (VERDICT r2 next-round #1).
+#
+# Cross-engine bit-parity rules (probed empirically this round):
+#   * every float literal is emitted in scientific notation — DuckDB parses
+#     a long plain decimal literal as DECIMAL(18,x), silently shifting the
+#     whole expression off double arithmetic (780/1000 rows differed);
+#     with .17e literals a 64-term left-assoc double chain is bit-identical
+#     between Spark codegen and DuckDB.
+#   * neither engine reassociates double + / * chains, so identical
+#     expression trees evaluate identically; the ONLY remaining divergence
+#     is ln() (1-ulp differences on ~8% of inputs), which is ~1e-15
+#     relative noise against O(1e-3) candidate-residual separations —
+#     flips are measure-zero and the checker/driver verify empirically.
+#   * inputs must be strictly positive (callers gate zero bands as nodata);
+#     the clamped-log path stays numpy-only (see fc_solve_np).
+# ---------------------------------------------------------------------------
+
+def _lit(v: float) -> str:
+    return format(float(v), ".17e")
+
+
+def fc_pixel_sql(source: str, passthrough: Sequence[str] = (),
+                 band_cols: Sequence[str] = ("blue", "green", "red",
+                                             "nir", "swir1", "swir2"),
+                 cte: bool = True, wrap_as: str | None = None) -> str:
+    """SQL that maps each row of `source` (a relation or parenthesized
+    subquery exposing the six integer band columns) to its PV/NPV/BS int
+    percents — the exact frac_coverage_np contract for positive bands:
+    64-feature design, first-occurrence-argmin active-set NNLS,
+    floor(clip(x, 0, 2.54) * 100).
+
+    Returns a complete SELECT (wrapped in WITH when `cte`); identical text
+    runs on Spark SQL and DuckDB."""
+    A = fc_endmember_matrix()
+    pas = "".join(f"{c}, " for c in passthrough)
+
+    # stage 1: scaled bands + logs
+    s_cols = ", ".join(
+        f"CAST({b} AS DOUBLE) * 1.0e-4 AS s{i}" for i, b in enumerate(band_cols))
+    l_cols = ", ".join(f"ln(CAST({b} AS DOUBLE) * 1.0e-4) AS l{i}"
+                       for i, b in enumerate(band_cols))
+
+    # stage 2: the 64 features in the reference's construction order
+    feats: list[str] = [f"s{i}" for i in range(6)]
+    feats += [f"l{i}" for i in range(6)]
+    feats += [f"s{i} * l{i}" for i in range(6)]
+    feats += [f"s{i} * s{j}" for i, j in _PAIRS]
+    feats += [f"l{i} * l{j}" for i, j in _PAIRS]
+    feats += [f"(s{j} - s{i}) / (s{j} + s{i})" for i, j in _PAIRS]
+    feats.append("1.0e0")
+    f_cols = ", ".join(f"{e} AS f{m}" for m, e in enumerate(feats))
+
+    # stage 3: bb + per-subset coefficients xr and correlations c
+    def dot(vec) -> str:
+        return " + ".join(f"{_lit(vec[m])} * f{m}" for m in range(64))
+
+    bb = " + ".join(f"f{m} * f{m}" for m in range(64))
+    x_cols, r_exprs = [], {}
+    for S, P, G in _subset_solvers(A):
+        mask = sum(1 << j for j in S)
+        for k in range(len(S)):
+            x_cols.append(f"{dot(P[k])} AS xr_{mask}_{k}")
+            x_cols.append(f"{dot(A[:, S[k]])} AS c_{mask}_{k}")
+        xc = " + ".join(f"xr_{mask}_{k} * c_{mask}_{k}" for k in range(len(S)))
+        quad = " + ".join(f"{_lit(G[k, l])} * xr_{mask}_{k} * xr_{mask}_{l}"
+                          for k in range(len(S)) for l in range(len(S)))
+        r_exprs[mask] = f"bb - 2.0e0 * ({xc}) + ({quad})"
+
+    # stage 4: feasibility-gated residuals (er_0 = empty set, always feasible)
+    er_cols = ["bb AS er_0"]
+    for S, _, _ in _subset_solvers(A):
+        mask = sum(1 << j for j in S)
+        feas = " AND ".join(f"xr_{mask}_{k} >= -1.0e-12"
+                            for k in range(len(S)))
+        er_cols.append(
+            f"CASE WHEN {feas} THEN {r_exprs[mask]} ELSE 1.0e308 END"
+            f" AS er_{mask}")
+
+    masks = [sum(1 << j for j in S) for S, _, _ in _subset_solvers(A)]
+    rmin = "LEAST(" + ", ".join(["er_0"] + [f"er_{m}" for m in masks]) + ")"
+    # first-occurrence argmin, same order as the numpy loop (empty, mask 1..7)
+    w = ("CASE WHEN er_0 = rmin THEN 0 "
+         + " ".join(f"WHEN er_{m} = rmin THEN {m}" for m in masks) + " END")
+
+    outs = []
+    for j, name in enumerate(("pv", "npv", "bs")):
+        arms = []
+        for S, _, _ in _subset_solvers(A):
+            mask = sum(1 << j2 for j2 in S)
+            if j in S:
+                arms.append(f"WHEN {mask} THEN xr_{mask}_{S.index(j)}")
+        sel = f"CASE w WHEN 0 THEN 0.0e0 {' '.join(arms)} ELSE 0.0e0 END"
+        outs.append(
+            f"CAST(FLOOR(LEAST(GREATEST({sel}, 0.0e0), 2.54e0) * 1.0e2)"
+            f" AS BIGINT) AS {name}")
+
+    final = f"SELECT {pas}{', '.join(outs)} FROM fc_v"
+    ctes = (
+        f"fc_s AS (SELECT {pas}{s_cols}, {l_cols} FROM {source}),\n"
+        f"fc_f AS (SELECT {pas}{f_cols} FROM fc_s),\n"
+        f"fc_x AS (SELECT *, {bb} AS bb, {', '.join(x_cols)} FROM fc_f),\n"
+        f"fc_r AS (SELECT *, {', '.join(er_cols)} FROM fc_x),\n"
+        f"fc_w AS (SELECT *, {rmin} AS rmin FROM fc_r),\n"
+        f"fc_v AS (SELECT *, {w} AS w FROM fc_w)")
+    if wrap_as:
+        # CTE-list fragment — caller appends its own final SELECT:
+        #   WITH <their ctes>, <this>, ...  SELECT ... FROM <wrap_as>
+        return f"{ctes},\n{wrap_as} AS ({final})"
+    body = f"{ctes}\n{final}"
+    return "WITH " + body if cte else body
 
 
 FC_SCHEMA = ("image_id string, w int, h int, fc binary, n_clean long, "

@@ -32,15 +32,49 @@ from pyspark.sql import functions as F
 # k-means: Lloyd fit on a sample, codegen assignment
 # ---------------------------------------------------------------------------
 
+def _fit_sample(df: DataFrame, cols: Sequence[str], sample_rows: int,
+                seed: int, n_rows: int | None = None) -> pd.DataFrame:
+    """Bounded deterministic fit-stage sample in ONE job (VERDICT r2 #7).
+
+    With ``n_rows`` (caller already knows the table size) the exact-fraction
+    Bernoulli sample is used. Without it, the old path ran a full count()
+    job first; instead each partition now contributes its first
+    ceil(sample_rows / n_partitions) rows via a single mapInPandas pass —
+    every partition is represented (no first-partitions limit() bias), no
+    shuffle, no count job — and the driver thins any surplus with a seeded
+    rng. Partition-head order is parquet scan order, which is arbitrary
+    with respect to values; fine for fit-stage initialization."""
+    sel = df.select(*cols)
+    if n_rows is not None:
+        frac = min(1.0, sample_rows / max(n_rows, 1))
+        return sel.sample(frac, seed=seed).limit(sample_rows).toPandas()
+    n_parts = max(1, sel.rdd.getNumPartitions())
+    cap = -(-sample_rows // n_parts)   # ceil
+
+    def head_cap(batches):
+        left = cap
+        for b in batches:
+            if left <= 0:
+                break
+            out = b.iloc[:left]
+            left -= len(out)
+            yield out
+
+    pdf = sel.mapInPandas(head_cap, schema=sel.schema).toPandas()
+    if len(pdf) > sample_rows:
+        rng = np.random.RandomState(seed)
+        pdf = pdf.iloc[np.sort(rng.choice(len(pdf), sample_rows,
+                                          replace=False))]
+    return pdf.reset_index(drop=True)
+
+
 def kmeans_fit(df: DataFrame, feature_cols: Sequence[str], k: int,
                sample_rows: int = 100_000, max_iter: int = 50,
-               seed: int = 42) -> np.ndarray:
+               seed: int = 42, n_rows: int | None = None) -> np.ndarray:
     """Fit k centroids with Lloyd's algorithm on a deterministic sample
     (k-means++-style farthest-point seeding). Returns (k, d) centers."""
-    n = df.count()
-    frac = min(1.0, sample_rows / max(n, 1))
-    sample = (df.select(*feature_cols).sample(frac, seed=seed)
-                .limit(sample_rows).toPandas().to_numpy(dtype=np.float64))
+    sample = _fit_sample(df, feature_cols, sample_rows, seed,
+                         n_rows).to_numpy(dtype=np.float64)
     sample = sample[~np.isnan(sample).any(axis=1)]
     return _lloyd_np(sample, k, max_iter=max_iter, seed=seed)
 
@@ -81,15 +115,14 @@ def kmeans_cluster(df: DataFrame, feature_cols: Sequence[str], k: int,
 
 def kmeans_tree_fit(df: DataFrame, feature_cols: Sequence[str],
                     n_levels: int = 2, n_clusters: int = 3,
-                    sample_rows: int = 100_000, seed: int = 42):
+                    sample_rows: int = 100_000, seed: int = 42,
+                    n_rows: int | None = None):
     """Hierarchical k-means (dea classification.py:797-908 KMeans_tree):
     fit k clusters, then recursively fit k children on each partition of
     the sample. Returns a nested dict {centers, children} mirroring the
     reference's branches; labels compose as base * k^(levels-1) + child."""
-    n = df.count()
-    frac = min(1.0, sample_rows / max(n, 1))
-    X = (df.select(*feature_cols).sample(frac, seed=seed)
-           .limit(sample_rows).toPandas().to_numpy(dtype=np.float64))
+    X = _fit_sample(df, feature_cols, sample_rows, seed,
+                    n_rows).to_numpy(dtype=np.float64)
     X = X[~np.isnan(X).any(axis=1)]
 
     def fit_node(Xn, levels, node_seed):
@@ -211,16 +244,15 @@ def spatial_kfold(df: DataFrame, n_splits: int, x_col: str = "x",
 
 def svm_fit(df: DataFrame, feature_cols: Sequence[str], label_col: str,
             reg: float = 1e-3, epochs: int = 20,
-            sample_rows: int = 100_000, seed: int = 42):
+            sample_rows: int = 100_000, seed: int = 42,
+            n_rows: int | None = None):
     """Linear SVM via Pegasos SGD on a deterministic sample — the trainer
     behind a wasard-style classifier (wasard.py:19-210 trains an sklearn
     SVC on SAR bands against WOfS water labels; linear kernel is its
     documented default configuration). Labels are 0/1; features are
     z-scored internally. Returns (w, b, mean, std)."""
-    n = df.count()
-    frac = min(1.0, sample_rows / max(n, 1))
-    pdf = (df.select(*feature_cols, label_col).sample(frac, seed=seed)
-             .limit(sample_rows).toPandas().dropna())
+    pdf = _fit_sample(df, list(feature_cols) + [label_col], sample_rows,
+                      seed, n_rows).dropna()
     X = pdf[list(feature_cols)].to_numpy(dtype=np.float64)
     y = pdf[label_col].to_numpy(dtype=np.float64) * 2.0 - 1.0   # {0,1}->{-1,1}
     mean, std = X.mean(axis=0), X.std(axis=0)
@@ -256,7 +288,8 @@ def svm_classify_col(feature_cols: Sequence[str], w: np.ndarray, b: float,
 
 def birch_fit(df: DataFrame, feature_cols: Sequence[str], n_clusters: int,
               threshold: float = 0.5, max_subclusters: int = 256,
-              sample_rows: int = 100_000, seed: int = 42):
+              sample_rows: int = 100_000, seed: int = 42,
+              n_rows: int | None = None):
     """BIRCH fit (dc_clustering.py:122-157 wraps sklearn.Birch; this is a
     real CF implementation, not a k-means stand-in):
 
@@ -272,10 +305,8 @@ def birch_fit(df: DataFrame, feature_cols: Sequence[str], n_clusters: int,
     Returns (subcenters (m, d), labels (m,)): a point is assigned to its
     nearest SUBCLUSTER, whose global label it inherits — exactly the
     two-stage Birch.predict contract."""
-    n = df.count()
-    frac = min(1.0, sample_rows / max(n, 1))
-    X = (df.select(*feature_cols).sample(frac, seed=seed)
-           .limit(sample_rows).toPandas().to_numpy(dtype=np.float64))
+    X = _fit_sample(df, feature_cols, sample_rows, seed,
+                    n_rows).to_numpy(dtype=np.float64)
     X = X[~np.isnan(X).any(axis=1)]
 
     def build(thr):
@@ -351,12 +382,20 @@ def birch_cluster(df: DataFrame, feature_cols: Sequence[str],
 # per-series curve fitting (grouped-map)
 # ---------------------------------------------------------------------------
 
+def _key_schema(df: DataFrame, key_list: Sequence[str]) -> str:
+    """Grouping-key schema fragment derived from the upstream DataFrame —
+    hardcoding `long`/`string` broke applyInPandas for any other key type
+    (ADVICE r2); same pattern as temporal.lag_linregress."""
+    return ", ".join(f"{k} {df.schema[k].dataType.simpleString()}"
+                     for k in key_list)
+
+
 def poly_fit(df: DataFrame, keys: Sequence[str], x_col: str, y_col: str,
              degree: int = 2) -> DataFrame:
     """Per-group np.polyfit; returns one row per group with coef array
     (highest power first, numpy convention) and R^2."""
     key_list = list(keys)
-    schema = (", ".join(f"{k} string" for k in key_list)
+    schema = (_key_schema(df, key_list)
               + ", coefs array<double>, r2 double, n int")
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -388,7 +427,7 @@ def fourier_fit_features(df: DataFrame, keys: Sequence[str], time_col: str,
     first n_coefs non-DC coefficients, mean change, mean abs change,
     complexity (sqrt of sum of squared diffs)."""
     key_list = list(keys)
-    schema = (", ".join(f"{k} long" for k in key_list)
+    schema = (_key_schema(df, key_list)
               + ", " + ", ".join(f"f{i+1} double" for i in range(n_coefs))
               + ", mean_change double, mean_abs_change double, "
                 "complexity double, n int")
@@ -481,7 +520,7 @@ def gaussian_fit(df: DataFrame, keys: Sequence[str], x_col: str,
     center, sigma, R^2 and n, completing the poly/fourier/gaussian curve
     family without scipy."""
     key_list = list(keys)
-    schema = (", ".join(f"{k} string" for k in key_list)
+    schema = (_key_schema(df, key_list)
               + ", a double, x0 double, sigma double, r2 double, n int")
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -591,7 +630,7 @@ def temporal_statistics(df: DataFrame, keys: Sequence[str], time_col: str,
             out_cols += [f"{s}_n{k}" for k in (1, 2, 3)]
         else:
             out_cols.append(s)
-    schema = (", ".join(f"{k} long" for k in key_list)
+    schema = (_key_schema(df, key_list)
               + ", " + ", ".join(f"{c} double" for c in out_cols)
               + ", n int")
     sort_cols = [time_col, *list(tiebreak)]

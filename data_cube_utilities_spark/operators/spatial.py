@@ -311,6 +311,10 @@ def knn(queries: DataFrame, targets: DataFrame, k: int, res: int = 7,
                              **{kk: v for kk, v in kw.items()
                                 if kk in ("qx", "qy", "qid", "tx", "ty", "tid")})
         kw.setdefault("n_targets", nt)
+    # forward the caller's size hint on the big-query path too (ADVICE r2:
+    # it was silently dropped exactly where inputs are largest)
+    if n_targets is not None:
+        kw.setdefault("n_targets", n_targets)
     return knn_cells(queries, targets, k, res, **kw)
 
 def knn_brute(queries: DataFrame, targets: DataFrame, k: int,

@@ -226,15 +226,16 @@ def q_find_gaps(spark, sf_dir):
     e = _t(spark, sf_dir, "events").filter(F.col("value") > 75)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = _us("ts") - _us(F.lag("ts").over(w))
-    # Mean via exact int64 sum + ONE double division (in seconds): avg() over
-    # microsecond magnitudes needs 15 significant digits and summation-order
-    # jitter flips the 4th decimal between engines (CORRECTNESS_r01 hash fail).
+    # Exact integers only (VERDICT r2 #2): the r1 rounded mean landed on a
+    # half-way tie (…3507465) that Spark's BigDecimal HALF_UP and DuckDB's
+    # multiply-rint round differently. gap_sum + floor-division micros are
+    # tie-free by construction; the caller derives any float mean it wants.
     return (e.withColumn("gap", gap)
              .filter(F.col("gap").isNotNull())
              .groupBy("user_id")
              .agg(F.min("gap").alias("gap_min"),
-                  F.round(F.sum("gap").cast("double") / F.count("*") / 1e6,
-                          6).alias("gap_mean_s"),
+                  F.sum("gap").alias("gap_sum"),
+                  F.expr("sum(gap) DIV count(*)").alias("gap_mean_us"),
                   F.max("gap").alias("gap_max"),
                   F.count("*").alias("n_gaps")))
 
@@ -245,28 +246,59 @@ g AS (SELECT user_id,
              epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
       FROM f)
 SELECT user_id, min(gap) AS gap_min,
-       round(CAST(sum(gap) AS DOUBLE) / count(*) / 1000000, 6) AS gap_mean_s,
+       CAST(sum(gap) AS BIGINT) AS gap_sum,
+       CAST(CAST(sum(gap) AS BIGINT) // count(*) AS BIGINT) AS gap_mean_us,
        max(gap) AS gap_max, count(*) AS n_gaps
 FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 
 def q_trend_slope(spark, sf_dir):
-    """trend.linear (trend.py:30-71): per-series OLS slope as
-    covar_pop/var_pop — no UDF needed (SURVEY.md 2.8)."""
+    """trend.linear (trend.py:30-71): per-series OLS slope. Exact integer
+    accumulation (VERDICT r2 medicine, generalizing the find_gaps fix):
+    built-in covar_pop/var_pop use different update algorithms per engine
+    and the rounded quotient straddled a 1e-10 grid boundary. Here t is
+    rebased integer seconds and value an exact 1e6-scaled integer, all four
+    sums are exact (decimal(38,0) / hugeint), and the slope is ONE double
+    division over identical integers — bit-identical pre-round on both
+    engines, so the final round can never tie apart."""
     e = _t(spark, sf_dir, "events")
-    t = F.unix_timestamp("ts").cast("double")
-    return (e.groupBy("user_id")
-             .agg(F.round(F.covar_pop(t, F.col("value"))
-                          / F.var_pop(t), 10).alias("slope"),
-                  F.count("*").alias("n"))
-             .filter(F.col("n") >= 5).drop("n"))
+    t_s = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+    w = Window.partitionBy("user_id")
+    b = (e.withColumn("t_s", t_s)
+          .withColumn("t_rel", F.col("t_s") - F.min("t_s").over(w))
+          .withColumn("v6", F.round(F.col("value") * 1e6, 0).cast("long")))
+    dec = "decimal(38,0)"
+    g = b.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("t_rel").cast(dec)).alias("s_t"),
+        F.sum(F.col("v6").cast(dec)).alias("s_v"),
+        F.sum((F.col("t_rel") * F.col("v6")).cast(dec)).alias("s_tv"),
+        F.sum((F.col("t_rel") * F.col("t_rel")).cast(dec)).alias("s_t2"))
+    n_d = F.col("n").cast(dec)
+    num = (n_d * F.col("s_tv") - F.col("s_t") * F.col("s_v")).cast("double")
+    den = (n_d * F.col("s_t2") - F.col("s_t") * F.col("s_t")).cast("double")
+    return (g.filter(F.col("n") >= 5)
+             .select("user_id", F.round(num / den / 1e6, 10).alias("slope")))
 
 
 SQL_TREND_SLOPE = """
+WITH b AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000
+           - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS t_rel,
+         CAST(round(value * 1.0e6) AS BIGINT) AS v6
+  FROM events),
+g AS (SELECT user_id, count(*) AS n,
+             CAST(sum(t_rel) AS HUGEINT) AS s_t,
+             CAST(sum(v6) AS HUGEINT) AS s_v,
+             CAST(sum(t_rel * v6) AS HUGEINT) AS s_tv,
+             CAST(sum(t_rel * t_rel) AS HUGEINT) AS s_t2
+      FROM b GROUP BY user_id)
 SELECT user_id,
-       round(covar_pop(epoch(ts), value) / var_pop(epoch(ts)), 10) AS slope
-FROM events GROUP BY user_id HAVING count(*) >= 5
+       round(CAST(n * s_tv - s_t * s_v AS DOUBLE)
+             / CAST(n * s_t2 - s_t * s_t AS DOUBLE) / 1.0e6, 10) AS slope
+FROM g WHERE n >= 5
 """
 
 
@@ -503,20 +535,28 @@ def q_anti_join_quality_gate(spark, sf_dir):
     """find_desired_acq_inds / load_ard quality gate (dc_load.py:338-379):
     drop groups failing an aggregate predicate via anti join."""
     li = _t(spark, sf_dir, "lineitem")
+    # Exact-integer gate: avg(double discount) > 0.05 flips boundary groups
+    # between engines (summation-order ulps on groups whose true avg IS
+    # 0.05) — at sf0.1 that moved whole orders in/out of the anti join.
+    # avg(d) > 0.05  <=>  sum(d*100 as int) > 5*count, exactly.
+    d100 = F.round(F.col("l_discount") * 100, 0).cast("long")
     bad = (li.groupBy("l_orderkey")
-             .agg(F.avg("l_discount").alias("d"))
-             .filter(F.col("d") > 0.05).select("l_orderkey"))
+             .agg(F.sum(d100).alias("s"), F.count("*").alias("c"))
+             .filter(F.col("s") > 5 * F.col("c")).select("l_orderkey"))
     kept = li.join(bad, "l_orderkey", "left_anti")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     return kept.agg(F.count("*").alias("n_rows"),
                     F.countDistinct("l_orderkey").alias("n_orders"),
-                    F.round(F.sum("l_extendedprice"), 2).alias("kept_value"))
+                    F.round(F.sum(cents).cast("double") / 100.0, 2)
+                     .alias("kept_value"))
 
 
 SQL_ANTI_JOIN_GATE = """
 WITH bad AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-             HAVING avg(l_discount) > 0.05)
+             HAVING sum(CAST(round(l_discount * 100) AS BIGINT)) > 5 * count(*))
 SELECT count(*) AS n_rows, count(DISTINCT l.l_orderkey) AS n_orders,
-       round(sum(l_extendedprice), 2) AS kept_value
+       round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 100.0, 2) AS kept_value
 FROM lineitem l WHERE l.l_orderkey NOT IN (SELECT l_orderkey FROM bad)
 """
 
@@ -956,39 +996,64 @@ JOIN eos ON st.user_id = eos.user_id
 """
 
 
+_FC_BANDS = ("blue", "green", "red", "nir", "swir1", "swir2")
+
+
 def q_frac_coverage(spark, sf_dir):
     """frac_coverage_classify end-to-end (dc_fractional_coverage_classifier
-    .py:23-145): 64-feature design + batched active-set NNLS unmixing per
-    pixel row, aggregated per flag. Genuinely non-SQL (NNLS optimizer) —
-    no oracle entry; the driver records the rows-only check."""
+    .py:23-145): 64-feature design + batched exact active-set NNLS unmixing
+    per pixel, summed per flag. Spark side runs the REAL numpy kernel
+    (frac_coverage_np via mapInPandas); the oracle is the generated-SQL
+    twin (fractional_cover.fc_pixel_sql) evaluating the same math in pure
+    SQL. Sampling is on l_partkey (r2 fix: l_orderkey%50 implied %10==0 ==
+    always-cloud, so the clean filter dropped every row); zero-valued bands
+    are gated as nodata so the clamped-log path stays out of the oracle.
+    Exact integer sums — no float rounding to tie."""
     import numpy as np
     import pandas as pd
 
     from .operators import fractional_cover as fc_mod
 
     px = (_lineitem_bands(spark, sf_dir)
-          .filter(F.col("l_orderkey") % 50 == 0)   # deterministic 2% sample
-          .select("l_returnflag", "blue", "green", "red", "nir",
-                  "swir1", "swir2", "pixel_qa"))
+          .filter((F.col("l_partkey") % 50 == 0)            # 2% sample
+                  & (F.expr("pixel_qa & 6") != 0)           # clear/water
+                  & (F.least(*_FC_BANDS) > 0))              # nodata gate
+          .select("l_returnflag", *_FC_BANDS))
 
     def kern(batches):
         for b in batches:
-            bands = b[["blue", "green", "red", "nir",
-                       "swir1", "swir2"]].to_numpy(np.float64)
-            clean = (b["pixel_qa"].to_numpy(np.int64) & 6) != 0
-            out = fc_mod.frac_coverage_np(bands, clean)
+            bands = b[list(_FC_BANDS)].to_numpy(np.float64)
+            out = fc_mod.frac_coverage_np(bands).astype(np.int64)
             yield pd.DataFrame({"l_returnflag": b["l_returnflag"],
                                 "pv": out[:, 0], "npv": out[:, 1],
-                                "bs": out[:, 2], "clean": clean})
+                                "bs": out[:, 2]})
 
     rows = px.mapInPandas(
-        kern, "l_returnflag string, pv int, npv int, bs int, clean boolean")
-    return (rows.filter("clean")
-                .groupBy("l_returnflag")
+        kern, "l_returnflag string, pv long, npv long, bs long")
+    return (rows.groupBy("l_returnflag")
                 .agg(F.count("*").alias("n_px"),
-                     F.round(F.avg("pv"), 4).alias("mean_pv"),
-                     F.round(F.avg("npv"), 4).alias("mean_npv"),
-                     F.round(F.avg("bs"), 4).alias("mean_bs")))
+                     F.sum("pv").alias("sum_pv"),
+                     F.sum("npv").alias("sum_npv"),
+                     F.sum("bs").alias("sum_bs")))
+
+
+def _sql_frac_coverage() -> str:
+    from .operators import fractional_cover as fc_mod
+
+    bands = ",\n       ".join(f"{BANDS_SQL[b]} AS {b}" for b in _FC_BANDS)
+    least = ", ".join(_FC_BANDS)
+    return (
+        f"WITH fc_src AS (SELECT l_returnflag,\n       {bands},\n"
+        f"       {QA_SQL} AS pixel_qa\n"
+        f"  FROM lineitem WHERE l_partkey % 50 = 0),\n"
+        f"fc_cl AS (SELECT l_returnflag, {least} FROM fc_src\n"
+        f"  WHERE (pixel_qa & 6) <> 0 AND least({least}) > 0),\n"
+        + fc_mod.fc_pixel_sql("fc_cl", ["l_returnflag"], wrap_as="fc_out")
+        + "\nSELECT l_returnflag, count(*) AS n_px,\n"
+          "       CAST(sum(pv) AS BIGINT) AS sum_pv,\n"
+          "       CAST(sum(npv) AS BIGINT) AS sum_npv,\n"
+          "       CAST(sum(bs) AS BIGINT) AS sum_bs\n"
+          "FROM fc_out GROUP BY l_returnflag")
 
 
 def q_mostcommon_crs(spark, sf_dir):
@@ -1007,30 +1072,75 @@ GROUP BY event_type ORDER BY n DESC, event_type LIMIT 1
 
 def q_lag_linregress(spark, sf_dir):
     """lag_linregress_3D moments (dea temporal.py:811-881): the four
-    SQL-expressible outputs (cov/cor/slope/intercept; the p-value needs a
-    t-CDF and is covered by pytest parity instead)."""
-    from .operators import temporal as T
-
+    SQL-expressible outputs — cov/cor/slope/intercept of value against
+    time (p-value needs a t-CDF; the full operator temporal.lag_linregress
+    is pinned by pytest parity). Driver-contract projection: built-in
+    covar_pop/var_pop use engine-specific co-moment updates whose ulps
+    straddled the round grid at sf0.1, so the moments are computed from
+    exact integer sums (rebased seconds x 1e6-scaled value; decimal(38,0)
+    here, HUGEINT in the oracle) and every float op downstream runs on
+    bit-identical inputs in both engines."""
     e = _t(spark, sf_dir, "events")
-    t = F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 1e6
-    out = T.lag_linregress(e.withColumn("_t", t), ["user_id"],
-                           "_t", "value", "ts", tiebreak=["event_id"])
-    return out.select("user_id", "n",
-                      F.round("cov", 4).alias("cov"),
-                      F.round("cor", 6).alias("cor"),
-                      F.round(F.col("slope") * 1e6, 6).alias("slope_per_ms"),
-                      F.round("intercept", 4).alias("intercept"))
+    t_s = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+    w = Window.partitionBy("user_id")
+    b = (e.withColumn("t_s", t_s)
+          .withColumn("t_min", F.min("t_s").over(w))
+          .withColumn("t_rel", F.col("t_s") - F.col("t_min"))
+          .withColumn("v6", F.round(F.col("value") * 1e6, 0).cast("long")))
+    dec = "decimal(38,0)"
+    g = b.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.min("t_min").alias("t0"),
+        F.sum(F.col("t_rel").cast(dec)).alias("s_t"),
+        F.sum(F.col("v6").cast(dec)).alias("s_v"),
+        F.sum((F.col("t_rel") * F.col("v6")).cast(dec)).alias("s_tv"),
+        F.sum((F.col("t_rel") * F.col("t_rel")).cast(dec)).alias("s_t2"),
+        F.sum((F.col("v6") * F.col("v6")).cast(dec)).alias("s_v2"))
+    n_d = F.col("n").cast(dec)
+    ntv = (n_d * F.col("s_tv") - F.col("s_t") * F.col("s_v")).cast("double")
+    ntt = (n_d * F.col("s_t2") - F.col("s_t") * F.col("s_t")).cast("double")
+    nvv = (n_d * F.col("s_v2") - F.col("s_v") * F.col("s_v")).cast("double")
+    nn = F.col("n").cast("double")
+    cov = ntv / nn / nn / 1e6
+    slope6 = ntv / ntt                       # = slope * 1e6 (v per second)
+    mean_t = F.col("s_t").cast("double") / nn + F.col("t0").cast("double")
+    mean_v = F.col("s_v").cast("double") / nn / 1e6
+    return g.select(
+        "user_id", "n",
+        F.round(cov, 4).alias("cov"),
+        F.round(ntv / F.sqrt(ntt * nvv), 6).alias("cor"),
+        F.round(slope6, 6).alias("slope_per_ms"),
+        F.round(mean_v - slope6 / 1e6 * mean_t, 4).alias("intercept"))
 
 
 SQL_LAG_LINREGRESS = """
-WITH s AS (SELECT user_id, epoch_us(ts) / 1000000.0 AS t, value FROM events)
-SELECT user_id, count(*) AS n,
-       round(covar_pop(t, value), 4) AS cov,
-       round(corr(t, value), 6) AS cor,
-       round(covar_pop(t, value) / var_pop(t) * 1000000.0, 6) AS slope_per_ms,
-       round(avg(value) - covar_pop(t, value) / var_pop(t) * avg(t), 4)
-         AS intercept
-FROM s GROUP BY user_id
+WITH b AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 AS t_s,
+         min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS t_min,
+         CAST(round(value * 1.0e6) AS BIGINT) AS v6
+  FROM events),
+g AS (SELECT user_id, count(*) AS n, min(t_min) AS t0,
+             CAST(sum(t_s - t_min) AS HUGEINT) AS s_t,
+             CAST(sum(v6) AS HUGEINT) AS s_v,
+             CAST(sum((t_s - t_min) * v6) AS HUGEINT) AS s_tv,
+             CAST(sum((t_s - t_min) * (t_s - t_min)) AS HUGEINT) AS s_t2,
+             CAST(sum(v6 * v6) AS HUGEINT) AS s_v2
+      FROM b GROUP BY user_id)
+SELECT user_id, n,
+       round(CAST(n * s_tv - s_t * s_v AS DOUBLE)
+             / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6, 4) AS cov,
+       round(CAST(n * s_tv - s_t * s_v AS DOUBLE)
+             / sqrt(CAST(n * s_t2 - s_t * s_t AS DOUBLE)
+                    * CAST(n * s_v2 - s_v * s_v AS DOUBLE)), 6) AS cor,
+       round(CAST(n * s_tv - s_t * s_v AS DOUBLE)
+             / CAST(n * s_t2 - s_t * s_t AS DOUBLE), 6) AS slope_per_ms,
+       round(CAST(s_v AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6
+             - CAST(n * s_tv - s_t * s_v AS DOUBLE)
+               / CAST(n * s_t2 - s_t * s_t AS DOUBLE) / 1.0e6
+               * (CAST(s_t AS DOUBLE) / CAST(n AS DOUBLE)
+                  + CAST(t0 AS DOUBLE)), 4) AS intercept
+FROM g
 """
 
 
@@ -1040,30 +1150,44 @@ def q_temporal_change_stats(spark, sf_dir):
     SQL-expressible subset of mlops.temporal_statistics."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    d = F.col("value") - F.lag("value").over(w)
-    g = e.withColumn("d", d).filter(F.col("d").isNotNull())
+    # exact 1e6-scaled integer deltas: double avg/sum ulps straddled the
+    # round grid between engines at sf0.1; integer sums + one double
+    # division chain are bit-identical (same medicine as trend_slope)
+    v6 = F.round(F.col("value") * 1e6, 0).cast("long")
+    d6 = v6 - F.lag(v6).over(w)
+    g = e.withColumn("d6", d6).filter(F.col("d6").isNotNull())
+    dec = "decimal(38,0)"
+    nn = F.count("*").cast("double")
     return (g.groupBy("user_id")
-             .agg(F.round(F.avg("d"), 6).alias("mean_change"),
-                  F.round(F.expr("percentile(d, 0.5)"), 6).alias("median_change"),
-                  F.round(F.avg(F.abs("d")), 6).alias("abs_change"),
-                  F.round(F.sqrt(F.sum(F.col("d") * F.col("d"))), 4)
-                   .alias("complexity"),
+             .agg(F.round(F.sum(F.col("d6").cast(dec)).cast("double")
+                          / nn / 1e6, 6).alias("mean_change"),
+                  F.round(F.expr("percentile(d6, 0.5)") / 1e6,
+                          6).alias("median_change"),
+                  F.round(F.sum(F.abs("d6").cast(dec)).cast("double")
+                          / nn / 1e6, 6).alias("abs_change"),
+                  F.round(F.sqrt(F.sum((F.col("d6") * F.col("d6"))
+                                       .cast(dec)).cast("double")) / 1e6,
+                          4).alias("complexity"),
                   F.count("*").alias("n_diffs")))
 
 
 SQL_TEMPORAL_CHANGE = """
 WITH d AS (
   SELECT user_id,
-         value - lag(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS d
+         CAST(round(value * 1.0e6) AS BIGINT)
+           - lag(CAST(round(value * 1.0e6) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d6
   FROM events)
 SELECT user_id,
-       round(avg(d), 6) AS mean_change,
-       round(quantile_cont(d, 0.5), 6) AS median_change,
-       round(avg(abs(d)), 6) AS abs_change,
-       round(sqrt(sum(d * d)), 4) AS complexity,
+       round(CAST(CAST(sum(d6) AS HUGEINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1.0e6, 6) AS mean_change,
+       round(quantile_cont(d6, 0.5) / 1.0e6, 6) AS median_change,
+       round(CAST(CAST(sum(abs(d6)) AS HUGEINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1.0e6, 6) AS abs_change,
+       round(sqrt(CAST(CAST(sum(d6 * d6) AS HUGEINT) AS DOUBLE)) / 1.0e6, 4)
+         AS complexity,
        count(*) AS n_diffs
-FROM d WHERE d IS NOT NULL GROUP BY user_id
+FROM d WHERE d6 IS NOT NULL GROUP BY user_id
 """
 
 
@@ -1106,7 +1230,7 @@ GROUP_A = {
     "smooth": (q_smooth, SQL_SMOOTH),
     "calendar_grouping": (q_calendar_grouping, SQL_CALENDAR_GROUPING),
     "phenology": (q_phenology, SQL_PHENOLOGY),
-    "frac_coverage": (q_frac_coverage, None),
+    "frac_coverage": (q_frac_coverage, _sql_frac_coverage()),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),

@@ -120,3 +120,67 @@ def test_frac_coverage_classify_spark(spark):
     got = np.frombuffer(bytes(r.fc), dtype=np.int16).reshape(r.h, r.w, 3)
     assert (got.reshape(-1, 3) == exp).all()
     assert r.n_clean == int(clean.sum())
+
+
+# ---------------------------------------------------------------------------
+# generated-SQL twin (fc_pixel_sql): the driver oracle for the numpy kernel
+# ---------------------------------------------------------------------------
+
+def _rand_bands(n, seed, zero_rows=0):
+    rng = np.random.RandomState(seed)
+    bands = rng.randint(1, 5000, size=(n, 6)).astype(np.int64)
+    for i in range(zero_rows):
+        bands[i, rng.randint(6)] = 0
+    return bands
+
+
+def test_fc_pixel_sql_matches_numpy_kernel_on_spark(spark):
+    """The Spark-SQL evaluation of fc_pixel_sql must reproduce
+    frac_coverage_np per pixel (the CORRECTNESS_r03 contract is sums of
+    these ints). BLAS vs sequential-SQL summation differ in ulps, so the
+    int percents are compared exactly and the check would catch any
+    floor/argmin boundary flip."""
+    bands = _rand_bands(400, seed=7)
+    pdf = pd.DataFrame(bands, columns=["blue", "green", "red", "nir",
+                                       "swir1", "swir2"])
+    pdf.insert(0, "px_id", np.arange(len(pdf)))
+    spark.createDataFrame(pdf).createOrReplaceTempView("fc_px_test")
+    sql = fc.fc_pixel_sql("fc_px_test", ["px_id"])
+    got = spark.sql(sql).toPandas().sort_values("px_id").reset_index(drop=True)
+    want = fc.frac_coverage_np(bands)
+    assert (got[["pv", "npv", "bs"]].to_numpy() == want.astype(np.int64)).all()
+
+
+def test_fc_pixel_sql_matches_on_duckdb():
+    """Identical SQL text on DuckDB reproduces the same ints — the two
+    engines run the same expression tree (scientific-notation literals keep
+    DuckDB off DECIMAL arithmetic; neither engine reassociates doubles)."""
+    import duckdb
+
+    bands = _rand_bands(400, seed=11)
+    pdf = pd.DataFrame(bands, columns=["blue", "green", "red", "nir",
+                                       "swir1", "swir2"])
+    pdf.insert(0, "px_id", np.arange(len(pdf)))
+    con = duckdb.connect()
+    con.register("fc_px_test", pdf)
+    sql = fc.fc_pixel_sql("fc_px_test", ["px_id"])
+    got = con.execute(sql).fetchdf().sort_values("px_id").reset_index(drop=True)
+    want = fc.frac_coverage_np(bands)
+    assert (got[["pv", "npv", "bs"]].to_numpy() == want.astype(np.int64)).all()
+
+
+def test_clamped_log_rows_route_through_lawson_hanson():
+    """Rows with a zero band hit the float32-max log clamp; the batched
+    residual math is cancellation-dominated there (ADVICE r2), so those
+    rows must be solved by the pixel-wise exact solver instead."""
+    bands = _rand_bands(32, seed=3, zero_rows=4)
+    feats = fc.fc_features_np(bands)
+    got = fc.fc_solve_np(feats)
+    A = fc.fc_endmember_matrix()
+    for i in range(4):
+        want = rasterops.nnls_np(A, feats[i])
+        assert np.allclose(got[i], want, atol=1e-9), i
+    # non-clamped rows still come from the batched path and match LH too
+    for i in range(4, 10):
+        want = rasterops.nnls_np(A, feats[i])
+        assert np.allclose(got[i], want, atol=1e-6), i

@@ -25,14 +25,14 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
         elif df[c].dtype == object:
             # Decimal columns (Spark DecimalType) must sort numerically, not
             # lexicographically, or rows misalign vs the oracle's float sort
-            # (ADVICE r1). Strings stay strings.
+            # (ADVICE r1). Strings stay strings. No rounding: the driver
+            # hashes exact values (VERDICT r2 #3) — queries must round
+            # explicitly on both sides themselves.
             try:
-                df[c] = pd.to_numeric(df[c]).round(9)
+                df[c] = pd.to_numeric(df[c])
             except (ValueError, TypeError):
                 df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
@@ -77,13 +77,19 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     for c in na.columns:
         ca, cb = na[c], nb[c]
         if pd.api.types.is_float_dtype(ca) or pd.api.types.is_float_dtype(cb):
-            ok = np.allclose(ca.astype(float), cb.astype(float),
-                             rtol=1e-9, atol=1e-9, equal_nan=True)
+            # EXACT repr compare (VERDICT r2 #3): allclose(rtol=1e-9) on
+            # values like 137275.350747 tolerates ~1.4e-4 and printed `ok`
+            # on queries the driver's value-hash failed. The contract is:
+            # queries round explicitly on both sides, so post-normalize
+            # floats must be bit-identical (NaN == NaN allowed).
+            va, vb = ca.astype(float).to_numpy(), cb.astype(float).to_numpy()
+            bad = ~((va == vb) | (np.isnan(va) & np.isnan(vb)))
+            ok = not bad.any()
         else:
-            ok = (ca.astype(str) == cb.astype(str)).all()
+            bad = (ca.astype(str) != cb.astype(str)).to_numpy()
+            ok = not bad.any()
         if not ok:
-            bad = (ca.astype(str) != cb.astype(str))
-            i = int(np.argmax(bad.to_numpy()))
+            i = int(np.argmax(bad))
             return (f"values[{c}] row{i}: spark={ca.iloc[i]!r} duck={cb.iloc[i]!r}")
     return None
 
