@@ -667,16 +667,35 @@ def vectorize_regions(planes: DataFrame, threshold: float = 0.5,
             for r in b.itertuples():
                 arr = _decode_plane(r.data, r.h, r.w)
                 labels = label_regions_np(arr > threshold, connectivity)
-                for lb in range(1, int(labels.max()) + 1):
-                    ys, xs = np.nonzero(labels == lb)
-                    outs.append((r.tx, r.ty, lb, len(xs),
-                                 int(xs.min()), int(ys.min()),
-                                 int(xs.max()), int(ys.max()),
-                                 float(xs.mean()), float(ys.mean())))
+                n_lab = int(labels.max())
+                if n_lab == 0:
+                    continue
+                # one argsort + reduceat over ALL labels at once — the old
+                # per-label `labels == lb` scan was O(labels x pixels)
+                # (VERDICT r2 #4); this is the stage-1 pixel-list pattern
+                # from vectorize_regions_global
+                flat = labels.ravel()
+                fg_idx = np.nonzero(flat)[0]
+                labs = flat[fg_idx]
+                order = np.argsort(labs, kind="stable")
+                xs = (fg_idx % r.w)[order].astype(np.float64)
+                ys = (fg_idx // r.w)[order].astype(np.float64)
+                # scan-order labels are consecutive 1..n_lab, all present
+                starts = np.searchsorted(labs[order], np.arange(1, n_lab + 1))
+                cnt = np.diff(np.append(starts, len(labs)))
+                outs.append(pd.DataFrame({
+                    "tx": r.tx, "ty": r.ty,
+                    "region": np.arange(1, n_lab + 1, dtype=np.int64),
+                    "n_px": cnt.astype(np.int64),
+                    "min_x": np.minimum.reduceat(xs, starts).astype(np.int64),
+                    "min_y": np.minimum.reduceat(ys, starts).astype(np.int64),
+                    "max_x": np.maximum.reduceat(xs, starts).astype(np.int64),
+                    "max_y": np.maximum.reduceat(ys, starts).astype(np.int64),
+                    "cx": np.add.reduceat(xs, starts) / cnt,
+                    "cy": np.add.reduceat(ys, starts) / cnt,
+                }))
             if outs:
-                yield pd.DataFrame(outs, columns=[
-                    "tx", "ty", "region", "n_px", "min_x", "min_y",
-                    "max_x", "max_y", "cx", "cy"])
+                yield pd.concat(outs, ignore_index=True)
 
     return planes.mapInPandas(vec, schema=schema)
 

@@ -103,3 +103,27 @@ def test_vectorize_regions(spark):
     r1 = out.iloc[0]
     assert (r1.n_px, r1.min_x, r1.max_x, r1.min_y, r1.max_y) == (6, 1, 3, 1, 2)
     assert np.isclose(r1.cx, 2.0) and np.isclose(r1.cy, 1.5)
+
+
+def test_ordered_set_matches_reference_semantics():
+    """transect/ordered_set.py:3-60 parity: insertion order, idempotent
+    add, discard, order-sensitive equality between OrderedSets,
+    set-equality vs plain sets, pop from either end."""
+    from data_cube_utilities_spark.ordered_set import OrderedSet
+
+    s = OrderedSet("abracadabra")
+    assert list(s) == ["a", "b", "r", "c", "d"]
+    assert len(s) == 5 and "r" in s and "z" not in s
+    s.add("r")                                  # idempotent, keeps position
+    assert list(s) == ["a", "b", "r", "c", "d"]
+    s.discard("b")
+    s.discard("zz")                             # missing: no error
+    assert list(s) == ["a", "r", "c", "d"]
+    assert list(reversed(s)) == ["d", "c", "r", "a"]
+    assert s.pop() == "d" and s.pop(last=False) == "a"
+    assert s == OrderedSet("rc") and s != OrderedSet("cr")
+    assert s == {"c", "r"}                      # plain set: order-free
+    assert (OrderedSet("ab") | OrderedSet("bc")) == OrderedSet("abc")
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        OrderedSet().pop()
