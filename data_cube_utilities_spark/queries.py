@@ -1153,21 +1153,23 @@ def q_temporal_change_stats(spark, sf_dir):
     # exact 1e6-scaled integer deltas: double avg/sum ulps straddled the
     # round grid between engines at sf0.1; integer sums + one double
     # division chain are bit-identical (same medicine as trend_slope)
+    # Exact integers ONLY: rational quotients of integer sums CAN land
+    # exactly on a round-grid half (central_diff did at sf0.1 — engines'
+    # round() implementations disagree on exact halves), so the driver row
+    # emits raw micro-unit sums / counts / 2x-median; the float mean is a
+    # trivial client-side division. sqrt outputs stay rounded elsewhere —
+    # irrational values can't sit on a rational grid half.
     v6 = F.round(F.col("value") * 1e6, 0).cast("long")
     d6 = v6 - F.lag(v6).over(w)
     g = e.withColumn("d6", d6).filter(F.col("d6").isNotNull())
     dec = "decimal(38,0)"
-    nn = F.count("*").cast("double")
     return (g.groupBy("user_id")
-             .agg(F.round(F.sum(F.col("d6").cast(dec)).cast("double")
-                          / nn / 1e6, 6).alias("mean_change"),
-                  F.round(F.expr("percentile(d6, 0.5)") / 1e6,
-                          6).alias("median_change"),
-                  F.round(F.sum(F.abs("d6").cast(dec)).cast("double")
-                          / nn / 1e6, 6).alias("abs_change"),
-                  F.round(F.sqrt(F.sum((F.col("d6") * F.col("d6"))
-                                       .cast(dec)).cast("double")) / 1e6,
-                          4).alias("complexity"),
+             .agg(F.sum("d6").alias("sum_change_u6"),
+                  (2 * F.expr("percentile(d6, 0.5)")).cast("long")
+                  .alias("median2_u6"),
+                  F.sum(F.abs("d6")).alias("sum_abs_change_u6"),
+                  F.sum((F.col("d6") * F.col("d6")).cast(dec))
+                  .cast(dec).cast("string").alias("ss_change_u6"),
                   F.count("*").alias("n_diffs")))
 
 
@@ -1179,15 +1181,145 @@ WITH d AS (
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d6
   FROM events)
 SELECT user_id,
-       round(CAST(CAST(sum(d6) AS HUGEINT) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) / 1.0e6, 6) AS mean_change,
-       round(quantile_cont(d6, 0.5) / 1.0e6, 6) AS median_change,
-       round(CAST(CAST(sum(abs(d6)) AS HUGEINT) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) / 1.0e6, 6) AS abs_change,
-       round(sqrt(CAST(CAST(sum(d6 * d6) AS HUGEINT) AS DOUBLE)) / 1.0e6, 4)
-         AS complexity,
+       CAST(sum(d6) AS BIGINT) AS sum_change_u6,
+       CAST(2 * quantile_cont(d6, 0.5) AS BIGINT) AS median2_u6,
+       CAST(sum(abs(d6)) AS BIGINT) AS sum_abs_change_u6,
+       CAST(CAST(sum(d6 * d6) AS HUGEINT) AS VARCHAR) AS ss_change_u6,
        count(*) AS n_diffs
 FROM d WHERE d6 IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_temporal_full_stats(spark, sf_dir):
+    """temporal_statistics full set, driver projection (dea temporal.py:
+    500-684; operator mlops.temporal_statistics is the scale path and is
+    pytest-pinned to its numpy twin). Adds driver evidence for the metrics
+    the r2 row didn't cover: central_diff and discordance from exact
+    integer moments (tie-free), num_peaks as an integer window count
+    (strict max of the centered size-10 window), and f_mean_n1 — the mean
+    |DFT| magnitude of the first third of the non-DC half spectrum — via
+    an explicit DFT equi-join. The DFT join is O(n^2/3) per series: fine
+    for the bounded driver series (~20-100 points); at scale the FFT
+    operator is the path."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v6 = F.round(F.col("value") * 1e6, 0).cast("long")
+    b = (e.withColumn("v6", v6)
+          .withColumn("idx", F.row_number().over(w) - 1)
+          .withColumn("n", F.count("*").over(Window.partitionBy("user_id"))))
+
+    dec = "decimal(38,0)"
+    # central_diff: exact second differences
+    d2 = F.col("v6") - 2 * F.lag("v6", 1).over(w) + F.lag("v6", 2).over(w)
+    # discordance: Pearson r of (lag(y), y) from exact integer moments
+    a6 = F.lag("v6", 1).over(w)
+    # num_peaks: strict max of the size-10 centered window (excluding self)
+    lmax = F.max("v6").over(w.rowsBetween(-5, -1))
+    rmax = F.max("v6").over(w.rowsBetween(1, 5))
+    nbr = F.greatest(F.coalesce(lmax, F.lit(-(2**62))),
+                     F.coalesce(rmax, F.lit(-(2**62))))
+    g = (b.withColumn("d2", d2).withColumn("a6", a6)
+          .withColumn("peak", (F.col("v6") > nbr).cast("long"))
+          .groupBy("user_id")
+          .agg(F.max("n").alias("n"),
+               F.sum(F.col("d2").cast(dec)).alias("s_d2"),
+               F.count("d2").alias("n_d2"),
+               F.count("a6").alias("n_p"),
+               F.sum(F.col("a6").cast(dec)).alias("s_a"),
+               F.sum(F.when(F.col("a6").isNotNull(), F.col("v6"))
+                     .cast(dec)).alias("s_b"),
+               F.sum((F.col("a6") * F.col("v6")).cast(dec)).alias("s_ab"),
+               F.sum((F.col("a6") * F.col("a6")).cast(dec)).alias("s_a2"),
+               F.sum(F.when(F.col("a6").isNotNull(),
+                            F.col("v6") * F.col("v6"))
+                     .cast(dec)).alias("s_b2"),
+               F.sum("peak").alias("num_peaks")))
+    np_d = F.col("n_p").cast(dec)
+    rn = (np_d * F.col("s_ab") - F.col("s_a") * F.col("s_b")).cast("double")
+    ra = (np_d * F.col("s_a2") - F.col("s_a") * F.col("s_a")).cast("double")
+    rb = (np_d * F.col("s_b2") - F.col("s_b") * F.col("s_b")).cast("double")
+    # central_diff ships as exact micro-unit sum + count: the quotient is
+    # rational and DID land on a round-grid half at sf0.1 (engines' round()
+    # disagree on exact halves); discordance's sqrt denominator is
+    # irrational, so its round is tie-free.
+    stats = g.select(
+        "user_id", "num_peaks",
+        F.col("s_d2").cast("long").alias("sum_cdiff_u6"),
+        F.col("n_d2").alias("n_cdiff"),
+        F.round(1.0 - rn / F.sqrt(ra * rb), 6).alias("discordance"))
+
+    # f_mean_n1: explicit DFT over the first third of the non-DC half
+    # spectrum; k joined per user, angle = -2*pi*k*t/n
+    ks = (b.filter(F.col("idx") + 1 <= F.floor(F.col("n") / 2) / 3)
+           .select("user_id", (F.col("idx") + 1).alias("k")))
+    two_pi = 6.283185307179586
+    joined = (b.select("user_id", "idx", "n", "value")
+               .join(ks, "user_id"))
+    ang = F.lit(-two_pi) * F.col("k") * F.col("idx") / F.col("n")
+    mags = (joined.groupBy("user_id", "k")
+            .agg(F.sum(F.col("value") * F.cos(ang)).alias("re"),
+                 F.sum(F.col("value") * F.sin(ang)).alias("im")))
+    f1 = (mags.groupBy("user_id")
+          .agg(F.round(F.avg(F.sqrt(F.col("re") * F.col("re")
+                                    + F.col("im") * F.col("im"))),
+                       4).alias("f_mean_n1")))
+    return stats.join(f1, "user_id", "left")
+
+
+SQL_TEMPORAL_FULL_STATS = """
+WITH b AS (
+  SELECT user_id, value,
+         CAST(round(value * 1.0e6) AS BIGINT) AS v6,
+         row_number() OVER w - 1 AS idx,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         CAST(round(value * 1.0e6) AS BIGINT)
+           - 2 * lag(CAST(round(value * 1.0e6) AS BIGINT), 1) OVER w
+           + lag(CAST(round(value * 1.0e6) AS BIGINT), 2) OVER w AS d2,
+         lag(CAST(round(value * 1.0e6) AS BIGINT), 1) OVER w AS a6,
+         max(CAST(round(value * 1.0e6) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS lmax,
+         max(CAST(round(value * 1.0e6) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS rmax
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id, max(n) AS n,
+         CAST(sum(d2) AS HUGEINT) AS s_d2, count(d2) AS n_d2,
+         count(a6) AS n_p,
+         CAST(sum(a6) AS HUGEINT) AS s_a,
+         CAST(sum(CASE WHEN a6 IS NOT NULL THEN v6 END) AS HUGEINT) AS s_b,
+         CAST(sum(a6 * v6) AS HUGEINT) AS s_ab,
+         CAST(sum(a6 * a6) AS HUGEINT) AS s_a2,
+         CAST(sum(CASE WHEN a6 IS NOT NULL THEN v6 * v6 END) AS HUGEINT)
+           AS s_b2,
+         CAST(sum(CASE WHEN v6 > greatest(coalesce(lmax, -4611686018427387904),
+                                          coalesce(rmax, -4611686018427387904))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS num_peaks
+  FROM b GROUP BY user_id),
+stats AS (
+  SELECT user_id, num_peaks,
+         CAST(s_d2 AS BIGINT) AS sum_cdiff_u6,
+         n_d2 AS n_cdiff,
+         round(1.0e0 - CAST(n_p * s_ab - s_a * s_b AS DOUBLE)
+               / sqrt(CAST(n_p * s_a2 - s_a * s_a AS DOUBLE)
+                      * CAST(n_p * s_b2 - s_b * s_b AS DOUBLE)), 6)
+           AS discordance
+  FROM g),
+ks AS (SELECT user_id, idx + 1 AS k FROM b
+       WHERE idx + 1 <= floor(n / 2) / 3),
+mags AS (
+  SELECT b.user_id, ks.k,
+         sum(b.value * cos(-6.283185307179586e0 * ks.k * b.idx / b.n)) AS re,
+         sum(b.value * sin(-6.283185307179586e0 * ks.k * b.idx / b.n)) AS im
+  FROM b JOIN ks ON b.user_id = ks.user_id
+  GROUP BY b.user_id, ks.k),
+f1 AS (SELECT user_id, round(avg(sqrt(re * re + im * im)), 4) AS f_mean_n1
+       FROM mags GROUP BY user_id)
+SELECT stats.user_id, stats.num_peaks, stats.sum_cdiff_u6, stats.n_cdiff,
+       stats.discordance, f1.f_mean_n1
+FROM stats LEFT JOIN f1 ON stats.user_id = f1.user_id
 """
 
 
@@ -1234,6 +1366,7 @@ GROUP_A = {
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
+    "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),
 }
 
 

@@ -127,3 +127,47 @@ def test_wofs_nan_ratio_classifies_zero(spark):
     exp = indices.wofs_np(np.array([100]), np.array([0]), np.array([50]),
                           np.array([10]), np.array([0]), np.array([5]))[0]
     assert got == exp == 0
+
+
+def test_convert_range_affine_and_models(spark):
+    """convert_range (dc_utilities.py:73-171, pretrained models replaced by
+    injectable affine coefficients): range endpoints map onto endpoints,
+    NaN passes through, per-band model override wins."""
+    import numpy as np
+    import pandas as pd
+    from data_cube_utilities_spark.operators import convert
+
+    c1 = ("LANDSAT_8", "c1", "l2")
+    c2 = ("LANDSAT_8", "c2", "l2")
+    rd = convert.get_range_dict(*c1)
+    assert rd["red"] == [0, 10000] and set(rd) == {
+        "red", "green", "blue", "nir", "swir1", "swir2"}
+    pdf = pd.DataFrame({b: [0.0, 10000.0, np.nan, 5000.0]
+                        for b in ["red", "green", "blue",
+                                  "nir", "swir1", "swir2"]})
+    df = spark.createDataFrame(pdf)
+    out = convert.convert_range(df, c1, c2).toPandas()
+    assert out["red"][0] == 1.0 and out["red"][1] == 65455.0
+    assert np.isnan(out["red"][2])
+    # numpy twin agrees
+    np.testing.assert_allclose(
+        convert.convert_range_np(np.array([0.0, 10000.0, 5000.0]), c1, c2),
+        [1.0, 65455.0, out["red"][3]])
+    # injected model overrides the range-implied default for that band only
+    out2 = convert.convert_range(df, c1, c2,
+                                 models={"red": (2.0, 5.0)}).toPandas()
+    assert out2["red"][1] == 20005.0 and out2["green"][1] == 65455.0
+    import pytest as _p
+    with _p.raises(ValueError):
+        convert.get_range_dict("SENTINEL_2", "c1", "l2")
+
+
+def test_hex_to_rgb():
+    import numpy as np
+    from data_cube_utilities_spark.operators.convert import hex_to_rgb
+
+    np.testing.assert_array_equal(hex_to_rgb("#ff8000"), [255, 128, 0])
+    np.testing.assert_array_equal(hex_to_rgb("000a10"), [0, 10, 16])
+    import pytest as _p
+    with _p.raises(ValueError):
+        hex_to_rgb("#fff")
