@@ -118,13 +118,17 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
               .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # exact integer outputs alongside the float: the rounded ratio can sit
+    # exactly on the 1e-6 grid half (union with a 2^7 factor), and
+    # filtering on the ROUNDED value flips borderline pairs; the predicate
+    # uses the raw single-division double (identical on any engine)
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     j = (inter.join(sa, "doc_a").join(sb, "doc_b")
+              .withColumn("union_sz", union)
               .withColumn("jaccard",
-                          F.round(F.col("inter")
-                                  / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                                  6)))
-    return (j.filter(F.col("jaccard") >= threshold)
-             .select("doc_a", "doc_b", "jaccard"))
+                          F.round(F.col("inter") / F.col("union_sz"), 6)))
+    return (j.filter(F.col("inter") / F.col("union_sz") >= threshold)
+             .select("doc_a", "doc_b", "inter", "union_sz", "jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -258,6 +262,8 @@ def quality_features(df: DataFrame, id_col: str = "doc_id",
         id_col,
         n_tok.alias("n_tokens"),
         F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        stop.alias("n_stop"),
+        n_chars.alias("n_chars"),
         F.round(distinct_ratio, 6).alias("type_token_ratio"),
         F.round(avg_tok_len, 6).alias("avg_token_len"),
         F.round(stop / n_tok, 6).alias("stopword_ratio"),

@@ -85,24 +85,30 @@ def q_pricing_summary(spark, sf_dir):
     """perform_timeseries_analysis analogue (dc_utilities.py:263-315):
     grouped sum/count/min/max + normalized ratio."""
     li = _t(spark, sf_dir, "lineitem")
+    # tie-proof outputs (r3 sweep): quantities are integers, prices cents,
+    # discounts hundredths — revenue per row is EXACTLY cents*(100-d100) in
+    # 1e-4-dollar units, so sums are exact integers; the ratio ships as its
+    # components (sum_qty, n_rows). min/max of cent values can't tie at 2dp.
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    rev_u4 = (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+              * (100 - F.round(F.col("l_discount") * 100, 0).cast("long")))
     return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("revenue"),
+            .agg(F.sum(qty).alias("sum_qty"),
+                 F.sum(rev_u4).alias("revenue_u4"),
                  F.count("*").alias("n_rows"),
                  F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-                 F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-                 F.round(F.sum("l_quantity") / F.count("*"), 6).alias("qty_ratio")))
+                 F.round(F.max("l_extendedprice"), 2).alias("max_price")))
 
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_u4,
        count(*) AS n_rows,
        round(min(l_extendedprice), 2) AS min_price,
-       round(max(l_extendedprice), 2) AS max_price,
-       round(sum(l_quantity) / count(*), 6) AS qty_ratio
+       round(max(l_extendedprice), 2) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -174,16 +180,15 @@ def q_cloud_coverage_table(spark, sf_dir):
     px = _lineitem_bands(spark, sf_dir)
     clean = (F.col("pixel_qa").bitwiseAND(F.lit(2)) != 0) | \
             (F.col("pixel_qa").bitwiseAND(F.lit(4)) != 0)
+    # clean_pct dropped (r3 tie-proof sweep): a rational percentage can sit
+    # exactly on the round grid; clean_px/total_px carry the same fact.
     return (px.groupBy("l_returnflag")
-              .agg(F.round(F.avg(clean.cast("int")) * 100, 4).alias("clean_pct"),
-                   F.sum(clean.cast("int")).alias("clean_px"),
+              .agg(F.sum(clean.cast("int")).alias("clean_px"),
                    F.count("*").alias("total_px")))
 
 
 SQL_CLOUD_COVERAGE = _bands_cte() + """
 SELECT l_returnflag,
-       round(avg(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
-                 THEN 1 ELSE 0 END) * 100, 4) AS clean_pct,
        CAST(sum(CASE WHEN (pixel_qa & 2) != 0 OR (pixel_qa & 4) != 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS clean_px,
        count(*) AS total_px
@@ -195,14 +200,15 @@ def q_frequency_counts(spark, sf_dir):
     """get_frequency_counts (dc_clustering.py:10-33): value histogram."""
     e = _t(spark, sf_dir, "events")
     total = Window.partitionBy()
+    # fraction ships as (n, total): n/total is rational and can sit exactly
+    # on the round grid (r3 tie-proof sweep)
     return (e.groupBy("event_type").agg(F.count("*").alias("n"))
-             .withColumn("fraction",
-                         F.round(F.col("n") / F.sum("n").over(total), 6)))
+             .withColumn("total", F.sum("n").over(total)))
 
 
 SQL_FREQUENCY_COUNTS = """
 SELECT event_type, count(*) AS n,
-       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS fraction
+       CAST(sum(count(*)) OVER () AS BIGINT) AS total
 FROM events GROUP BY event_type
 """
 
@@ -210,13 +216,16 @@ FROM events GROUP BY event_type
 def q_reduce_on_day(spark, sf_dir):
     """reduce_on_day (dc_load.py:382-436): calendar-day grouping + mean."""
     e = _t(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1e6, 0).cast("long")
     return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-             .agg(F.round(F.avg("value"), 6).alias("day_mean"),
+             .agg(F.sum(v6).alias("day_sum_u6"),
                   F.count("*").alias("n")))
 
 
 SQL_REDUCE_ON_DAY = """
-SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 6) AS day_mean, count(*) AS n
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(sum(CAST(round(value * 1.0e6) AS BIGINT)) AS BIGINT) AS day_sum_u6,
+       count(*) AS n
 FROM events GROUP BY 1
 """
 
@@ -343,9 +352,14 @@ def mosaic_like_extreme(px, selector_sql):
     # the window forced a full sort; the tie-break keys are negated so
     # struct-max == rank-1 row exactly).
     sel = F.expr(selector_sql)
+    # the winning NDVI ships as its exact integer fraction (nir-red,
+    # nir+red): a denominator with 2^9 (e.g. 512) puts the exact rational
+    # ON an 8-decimal half (r3 tie-proof sweep); the ordering itself
+    # compares identical doubles, so the argmax row is deterministic
     best = F.max_by(
         F.struct(F.col("l_orderkey"), F.col("l_linenumber"),
-                 sel.alias("ndvi")),
+                 (F.col("nir") - F.col("red")).alias("num"),
+                 (F.col("nir") + F.col("red")).alias("den")),
         F.struct(sel.alias("s"),
                  (-F.col("l_orderkey")).alias("o"),
                  (-F.col("l_linenumber")).alias("l")))
@@ -354,38 +368,47 @@ def mosaic_like_extreme(px, selector_sql):
               .select("l_returnflag",
                       F.col("__b.l_orderkey").alias("l_orderkey"),
                       F.col("__b.l_linenumber").alias("l_linenumber"),
-                      F.round(F.col("__b.ndvi"), 8).alias("best_ndvi")))
+                      F.col("__b.num").alias("best_ndvi_num"),
+                      F.col("__b.den").alias("best_ndvi_den")))
 
 
 SQL_MAX_BY_SELECTOR = _bands_cte() + """
 , ranked AS (
   SELECT l_returnflag, l_orderkey, l_linenumber,
-         (CAST(nir AS DOUBLE) - red) / nullif(CAST(nir AS DOUBLE) + red, 0) AS ndvi,
+         nir - red AS best_ndvi_num, nir + red AS best_ndvi_den,
          row_number() OVER (PARTITION BY l_returnflag
                             ORDER BY (CAST(nir AS DOUBLE) - red) / nullif(CAST(nir AS DOUBLE) + red, 0) DESC,
                                      l_orderkey ASC, l_linenumber ASC) AS rn
   FROM px
   WHERE (CAST(nir AS DOUBLE) - red) / nullif(CAST(nir AS DOUBLE) + red, 0) IS NOT NULL
 )
-SELECT l_returnflag, l_orderkey, l_linenumber, round(ndvi, 8) AS best_ndvi
+SELECT l_returnflag, l_orderkey, l_linenumber, best_ndvi_num, best_ndvi_den
 FROM ranked WHERE rn = 1
 """
 
 
 def q_median_mosaic(spark, sf_dir):
     """create_median_mosaic (dc_mosaic.py:234-283) scalar twin."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("price_c", F.round(F.col("l_extendedprice") * 100, 0)
+                      .cast("long"))
+          .withColumn("qty_i", F.round("l_quantity", 0).cast("long")))
+    # 2x-median of exact integer cents/quantities is always an integer —
+    # interpolated medians of doubles differ in ulps between engines and
+    # can straddle a round boundary (r3 tie-proof sweep)
     return (li.groupBy("l_returnflag")
-              .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
-                    .alias("median_price"),
-                   F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
-                    .alias("median_qty")))
+              .agg((2 * F.expr("percentile(price_c, 0.5)")).cast("long")
+                    .alias("median2_price_c"),
+                   (2 * F.expr("percentile(qty_i, 0.5)")).cast("long")
+                    .alias("median2_qty")))
 
 
 SQL_MEDIAN_MOSAIC = """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
-       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+       CAST(2 * quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+            AS BIGINT) AS median2_price_c,
+       CAST(2 * quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.5)
+            AS BIGINT) AS median2_qty
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -413,14 +436,18 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def q_topk(spark, sf_dir):
     """top-k pattern (get_best_classifier wasard.py:161-187 / largest_region)."""
     o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return (o.groupBy("o_custkey")
-             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-             .orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(10))
+             .agg(F.sum(cents).alias("revenue_c100"))
+             .orderBy(F.desc("revenue_c100"), F.asc("o_custkey")).limit(10))
 
 
 SQL_TOPK = """
-SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
-FROM orders GROUP BY o_custkey ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+SELECT o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c100
+FROM orders GROUP BY o_custkey
+ORDER BY revenue_c100 DESC, o_custkey ASC LIMIT 10
 """
 
 
@@ -430,22 +457,35 @@ def q_window_baseline(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_custkey")
          .orderBy("o_orderdate", "o_orderkey").rowsBetween(-3, -1))
-    out = (o.withColumn("baseline", F.round(F.avg("o_totalprice").over(w), 4))
-            .filter(F.col("baseline").isNotNull()))
-    return out.select("o_orderkey", "baseline",
-                      F.round(F.col("o_totalprice") - F.col("baseline"), 4)
-                       .alias("anomaly"))
+    # exact integer components: baseline = base_sum_c/(100*base_n) and the
+    # anomaly numerator price_c*base_n - base_sum_c are tie-free BIGINTs
+    # (a 2-element cent average hits the 4dp round grid exactly; r3 sweep)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    out = (o.withColumn("price_c", cents)
+            .withColumn("base_sum_c", F.sum("price_c").over(w))
+            .withColumn("base_n", F.count("price_c").over(w))
+            .filter(F.col("base_n") > 0))
+    return out.select(
+        "o_orderkey", "base_sum_c", "base_n",
+        (F.col("price_c") * F.col("base_n") - F.col("base_sum_c"))
+        .alias("anom_num_c"))
 
 
 SQL_WINDOW_BASELINE = """
-WITH b AS (
-  SELECT o_orderkey, o_totalprice,
-         round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS baseline
-  FROM orders)
-SELECT o_orderkey, baseline, round(o_totalprice - baseline, 4) AS anomaly
-FROM b WHERE baseline IS NOT NULL
+WITH c AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders),
+b AS (
+  SELECT o_orderkey, price_c,
+         CAST(sum(price_c) OVER w AS BIGINT) AS base_sum_c,
+         count(price_c) OVER w AS base_n
+  FROM c
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+SELECT o_orderkey, base_sum_c, base_n,
+       price_c * base_n - base_sum_c AS anom_num_c
+FROM b WHERE base_n > 0
 """
 
 
@@ -453,24 +493,29 @@ def q_ffill(spark, sf_dir):
     """fast_completion forward-fill (dea temporal.py:78-119): last non-null
     over time-ordered window."""
     e = _t(spark, sf_dir, "events")
-    v = F.when(F.col("event_type") != "click", F.col("value"))
+    v6 = F.when(F.col("event_type") != "click",
+                F.round(F.col("value") * 1e6, 0).cast("long"))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
-    filled = F.last(v, ignorenulls=True).over(w)
-    return (e.withColumn("filled", F.round(filled, 6))
+    filled = F.last(v6, ignorenulls=True).over(w)
+    return (e.withColumn("filled_u6", filled)
              .groupBy("user_id")
-             .agg(F.round(F.sum("filled"), 4).alias("filled_sum"),
-                  F.count("filled").alias("n_filled")))
+             .agg(F.sum("filled_u6").alias("filled_sum_u6"),
+                  F.count("filled_u6").alias("n_filled")))
 
 
 SQL_FFILL = """
 WITH f AS (
   SELECT user_id,
-         round(last_value(CASE WHEN event_type != 'click' THEN value END IGNORE NULLS)
+         last_value(CASE WHEN event_type != 'click'
+                         THEN CAST(round(value * 1.0e6) AS BIGINT) END
+                    IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS filled_u6
   FROM events)
-SELECT user_id, round(sum(filled), 4) AS filled_sum, count(filled) AS n_filled
+SELECT user_id, CAST(sum(filled_u6) AS BIGINT) AS filled_sum_u6,
+       count(filled_u6) AS n_filled
 FROM f GROUP BY user_id
 """
 
@@ -518,13 +563,16 @@ def q_time_buffer(spark, sf_dir):
     return (anchored
             .filter((F.col("ts") >= F.expr("t0 + INTERVAL 1 DAY"))
                     & (F.col("ts") <= F.expr("t0 + INTERVAL 3 DAY")))
-            .groupBy("event_type").agg(F.count("*").alias("n"),
-                                       F.round(F.sum("value"), 4).alias("v_sum")))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+                  .alias("v_sum_u6")))
 
 
 SQL_TIME_BUFFER = """
 WITH t AS (SELECT min(ts) AS t0 FROM events)
-SELECT event_type, count(*) AS n, round(sum(value), 4) AS v_sum
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 1.0e6) AS BIGINT)) AS BIGINT) AS v_sum_u6
 FROM events, t
 WHERE ts >= t0 + INTERVAL 1 DAY AND ts <= t0 + INTERVAL 3 DAY
 GROUP BY event_type
@@ -589,22 +637,29 @@ FROM ext
 
 def q_scale_minmax(spark, sf_dir):
     """np_scale / xr_scale (scale.py:4-78): min-max normalize per group."""
-    s = _t(spark, sf_dir, "supplier")
+    # exact integer fraction (value-min, range) in cents: the scaled
+    # rational can sit exactly on an 8-decimal half when the cent range
+    # carries 2^9 (r3 tie-proof sweep); consumers divide client-side
+    s = _t(spark, sf_dir, "supplier").withColumn(
+        "bal_c", F.round(F.col("s_acctbal") * 100, 0).cast("long"))
     w = Window.partitionBy("s_nationkey")
-    rng = F.max("s_acctbal").over(w) - F.min("s_acctbal").over(w)
-    # nullif guard: single-member groups divide by zero -> NULL (any ANSI mode)
-    scaled = ((F.col("s_acctbal") - F.min("s_acctbal").over(w))
-              / F.nullif(rng, F.lit(0.0)))
-    return (s.withColumn("scaled", F.round(scaled, 8))
-             .select("s_suppkey", "s_nationkey", "scaled"))
+    return (s.withColumn("scaled_num_c",
+                         F.col("bal_c") - F.min("bal_c").over(w))
+             .withColumn("scaled_den_c",
+                         F.max("bal_c").over(w) - F.min("bal_c").over(w))
+             .select("s_suppkey", "s_nationkey",
+                     "scaled_num_c", "scaled_den_c"))
 
 
 SQL_SCALE_MINMAX = """
+WITH c AS (SELECT s_suppkey, s_nationkey,
+                  CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+           FROM supplier)
 SELECT s_suppkey, s_nationkey,
-       round((s_acctbal - min(s_acctbal) OVER (PARTITION BY s_nationkey))
-             / nullif(max(s_acctbal) OVER (PARTITION BY s_nationkey)
-                      - min(s_acctbal) OVER (PARTITION BY s_nationkey), 0), 8) AS scaled
-FROM supplier
+       bal_c - min(bal_c) OVER (PARTITION BY s_nationkey) AS scaled_num_c,
+       max(bal_c) OVER (PARTITION BY s_nationkey)
+         - min(bal_c) OVER (PARTITION BY s_nationkey) AS scaled_den_c
+FROM c
 """
 
 
@@ -636,13 +691,11 @@ def q_wofs_classify(spark, sf_dir):
     return (px.withColumn("water", F.expr(indices.wofs_sql()))
               .groupBy("l_returnflag")
               .agg(F.sum("water").alias("n_water"),
-                   F.count("*").alias("n_px"),
-                   F.round(F.avg("water"), 6).alias("water_frac")))
+                   F.count("*").alias("n_px")))
 
 
 SQL_WOFS_CLASSIFY = _bands_cte() + f"""
-SELECT l_returnflag, CAST(sum(water) AS BIGINT) AS n_water, count(*) AS n_px,
-       round(avg(water), 6) AS water_frac
+SELECT l_returnflag, CAST(sum(water) AS BIGINT) AS n_water, count(*) AS n_px
 FROM (SELECT l_returnflag, {indices.wofs_sql()} AS water FROM px)
 GROUP BY l_returnflag
 """
@@ -683,14 +736,18 @@ def q_cell_assignment(spark, sf_dir):
                                      .withColumn("y", F.expr(SUP_Y))
     return (s.withColumn("cell_id",
                          cells.encode_col(F.col("y"), F.col("x"), CELL_RES))
-             .groupBy("cell_id").agg(F.count("*").alias("n"),
-                                     F.round(F.avg("s_acctbal"), 4).alias("bal")))
+             .groupBy("cell_id")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("long"))
+                   .alias("bal_sum_c")))
 
 
 SQL_CELL_ASSIGNMENT = f"""
 WITH pts AS (SELECT {SUP_X} AS x, {SUP_Y} AS y, s_acctbal FROM supplier)
 SELECT {cells.encode_sql('y', 'x', CELL_RES)} AS cell_id,
-       count(*) AS n, round(avg(s_acctbal), 4) AS bal
+       count(*) AS n,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_sum_c
 FROM pts GROUP BY cell_id
 """
 
@@ -730,22 +787,25 @@ FROM hits GROUP BY poly_id
 
 def q_zonal_stats(spark, sf_dir):
     """zonal_stats_parallel (dea spatial.py:778-859) as PIP join + agg."""
+    # the zone value is exact integer cents so min/max/sum are tie-free
+    # BIGINTs; mean ships as its (sum, count) components (r3 sweep)
     c = (_t(spark, sf_dir, "customer")
          .select(F.col("c_custkey").alias("point_id"),
                  F.expr(CUST_X).alias("x"), F.expr(CUST_Y).alias("y"),
-                 F.col("c_acctbal").alias("v")))
+                 F.round(F.col("c_acctbal") * 100, 0).cast("long")
+                  .alias("v")))
     out = spatial.zonal_stats(c, Q_POLYS, "v",
-                              stats=("count", "min", "max", "mean", "sum"))
+                              stats=("count", "min", "max", "sum"))
     return out.select("poly_id", "count",
-                      F.round("min", 2).alias("min"),
-                      F.round("max", 2).alias("max"),
-                      F.round("mean", 4).alias("mean"),
-                      F.round("sum", 2).alias("sum"))
+                      F.col("min").alias("min_c"),
+                      F.col("max").alias("max_c"),
+                      F.col("sum").alias("sum_c"))
 
 
 SQL_ZONAL_STATS = f"""
 WITH pts AS (SELECT c_custkey AS point_id, {CUST_X} AS x, {CUST_Y} AS y,
-                    c_acctbal AS v FROM customer),
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+             FROM customer),
 hits AS (
   SELECT p.point_id, p.v, e.poly_id
   FROM pts p JOIN {_edges_values()}
@@ -753,9 +813,8 @@ hits AS (
    AND p.x < e.x1 + (p.y - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
   GROUP BY p.point_id, p.v, e.poly_id
   HAVING count(*) % 2 = 1)
-SELECT poly_id, count(*) AS count, round(min(v), 2) AS min,
-       round(max(v), 2) AS max, round(avg(v), 4) AS mean,
-       round(sum(v), 2) AS sum
+SELECT poly_id, count(*) AS count, min(v) AS min_c,
+       max(v) AS max_c, CAST(sum(v) AS BIGINT) AS sum_c
 FROM hits GROUP BY poly_id
 """
 
@@ -804,16 +863,21 @@ def q_chunk_combine(spark, sf_dir):
     left = s.filter(F.col("x") < 20.0)
     right = s.filter(F.col("x") >= -20.0)  # overlap band [-20, 20)
     combined = left.unionByName(right).dropDuplicates(["s_suppkey"])
-    return combined.agg(F.count("*").alias("n"),
-                        F.round(F.sum("x"), 6).alias("x_sum"),
-                        F.round(F.sum("y"), 6).alias("y_sum"))
+    # coordinates are exact hundredths by construction -> sums of
+    # round(coord*100) are tie-free BIGINTs (r3 sweep)
+    return combined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("x") * 100, 0).cast("long")).alias("x_sum_c"),
+        F.sum(F.round(F.col("y") * 100, 0).cast("long")).alias("y_sum_c"))
 
 
 SQL_CHUNK_COMBINE = f"""
 WITH pts AS (SELECT s_suppkey, {SUP_X} AS x, {SUP_Y} AS y FROM supplier),
 u AS (SELECT * FROM pts WHERE x < 20.0
       UNION SELECT * FROM pts WHERE x >= -20.0)
-SELECT count(*) AS n, round(sum(x), 6) AS x_sum, round(sum(y), 6) AS y_sum
+SELECT count(*) AS n,
+       CAST(sum(CAST(round(x * 100) AS BIGINT)) AS BIGINT) AS x_sum_c,
+       CAST(sum(CAST(round(y * 100) AS BIGINT)) AS BIGINT) AS y_sum_c
 FROM u
 """
 
@@ -825,25 +889,34 @@ def q_coastal_change(spark, sf_dir):
     water = F.expr(indices.wofs_sql())
     epoch = F.when(F.col("l_shipdate") < F.lit("1996-01-01"), F.lit("old")) \
              .otherwise(F.lit("new"))
+    # counts, not fractions (r3 sweep): the water fraction is rational and
+    # can sit exactly on the round grid; the epoch delta ships as its exact
+    # cross-multiplied integer numerator
     per = (px.withColumn("water", water).withColumn("epoch", epoch)
              .groupBy("l_returnflag", "epoch")
-             .agg(F.round(F.avg("water"), 6).alias("water_frac")))
+             .agg(F.sum("water").alias("nw"), F.count("*").alias("np")))
     old = per.filter(F.col("epoch") == "old") \
-             .select("l_returnflag", F.col("water_frac").alias("water_old"))
+             .select("l_returnflag", F.col("nw").alias("water_old_n"),
+                     F.col("np").alias("n_old"))
     new = per.filter(F.col("epoch") == "new") \
-             .select("l_returnflag", F.col("water_frac").alias("water_new"))
+             .select("l_returnflag", F.col("nw").alias("water_new_n"),
+                     F.col("np").alias("n_new"))
     return (old.join(new, "l_returnflag")
-               .withColumn("delta", F.round(F.col("water_new") - F.col("water_old"), 6)))
+               .withColumn("delta_num",
+                           F.col("water_new_n") * F.col("n_old")
+                           - F.col("water_old_n") * F.col("n_new")))
 
 
 SQL_COASTAL_CHANGE = _bands_cte() + f"""
 , per AS (
   SELECT l_returnflag,
          CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 'old' ELSE 'new' END AS epoch,
-         round(avg({indices.wofs_sql()}), 6) AS water_frac
+         CAST(sum({indices.wofs_sql()}) AS BIGINT) AS nw,
+         count(*) AS np
   FROM px GROUP BY 1, 2)
-SELECT o.l_returnflag, o.water_frac AS water_old, n.water_frac AS water_new,
-       round(n.water_frac - o.water_frac, 6) AS delta
+SELECT o.l_returnflag, o.nw AS water_old_n, o.np AS n_old,
+       n.nw AS water_new_n, n.np AS n_new,
+       n.nw * o.np - o.nw * n.np AS delta_num
 FROM per o JOIN per n ON o.l_returnflag = n.l_returnflag
 WHERE o.epoch = 'old' AND n.epoch = 'new'
 """
@@ -894,13 +967,15 @@ def q_tumbling_window(spark, sf_dir):
     return (e.groupBy(F.date_format(F.date_trunc("hour", F.col("ts")),
                                     "yyyy-MM-dd HH:mm:ss").alias("win"))
              .agg(F.count("*").alias("n"),
-                  F.round(F.sum("value"), 4).alias("v_sum"),
+                  F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+                   .alias("v_sum_u6"),
                   F.countDistinct("user_id").alias("n_users")))
 
 
 SQL_TUMBLING_WINDOW = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win, count(*) AS n,
-       round(sum(value), 4) AS v_sum, count(DISTINCT user_id) AS n_users
+       CAST(sum(CAST(round(value * 1.0e6) AS BIGINT)) AS BIGINT) AS v_sum_u6,
+       count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
 """
 
@@ -911,20 +986,29 @@ def q_smooth(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-1, 1))
-    return (e.withColumn("smoothed", F.round(F.avg("value").over(w), 6))
+    # exact: 6/window_count is an integer for counts {1,2,3}, so the
+    # smoothed value x6 in micro-units is an exact BIGINT (r3 sweep)
+    v6 = F.round(F.col("value") * 1e6, 0).cast("long")
+    b = (e.withColumn("v6", v6)
+          .withColumn("wsum", F.sum("v6").over(w))
+          .withColumn("cnt", F.count("v6").over(w)))
+    return (b.withColumn("smoothed6_u6", F.expr("(6 DIV cnt) * wsum"))
              .groupBy("user_id")
-             .agg(F.round(F.sum("smoothed"), 4).alias("smoothed_sum"),
-                  F.round(F.max("smoothed"), 6).alias("smoothed_max")))
+             .agg(F.sum("smoothed6_u6").alias("smoothed_sum_6u6"),
+                  F.max("smoothed6_u6").alias("smoothed_max_6u6")))
 
 
 SQL_SMOOTH = """
 WITH s AS (
   SELECT user_id,
-         round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS smoothed
-  FROM events)
-SELECT user_id, round(sum(smoothed), 4) AS smoothed_sum,
-       round(max(smoothed), 6) AS smoothed_max
+         (6 // count(*) OVER w)
+           * (CAST(sum(CAST(round(value * 1.0e6) AS BIGINT)) OVER w
+                   AS BIGINT)) AS smoothed6_u6
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+SELECT user_id, CAST(sum(smoothed6_u6) AS BIGINT) AS smoothed_sum_6u6,
+       max(smoothed6_u6) AS smoothed_max_6u6
 FROM s GROUP BY user_id
 """
 
@@ -935,12 +1019,15 @@ def q_calendar_grouping(spark, sf_dir):
     return (o.groupBy((F.year("o_orderdate") * 100 + F.month("o_orderdate"))
                       .alias("yyyymm"))
              .agg(F.count("*").alias("n"),
-                  F.round(F.sum("o_totalprice"), 2).alias("month_value")))
+                  F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("long")).alias("month_value_c")))
 
 
 SQL_CALENDAR_GROUPING = """
 SELECT year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm,
-       count(*) AS n, round(sum(o_totalprice), 2) AS month_value
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS month_value_c
 FROM orders GROUP BY 1
 """
 
@@ -948,7 +1035,9 @@ FROM orders GROUP BY 1
 def q_phenology(spark, sf_dir):
     """xr_phenology (dea temporal.py:278-497) over the events series:
     per-user POS/SOS/EOS (amplitude method, factor 0.5) via the engine's
-    grouped-map kernel; times rounded to whole seconds for the oracle."""
+    grouped-map kernel; times ship as exact epoch MICROSECONDS — the
+    round-to-seconds output ties exactly when micros = 500000 (r3 sweep),
+    and the operator's seconds double recovers micros exactly (< 2^53)."""
     from .operators import phenology as ph
 
     e = (_t(spark, sf_dir, "events")
@@ -957,9 +1046,9 @@ def q_phenology(spark, sf_dir):
                        tiebreak=["event_id"])
     return out.select(
         "user_id",
-        F.round("SOS", 0).alias("sos_s"),
-        F.round("POS", 0).alias("pos_s"),
-        F.round("EOS", 0).alias("eos_s"),
+        F.round(F.col("SOS") * 1e6, 0).cast("long").alias("sos_us"),
+        F.round(F.col("POS") * 1e6, 0).cast("long").alias("pos_us"),
+        F.round(F.col("EOS") * 1e6, 0).cast("long").alias("eos_us"),
         F.round("vPOS", 6).alias("vpos"),
         F.round("Trough", 6).alias("trough"),
         F.round("AOS", 6).alias("aos"),
@@ -983,9 +1072,9 @@ eos AS (SELECT s.user_id, max(s.ts) AS eos_ts
         JOIN th ON s.user_id = th.user_id
         WHERE s.ts >= pos.pos_ts AND s.v >= th.thresh GROUP BY s.user_id)
 SELECT st.user_id,
-       round(epoch_us(sos.sos_ts) / 1000000.0, 0) AS sos_s,
-       round(epoch_us(pos.pos_ts) / 1000000.0, 0) AS pos_s,
-       round(epoch_us(eos.eos_ts) / 1000000.0, 0) AS eos_s,
+       epoch_us(sos.sos_ts) AS sos_us,
+       epoch_us(pos.pos_ts) AS pos_us,
+       epoch_us(eos.eos_ts) AS eos_us,
        round(st.vmax, 6) AS vpos,
        round(st.vmin, 6) AS trough,
        round(st.vmax - st.vmin, 6) AS aos,

@@ -60,9 +60,12 @@ GROUP BY a.doc_id, b.doc_id
 def q_ngram_jaccard(spark, sf_dir):
     """Token-set Jaccard near-dup pairs within the same lang block, with
     the per-block document-frequency stopword cap engaged."""
-    return textops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                       threshold=JACCARD_T, block_col="lang",
-                                       max_df=MAX_DF)
+    # driver row ships the exact integer pair stats; the float jaccard is
+    # round(inter/union) and can tie on the grid (r3 tie-proof sweep)
+    return textops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=JACCARD_T,
+        block_col="lang", max_df=MAX_DF
+    ).select("doc_a", "doc_b", "inter", "union_sz")
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -78,8 +81,8 @@ inter AS (
   FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk
   WHERE a.id < b.id GROUP BY a.id, b.id
 )
-SELECT doc_a, doc_b,
-       round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - i AS BIGINT) AS union_sz
 FROM inter
 JOIN sizes sa ON sa.id = doc_a
 JOIN sizes sb ON sb.id = doc_b
@@ -96,9 +99,12 @@ SQL_SIMHASH = textops.simhash_sql("documents")
 
 
 def q_quality_score(spark, sf_dir):
-    """Doc quality features: token counts, type-token ratio, stopword
-    ratio, composite score."""
-    return textops.quality_features(_t(spark, sf_dir, "documents"))
+    """Doc quality features. Driver row ships the exact integer feature
+    components (the ratios/score are rationals over n_tokens and can sit
+    on the round grid — r3 tie-proof sweep; the operator still emits them,
+    pinned by tests/test_textops)."""
+    return textops.quality_features(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "n_tokens", "n_distinct", "n_stop", "n_chars")
 
 
 SQL_QUALITY = """
@@ -106,14 +112,8 @@ WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct,
-       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS type_token_ratio,
-       round((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
-       round(len([x for x in toks if x IN ('the', 'a')]) / CAST(len(toks) AS DOUBLE), 6)
-         AS stopword_ratio,
-       round(least(len(toks) / 100.0, 1.0) * 0.4
-             + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.4
-             + (1.0 - len([x for x in toks if x IN ('the', 'a')])
-                      / CAST(len(toks) AS DOUBLE)) * 0.2, 6) AS quality_score
+       CAST(len([x for x in toks if x IN ('the', 'a')]) AS INTEGER) AS n_stop,
+       CAST(length(text) AS INTEGER) AS n_chars
 FROM t
 """
 
@@ -146,9 +146,10 @@ FROM s
 def q_token_stats(spark, sf_dir):
     """Token counting per source (whitespace tokenizer)."""
     d = textops.with_tokens(_t(spark, sf_dir, "documents"))
+    # avg ships as (total_tokens, n_docs) — a rational mean can sit exactly
+    # on the round grid (r3 tie-proof sweep)
     return (d.groupBy("source")
              .agg(F.sum(F.size("tokens")).alias("total_tokens"),
-                  F.round(F.avg(F.size("tokens")), 6).alias("avg_tokens"),
                   F.max(F.size("tokens")).alias("max_tokens"),
                   F.count("*").alias("n_docs")))
 
@@ -156,7 +157,6 @@ def q_token_stats(spark, sf_dir):
 SQL_TOKEN_STATS = """
 SELECT source,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
        max(len(string_split(text, ' '))) AS max_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source
