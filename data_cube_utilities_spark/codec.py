@@ -117,6 +117,28 @@ def decode_block(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def decode_stack(datas, w: int, h: int, fmts) -> np.ndarray:
+    """Batch decode: n same-shaped blocks -> (n, h, w, N_BANDS) uint16.
+
+    The raw16 rows (the overwhelming majority of the synthesized mix)
+    decode as ONE frombuffer over the joined bytes — a single copy instead
+    of per-row frombuffer + astype + np.stack (that per-row path was ~35%
+    of the fused flagship kernel's cpu). pngz rows fall back to
+    decode_block individually."""
+    datas = list(datas)
+    fmts = list(fmts)
+    n = len(datas)
+    out = np.empty((n, h, w, N_BANDS), dtype=np.uint16)
+    raw_idx = [i for i, f in enumerate(fmts) if f == "raw16"]
+    if raw_idx:
+        buf = np.frombuffer(b"".join(datas[i] for i in raw_idx), dtype="<u2")
+        out[raw_idx] = buf.reshape(len(raw_idx), h, w, N_BANDS)
+    for i in range(n):
+        if fmts[i] != "raw16":
+            out[i] = decode_block(datas[i], w, h, fmts[i])
+    return out
+
+
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical blocks."""
     a = np.asarray(a, dtype=np.float64)
