@@ -76,6 +76,17 @@ FEATURES_SCHEMA = ("cell_id long, image_id string, clean_frac double, "
                    "water_frac double, mean_ndvi double, mean_nir double")
 
 
+def _decode_batch(b: pd.DataFrame) -> np.ndarray:
+    """(n, h, w, bands) uint16 from a tile batch: one-copy decode_stack
+    when the batch is same-shaped (the synthesizer guarantee), per-row
+    fallback otherwise."""
+    w0, h0 = int(b["w"].iat[0]), int(b["h"].iat[0])
+    if (b["w"] == w0).all() and (b["h"] == h0).all():
+        return codec.decode_stack(b["bytes"], w0, h0, b["fmt"])
+    return np.stack([codec.decode_block(r.bytes, r.w, r.h, r.fmt)
+                     for r in b.itertuples()])
+
+
 def tile_features(images: DataFrame,
                   clean_cover_bits: int = 2 | 4) -> DataFrame:
     """Per-tile raster features: decode -> QA mask -> WOfS water fraction +
@@ -91,28 +102,26 @@ def tile_features(images: DataFrame,
         for b in batches:
             if not len(b):
                 continue
-            blks = [codec.decode_block(r.bytes, r.w, r.h, r.fmt)
-                    for r in b.itertuples()]
-            stack = np.stack(blks).astype(np.float64)  # (n, h, w, bands)
-            qa = stack[:, :, :, codec.QA_BAND].astype(np.int64)
-            clean = (qa & clean_cover_bits) != 0
-            nir = stack[:, :, :, 3]
-            red = stack[:, :, :, 2]
+            stack = _decode_batch(b)          # (n, h, w, bands) uint16
+            clean = (stack[:, :, :, codec.QA_BAND] & clean_cover_bits) != 0
+            nir = stack[:, :, :, 3].astype(np.float64)
+            red = stack[:, :, :, 2].astype(np.float64)
+            cnt = clean.sum(axis=(1, 2)).astype(np.float64)
             with np.errstate(all="ignore"):
                 ndvi = (nir - red) / (nir + red)
                 water = _indices.wofs_np(
                     stack[:, :, :, 0], stack[:, :, :, 1], red, nir,
-                    stack[:, :, :, 4], stack[:, :, :, 5]).astype(np.float64)
-                ndvi = np.where(clean, ndvi, np.nan)
-                water = np.where(clean, water, np.nan)
-                nirm = np.where(clean, nir, np.nan)
+                    stack[:, :, :, 4], stack[:, :, :, 5])
+                ndvi_valid = clean & ~np.isnan(ndvi)
                 out = pd.DataFrame({
                     "cell_id": b["cell_id"].to_numpy(),
                     "image_id": b["image_id"].to_numpy(),
                     "clean_frac": clean.mean(axis=(1, 2)),
-                    "water_frac": np.nanmean(water, axis=(1, 2)),
-                    "mean_ndvi": np.nanmean(ndvi, axis=(1, 2)),
-                    "mean_nir": np.nanmean(nirm, axis=(1, 2)),
+                    "water_frac": (water * clean).sum(axis=(1, 2)) / cnt,
+                    "mean_ndvi": (np.where(ndvi_valid, ndvi, 0.0)
+                                  .sum(axis=(1, 2))
+                                  / ndvi_valid.sum(axis=(1, 2))),
+                    "mean_nir": (nir * clean).sum(axis=(1, 2)) / cnt,
                 })
             yield out
 
@@ -180,13 +189,7 @@ def spatial_raster_features(images: DataFrame, polygons: dict, res: int,
             # one-copy batch decode, uint16 stack; bands go float only where
             # the math needs it (the old full-stack float64 materialization
             # plus per-row decode was ~35% of this kernel's cpu)
-            w0, h0 = int(sub["w"].iat[0]), int(sub["h"].iat[0])
-            if (sub["w"] == w0).all() and (sub["h"] == h0).all():
-                stack = codec.decode_stack(sub["bytes"], w0, h0, sub["fmt"])
-            else:
-                stack = np.stack([codec.decode_block(r.bytes, r.w, r.h,
-                                                     r.fmt)
-                                  for r in sub.itertuples()])
+            stack = _decode_batch(sub)
             clean = (stack[:, :, :, codec.QA_BAND] & clean_cover_bits) != 0
             nir = stack[:, :, :, 3].astype(np.float64)
             red = stack[:, :, :, 2].astype(np.float64)
@@ -239,10 +242,8 @@ def tile_composite(images: DataFrame, method: str = "median",
 
     def composite(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("acquired_at")
-        blks = [codec.decode_block(r.bytes, r.w, r.h, r.fmt)
-                for r in pdf.itertuples()]
-        h, w, _ = blks[0].shape
-        stack = np.stack(blks).astype(np.float64)  # (t, h, w, bands)
+        stack = _decode_batch(pdf).astype(np.float64)  # (t, h, w, bands)
+        h, w = stack.shape[1], stack.shape[2]
         qa = stack[:, :, :, codec.QA_BAND].astype(np.int64)
         clean = (qa & clean_cover_bits) != 0
         data = stack[:, :, :, :codec.QA_BAND]

@@ -1145,6 +1145,30 @@ def _sql_frac_coverage() -> str:
           "FROM fc_out GROUP BY l_returnflag")
 
 
+def q_shepherd_segments(spark, sf_dir):
+    """Shepherd segmentation end-to-end (dea_tools/segmentation.py:100-360
+    / RSGISLib runShepherdSegmentation) over a deterministic synthesized
+    tile table: sampled k-means fit, equal-value clump, iterative
+    small-clump elimination, per-segment stats, aggregated per tile.
+    Genuinely non-SQL (k-means + connected components) — rows-only driver
+    check; the algorithm's invariants are pinned in
+    tests/test_segmentation.py."""
+    from . import synth
+    from .operators import segmentation as seg
+
+    # 64-px tiles span enough of the synthetic band field that clusters
+    # transition WITHIN tiles (~45 segments/image); 16-px tiles degenerate
+    # to one segment each because between-tile variation dominates.
+    imgs = synth.synthesize_images(spark, 8, tile_px=64, partitions=4)
+    out = seg.shepherd_segmentation(imgs, num_clusters=8, min_pxls=5,
+                                    sample_pixels=8000)
+    return (out.groupBy("image_id")
+               .agg(F.count("*").alias("n_segments"),
+                    F.sum("n_px").alias("n_px_total"),
+                    F.min("n_px").alias("min_segment_px"))
+               .orderBy("image_id"))
+
+
 def q_mostcommon_crs(spark, sf_dir):
     """mostcommon_crs (dea datahandling.py:498-546): distributed mode with
     deterministic tie-break — the CRS vote, one partial-agg count."""
@@ -1452,6 +1476,7 @@ GROUP_A = {
     "calendar_grouping": (q_calendar_grouping, SQL_CALENDAR_GROUPING),
     "phenology": (q_phenology, SQL_PHENOLOGY),
     "frac_coverage": (q_frac_coverage, _sql_frac_coverage()),
+    "shepherd_segments": (q_shepherd_segments, None),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
