@@ -236,7 +236,7 @@ def lag_linregress(df: DataFrame, keys: Sequence[str], x_col: str,
 def tidal_stats(observed: DataFrame, modelled: DataFrame,
                 keys: Sequence[str], time_col: str = "ts",
                 height_col: str = "tide_height",
-                round_stats: int = 3) -> DataFrame:
+                round_stats: int | None = 3) -> DataFrame:
     """Bishop-Taylor tidal bias statistics (dea coastal.py:188-330):
     compare the satellite-OBSERVED tide-height series against the full
     MODELLED series per key — min/max/range of each, spread
@@ -270,15 +270,21 @@ def tidal_stats(observed: DataFrame, modelled: DataFrame,
                / F.col("all_range_m"))
     high_off = (F.abs(F.col("all_max_m") - F.col("observed_max_m"))
                 / F.col("all_range_m"))
-    r = round_stats
+    # round_stats=None skips rounding entirely — for engine-parity
+    # contracts over exactly-representable (dyadic) heights, the unrounded
+    # doubles are bit-identical across engines while a decimal round of a
+    # dyadic value can land exactly on a grid half (0.0625 at 3dp) where
+    # HALF_UP and rint disagree.
+    def _r(c):
+        return c if round_stats is None else F.round(c, round_stats)
     return j.select(
         *keys,
-        *[F.round(c, r).alias(c) for c in
+        *[_r(F.col(c)).alias(c) for c in
           ("observed_min_m", "all_min_m", "observed_max_m", "all_max_m",
            "observed_range_m", "all_range_m")],
-        F.round(spread, r).alias("spread_m"),
-        F.round(low_off, r).alias("low_tide_offset"),
-        F.round(high_off, r).alias("high_tide_offset"),
+        _r(spread).alias("spread_m"),
+        _r(low_off).alias("low_tide_offset"),
+        _r(high_off).alias("high_tide_offset"),
         F.col("observed_slope"), F.col("observed_pval"),
         F.col("all_slope"), F.col("all_pval"))
 

@@ -1438,6 +1438,266 @@ FROM stats LEFT JOIN f1 ON stats.user_id = f1.user_id
 
 # registry ------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round-3 additions: driver rows for previously pytest-only scalar operators
+# ---------------------------------------------------------------------------
+
+def q_water_quality(spark, sf_dir):
+    """Water-quality + SAR scalar functions (dc_water_quality.py:11-109 TSM
+    / Watanabe / Nazeer chl-a; dc_sar_utils.py:7-10 dn->dB) per pixel on a
+    deterministic sample.
+
+    Tie-proofing: outputs ship as floor(x*1e6) BIGINT. The rational chain
+    (chl_watanabe: one division + mul + sub) is bit-identical across
+    engines, so its floor always agrees; the transcendental ones (power /
+    log10) differ by <=1 ulp on ~8% of inputs, so magnitudes are kept
+    O(1e3) (chl_nazeer's ratio is gated to [0.2, 5] — physically the
+    reflectance-ratio regime anyway) to make an ulp a ~1e-7 fraction of
+    the floor grid."""
+    px = _lineitem_bands(spark, sf_dir)
+    sub = (px.filter((F.col("l_orderkey") % 100) == 7)
+             .select("l_orderkey", "l_linenumber",
+                     *[F.col(b).cast("double").alias(b)
+                       for b in ("blue", "green", "red", "nir")]))
+    ratio_ok = ((F.col("red") / F.nullif(F.col("blue"), F.lit(0.0)))
+                .between(0.2, 5.0))
+    return sub.select(
+        "l_orderkey", "l_linenumber",
+        F.floor(indices.index_col("tsm") * 1e6).alias("tsm_u6"),
+        F.floor(indices.index_col("chl_watanabe") * 1e6).alias("chl_w_u6"),
+        F.floor(F.when(ratio_ok, indices.index_col("chl_nazeer") * 1e6))
+         .alias("chl_n_u6"),
+        F.floor(indices.index_col("dn_to_db", vv="nir") * 1e6).alias("db_u6"))
+
+
+SQL_WATER_QUALITY = _bands_cte() + f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(({indices.index_sql('tsm')}) * 1e6) AS BIGINT) AS tsm_u6,
+       CAST(floor(({indices.index_sql('chl_watanabe')}) * 1e6) AS BIGINT)
+         AS chl_w_u6,
+       CAST(floor(CASE WHEN (red / nullif(blue, 0.0)) BETWEEN 0.2 AND 5.0
+                  THEN ({indices.index_sql('chl_nazeer')}) * 1e6 END)
+            AS BIGINT) AS chl_n_u6,
+       CAST(floor(({indices.index_sql('dn_to_db', vv='nir')}) * 1e6)
+            AS BIGINT) AS db_u6
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST(blue AS DOUBLE) AS blue, CAST(green AS DOUBLE) AS green,
+             CAST(red AS DOUBLE) AS red, CAST(nir AS DOUBLE) AS nir
+      FROM px WHERE l_orderkey % 100 = 7)
+"""
+
+
+def q_pan_sharpen(spark, sf_dir):
+    """Brovey pan-sharpening (dea_tools/datahandling.py:663-701) per pixel
+    on a deterministic sample; a synthetic pan band is derived the same
+    way as the six spectral bands. Pure mul/div chain — bit-identical
+    across engines, so floor(x*1e6) BIGINT outputs cannot tie."""
+    px = _lineitem_bands(spark, sf_dir)
+    sub = (px.filter((F.col("l_orderkey") % 100) == 23)
+             .select("l_orderkey", "l_linenumber",
+                     *[F.col(b).cast("double").alias(b)
+                       for b in ("blue", "green", "red")],
+                     F.expr("CAST((l_partkey * 19 + l_suppkey * 7) % 5000 "
+                            "AS DOUBLE)").alias("pan")))
+    total = F.col("red") + F.col("green") + F.col("blue")
+    return sub.select(
+        "l_orderkey", "l_linenumber",
+        *[F.floor(indices.pan_sharpen_brovey(F.col(b), total, F.col("pan"))
+                  * 1e6).alias(f"{b}_sharp_u6")
+          for b in ("blue", "green", "red")])
+
+
+SQL_PAN_SHARPEN = _bands_cte() + """
+SELECT l_orderkey, l_linenumber,
+""" + ",\n".join(
+    f"       CAST(floor({b} / nullif(red + green + blue, 0.0) * pan * 1e6)"
+    f" AS BIGINT) AS {b}_sharp_u6" for b in ("blue", "green", "red")
+) + """
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST(blue AS DOUBLE) AS blue, CAST(green AS DOUBLE) AS green,
+             CAST(red AS DOUBLE) AS red,
+             CAST((l_partkey * 19 + l_suppkey * 7) % 5000 AS DOUBLE) AS pan
+      FROM px WHERE l_orderkey % 100 = 23)
+"""
+
+
+def q_fused_masks(spark, sf_dir):
+    """Mask-fusion scalar family in one pass: wofs_fuser (dea
+    datahandling.py:606-616), cfmask/fmask clean masks
+    (dc_utilities.py:181-208, clean_mask.py:315-359), create_bit_mask
+    (dc_utilities.py:327-349), xarray_values_in (clean_mask.py:10-39).
+    Two derived WO observations (with nodata nulls) fuse per pixel; the
+    histogram groups by the fused value, counting clean/bit/value-set
+    hits per group — all-integer outputs, tie-proof by construction."""
+    from .operators import masks
+    li = _t(spark, sf_dir, "lineitem")
+    a = F.expr("CASE WHEN l_orderkey % 7 = 0 THEN NULL "
+               "WHEN l_partkey % 3 = 0 THEN 128 ELSE 0 END")
+    b = F.expr("CASE WHEN l_suppkey % 5 = 0 THEN NULL "
+               "WHEN l_orderkey % 4 = 0 THEN 128 ELSE 0 END")
+    cf = F.expr("l_partkey % 5")
+    fm = F.expr("l_suppkey % 6")
+    qa = F.expr(QA_SQL)
+    return (li.select(
+                masks.wofs_fuser(a, b).alias("fused"),
+                masks.cfmask_clean_mask(cf).cast("long").alias("cf_clean"),
+                masks.fmask_clean_mask(fm).cast("long").alias("fm_clean"),
+                masks.bit_mask(qa, [1, 2]).cast("long").alias("bit_hit"),
+                masks.values_in_mask(qa, [2, 4]).cast("long").alias("val_hit"))
+              .groupBy("fused")
+              .agg(F.count("*").alias("n"),
+                   F.sum("cf_clean").alias("n_cf_clean"),
+                   F.sum("fm_clean").alias("n_fm_clean"),
+                   F.sum("bit_hit").alias("n_bit"),
+                   F.sum("val_hit").alias("n_val")))
+
+
+SQL_FUSED_MASKS = f"""
+WITH m AS (
+  SELECT CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a
+              ELSE a | b END AS fused,
+         CASE WHEN l_partkey % 5 IN (0, 1) THEN 1 ELSE 0 END AS cf_clean,
+         CASE WHEN l_suppkey % 6 IN (0, 1) THEN 1 ELSE 0 END AS fm_clean,
+         CASE WHEN (qa & 6) <> 0 THEN 1 ELSE 0 END AS bit_hit,
+         CASE WHEN qa IN (2, 4) THEN 1 ELSE 0 END AS val_hit
+  FROM (SELECT l_partkey, l_suppkey,
+               CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                    WHEN l_partkey % 3 = 0 THEN 128 ELSE 0 END AS a,
+               CASE WHEN l_suppkey % 5 = 0 THEN NULL
+                    WHEN l_orderkey % 4 = 0 THEN 128 ELSE 0 END AS b,
+               {QA_SQL} AS qa
+        FROM lineitem))
+SELECT fused, count(*) AS n,
+       CAST(sum(cf_clean) AS BIGINT) AS n_cf_clean,
+       CAST(sum(fm_clean) AS BIGINT) AS n_fm_clean,
+       CAST(sum(bit_hit) AS BIGINT) AS n_bit,
+       CAST(sum(val_hit) AS BIGINT) AS n_val
+FROM m GROUP BY fused
+"""
+
+
+# dyadic tide heights: exactly-representable doubles, so min/max/range are
+# exact and the spread/offset divisions are single IEEE ops — bit-identical
+# across engines with NO rounding anywhere (a decimal round of a dyadic
+# value can land exactly on a grid half, where HALF_UP and rint disagree).
+TIDE_SQL = "CAST((event_id * 37 + user_id * 11) % 4096 AS DOUBLE) / 1024.0 - 2.0"
+
+
+def q_tidal_stats(spark, sf_dir):
+    """tidal_stats range/spread family (dea coastal.py:188-330): satellite-
+    observed vs full modelled tide series per station — the SQL-expressible
+    subset (slopes/p-values are covered by the green lag_linregress row and
+    pytest parity of temporal.lag_linregress)."""
+    from .operators import temporal
+    e = (_t(spark, sf_dir, "events")
+         .withColumn("tide_height", F.expr(TIDE_SQL)))
+    obs = e.filter(F.col("event_id") % 3 == 1)
+    out = temporal.tidal_stats(obs, e, ["user_id"], time_col="ts",
+                               round_stats=None)
+    return out.select(
+        "user_id", "observed_min_m", "all_min_m", "observed_max_m",
+        "all_max_m", "observed_range_m", "all_range_m", "spread_m",
+        "low_tide_offset", "high_tide_offset")
+
+
+SQL_TIDAL_STATS = f"""
+WITH h AS (SELECT user_id, event_id, {TIDE_SQL} AS th FROM events),
+o AS (SELECT user_id, min(th) AS omin, max(th) AS omax
+      FROM h WHERE event_id % 3 = 1 GROUP BY user_id),
+a AS (SELECT user_id, min(th) AS amin, max(th) AS amax
+      FROM h GROUP BY user_id)
+SELECT o.user_id,
+       omin AS observed_min_m, amin AS all_min_m,
+       omax AS observed_max_m, amax AS all_max_m,
+       omax - omin AS observed_range_m, amax - amin AS all_range_m,
+       (omax - omin) / (amax - amin) AS spread_m,
+       abs(amin - omin) / (amax - amin) AS low_tide_offset,
+       abs(amax - omax) / (amax - amin) AS high_tide_offset
+FROM o JOIN a ON o.user_id = a.user_id
+"""
+
+
+def q_transect(spark, sf_dir):
+    """Transect extraction (transect/xarraypath.py:15-23 create_pixel_trail
+    + transect/line_scan.py:7-48): nation-derived lines walked with the
+    reference's quirky integer line scan, joined to a deterministic pixel
+    grid. One literal line (999: (2,4)->(2,3)) pins the empty-arange
+    degenerate guarantee in the driver row. All-integer outputs."""
+    from .operators import mlops
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("line_id"),
+        F.expr("CAST(n_nationkey % 7 AS BIGINT)").alias("x0"),
+        F.expr("CAST(n_nationkey * 3 % 11 AS BIGINT)").alias("y0"),
+        F.expr("CAST(n_nationkey * 5 % 13 AS BIGINT)").alias("x1"),
+        F.expr("CAST(n_nationkey * 7 % 17 AS BIGINT)").alias("y1"))
+    deg = spark.createDataFrame(
+        [(999, 2, 4, 2, 3)], "line_id long, x0 long, y0 long, x1 long, y1 long")
+    pix = spark.range(0, 1024).select(
+        F.expr("id % 32").alias("px"), F.expr("id DIV 32").alias("py"),
+        F.expr("(id % 32) * 31 + (id DIV 32) * 17").alias("val"))
+    return mlops.transect(n.unionByName(deg), pix)
+
+
+SQL_TRANSECT = r"""
+WITH lines AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS line_id,
+         CAST(n_nationkey % 7 AS BIGINT) AS x0,
+         CAST(n_nationkey * 3 % 11 AS BIGINT) AS y0,
+         CAST(n_nationkey * 5 % 13 AS BIGINT) AS x1,
+         CAST(n_nationkey * 7 % 17 AS BIGINT) AS y1
+  FROM nation
+  UNION ALL SELECT 999, 2, 4, 2, 3),
+par AS (
+  SELECT *,
+         CASE WHEN x0 < x1 THEN 1 ELSE -1 END AS xdir,
+         CASE WHEN y0 < y1 THEN 1 ELSE -1 END AS ydir,
+         CASE WHEN x0 <> x1
+              THEN CAST(y1 - y0 AS DOUBLE) / CAST(x1 - x0 AS DOUBLE)
+         END AS m
+  FROM lines),
+par2 AS (SELECT *, CASE WHEN m > 0 THEN 1 ELSE -1 END AS msign FROM par),
+pts AS (
+  SELECT line_id, x0, y0,
+    CASE
+      WHEN x0 = x1 THEN
+        [{'px': x0, 'py': y0 + i * ydir}
+         for i in generate_series(0, CAST(greatest(0,
+             ceil(CAST(y1 + 1 - y0 AS DOUBLE) / ydir)) AS BIGINT) - 1)]
+      WHEN y0 = y1 THEN
+        [{'px': x0 + i * xdir, 'py': y0}
+         for i in generate_series(0, CAST(greatest(0,
+             ceil(CAST(x1 + 1 - x0 AS DOUBLE) / xdir)) AS BIGINT) - 1)]
+      WHEN abs(m) >= 1 THEN
+        [{'px': CAST(floor(CAST(i * msign * xdir AS DOUBLE) / m + x0)
+                     AS BIGINT),
+          'py': y0 + i * msign * xdir}
+         for i in generate_series(0, CAST(greatest(0,
+             ceil(CAST(y1 + msign - y0 AS DOUBLE) / (msign * xdir)))
+             AS BIGINT) - 1)]
+      ELSE
+        [{'px': x0 + i * xdir,
+          'py': CAST(floor(m * CAST(i * xdir AS DOUBLE)) AS BIGINT) + y0}
+         for i in generate_series(0, CAST(greatest(0,
+             ceil(CAST(x1 + 1 - x0 AS DOUBLE) / xdir)) AS BIGINT) - 1)]
+    END AS pl
+  FROM par2),
+pts2 AS (
+  SELECT line_id,
+         CASE WHEN len(pl) = 0 THEN [{'px': x0, 'py': y0}] ELSE pl END AS pl
+  FROM pts),
+expl AS (
+  SELECT line_id, unnest(pl) AS r,
+         unnest(generate_series(0, len(pl) - 1)) AS seq
+  FROM pts2),
+pix AS (
+  SELECT i % 32 AS px, i // 32 AS py,
+         (i % 32) * 31 + (i // 32) * 17 AS val
+  FROM generate_series(0, 1023) g(i))
+SELECT e.line_id, e.seq, r['px'] AS px, r['py'] AS py, pix.val AS val
+FROM expl e LEFT JOIN pix ON r['px'] = pix.px AND r['py'] = pix.py
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -1477,6 +1737,11 @@ GROUP_A = {
     "phenology": (q_phenology, SQL_PHENOLOGY),
     "frac_coverage": (q_frac_coverage, _sql_frac_coverage()),
     "shepherd_segments": (q_shepherd_segments, None),
+    "water_quality": (q_water_quality, SQL_WATER_QUALITY),
+    "pan_sharpen": (q_pan_sharpen, SQL_PAN_SHARPEN),
+    "fused_masks": (q_fused_masks, SQL_FUSED_MASKS),
+    "tidal_stats": (q_tidal_stats, SQL_TIDAL_STATS),
+    "transect": (q_transect, SQL_TRANSECT),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
