@@ -1617,6 +1617,108 @@ FROM o JOIN a ON o.user_id = a.user_id
 """
 
 
+def q_subpixel_contours(spark, sf_dir):
+    """subpixel_contours (dea_tools/spatial.py:321-552): marching-squares
+    segments with sub-pixel interpolation over a deterministic 64x64 plane
+    split into 2x2 tiles of 32 — the halo exchange runs for real; the
+    oracle enumerates the same cells in SQL.
+
+    Quantization contract: coordinates ship as floor(x*1024) BIGINT. An
+    interp fraction is a rational p/q with q <= ~2000 (integer plane,
+    integer level), so 1024*(cy + p/q) is either exactly an integer
+    (computed exactly by both engines) or >= 1/q ~ 5e-4 away from one —
+    five orders beyond the <=2-rounding float error of the tiled path's
+    (cy_local + frac) + tile_offset association."""
+    import numpy as np
+    from .operators import contours, rasterops
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    plane = ((xx * xx * 31 + yy * yy * 17 + xx * yy * 7) % 1000) \
+        .astype(np.float64)
+    tiles = {(tx, ty): plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+             for tx in range(2) for ty in range(2)}
+    df = rasterops.plane_df(spark, tiles)
+    segs = contours.subpixel_contours(df, [300.0, 700.0],
+                                      tile_w=32, tile_h=32)
+    return segs.select(
+        "z_value",
+        *[F.floor(F.col(c) * 1024).alias(f"f{c}")
+          for c in ("ya", "xa", "yb", "xb")])
+
+
+# the same cells, enumerated relationally: corner lookups are four
+# self-joins on the pixel grid, the case table is the operator's _CASES
+# dict spelled as a CASE expression, saddles use the cell-mean rule.
+SQL_SUBPIXEL_CONTOURS = r"""
+WITH pix AS (
+  SELECT gx.i AS x, gy.i AS y,
+         CAST((gx.i*gx.i*31 + gy.i*gy.i*17 + gx.i*gy.i*7) % 1000 AS DOUBLE) AS v
+  FROM generate_series(0, 63) gx(i) CROSS JOIN generate_series(0, 63) gy(i)),
+lv AS (SELECT * FROM (VALUES (300.0e0), (700.0e0)) t(L)),
+cell AS (
+  SELECT L, c.x, c.y,
+         p00.v AS v00, p01.v AS v01, p10.v AS v10, p11.v AS v11
+  FROM (SELECT gx.i AS x, gy.i AS y
+        FROM generate_series(0, 62) gx(i)
+        CROSS JOIN generate_series(0, 62) gy(i)) c
+  CROSS JOIN lv
+  JOIN pix p00 ON p00.x = c.x     AND p00.y = c.y
+  JOIN pix p01 ON p01.x = c.x + 1 AND p01.y = c.y
+  JOIN pix p10 ON p10.x = c.x     AND p10.y = c.y + 1
+  JOIN pix p11 ON p11.x = c.x + 1 AND p11.y = c.y + 1),
+pt AS (
+  SELECT *,
+    (CASE WHEN v00 > L THEN 1 ELSE 0 END)
+    + (CASE WHEN v01 > L THEN 2 ELSE 0 END)
+    + (CASE WHEN v11 > L THEN 4 ELSE 0 END)
+    + (CASE WHEN v10 > L THEN 8 ELSE 0 END) AS cs,
+    ((v00 + v01) + v11 + v10) / 4.0 AS center,
+    CAST(y AS DOUBLE)                          AS t_y,
+    x + (L - v00) / nullif(v01 - v00, 0.0)     AS t_x,
+    y + (L - v01) / nullif(v11 - v01, 0.0)     AS r_y,
+    CAST(x + 1 AS DOUBLE)                      AS r_x,
+    CAST(y + 1 AS DOUBLE)                      AS b_y,
+    x + (L - v10) / nullif(v11 - v10, 0.0)     AS b_x,
+    y + (L - v00) / nullif(v10 - v00, 0.0)     AS l_y,
+    CAST(x AS DOUBLE)                          AS l_x
+  FROM cell),
+segs AS (
+  SELECT L, unnest(
+    CASE cs
+      WHEN 1 THEN [{'ya': l_y, 'xa': l_x, 'yb': t_y, 'xb': t_x}]
+      WHEN 2 THEN [{'ya': t_y, 'xa': t_x, 'yb': r_y, 'xb': r_x}]
+      WHEN 3 THEN [{'ya': l_y, 'xa': l_x, 'yb': r_y, 'xb': r_x}]
+      WHEN 4 THEN [{'ya': r_y, 'xa': r_x, 'yb': b_y, 'xb': b_x}]
+      WHEN 6 THEN [{'ya': t_y, 'xa': t_x, 'yb': b_y, 'xb': b_x}]
+      WHEN 7 THEN [{'ya': l_y, 'xa': l_x, 'yb': b_y, 'xb': b_x}]
+      WHEN 8 THEN [{'ya': b_y, 'xa': b_x, 'yb': l_y, 'xb': l_x}]
+      WHEN 9 THEN [{'ya': b_y, 'xa': b_x, 'yb': t_y, 'xb': t_x}]
+      WHEN 11 THEN [{'ya': r_y, 'xa': r_x, 'yb': b_y, 'xb': b_x}]
+      WHEN 12 THEN [{'ya': r_y, 'xa': r_x, 'yb': l_y, 'xb': l_x}]
+      WHEN 13 THEN [{'ya': t_y, 'xa': t_x, 'yb': r_y, 'xb': r_x}]
+      WHEN 14 THEN [{'ya': l_y, 'xa': l_x, 'yb': t_y, 'xb': t_x}]
+      WHEN 5 THEN CASE WHEN center > L
+        THEN [{'ya': t_y, 'xa': t_x, 'yb': r_y, 'xb': r_x},
+              {'ya': b_y, 'xa': b_x, 'yb': l_y, 'xb': l_x}]
+        ELSE [{'ya': l_y, 'xa': l_x, 'yb': t_y, 'xb': t_x},
+              {'ya': r_y, 'xa': r_x, 'yb': b_y, 'xb': b_x}] END
+      WHEN 10 THEN CASE WHEN center > L
+        THEN [{'ya': l_y, 'xa': l_x, 'yb': t_y, 'xb': t_x},
+              {'ya': r_y, 'xa': r_x, 'yb': b_y, 'xb': b_x}]
+        ELSE [{'ya': t_y, 'xa': t_x, 'yb': r_y, 'xb': r_x},
+              {'ya': b_y, 'xa': b_x, 'yb': l_y, 'xb': l_x}] END
+      ELSE []
+    END) AS r
+  FROM pt)
+SELECT L AS z_value,
+       CAST(floor(r['ya'] * 1024) AS BIGINT) AS fya,
+       CAST(floor(r['xa'] * 1024) AS BIGINT) AS fxa,
+       CAST(floor(r['yb'] * 1024) AS BIGINT) AS fyb,
+       CAST(floor(r['xb'] * 1024) AS BIGINT) AS fxb
+FROM segs
+"""
+
+
 def q_transect(spark, sf_dir):
     """Transect extraction (transect/xarraypath.py:15-23 create_pixel_trail
     + transect/line_scan.py:7-48): nation-derived lines walked with the
@@ -1742,6 +1844,7 @@ GROUP_A = {
     "fused_masks": (q_fused_masks, SQL_FUSED_MASKS),
     "tidal_stats": (q_tidal_stats, SQL_TIDAL_STATS),
     "transect": (q_transect, SQL_TRANSECT),
+    "subpixel_contours": (q_subpixel_contours, SQL_SUBPIXEL_CONTOURS),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
