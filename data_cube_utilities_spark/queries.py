@@ -1719,6 +1719,106 @@ FROM segs
 """
 
 
+def q_vectorize_regions(spark, sf_dir):
+    """xr_vectorize with cross-tile merge (dea spatial.py:51-161;
+    rasterops.vectorize_regions_global): global 4-connected regions of a
+    thresholded 64x64 plane, run through the REAL tiled path (2x2 tiles,
+    seam-run equi-join + driver union-find). Rows are keyed by their
+    stats, not region_id (id packs per-tile label order — engine-internal);
+    exact coordinate sums are recovered as round(centroid * n_px). The
+    oracle labels the same mask with a recursive transitive closure and
+    min-label components."""
+    import numpy as np
+    from .operators import rasterops
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    plane = ((xx * xx * 31 + yy * yy * 17 + xx * yy * 7) % 1000) \
+        .astype(np.float64)
+    tiles = {(tx, ty): plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+             for tx in range(2) for ty in range(2)}
+    df = rasterops.plane_df(spark, tiles)
+    regs = rasterops.vectorize_regions_global(df, threshold=830.0,
+                                              tile_w=32, tile_h=32)
+    return regs.select(
+        "n_px", "min_x", "min_y", "max_x", "max_y",
+        F.round(F.col("cx") * F.col("n_px"), 0).cast("long").alias("sum_x"),
+        F.round(F.col("cy") * F.col("n_px"), 0).cast("long").alias("sum_y"))
+
+
+SQL_VECTORIZE_REGIONS = r"""
+WITH RECURSIVE fg AS (
+  SELECT gx.i AS x, gy.i AS y, gy.i * 64 + gx.i AS id
+  FROM generate_series(0, 63) gx(i) CROSS JOIN generate_series(0, 63) gy(i)
+  WHERE (gx.i*gx.i*31 + gy.i*gy.i*17 + gx.i*gy.i*7) % 1000 > 830),
+e AS (
+  SELECT a.id AS s, b.id AS t
+  FROM fg a JOIN fg b ON (abs(a.x - b.x) + abs(a.y - b.y)) = 1),
+reach AS (
+  SELECT id AS id, id AS lab FROM fg
+  UNION
+  SELECT e.s AS id, r.lab FROM reach r JOIN e ON e.t = r.id),
+comp AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+SELECT count(*) AS n_px,
+       min(f.x) AS min_x, min(f.y) AS min_y,
+       max(f.x) AS max_x, max(f.y) AS max_y,
+       CAST(sum(f.x) AS BIGINT) AS sum_x, CAST(sum(f.y) AS BIGINT) AS sum_y
+FROM comp JOIN fg f ON f.id = comp.id
+GROUP BY comp.lab
+"""
+
+
+def q_focal_filter(spark, sf_dir):
+    """Focal min/max filter through the tiled halo exchange
+    (raster_filter.py:94-225 semantics; rasterops.focal_filter_halo):
+    each 32x32 tile ships 1-px strips to its 8 neighbors, the assembled
+    3x3 windows NaN-skip at true raster edges. Min/max of an integer
+    plane are exact — all-integer outputs. The oracle joins the pixel
+    grid to a 9-offset list and takes in-bounds extrema."""
+    import numpy as np
+    import pandas as pd
+    from .operators import rasterops
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    plane = ((xx * xx * 31 + yy * yy * 17 + xx * yy * 7) % 1000) \
+        .astype(np.float64)
+    tiles = {(tx, ty): plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+             for tx in range(2) for ty in range(2)}
+    df = rasterops.plane_df(spark, tiles)
+    fmin = rasterops.focal_filter_halo(df, radius=1, stat="min")
+    fmax = rasterops.focal_filter_halo(df, radius=1, stat="max")
+
+    def unpack(batches):
+        for b in batches:
+            for r in b.itertuples():
+                arr = rasterops._decode_plane(r.data, int(r.h), int(r.w))
+                ys, xs = np.mgrid[0:int(r.h), 0:int(r.w)]
+                yield pd.DataFrame({
+                    "x": (xs + int(r.tx) * 32).ravel(),
+                    "y": (ys + int(r.ty) * 32).ravel(),
+                    "v": arr.ravel().astype(np.int64)})
+
+    mn = fmin.mapInPandas(unpack, "x long, y long, v long") \
+             .withColumnRenamed("v", "v_min")
+    mx = fmax.mapInPandas(unpack, "x long, y long, v long") \
+             .withColumnRenamed("v", "v_max")
+    return mn.join(mx, ["x", "y"])
+
+
+SQL_FOCAL_FILTER = r"""
+WITH pix AS (
+  SELECT gx.i AS x, gy.i AS y,
+         (gx.i*gx.i*31 + gy.i*gy.i*17 + gx.i*gy.i*7) % 1000 AS v
+  FROM generate_series(0, 63) gx(i) CROSS JOIN generate_series(0, 63) gy(i)),
+off AS (
+  SELECT dx.i AS dx, dy.i AS dy
+  FROM generate_series(-1, 1) dx(i) CROSS JOIN generate_series(-1, 1) dy(i))
+SELECT c.x, c.y, min(n.v) AS v_min, max(n.v) AS v_max
+FROM pix c CROSS JOIN off
+JOIN pix n ON n.x = c.x + off.dx AND n.y = c.y + off.dy
+GROUP BY c.x, c.y
+"""
+
+
 def q_transect(spark, sf_dir):
     """Transect extraction (transect/xarraypath.py:15-23 create_pixel_trail
     + transect/line_scan.py:7-48): nation-derived lines walked with the
@@ -1845,6 +1945,8 @@ GROUP_A = {
     "tidal_stats": (q_tidal_stats, SQL_TIDAL_STATS),
     "transect": (q_transect, SQL_TRANSECT),
     "subpixel_contours": (q_subpixel_contours, SQL_SUBPIXEL_CONTOURS),
+    "vectorize_regions": (q_vectorize_regions, SQL_VECTORIZE_REGIONS),
+    "focal_filter": (q_focal_filter, SQL_FOCAL_FILTER),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
