@@ -1819,6 +1819,103 @@ GROUP BY c.x, c.y
 """
 
 
+def q_compute_slip(spark, sf_dir):
+    """Full SLIP landslide product (dc_slip.py:5-53;
+    rasterops.compute_slip): baseline/target band triples + DEM as tiled
+    planes, per-pixel |dNDWI| > 0.2 AND red change > 0.4 AND slope > 15deg
+    with baseline-nodata masking, through the real three-way tile join +
+    kernel. Per-pixel flags ship as ints; the oracle recomputes the
+    per-tile np.gradient (central interior, one-sided tile edges) with
+    neighbor joins. The slope threshold compares a transcendental — a
+    cross-engine flip would need a gradient magnitude within an ulp of
+    tan(15deg), which the integer-derived DEM cannot produce."""
+    import numpy as np
+    import pandas as pd
+    from .operators import rasterops
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    X, Y = xx.astype(np.int64), yy.astype(np.int64)
+    dem = ((X * 13 + Y * 29) % 500 + (X * Y) % 97).astype(np.float64)
+    b_red = np.where((X + Y) % 37 == 0, -9999.0,
+                     ((X * 7 + Y * 3) % 800 + 100).astype(np.float64))
+    b_nir = ((X * 11 + Y * 5) % 900 + 200).astype(np.float64)
+    b_swir1 = ((X * 5 + Y * 13) % 700 + 150).astype(np.float64)
+    t_red = ((X * 3 + Y * 17) % 850 + 400).astype(np.float64)
+    t_nir = ((X * 19 + Y * 7) % 950 + 100).astype(np.float64)
+    t_swir1 = ((X * 23 + Y * 11) % 600 + 50).astype(np.float64)
+
+    def tiled(arrs: dict) -> list:
+        rows = []
+        for ty in range(2):
+            for tx in range(2):
+                sl = np.s_[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+                rows.append((tx, ty,
+                             *[rasterops._encode_plane(a[sl])
+                               for a in arrs.values()], 32, 32))
+        return rows
+
+    base = spark.createDataFrame(
+        tiled({"r": b_red, "n": b_nir, "s": b_swir1}),
+        "tx long, ty long, data_red binary, data_nir binary, "
+        "data_swir1 binary, h int, w int")
+    targ = spark.createDataFrame(
+        tiled({"r": t_red, "n": t_nir, "s": t_swir1}),
+        "tx long, ty long, data_red binary, data_nir binary, "
+        "data_swir1 binary, h int, w int")
+    demdf = spark.createDataFrame(
+        tiled({"d": dem}), "tx long, ty long, data binary, h int, w int")
+    out = rasterops.compute_slip(base, targ, demdf)
+
+    def unpack(batches):
+        for b in batches:
+            for r in b.itertuples():
+                arr = np.frombuffer(bytes(r.slip), dtype=np.int16) \
+                        .reshape(int(r.h), int(r.w))
+                ys2, xs2 = np.mgrid[0:int(r.h), 0:int(r.w)]
+                yield pd.DataFrame({
+                    "x": (xs2 + int(r.tx) * 32).ravel(),
+                    "y": (ys2 + int(r.ty) * 32).ravel(),
+                    "slip": arr.ravel().astype(np.int64)})
+
+    return out.mapInPandas(unpack, "x long, y long, slip long")
+
+
+SQL_COMPUTE_SLIP = r"""
+WITH g AS (
+  SELECT gx.i AS x, gy.i AS y, gx.i // 32 AS tx, gy.i // 32 AS ty,
+         gx.i % 32 AS lx, gy.i % 32 AS ly,
+         CAST((gx.i*13 + gy.i*29) % 500 + (gx.i*gy.i) % 97 AS DOUBLE) AS dem,
+         CASE WHEN (gx.i + gy.i) % 37 = 0 THEN NULL
+              ELSE CAST((gx.i*7 + gy.i*3) % 800 + 100 AS DOUBLE) END AS br,
+         CAST((gx.i*11 + gy.i*5) % 900 + 200 AS DOUBLE) AS bn,
+         CAST((gx.i*5 + gy.i*13) % 700 + 150 AS DOUBLE) AS bs,
+         CAST((gx.i*3 + gy.i*17) % 850 + 400 AS DOUBLE) AS tr,
+         CAST((gx.i*19 + gy.i*7) % 950 + 100 AS DOUBLE) AS tn,
+         CAST((gx.i*23 + gy.i*11) % 600 + 50 AS DOUBLE) AS ts
+  FROM generate_series(0, 63) gx(i) CROSS JOIN generate_series(0, 63) gy(i)),
+grad AS (
+  SELECT c.*,
+    CASE WHEN c.lx = 0  THEN (e.dem - c.dem) / 30.0
+         WHEN c.lx = 31 THEN (c.dem - w.dem) / 30.0
+         ELSE (e.dem - w.dem) / (2.0 * 30.0) END AS gx,
+    CASE WHEN c.ly = 0  THEN (s.dem - c.dem) / 30.0
+         WHEN c.ly = 31 THEN (c.dem - n.dem) / 30.0
+         ELSE (s.dem - n.dem) / (2.0 * 30.0) END AS gy
+  FROM g c
+  LEFT JOIN g e ON e.x = c.x + 1 AND e.y = c.y AND e.tx = c.tx
+  LEFT JOIN g w ON w.x = c.x - 1 AND w.y = c.y AND w.tx = c.tx
+  LEFT JOIN g s ON s.x = c.x AND s.y = c.y + 1 AND s.ty = c.ty
+  LEFT JOIN g n ON n.x = c.x AND n.y = c.y - 1 AND n.ty = c.ty)
+SELECT x, y,
+  CAST(CASE WHEN br IS NULL THEN 0
+       WHEN abs((tn - ts)/(tn + ts) - (bn - bs)/(bn + bs)) > 0.20
+        AND (tr - br)/br > 0.40
+        AND degrees(atan(sqrt(gx*gx + gy*gy))) > 15.0
+       THEN 1 ELSE 0 END AS BIGINT) AS slip
+FROM grad
+"""
+
+
 def q_transect(spark, sf_dir):
     """Transect extraction (transect/xarraypath.py:15-23 create_pixel_trail
     + transect/line_scan.py:7-48): nation-derived lines walked with the
@@ -1947,6 +2044,7 @@ GROUP_A = {
     "subpixel_contours": (q_subpixel_contours, SQL_SUBPIXEL_CONTOURS),
     "vectorize_regions": (q_vectorize_regions, SQL_VECTORIZE_REGIONS),
     "focal_filter": (q_focal_filter, SQL_FOCAL_FILTER),
+    "compute_slip": (q_compute_slip, SQL_COMPUTE_SLIP),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),

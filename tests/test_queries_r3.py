@@ -19,6 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
     ("vectorize_regions", 473),    # global 4-connected regions @ >830
     ("focal_filter", 4096),        # one row per pixel of the 64x64 plane
     ("transect", 183),             # 25 nation lines + 1 degenerate walk
+    ("compute_slip", 4096),        # per-pixel SLIP flags, 2x2 tiles
 ])
 def test_fixed_geometry_rowcounts(spark, name, exact):
     fn, _sql = queries.GROUP_A[name]
