@@ -1916,6 +1916,57 @@ FROM grad
 """
 
 
+def q_medoid_mosaic(spark, sf_dir):
+    """Medoid composite (create_hdmedians_multiple_band_mosaic medoid mode,
+    dc_mosaic.py:556-635 / hdmedians nanmedoid; mosaic.mosaic_geomedian
+    operation='medoid'): per pixel group, the OBSERVED point minimizing
+    total distance to the others — the joint multi-band stack through the
+    real grouped-map kernel. The winner's band values are integers (exact
+    doubles), so the row hash is safe; an argmin flip would need two
+    distinct observations' distance sums within ~1e-11 of each other,
+    which integer-derived bands cannot produce, and exact ties are only
+    between identical vectors (same output either way)."""
+    px = _lineitem_bands(spark, sf_dir)
+    sub = (px.filter((F.col("l_orderkey") % 25) == 3)
+             .select((F.col("l_partkey") % 150).alias("px"),
+                     *[F.col(b).cast("double").alias(b)
+                       for b in ("blue", "green", "red")],
+                     F.col("pixel_qa").isin(2, 4).alias("clean")))
+    from .operators import mosaic
+    return mosaic.mosaic_geomedian(sub, ["px"], ["blue", "green", "red"],
+                                   operation="medoid")
+
+
+SQL_MEDOID_MOSAIC = _bands_cte() + """,
+obs AS (
+  SELECT l_partkey % 150 AS px,
+         CAST(blue AS DOUBLE) AS blue, CAST(green AS DOUBLE) AS green,
+         CAST(red AS DOUBLE) AS red,
+         pixel_qa IN (2, 4) AS clean
+  FROM px WHERE l_orderkey % 25 = 3),
+clean_obs AS (
+  SELECT row_number() OVER () AS rid, * FROM obs WHERE clean),
+sums AS (
+  SELECT a.rid, a.px, a.blue, a.green, a.red,
+         sum(sqrt((a.blue - b.blue) * (a.blue - b.blue)
+                  + (a.green - b.green) * (a.green - b.green)
+                  + (a.red - b.red) * (a.red - b.red))) AS dsum
+  FROM clean_obs a JOIN clean_obs b ON a.px = b.px
+  GROUP BY a.rid, a.px, a.blue, a.green, a.red),
+winner AS (
+  SELECT px, blue, green, red,
+         row_number() OVER (PARTITION BY px
+                            ORDER BY dsum, blue, green, red) AS rk
+  FROM sums)
+SELECT CAST(g.px AS DOUBLE) AS px,
+       coalesce(w.blue, -9999.0) AS blue,
+       coalesce(w.green, -9999.0) AS green,
+       coalesce(w.red, -9999.0) AS red
+FROM (SELECT DISTINCT px FROM obs) g
+LEFT JOIN winner w ON w.px = g.px AND w.rk = 1
+"""
+
+
 def q_transect(spark, sf_dir):
     """Transect extraction (transect/xarraypath.py:15-23 create_pixel_trail
     + transect/line_scan.py:7-48): nation-derived lines walked with the
@@ -2045,6 +2096,7 @@ GROUP_A = {
     "vectorize_regions": (q_vectorize_regions, SQL_VECTORIZE_REGIONS),
     "focal_filter": (q_focal_filter, SQL_FOCAL_FILTER),
     "compute_slip": (q_compute_slip, SQL_COMPUTE_SLIP),
+    "medoid_mosaic": (q_medoid_mosaic, SQL_MEDOID_MOSAIC),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),

@@ -27,7 +27,8 @@ def test_fixed_geometry_rowcounts(spark, name, exact):
 
 
 @pytest.mark.parametrize("name", ["water_quality", "pan_sharpen",
-                                  "fused_masks", "tidal_stats"])
+                                  "fused_masks", "tidal_stats",
+                                  "medoid_mosaic"])
 def test_sf_dependent_nonempty(spark, name):
     fn, _sql = queries.GROUP_A[name]
     df = fn(spark, SF_DIR)
