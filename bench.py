@@ -31,6 +31,9 @@ HEADLINE = [
     "band_indices", "cell_assignment", "first_last_valid", "window_baseline",
     "asof_join", "find_gaps", "pip_relational", "zonal_stats", "knn",
     "anti_join_quality_gate",
+    # LLM-pipeline group B representatives: banded-LSH dedup, sign-LSH
+    # embedding near-dup, broadcast cosine top-k (TakeOrderedAndProject)
+    "minhash_lsh", "embedding_near_dup", "cosine_topk",
 ]
 
 
