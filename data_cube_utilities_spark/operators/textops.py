@@ -76,8 +76,14 @@ def minhash_lsh_pairs(df: DataFrame, n_bands: int = 8,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >=1 band signature.
-    Output (doc_a, doc_b, n_bands_shared), doc_a < doc_b."""
-    sig = minhash_signatures(df, n_bands, id_col, text_col)
+    Output (doc_a, doc_b, n_bands_shared), doc_a < doc_b.
+
+    The signature table is persisted before the self-join: without it each
+    side re-runs the shingle x band md5 fan-out (no ReusedExchange — the
+    broadcast side has no shuffle to reuse), doubling the dominant cost.
+    Signatures are n_docs x n_bands rows — tiny next to the shingle
+    explosion, the thing you'd materialize at 100 TB anyway."""
+    sig = minhash_signatures(df, n_bands, id_col, text_col).persist()
     a = sig.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sig.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (a.join(b, ["band", "sig"])
@@ -205,8 +211,10 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
     shares at least one identical band, so a (band, key) equi-join has
     EXACT recall at the default threshold — never an all-pairs scan. The
     surviving candidates get the true popcount-XOR hamming filter
-    (F.bit_count, pure codegen)."""
-    sig = simhash(df, id_col, text_col)
+    (F.bit_count, pure codegen). The signature table (one row per doc) is
+    persisted so the generated-SQL hashing pass runs once, not per join
+    side."""
+    sig = simhash(df, id_col, text_col).persist()
     bands = [F.shiftrightunsigned(F.col("simhash_hi"), 16),
              F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
              F.shiftrightunsigned(F.col("simhash_lo"), 16),
@@ -370,9 +378,11 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     split across buckets is not a candidate; more planes / multi-probe
     tighten it. Scale: pair fan-out is bounded per bucket, and the bucket
     id doubles as a partition key at 100 TB."""
+    # persisted: the 64-plane bucket projection would otherwise run once
+    # per join side (the broadcast branch cannot reuse an exchange)
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"),
-                   lsh_bucket_col(vec_col, dims).alias("bucket"))
+                   lsh_bucket_col(vec_col, dims).alias("bucket")).persist()
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  "bucket")
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
