@@ -114,6 +114,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
         rare = (tok.groupBy(*df_keys).agg(F.count("*").alias("df"))
                    .filter(F.col("df") <= max_df).drop("df"))
         tok = tok.join(rare, df_keys)
+    # persisted: tok feeds both self-join sides AND the size table — three
+    # consumers would each re-run tokenize + explode (+ the df-cap join)
+    tok = tok.persist()
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
     a = tok.select(F.col("id").alias("doc_a"),
                    *( [F.col("blk")] if block_col else []), "tok")
