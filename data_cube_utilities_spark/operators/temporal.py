@@ -265,11 +265,13 @@ def tidal_stats(observed: DataFrame, modelled: DataFrame,
     obs = side(observed, "observed")
     allm = side(modelled, "all")
     j = obs.join(allm, keys)
-    spread = F.col("observed_range_m") / F.col("all_range_m")
-    low_off = (F.abs(F.col("all_min_m") - F.col("observed_min_m"))
-               / F.col("all_range_m"))
-    high_off = (F.abs(F.col("all_max_m") - F.col("observed_max_m"))
-                / F.col("all_range_m"))
+    # nullif-guarded: a constant modelled series (zero range) yields NULL
+    # ratios rather than an ANSI DIVIDE_BY_ZERO (Spark 4 throws for DOUBLE
+    # division too); DuckDB's x/0 -> NULL matches.
+    rng = F.nullif(F.col("all_range_m"), F.lit(0.0))
+    spread = F.col("observed_range_m") / rng
+    low_off = F.abs(F.col("all_min_m") - F.col("observed_min_m")) / rng
+    high_off = F.abs(F.col("all_max_m") - F.col("observed_max_m")) / rng
     # round_stats=None skips rounding entirely — for engine-parity
     # contracts over exactly-representable (dyadic) heights, the unrounded
     # doubles are bit-identical across engines while a decimal round of a
