@@ -97,10 +97,13 @@ def trend_slope(df: DataFrame, keys: Sequence[str], value_col: str,
     """Per-series OLS slope+intercept via covar_pop/var_pop — the closed
     form of trend.linear; no per-pixel UDF fan-out needed."""
     t = F.unix_micros(F.col(time_col).cast("timestamp")).cast("double") / 1e6
+    # nullif guard: a single-observation (or constant-time) series has
+    # var_pop = 0 — NULL slope, not an ANSI DIVIDE_BY_ZERO
+    tvar = F.nullif(F.var_pop(t), F.lit(0.0))
     return df.groupBy(*keys).agg(
-        (F.covar_pop(t, F.col(value_col)) / F.var_pop(t)).alias("slope"),
+        (F.covar_pop(t, F.col(value_col)) / tvar).alias("slope"),
         (F.avg(value_col)
-         - (F.covar_pop(t, F.col(value_col)) / F.var_pop(t)) * F.avg(t))
+         - (F.covar_pop(t, F.col(value_col)) / tvar) * F.avg(t))
         .alias("intercept"),
         F.corr(t, F.col(value_col)).alias("r"),
         F.count("*").alias("n"))

@@ -335,7 +335,8 @@ def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
     q = (e.filter(F.col("vec_id") == query_id)
           .select(F.col("v").alias("qv")))
     j = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != query_id)
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
+        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
     return _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                         k, "vec_id", "cosine")
 
@@ -392,7 +393,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                  "bucket")
     j = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     cos = F.round(_dot(F.col("va"), F.col("vb"))
-                  / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+                  / F.nullif(_norm(F.col("va")) * _norm(F.col("vb")),
+                             F.lit(0.0)), 6)
     return (j.withColumn("cosine", cos)
              .filter(F.col("cosine") >= threshold)
              .select("vec_a", "vec_b", "bucket", "cosine"))
@@ -437,7 +439,8 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                     (F.col("vec_id") != query_id))
     q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
     j = cand.crossJoin(F.broadcast(q))
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
+        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
     return _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                         k, "vec_id", "list_id", "cosine")
 
@@ -453,6 +456,7 @@ def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
           .select(F.col("v").alias("qv"), F.col("bucket").alias("qbucket")))
     j = (e.join(F.broadcast(q), e.bucket == F.col("qbucket"))
           .filter(F.col("vec_id") != query_id))
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
+        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
     return _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                         k, "vec_id", "bucket", "cosine")
