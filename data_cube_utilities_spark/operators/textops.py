@@ -382,11 +382,16 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     split across buckets is not a candidate; more planes / multi-probe
     tighten it. Scale: pair fan-out is bounded per bucket, and the bucket
     id doubles as a partition key at 100 TB."""
-    # persisted: the 64-plane bucket projection would otherwise run once
-    # per join side (the broadcast branch cannot reuse an exchange)
-    e = emb.select(F.col(id_col).alias("vec_id"),
-                   F.col(vec_col).cast("array<double>").alias("v"),
-                   lsh_bucket_col(vec_col, dims).alias("bucket")).persist()
+    # Repartition on the join key, then persist: the bucket column IS the
+    # partition key of the scale design, and a single-file input would
+    # otherwise leave the whole interpreted higher-order dot-product chain
+    # on one task (2.3x at sf0.1). Persist also stops the bucket
+    # projection running once per join side (the broadcast branch cannot
+    # reuse an exchange).
+    e = (emb.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                    lsh_bucket_col(vec_col, dims).alias("bucket"))
+            .repartition("bucket").persist())
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  "bucket")
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
