@@ -112,3 +112,21 @@ def test_band_indices_is_double_not_decimal(spark):
     assert all(f.dataType.simpleString() == "double"
                for f in df.schema.fields if f.name.startswith("avg_"))
     assert "Window" not in plan_of(df)
+
+
+def test_lsh_pair_joins_read_cached_signatures(spark):
+    """The pair operators' self-joins must consume the persisted signature
+    table on BOTH sides — without it each side re-runs the full signature
+    pipeline (no ReusedExchange when one side broadcasts), doubling the
+    dominant cost (r3: minhash bench wall 3.45s -> 0.71s)."""
+    from data_cube_utilities_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    plan = plan_of(textops.minhash_lsh_pairs(docs))
+    # (the cached relation's stored description still mentions md5, so the
+    # scan count — not expression text — is the reuse signal)
+    assert plan.count("InMemoryTableScan") >= 2
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    eplan = plan_of(textops.embedding_near_dup_pairs(emb))
+    assert eplan.count("InMemoryTableScan") >= 2
