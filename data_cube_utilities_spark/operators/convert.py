@@ -90,3 +90,40 @@ def hex_to_rgb(rgbstr: str) -> np.ndarray:
     if len(s) != 6:
         raise ValueError(f"expected rrggbb, got {rgbstr!r}")
     return np.array([int(s[0:2], 16), int(s[2:4], 16), int(s[4:6], 16)])
+
+
+def bin_and_index(values, size: int):
+    """Vectorized twin of the reference's `_bin_and_index`
+    (transect/interpolate.py:29-36): the bin i with i/size < v <= (i+1)/size,
+    else 0 (including v <= 0 and v > 1 — the reference's fallthrough).
+
+    ceil(v*size) - 1 selects the same half-open bin: v in (i/size, (i+1)/size]
+    <=> v*size in (i, i+1] <=> ceil(v*size) = i + 1."""
+    v = np.asarray(values, dtype=np.float64)
+    idx = np.ceil(v * size).astype(np.int64) - 1
+    idx = np.where((v > 0) & (v <= 1) & (idx >= 0) & (idx < size), idx, 0)
+    return idx if v.ndim else int(idx)
+
+
+def get_gradient(colors: Sequence[str], values) -> np.ndarray:
+    """Piecewise-linear color-ramp interpolation
+    (transect/interpolate.py:38-56, goldens transect/tests/
+    test_interpolate.py): value v selects the adjacent color pair via
+    bin_and_index over len(colors)-1 segments, then interpolates
+    c1 + (v*size - index) * (c2 - c1). NaN -> [nan, nan, nan].
+
+    Vectorized: `values` may be a scalar (returns shape (3,), the
+    reference's contract) or an array (returns (n, 3))."""
+    rgb = np.stack([hex_to_rgb(c) for c in colors]).astype(np.float64)
+    size = len(colors) - 1
+    if size < 1:
+        raise ValueError("need at least two colors")
+    v = np.asarray(values, dtype=np.float64)
+    scalar = v.ndim == 0
+    v1 = np.atleast_1d(v)
+    ok = ~np.isnan(v1)
+    idx = np.asarray(bin_and_index(np.where(ok, v1, 0.0), size))
+    c1, c2 = rgb[idx], rgb[idx + 1]
+    t = (v1 * size - idx)[:, None]
+    out = np.where(ok[:, None], c1 + t * (c2 - c1), np.nan)
+    return out[0] if scalar else out

@@ -54,3 +54,35 @@ def test_tidal_stats_spread_bounds(spark):
     assert ((pdf["low_tide_offset"] >= 0) & (pdf["low_tide_offset"] <= 1)).all()
     assert ((pdf["high_tide_offset"] >= 0)
             & (pdf["high_tide_offset"] <= 1)).all()
+
+
+def test_get_gradient_reference_goldens():
+    """The reference's transect/tests/test_interpolate.py expectations,
+    plus the vectorized contract and NaN passthrough."""
+    import numpy as np
+    from data_cube_utilities_spark.operators import convert
+
+    three = ["#ffffff", "#000000", "#ff0000"]
+    two = ["#ffffff", "#000000"]
+    cases = [
+        (three, 0.5, [0, 0, 0]),
+        (three, 0.25, [127.5, 127.5, 127.5]),
+        (three, 0.75, [127.5, 0, 0]),
+        (two, 0.5, [127.5, 127.5, 127.5]),
+        (two, 0.25, [191.25, 191.25, 191.25]),
+        (two, 0.75, [63.75, 63.75, 63.75]),
+    ]
+    for colors, v, want in cases:
+        np.testing.assert_allclose(convert.get_gradient(colors, v), want,
+                                   atol=1)
+    # bin edges: the reference loop's strict/inclusive bounds
+    assert convert.bin_and_index(0.3, 2) == 0
+    assert convert.bin_and_index(0.9, 2) == 1
+    assert convert.bin_and_index(0.5, 2) == 0     # boundary joins lower bin
+    assert convert.bin_and_index(0.0, 2) == 0     # fallthrough
+    assert convert.bin_and_index(1.5, 2) == 0     # fallthrough
+    # vectorized + NaN
+    out = convert.get_gradient(two, np.array([0.25, np.nan, 0.75]))
+    assert out.shape == (3, 3)
+    assert np.isnan(out[1]).all()
+    np.testing.assert_allclose(out[0], [191.25] * 3, atol=1)
