@@ -450,6 +450,37 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                         k, "vec_id", "list_id", "cosine")
 
 
+def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
+                       dims: int, k: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Batch ANN — the shape a training-data pipeline actually runs at
+    100 TB: MANY queries at once against the LSH-bucketed corpus. The
+    query block (tiny) broadcasts onto the bucket equi-join, so candidates
+    per query stay bounded by bucket size; per-query top-k is a window
+    rank PARTITIONED by query id (one shuffle of the bounded candidate
+    set — never the global single-task window of the r1 scale-killer).
+    Output: (query_id, vec_id, cosine, rank<=k)."""
+    e = (emb.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                    lsh_bucket_col(vec_col, dims).alias("bucket"))
+            .repartition("bucket").persist())
+    ids = [int(i) for i in query_ids]
+    q = (e.filter(F.col("vec_id").isin(ids))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("v").alias("qv"), "bucket"))
+    j = (e.join(F.broadcast(q), "bucket")
+          .filter(F.col("vec_id") != F.col("query_id")))
+    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
+        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (j.withColumn("cosine", F.round(cos, 6))
+             .select("query_id", "vec_id", "cosine")
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k))
+
+
 def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """ANN: restrict the exact cosine scan to the query's LSH bucket —

@@ -255,6 +255,56 @@ FROM r ORDER BY rank LIMIT 5
 """
 
 
+BATCH_QUERY_IDS = (0, 7, 42, 123, 321)   # present at every sf (ids 0..499+)
+
+
+def q_lsh_ann_batch(spark, sf_dir):
+    """Batch ANN (textops.lsh_ann_topk_batch): five queries at once
+    against the LSH-bucketed corpus; per-query top-k = window rank
+    partitioned by query id over the bucket-bounded candidates — the
+    shape a 100 TB training-data pipeline runs."""
+    return textops.lsh_ann_topk_batch(
+        _t(spark, sf_dir, "embeddings"), BATCH_QUERY_IDS,
+        dims=EMB_DIMS, k=5)
+
+
+SQL_LSH_ANN_BATCH = f"""
+WITH e AS (
+  SELECT vec_id, v, i FROM (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+),
+b AS (
+  SELECT vec_id,
+         {" + ".join(f"(CASE WHEN {_plane_sql(h)} > 0 THEN {1 << h} ELSE 0 END)"
+                     for h in range(textops.N_PLANES))} AS bucket
+  FROM e GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, bucket FROM b
+      WHERE vec_id IN {BATCH_QUERY_IDS}),
+cand AS (SELECT q.query_id, b.vec_id
+         FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.query_id),
+dots AS (
+  SELECT c.query_id, c.vec_id,
+         sum(ev.v * qv.v) AS dot,
+         sqrt(sum(ev.v * ev.v)) AS na,
+         sqrt(sum(qv.v * qv.v)) AS nq
+  FROM cand c
+  JOIN e ev ON ev.vec_id = c.vec_id
+  JOIN e qv ON qv.vec_id = c.query_id AND qv.i = ev.i
+  GROUP BY c.query_id, c.vec_id
+),
+r AS (SELECT query_id, vec_id, round(dot / (na * nq), 6) AS cosine
+      FROM dots),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC)
+                 AS rank
+       FROM r)
+SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 5
+"""
+
+
 MAX_HAMMING = 3   # pigeonhole-exact for the 4x16-bit banding
 
 
@@ -350,6 +400,7 @@ GROUP_B = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
+    "lsh_ann_batch": (q_lsh_ann_batch, SQL_LSH_ANN_BATCH),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "ivf_ann": (q_ivf_ann, None),
