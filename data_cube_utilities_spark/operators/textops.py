@@ -451,7 +451,7 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
 
 
 def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
-                       dims: int, k: int = 5,
+                       dims: int, k: int = 5, probe_bits: int = 0,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
     """Batch ANN — the shape a training-data pipeline actually runs at
@@ -460,7 +460,12 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     per query stay bounded by bucket size; per-query top-k is a window
     rank PARTITIONED by query id (one shuffle of the bounded candidate
     set — never the global single-task window of the r1 scale-killer).
-    Output: (query_id, vec_id, cosine, rank<=k)."""
+
+    probe_bits=1 is classic multi-probe: each query also probes the
+    N_PLANES buckets one sign-flip away (the most likely homes of a
+    near-neighbor that straddles a hyperplane), trading N_PLANES+1
+    broadcast rows per query for recall — still an equi-join, never
+    all-pairs. Output: (query_id, vec_id, cosine, rank<=k)."""
     e = (emb.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("v"),
                     lsh_bucket_col(vec_col, dims).alias("bucket"))
@@ -469,6 +474,13 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     q = (e.filter(F.col("vec_id").isin(ids))
           .select(F.col("vec_id").alias("query_id"),
                   F.col("v").alias("qv"), "bucket"))
+    if probe_bits:
+        if probe_bits != 1:
+            raise ValueError("probe_bits in {0, 1} supported")
+        probes = F.array(F.col("bucket"),
+                         *[F.col("bucket").bitwiseXOR(F.lit(1 << h))
+                           for h in range(N_PLANES)])
+        q = (q.withColumn("bucket", F.explode(probes)))
     j = (e.join(F.broadcast(q), "bucket")
           .filter(F.col("vec_id") != F.col("query_id")))
     cos = _dot(F.col("v"), F.col("qv")) / F.nullif(

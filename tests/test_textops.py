@@ -164,3 +164,26 @@ def test_simhash_near_dup_pairs(spark):
     # the one-token variant is within a few flipped bits of the original
     if (0, 2) in pairs:
         assert pairs[(0, 2)] <= 3
+
+
+def test_batch_ann_multiprobe_recall_superset(spark):
+    """probe_bits=1 candidates are a superset of single-probe (same bucket
+    plus one-flip buckets), so each query's top-k cosine at rank r is >=
+    the single-probe one; with enough probes it converges toward brute
+    force. Also: output contract (rank 1..k per query, no self-matches)."""
+    from data_cube_utilities_spark.operators import textops
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ids = [0, 7, 42]
+    single = textops.lsh_ann_topk_batch(emb, ids, dims=64, k=5).toPandas()
+    multi = textops.lsh_ann_topk_batch(emb, ids, dims=64, k=5,
+                                       probe_bits=1).toPandas()
+    for df in (single, multi):
+        assert set(df["query_id"]) <= set(ids)
+        assert not (df["query_id"] == df["vec_id"]).any()
+        for _, g in df.groupby("query_id"):
+            assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+    s = single.set_index(["query_id", "rank"])["cosine"]
+    m = multi.set_index(["query_id", "rank"])["cosine"]
+    common = s.index.intersection(m.index)
+    assert len(common) and (m[common] >= s[common] - 1e-12).all()
