@@ -405,6 +405,56 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
              .select("vec_a", "vec_b", "bucket", "cosine"))
 
 
+def ivf_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
+                       dims: int, k: int = 5,
+                       n_lists: int = 8, n_probe: int = 2,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 42) -> DataFrame:
+    """Batch IVF ANN: one index build (materialized (vec_id, list_id) —
+    at 100 TB list_id is a partition column written once), then ALL
+    queries probe their n_probe nearest lists in a single equi-join; the
+    per-query top-k is a window rank partitioned by query id. The probe
+    table (n_queries x n_probe rows + query vectors) broadcasts, so a
+    query touches only its probed partitions — never the full table."""
+    from .mlops import kmeans_assign_col, kmeans_fit
+
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    flat = e.select("vec_id", *[F.element_at("v", i + 1).alias(f"_d{i}")
+                                for i in range(dims)])
+    feat_cols = [f"_d{i}" for i in range(dims)]
+    centers = kmeans_fit(flat, feat_cols, k=n_lists, seed=seed)
+    listed = flat.withColumn("list_id", kmeans_assign_col(feat_cols, centers)) \
+                 .select("vec_id", "list_id").localCheckpoint(eager=True)
+    e = e.join(listed, "vec_id")
+
+    ids = [int(i) for i in query_ids]
+    qvecs = {int(r["vec_id"]): np.asarray(r["v"], dtype=np.float64)
+             for r in e.filter(F.col("vec_id").isin(ids))
+                       .select("vec_id", "v").collect()}
+    spark = emb.sparkSession
+    probe_rows = []
+    for qid in ids:
+        if qid not in qvecs:
+            continue
+        d2 = ((centers - qvecs[qid][None, :]) ** 2).sum(axis=1)
+        for li in np.argsort(d2)[:n_probe]:
+            probe_rows.append((qid, int(li), [float(x) for x in qvecs[qid]]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, list_id int, qv array<double>")
+
+    j = (e.join(F.broadcast(probes), "list_id")
+          .filter(F.col("vec_id") != F.col("query_id")))
+    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
+        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (j.withColumn("cosine", F.round(cos, 6))
+             .select("query_id", "vec_id", "list_id", "cosine")
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k))
+
+
 def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                  n_lists: int = 8, n_probe: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",

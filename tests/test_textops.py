@@ -187,3 +187,21 @@ def test_batch_ann_multiprobe_recall_superset(spark):
     m = multi.set_index(["query_id", "rank"])["cosine"]
     common = s.index.intersection(m.index)
     assert len(common) and (m[common] >= s[common] - 1e-12).all()
+
+
+def test_batch_ivf_matches_single_query_results(spark):
+    """Batch IVF with one index build returns, per query, exactly what the
+    single-query operator returns (same quantizer seed -> same lists ->
+    same candidates -> same ranked top-k)."""
+    from data_cube_utilities_spark.operators import textops
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ids = [0, 42]
+    batch = (textops.ivf_ann_topk_batch(emb, ids, dims=64, k=5)
+             .toPandas().sort_values(["query_id", "rank"]))
+    for qid in ids:
+        single = (textops.ivf_ann_topk(emb, qid, dims=64, k=5)
+                  .toPandas().sort_values("rank"))
+        sub = batch[batch["query_id"] == qid]
+        assert list(sub["vec_id"]) == list(single["vec_id"])
+        assert list(sub["cosine"]) == list(single["cosine"])
