@@ -18,7 +18,7 @@ Measured stage: scan -> fused [PIP spatial join + geocell tile assignment +
 decode + QA mask + WOfS/NDVI raster features] -> per-cell composite agg ->
 noop write. Table generation is untimed setup.
 
-Writes BENCH/BASELINE.md. Usage: python tools/bench_scaling.py [outer_reps]
+Writes BENCH/BASELINE_last_campaign.md (BASELINE.md itself is hand-curated). Usage: python tools/bench_scaling.py [outer_reps]
 """
 
 from __future__ import annotations
@@ -132,7 +132,10 @@ def main():
           f"overhead x{cpu_overhead:.3f}, cpu efficiency {eff_cpu:.3f}")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BENCH/BASELINE.md is hand-curated (campaign history + estimator
+    # discussion); raw campaign reports go to a sidecar so a rerun can
+    # never clobber the merged history.
+    with open(os.path.join(REPO, "BENCH", "BASELINE_last_campaign.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence (north rule)
 
 **Metric**: spatial-join + tile-assignment throughput on the synthesized
@@ -177,7 +180,7 @@ Output tile groups: {results[CORES_SMALL]['out_rows']}
 (pass threshold >= 0.8; the CPU-work number is the hypervisor-noise-robust
 one — it equals the wall number on quiet dedicated hardware)
 """)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/BASELINE_last_campaign.md — merge into BENCH/BASELINE.md by hand")
 
 
 if __name__ == "__main__":
