@@ -980,6 +980,37 @@ FROM events GROUP BY 1
 """
 
 
+def q_sliding_window(spark, sf_dir):
+    """Event-time SLIDING window (1h length, 30min slide) via the real
+    F.window — the overlap semantics Structured Streaming uses (each event
+    lands in exactly two epoch-aligned windows). The oracle explodes the
+    two candidate starts per event (floor-to-30min and that minus 30min;
+    both always cover the event for slide = length/2)."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+    return (e.groupBy(F.date_format(win.start.alias("s"),
+                                    "yyyy-MM-dd HH:mm:ss").alias("win"))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+                   .alias("v_sum_u6"),
+                  F.countDistinct("user_id").alias("n_users")))
+
+
+SQL_SLIDING_WINDOW = """
+WITH w AS (
+  SELECT unnest([
+           make_timestamp(epoch_us(ts) // 1800000000 * 1800000000),
+           make_timestamp(epoch_us(ts) // 1800000000 * 1800000000
+                          - 1800000000)]) AS s,
+         user_id, value
+  FROM events)
+SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win, count(*) AS n,
+       CAST(sum(CAST(round(value * 1.0e6) AS BIGINT)) AS BIGINT) AS v_sum_u6,
+       count(DISTINCT user_id) AS n_users
+FROM w GROUP BY 1
+"""
+
+
 def q_smooth(spark, sf_dir):
     """Centered rolling-mean smoothing, window 3 (dea temporal.py:121-127
     smooth / rolling mean)."""
@@ -2082,6 +2113,7 @@ GROUP_A = {
     "rollup_cube": (q_rollup_cube, SQL_ROLLUP_CUBE),
     "intersect_except": (q_intersect_except, SQL_INTERSECT_EXCEPT),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
     "smooth": (q_smooth, SQL_SMOOTH),
     "calendar_grouping": (q_calendar_grouping, SQL_CALENDAR_GROUPING),
     "phenology": (q_phenology, SQL_PHENOLOGY),
