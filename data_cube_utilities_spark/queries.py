@@ -1011,6 +1011,46 @@ FROM w GROUP BY 1
 """
 
 
+def q_session_window(spark, sf_dir):
+    """Gap-based sessionization via the real F.session_window (2h gap) —
+    Structured Streaming's stateful session grouping, run in batch. The
+    oracle is the classic islands pattern: a new session starts when the
+    gap to the previous event is >= 2h (Spark's window is [start,
+    last+gap), so an event exactly at the close boundary opens a new
+    session); session id = running sum of new-session flags."""
+    e = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "2 hours")
+    return (e.groupBy("user_id", sw)
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+                   .alias("v_sum_u6"))
+             .select("user_id",
+                     F.date_format("session_window.start",
+                                   "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+                     "n", "v_sum_u6"))
+
+
+SQL_SESSION_WINDOW = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                        >= INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1.0e6) AS BIGINT)) AS BIGINT) AS v_sum_u6
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_smooth(spark, sf_dir):
     """Centered rolling-mean smoothing, window 3 (dea temporal.py:121-127
     smooth / rolling mean)."""
@@ -2114,6 +2154,7 @@ GROUP_A = {
     "intersect_except": (q_intersect_except, SQL_INTERSECT_EXCEPT),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "smooth": (q_smooth, SQL_SMOOTH),
     "calendar_grouping": (q_calendar_grouping, SQL_CALENDAR_GROUPING),
     "phenology": (q_phenology, SQL_PHENOLOGY),
