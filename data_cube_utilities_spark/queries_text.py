@@ -143,6 +143,62 @@ FROM s
 """
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The composed training-corpus cleaning pipeline — the shape the
+    group-B operators exist for, as ONE dataflow: exact-dedup keepers ->
+    language-ID -> quality gate (n_tokens >= 5) -> per-language corpus
+    stats. Three operator joins, all-integer outputs."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = textops.exact_dedup(docs) \
+        .select(F.col("keeper_id").alias("doc_id"))
+    lang = textops.language_scores(docs).select("doc_id", "pred_lang")
+    qual = textops.quality_features(docs) \
+        .select("doc_id", "n_tokens", "n_stop", "n_chars")
+    clean = (docs.select("doc_id")
+                 .join(keep, "doc_id")
+                 .join(lang, "doc_id")
+                 .join(qual, "doc_id")
+                 .filter(F.col("n_tokens") >= 5))
+    return (clean.groupBy("pred_lang")
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("n_tokens").alias("tok_total"),
+                      F.sum("n_stop").alias("stop_total"),
+                      F.sum("n_chars").alias("char_total")))
+
+
+SQL_CORPUS_CLEAN = f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+lang AS (
+  SELECT doc_id,
+         {_marker_list_sql('en')} AS score_en,
+         {_marker_list_sql('fr')} AS score_fr,
+         {_marker_list_sql('de')} AS score_de
+  FROM t),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN score_de > greatest(score_en, score_fr) THEN 'de'
+              WHEN score_fr > score_en THEN 'fr'
+              ELSE 'en' END AS pred_lang
+  FROM lang),
+qual AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len([x for x in toks if x IN ('the', 'a')]) AS n_stop,
+         length(text) AS n_chars
+  FROM t)
+SELECT p.pred_lang, count(*) AS n_docs,
+       CAST(sum(q.n_tokens) AS BIGINT) AS tok_total,
+       CAST(sum(q.n_stop) AS BIGINT) AS stop_total,
+       CAST(sum(q.n_chars) AS BIGINT) AS char_total
+FROM keep k
+JOIN pred p ON p.doc_id = k.doc_id
+JOIN qual q ON q.doc_id = k.doc_id
+WHERE q.n_tokens >= 5
+GROUP BY p.pred_lang
+"""
+
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting per source (whitespace tokenizer)."""
     d = textops.with_tokens(_t(spark, sf_dir, "documents"))
@@ -395,6 +451,7 @@ GROUP_B = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
     "quality_score": (q_quality_score, SQL_QUALITY),
+    "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
