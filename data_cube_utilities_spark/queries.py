@@ -2177,10 +2177,35 @@ GROUP_A = {
 }
 
 
+# The driver's CORRECTNESS hard signal covers the FIRST 50 registry entries
+# in dict order (observed r2/r3: GROUP_A-then-GROUP_B order silently starved
+# all of Group B plus the GROUP_A tail in r3).  Order by how much each row
+# NEEDS the hard signal: never-driver-checked first, then rows whose only
+# green driver row is old, newest additions next, and the long-green veterans
+# (still pytest- and tools/check_oracles-covered every session) at the tail.
+_PRIORITY = [
+    # never had a driver CORRECTNESS row before r4
+    "corpus_clean", "embedding_near_dup", "ivf_ann", "lsh_ann_batch",
+    "simhash_near_dup", "temporal_full_stats",
+    # Group B rows whose latest green driver row is r2
+    "exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
+    "quality_score", "language_id", "token_stats", "doc_fingerprint",
+    "cosine_topk", "lsh_ann",
+    # GROUP_A tail the r3 window skipped (green r2 + judge re-run only)
+    "mostcommon_crs", "lag_linregress", "temporal_change_stats",
+]
+
+
 def registry() -> dict[str, tuple]:
     """name -> (spark_callable, oracle_sql_or_None)."""
     from . import queries_text
 
-    out = dict(GROUP_A)
-    out.update(queries_text.GROUP_B)
+    full = dict(GROUP_A)
+    full.update(queries_text.GROUP_B)
+    out = {k: full[k] for k in _PRIORITY}
+    # Newest-first among the rest: GROUP_A is roughly chronological, so
+    # reversing puts single-green r3 rows inside the 50-row window and the
+    # three-rounds-green r1 veterans at the very end.
+    for k in reversed([k for k in full if k not in out]):
+        out[k] = full[k]
     return out
