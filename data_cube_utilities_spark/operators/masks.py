@@ -53,8 +53,12 @@ QA_COVER_TYPES: dict[tuple[str, str, str], dict[str, int]] = {
 # Valid reflectance window per collection (dc_utilities.py:36-70 get_range)
 VALID_RANGE = {"c1": (0, 10000), "c2": (1, 65455)}
 
-# fmask category codes (clean_mask.py:315-359; dc_utilities.py:197-205)
+# Landsat CFMASK category codes (dc_utilities.py:197-205)
 FMASK = dict(clear=0, water=1, cld_shd=2, snow=3, cloud=4, nodata=255)
+# Sentinel-2 fmask codes are a DIFFERENT table (clean_mask.py:358):
+# null=0, valid=1, cloud=2, cloud_shadow=3, snow=4, water=5 — reusing the
+# Landsat one keeps NULL pixels and drops WATER (ADVICE r3, medium).
+S2_FMASK = dict(null=0, valid=1, cloud=2, cloud_shadow=3, snow=4, water=5)
 
 
 def _cover_bits(cover_type: str, platform: str, collection: str, level: str) -> int:
@@ -121,9 +125,10 @@ def cfmask_clean_mask(cfmask: Column) -> Column:
     return cfmask.isin(FMASK["clear"], FMASK["water"])
 
 
-def fmask_clean_mask(fmask: Column, cover_types=("clear", "water")) -> Column:
-    """Sentinel-2 fmask value-set membership — clean_mask.py:315-359."""
-    return fmask.isin(*[FMASK[c] for c in cover_types])
+def fmask_clean_mask(fmask: Column, cover_types=("valid", "water")) -> Column:
+    """Sentinel-2 fmask value-set membership — clean_mask.py:315-359;
+    default keeps clear land + water per sentinel2_fmask_clean_mask."""
+    return fmask.isin(*[S2_FMASK[c] for c in cover_types])
 
 
 def bit_mask(data: Column, valid_bits: list[int]) -> Column:

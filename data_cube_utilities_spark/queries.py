@@ -1628,7 +1628,7 @@ WITH m AS (
   SELECT CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a
               ELSE a | b END AS fused,
          CASE WHEN l_partkey % 5 IN (0, 1) THEN 1 ELSE 0 END AS cf_clean,
-         CASE WHEN l_suppkey % 6 IN (0, 1) THEN 1 ELSE 0 END AS fm_clean,
+         CASE WHEN l_suppkey % 6 IN (1, 5) THEN 1 ELSE 0 END AS fm_clean,
          CASE WHEN (qa & 6) <> 0 THEN 1 ELSE 0 END AS bit_hit,
          CASE WHEN qa IN (2, 4) THEN 1 ELSE 0 END AS val_hit
   FROM (SELECT l_partkey, l_suppkey,

@@ -57,6 +57,22 @@ def test_cfmask_and_fmask(spark):
     assert out["m"].tolist() == [True, True, False, False, False, False]
 
 
+def test_s2_fmask_reference_table(spark):
+    """Transcription of sentinel2_fmask_clean_mask (clean_mask.py:358):
+    null=0, valid=1, cloud=2, cloud_shadow=3, snow=4, water=5; the default
+    cover_types=('valid','water') keeps clear land + water ONLY — not the
+    Landsat cfmask {0,1} set (ADVICE r3, medium)."""
+    assert masks.S2_FMASK == {"null": 0, "valid": 1, "cloud": 2,
+                              "cloud_shadow": 3, "snow": 4, "water": 5}
+    sdf = spark.createDataFrame(pd.DataFrame({"fm": [0, 1, 2, 3, 4, 5]}))
+    out = sdf.select(masks.fmask_clean_mask(F.col("fm")).alias("m")).toPandas()
+    assert out["m"].tolist() == [False, True, False, False, False, True]
+    # explicit cover_types still resolve through the S2 table
+    out2 = sdf.select(masks.fmask_clean_mask(
+        F.col("fm"), ("null", "snow")).alias("m")).toPandas()
+    assert out2["m"].tolist() == [True, False, False, False, True, False]
+
+
 def test_bit_mask(spark):
     sdf = spark.createDataFrame(pd.DataFrame({"qa": [1, 2, 3, 4, 8]}))
     out = sdf.select(masks.bit_mask(F.col("qa"), [0, 1]).alias("m")).toPandas()
