@@ -267,32 +267,36 @@ FROM r ORDER BY rank LIMIT {TOPK}
 
 
 def q_lsh_ann(spark, sf_dir):
-    """LSH-bucketed ANN: sign-bit bucket equi-join then exact cosine."""
+    """Banded sign-LSH ANN: (band, key) equi-join then exact cosine."""
     return textops.lsh_ann_topk(_t(spark, sf_dir, "embeddings"),
                                 query_id=QUERY_VEC, dims=EMB_DIMS, k=5)
 
 
-def _plane_sql(h: int) -> str:
-    """sum(v[i] * coef(h, i)) with 1-based list positions."""
-    return (f"sum(v * ((((i - 1) * 31 + {h} * 17) % 7) - 3))")
+def _banded_keys_cte() -> str:
+    """Shared CTE prefix: per-vector banded sign-LSH keys, generated with
+    the same seeded Rademacher planes and left-to-right +-element chains
+    as the Arrow kernel (bit-identical doubles on both engines)."""
+    keys = textops.lsh_band_key_sqls(EMB_DIMS, "em")
+    bands = ", ".join(str(b) for b in range(textops.N_BANDS_LSH))
+    return f"""
+emt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings),
+k AS (
+  SELECT vec_id,
+         unnest([{bands}]) AS band,
+         unnest([{", ".join(keys)}]) AS key
+  FROM emt
+)"""
 
 
 SQL_LSH_ANN = f"""
-WITH e AS (
-  SELECT vec_id, v, i FROM (
-    SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-           generate_subscripts(embedding, 1) AS i
-    FROM embeddings)
-),
-b AS (
-  SELECT vec_id,
-         {" + ".join(f"(CASE WHEN {_plane_sql(h)} > 0 THEN {1 << h} ELSE 0 END)"
-                     for h in range(textops.N_PLANES))} AS bucket
-  FROM e GROUP BY vec_id
-),
-q AS (SELECT bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC}),
-cand AS (SELECT b.vec_id, b.bucket FROM b, q
-         WHERE b.bucket = q.qbucket AND b.vec_id != {QUERY_VEC}),
+WITH {_banded_keys_cte()},
+e AS (SELECT vec_id, unnest(em) AS v, generate_subscripts(em, 1) AS i
+      FROM emt),
+q AS (SELECT band, key FROM k WHERE vec_id = {QUERY_VEC}),
+cand AS (SELECT k.vec_id, count(*) AS n_bands_shared
+         FROM k JOIN q USING (band, key)
+         WHERE k.vec_id != {QUERY_VEC}
+         GROUP BY k.vec_id),
 qv AS (SELECT i, v AS qval FROM e WHERE vec_id = {QUERY_VEC}),
 dots AS (
   SELECT e.vec_id,
@@ -303,9 +307,10 @@ dots AS (
   JOIN cand c ON c.vec_id = e.vec_id
   GROUP BY e.vec_id
 ),
-r AS (SELECT d.vec_id, c.bucket, round(d.dot / (d.na * d.nq), 6) AS cosine
+r AS (SELECT d.vec_id, c.n_bands_shared,
+             round(d.dot / (d.na * d.nq), 6) AS cosine
       FROM dots d JOIN cand c ON c.vec_id = d.vec_id)
-SELECT vec_id, bucket, cosine,
+SELECT vec_id, n_bands_shared, cosine,
        row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
 FROM r ORDER BY rank LIMIT 5
 """
@@ -325,22 +330,14 @@ def q_lsh_ann_batch(spark, sf_dir):
 
 
 SQL_LSH_ANN_BATCH = f"""
-WITH e AS (
-  SELECT vec_id, v, i FROM (
-    SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-           generate_subscripts(embedding, 1) AS i
-    FROM embeddings)
-),
-b AS (
-  SELECT vec_id,
-         {" + ".join(f"(CASE WHEN {_plane_sql(h)} > 0 THEN {1 << h} ELSE 0 END)"
-                     for h in range(textops.N_PLANES))} AS bucket
-  FROM e GROUP BY vec_id
-),
-q AS (SELECT vec_id AS query_id, bucket FROM b
+WITH {_banded_keys_cte()},
+e AS (SELECT vec_id, unnest(em) AS v, generate_subscripts(em, 1) AS i
+      FROM emt),
+q AS (SELECT vec_id AS query_id, band, key FROM k
       WHERE vec_id IN {BATCH_QUERY_IDS}),
-cand AS (SELECT q.query_id, b.vec_id
-         FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.query_id),
+cand AS (SELECT DISTINCT q.query_id, k.vec_id
+         FROM k JOIN q ON k.band = q.band AND k.key = q.key
+                       AND k.vec_id != q.query_id),
 dots AS (
   SELECT c.query_id, c.vec_id,
          sum(ev.v * qv.v) AS dot,
@@ -398,40 +395,35 @@ NEARDUP_T = 0.3   # synthetic embeddings are near-random; 0.3 is the tail
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: sign-LSH bucket self-join then
-    exact cosine >= threshold (the fifth dedup mode)."""
+    """Embedding-cosine near-dup pairs: banded sign-LSH (band, key)
+    self-join then exact cosine >= threshold (the fifth dedup mode)."""
     return textops.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=NEARDUP_T, dims=EMB_DIMS)
 
 
 SQL_EMBEDDING_NEAR_DUP = f"""
-WITH e AS (
-  SELECT vec_id, v, i FROM (
-    SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-           generate_subscripts(embedding, 1) AS i
-    FROM embeddings)
-),
-b AS (
-  SELECT vec_id,
-         {" + ".join(f"(CASE WHEN {_plane_sql(h)} > 0 THEN {1 << h} ELSE 0 END)"
-                     for h in range(textops.N_PLANES))} AS bucket
-  FROM e GROUP BY vec_id
-),
-pairs AS (
-  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WITH {_banded_keys_cte()},
+e AS (SELECT vec_id, unnest(em) AS v, generate_subscripts(em, 1) AS i
+      FROM emt),
+cand AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         count(*) AS n_bands_shared
+  FROM k x JOIN k y ON x.band = y.band AND x.key = y.key
+                    AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
 ),
 dots AS (
-  SELECT p.vec_a, p.vec_b, p.bucket,
+  SELECT c.vec_a, c.vec_b, c.n_bands_shared,
          sum(ea.v * eb.v) AS dot,
          sqrt(sum(ea.v * ea.v)) AS na,
          sqrt(sum(eb.v * eb.v)) AS nb
-  FROM pairs p
-  JOIN e ea ON ea.vec_id = p.vec_a
-  JOIN e eb ON eb.vec_id = p.vec_b AND eb.i = ea.i
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
   GROUP BY 1, 2, 3
 )
-SELECT vec_a, vec_b, bucket, round(dot / (na * nb), 6) AS cosine
+SELECT vec_a, vec_b, CAST(n_bands_shared AS BIGINT) AS n_bands_shared,
+       round(dot / (na * nb), 6) AS cosine
 FROM dots WHERE round(dot / (na * nb), 6) >= {NEARDUP_T}
 """
 

@@ -122,11 +122,54 @@ def test_lsh_pair_joins_read_cached_signatures(spark):
     from data_cube_utilities_spark.operators import textops
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
-    plan = plan_of(textops.minhash_lsh_pairs(docs))
+    # release_cache=False hands back the lazy plan (default checkpoints
+    # the result and releases the cache, hiding the join structure)
+    plan = plan_of(textops.minhash_lsh_pairs(docs, release_cache=False))
     # (the cached relation's stored description still mentions md5, so the
     # scan count — not expression text — is the reuse signal)
     assert plan.count("InMemoryTableScan") >= 2
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
-    eplan = plan_of(textops.embedding_near_dup_pairs(emb))
+    eplan = plan_of(textops.embedding_near_dup_pairs(
+        emb, dims=64, release_cache=False))
     assert eplan.count("InMemoryTableScan") >= 2
+    # release_cache=False hands cache ownership to the caller — this test
+    spark.catalog.clearCache()
+
+
+def _cached_ids(spark):
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    out, it = {}, m.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        out[int(e.getKey())] = e.getValue().toString()
+    return out
+
+
+def test_group_b_operators_release_their_caches(spark):
+    """VERDICT r3 What's-wrong #2: each persisting Group-B operator must
+    leave no cached signature/token table behind by default — a long-lived
+    service calling them per-batch otherwise accumulates executors-full of
+    cache. At most the localCheckpoint of the small RESULT may remain
+    (released with the result object — the kNN lifecycle)."""
+    from data_cube_utilities_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(60)
+    calls = [
+        lambda: textops.minhash_lsh_pairs(docs),
+        lambda: textops.ngram_jaccard_pairs(docs, max_df=200),
+        lambda: textops.simhash_near_dup_pairs(docs),
+        lambda: textops.embedding_near_dup_pairs(emb, dims=64,
+                                                 threshold=0.3),
+        lambda: textops.lsh_ann_topk_batch(emb, [0, 7], dims=64, k=3),
+        lambda: textops.lsh_ann_topk(emb, query_id=0, dims=64, k=3),
+    ]
+    for call in calls:
+        before = _cached_ids(spark)
+        call().count()
+        new = {k: v for k, v in _cached_ids(spark).items()
+               if k not in before}
+        leaked = {k: v for k, v in new.items()
+                  if "localCheckpoint" not in v}
+        assert not leaked, f"leaked caches: {leaked}"
