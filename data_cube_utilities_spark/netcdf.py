@@ -216,7 +216,10 @@ def tile_netcdf_bytes(block: np.ndarray, lon0: float, lat0: float,
                       dx: float, dy: float,
                       band_names: Sequence[str] | None = None) -> bytes:
     """(h, w, bands) tile -> one CDF-1 file: lat/lon coordinate variables
-    from the affine footprint + one int16 variable per band, the layout
+    from the affine footprint + one integer variable per band (NC_SHORT
+    when the values fit int16, else NC_INT — the reference
+    export_xarray_to_netcdf preserves the dataset dtype; an unconditional
+    int16 cast would wrap uint16 pixels >= 32768 negative), the layout
     export_xarray_to_netcdf produces for a single-time slice."""
     block = np.asarray(block)
     h, w = block.shape[:2]
@@ -229,8 +232,18 @@ def tile_netcdf_bytes(block: np.ndarray, lon0: float, lat0: float,
     variables = {"latitude": (("latitude",), lats),
                  "longitude": (("longitude",), lons)}
     for i, nm in enumerate(names):
-        variables[nm] = (("latitude", "longitude"),
-                         blk[:, :, i].astype(np.int16))
+        band = blk[:, :, i]
+        if band.dtype.kind in "ui":
+            lo = int(band.min(initial=0))
+            hi = int(band.max(initial=0))
+            if -2**15 <= lo and hi < 2**15:
+                band = band.astype(np.int16)
+            elif -2**31 <= lo and hi < 2**31:
+                band = band.astype(np.int32)
+            else:
+                raise ValueError(
+                    f"{nm}: values [{lo}, {hi}] exceed NC_INT range")
+        variables[nm] = (("latitude", "longitude"), band)
     return netcdf_bytes(
         {"latitude": h, "longitude": w}, variables,
         global_attrs={"Conventions": "CF-1.6", "crs": "EPSG:4326"},

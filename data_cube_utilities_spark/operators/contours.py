@@ -94,7 +94,8 @@ def marching_segments_np(arr: np.ndarray, level: float,
         m = cs == c
         for ea, eb in pairs:
             emit(m, ea, eb)
-    # saddles: mean-of-cell rule (skimage default)
+    # saddles: mean-of-cell rule (deliberate deviation from skimage's
+    # vertex_connect_high flag — see module docstring)
     center = (t00 + t01 + t11 + t10) / 4.0
     s5, s10 = cs == 5, cs == 10
     # case 5 = TL+BR above. center above: the above-band connects TL-BR,

@@ -96,7 +96,12 @@ def eliminate_small_np(clumps: np.ndarray, bands: np.ndarray,
             x = parent[x]
         return x
 
-    for _ in range(64):                      # size classes double quickly
+    # Loop until fixpoint: done when no sub-min_pxls clump remains OR no
+    # further merge is possible (every remaining small clump is isolated
+    # or gated by dist_thres) — the RSGIS stepwise contract iterates until
+    # no eligible clump remains, so a fixed pass cap could exit early on
+    # long singleton chains with the size invariant violated (ADVICE r3).
+    while True:
         pairs = _adjacent_pairs(clumps, connectivity)
         small = np.nonzero((sizes[1:] > 0) & (sizes[1:] < min_pxls))[0] + 1
         if small.size == 0 or pairs.size == 0:

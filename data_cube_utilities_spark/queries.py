@@ -287,8 +287,12 @@ def q_trend_slope(spark, sf_dir):
     n_d = F.col("n").cast(dec)
     num = (n_d * F.col("s_tv") - F.col("s_t") * F.col("s_v")).cast("double")
     den = (n_d * F.col("s_t2") - F.col("s_t") * F.col("s_t")).cast("double")
+    # nullif: >=5 events sharing one timestamp make den exactly 0.0, a
+    # DIVIDE_BY_ZERO under the driver's ANSI default (DuckDB x/0 -> NULL)
     return (g.filter(F.col("n") >= 5)
-             .select("user_id", F.round(num / den / 1e6, 10).alias("slope")))
+             .select("user_id",
+                     F.round(num / F.nullif(den, F.lit(0.0)) / 1e6, 10)
+                      .alias("slope")))
 
 
 SQL_TREND_SLOPE = """
@@ -306,7 +310,8 @@ g AS (SELECT user_id, count(*) AS n,
       FROM b GROUP BY user_id)
 SELECT user_id,
        round(CAST(n * s_tv - s_t * s_v AS DOUBLE)
-             / CAST(n * s_t2 - s_t * s_t AS DOUBLE) / 1.0e6, 10) AS slope
+             / nullif(CAST(n * s_t2 - s_t * s_t AS DOUBLE), 0) / 1.0e6, 10)
+         AS slope
 FROM g WHERE n >= 5
 """
 
@@ -1286,13 +1291,16 @@ def q_lag_linregress(spark, sf_dir):
     nvv = (n_d * F.col("s_v2") - F.col("s_v") * F.col("s_v")).cast("double")
     nn = F.col("n").cast("double")
     cov = ntv / nn / nn / 1e6
-    slope6 = ntv / ntt                       # = slope * 1e6 (v per second)
+    # nullif: one-timestamp groups (ntt=0) / constant series (nvv=0) are
+    # DIVIDE_BY_ZERO under ANSI; DuckDB's x/0 -> NULL matches nullif
+    slope6 = ntv / F.nullif(ntt, F.lit(0.0))  # = slope * 1e6 (v per second)
     mean_t = F.col("s_t").cast("double") / nn + F.col("t0").cast("double")
     mean_v = F.col("s_v").cast("double") / nn / 1e6
     return g.select(
         "user_id", "n",
         F.round(cov, 4).alias("cov"),
-        F.round(ntv / F.sqrt(ntt * nvv), 6).alias("cor"),
+        F.round(ntv / F.nullif(F.sqrt(ntt * nvv), F.lit(0.0)), 6)
+         .alias("cor"),
         F.round(slope6, 6).alias("slope_per_ms"),
         F.round(mean_v - slope6 / 1e6 * mean_t, 4).alias("intercept"))
 
@@ -1315,13 +1323,15 @@ SELECT user_id, n,
        round(CAST(n * s_tv - s_t * s_v AS DOUBLE)
              / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6, 4) AS cov,
        round(CAST(n * s_tv - s_t * s_v AS DOUBLE)
-             / sqrt(CAST(n * s_t2 - s_t * s_t AS DOUBLE)
-                    * CAST(n * s_v2 - s_v * s_v AS DOUBLE)), 6) AS cor,
+             / nullif(sqrt(CAST(n * s_t2 - s_t * s_t AS DOUBLE)
+                           * CAST(n * s_v2 - s_v * s_v AS DOUBLE)), 0), 6)
+         AS cor,
        round(CAST(n * s_tv - s_t * s_v AS DOUBLE)
-             / CAST(n * s_t2 - s_t * s_t AS DOUBLE), 6) AS slope_per_ms,
+             / nullif(CAST(n * s_t2 - s_t * s_t AS DOUBLE), 0), 6)
+         AS slope_per_ms,
        round(CAST(s_v AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6
              - CAST(n * s_tv - s_t * s_v AS DOUBLE)
-               / CAST(n * s_t2 - s_t * s_t AS DOUBLE) / 1.0e6
+               / nullif(CAST(n * s_t2 - s_t * s_t AS DOUBLE), 0) / 1.0e6
                * (CAST(s_t AS DOUBLE) / CAST(n AS DOUBLE)
                   + CAST(t0 AS DOUBLE)), 4) AS intercept
 FROM g
@@ -1430,7 +1440,8 @@ def q_temporal_full_stats(spark, sf_dir):
         "user_id", "num_peaks",
         F.col("s_d2").cast("long").alias("sum_cdiff_u6"),
         F.col("n_d2").alias("n_cdiff"),
-        F.round(1.0 - rn / F.sqrt(ra * rb), 6).alias("discordance"))
+        F.round(1.0 - rn / F.nullif(F.sqrt(ra * rb), F.lit(0.0)), 6)
+         .alias("discordance"))
 
     # f_mean_n1: explicit DFT over the first third of the non-DC half
     # spectrum; k joined per user, angle = -2*pi*k*t/n
@@ -1487,8 +1498,8 @@ stats AS (
          CAST(s_d2 AS BIGINT) AS sum_cdiff_u6,
          n_d2 AS n_cdiff,
          round(1.0e0 - CAST(n_p * s_ab - s_a * s_b AS DOUBLE)
-               / sqrt(CAST(n_p * s_a2 - s_a * s_a AS DOUBLE)
-                      * CAST(n_p * s_b2 - s_b * s_b AS DOUBLE)), 6)
+               / nullif(sqrt(CAST(n_p * s_a2 - s_a * s_a AS DOUBLE)
+                             * CAST(n_p * s_b2 - s_b * s_b AS DOUBLE)), 0), 6)
            AS discordance
   FROM g),
 ks AS (SELECT user_id, idx + 1 AS k FROM b

@@ -63,6 +63,24 @@ def test_int64_narrowing_and_rejection():
         netcdf.netcdf_bytes({"x": 1}, {"v": (("x",), np.array([2**40]))})
 
 
+def test_tile_sink_preserves_uint16_above_int16_range():
+    """ADVICE r3: an unconditional int16 cast wraps uint16 pixels >= 32768
+    negative in the .nc sink; large bands must widen to NC_INT."""
+    blk = np.array([[[100, 40000], [32768, 65535]]],
+                   dtype=np.uint16).reshape(1, 2, 2)
+    data = netcdf.tile_netcdf_bytes(blk, lon0=0.0, lat0=0.0, dx=0.1, dy=0.1,
+                                    band_names=["lo", "hi"])
+    _, rvars, _, _ = netcdf.read_netcdf(data)
+    np.testing.assert_array_equal(rvars["lo"][1], [[100, 32768]])
+    np.testing.assert_array_equal(rvars["hi"][1], [[40000, 65535]])
+    assert rvars["hi"][1].dtype == np.dtype("int32")
+    # small-valued bands still take the compact NC_SHORT layout
+    small = netcdf.tile_netcdf_bytes(
+        np.array([[[7]]], dtype=np.uint16), 0.0, 0.0, 0.1, 0.1, ["b"])
+    _, rv, _, _ = netcdf.read_netcdf(small)
+    assert rv["b"][1].dtype == np.dtype("int16")
+
+
 def test_spark_distributed_sink_round_trip(spark, tmp_path):
     imgs = synth.synthesize_images(spark, 6, tile_px=8, partitions=2)
     out = str(tmp_path / "nc")

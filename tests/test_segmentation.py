@@ -61,6 +61,17 @@ def test_eliminate_iterates_size_classes():
     assert (sizes[sizes > 0] >= 4).all()
 
 
+def test_eliminate_converges_on_long_singleton_chain():
+    # ADVICE r3: a fixed 64-pass cap could exit with sub-min_pxls clumps
+    # remaining on pathological chains; the loop must run to fixpoint.
+    n = 300
+    vals = np.ones((1, n))
+    cl = np.arange(1, n + 1).reshape(1, n)
+    out = seg.eliminate_small_np(cl, vals[..., None], min_pxls=n)
+    sizes = np.bincount(out.ravel())[1:]
+    assert (sizes[sizes > 0] >= n).all()   # one clump of n pixels
+
+
 def test_kernel_recovers_two_blobs():
     rng = np.random.RandomState(0)
     bands = np.zeros((16, 16, 6))
