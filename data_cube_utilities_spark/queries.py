@@ -986,19 +986,24 @@ FROM events GROUP BY 1
 
 
 def q_sliding_window(spark, sf_dir):
-    """Event-time SLIDING window (1h length, 30min slide) via the real
-    F.window — the overlap semantics Structured Streaming uses (each event
-    lands in exactly two epoch-aligned windows). The oracle explodes the
-    two candidate starts per event (floor-to-30min and that minus 30min;
+    """Event-time SLIDING window (1h length, 30min slide) via the
+    streaming.incremental.sliding_window_stats operator (real F.window —
+    the overlap semantics Structured Streaming uses; each event lands in
+    exactly two epoch-aligned windows). The oracle explodes the two
+    candidate starts per event (floor-to-30min and that minus 30min;
     both always cover the event for slide = length/2)."""
+    from .streaming import incremental
+
     e = _t(spark, sf_dir, "events")
-    win = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
-    return (e.groupBy(F.date_format(win.start.alias("s"),
-                                    "yyyy-MM-dd HH:mm:ss").alias("win"))
-             .agg(F.count("*").alias("n"),
-                  F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
-                   .alias("v_sum_u6"),
-                  F.countDistinct("user_id").alias("n_users")))
+    out = incremental.sliding_window_stats(
+        e, "ts", "1 hour", "30 minutes",
+        aggs=[F.count("*").alias("n"),
+              F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+               .alias("v_sum_u6"),
+              F.countDistinct("user_id").alias("n_users")])
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win"),
+        "n", "v_sum_u6", "n_users")
 
 
 SQL_SLIDING_WINDOW = """
@@ -1017,22 +1022,26 @@ FROM w GROUP BY 1
 
 
 def q_session_window(spark, sf_dir):
-    """Gap-based sessionization via the real F.session_window (2h gap) —
+    """Gap-based sessionization via the streaming.incremental
+    .session_window_stats operator (real F.session_window, 2h gap) —
     Structured Streaming's stateful session grouping, run in batch. The
     oracle is the classic islands pattern: a new session starts when the
     gap to the previous event is >= 2h (Spark's window is [start,
     last+gap), so an event exactly at the close boundary opens a new
     session); session id = running sum of new-session flags."""
+    from .streaming import incremental
+
     e = _t(spark, sf_dir, "events")
-    sw = F.session_window(F.col("ts").cast("timestamp"), "2 hours")
-    return (e.groupBy("user_id", sw)
-             .agg(F.count("*").alias("n"),
-                  F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
-                   .alias("v_sum_u6"))
-             .select("user_id",
-                     F.date_format("session_window.start",
-                                   "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
-                     "n", "v_sum_u6"))
+    out = incremental.session_window_stats(
+        e, "ts", "2 hours", keys=("user_id",),
+        aggs=[F.count("*").alias("n"),
+              F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+               .alias("v_sum_u6")])
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start",
+                      "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        "n", "v_sum_u6")
 
 
 SQL_SESSION_WINDOW = """

@@ -53,6 +53,34 @@ def streaming_cell_stats(stream: DataFrame,
                  F.avg(F.col("phash") % 1024).alias("phash_mix")))
 
 
+def sliding_window_stats(df: DataFrame, time_col: str,
+                         length: str = "1 hour", slide: str = "30 minutes",
+                         keys=(), aggs=None) -> DataFrame:
+    """Event-time SLIDING window aggregation via the real F.window slide
+    semantics (each event lands in exactly length/slide epoch-aligned
+    windows). Operator-level home for the q_sliding_window driver row;
+    works identically over a batch DataFrame, the image table keyed by
+    cell_id, or a readStream source (add a watermark upstream to bound
+    streaming state). Output keeps the struct `window` column (start/end)
+    so callers shape their own projection."""
+    win = F.window(F.col(time_col).cast("timestamp"), length, slide)
+    aggs = list(aggs) if aggs else [F.count("*").alias("n")]
+    return df.groupBy(*keys, win.alias("window")).agg(*aggs)
+
+
+def session_window_stats(df: DataFrame, time_col: str, gap: str = "2 hours",
+                         keys=(), aggs=None) -> DataFrame:
+    """Gap-based sessionization via the real F.session_window —
+    Structured Streaming's stateful session grouping, usable in batch or
+    streaming. A new session opens when the gap to the previous event is
+    >= `gap` (the window is [start, last+gap)). Operator-level home for
+    the q_session_window driver row; `keys` is the session identity
+    (user_id for events, cell_id for the image table)."""
+    sw = F.session_window(F.col(time_col).cast("timestamp"), gap)
+    aggs = list(aggs) if aggs else [F.count("*").alias("n")]
+    return df.groupBy(*keys, sw.alias("session_window")).agg(*aggs)
+
+
 def run_stream_to_memory(stream_stats: DataFrame, name: str,
                          timeout_sec: float = 60.0):
     """Drive a streaming aggregate to completion against a finite directory

@@ -34,6 +34,46 @@ def test_streaming_stats_equal_batch(spark, image_dir):
     assert got.equals(batch)
 
 
+def test_sliding_window_stats_over_image_table(spark, image_dir):
+    """Operator-level home (VERDICT r3 #6): sliding windows over the image
+    table keyed by cell_id. slide = length/2 -> every acquisition lands in
+    exactly 2 windows, so the per-cell window-count sum is 2x row count."""
+    imgs = spark.read.parquet(image_dir)
+    out = S.sliding_window_stats(
+        imgs, "acquired_at", length="60 days", slide="30 days",
+        keys=("cell_id",),
+        aggs=[F.count("*").alias("n_obs")]).toPandas()
+    n_rows = imgs.count()
+    assert out.n_obs.sum() == 2 * n_rows
+    assert set(out.columns) == {"cell_id", "window", "n_obs"}
+
+
+def test_session_window_stats_over_image_table(spark, image_dir):
+    """Gap sessions per cell: with a huge gap everything is one session
+    per cell; totals are preserved."""
+    imgs = spark.read.parquet(image_dir)
+    one = S.session_window_stats(
+        imgs, "acquired_at", gap="3650 days", keys=("cell_id",),
+        aggs=[F.count("*").alias("n_obs")]).toPandas()
+    per_cell = imgs.groupBy("cell_id").count().toPandas()
+    assert len(one) == len(per_cell)
+    assert one.n_obs.sum() == per_cell["count"].sum()
+
+
+def test_sliding_window_stats_works_on_stream(spark, image_dir):
+    """The same operator body drives a readStream source (watermark added
+    upstream) — the batch/streaming unification the family exists for."""
+    stream = S.read_image_stream(spark, image_dir, max_files_per_trigger=4) \
+              .withWatermark("acquired_at", "0 seconds")
+    agg = S.sliding_window_stats(
+        stream, "acquired_at", length="60 days", slide="30 days",
+        keys=("cell_id",), aggs=[F.count("*").alias("n_obs")])
+    assert agg.isStreaming
+    S.run_stream_to_memory(agg, "slidestats")
+    got = spark.sql("SELECT sum(n_obs) AS s FROM slidestats").first()["s"]
+    assert got == 2 * spark.read.parquet(image_dir).count()
+
+
 def test_foreach_batch_snapshot_commits(spark, image_dir, tmp_path):
     table_path = str(tmp_path / "snap_tbl")
     ckpt = str(tmp_path / "ckpt")
