@@ -523,7 +523,7 @@ def ivf_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     per-query top-k is a window rank partitioned by query id. The probe
     table (n_queries x n_probe rows + query vectors) broadcasts, so a
     query touches only its probed partitions — never the full table."""
-    from .mlops import kmeans_assign_col, kmeans_fit
+    from .mlops import kmeans_fit, with_kmeans_assignment
 
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
@@ -531,8 +531,8 @@ def ivf_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
                                 for i in range(dims)])
     feat_cols = [f"_d{i}" for i in range(dims)]
     centers = kmeans_fit(flat, feat_cols, k=n_lists, seed=seed)
-    listed = flat.withColumn("list_id", kmeans_assign_col(feat_cols, centers)) \
-                 .select("vec_id", "list_id").localCheckpoint(eager=True)
+    listed = with_kmeans_assignment(flat, feat_cols, centers, "list_id") \
+        .select("vec_id", "list_id").localCheckpoint(eager=True)
     e = e.join(listed, "vec_id")
 
     ids = [int(i) for i in query_ids]
@@ -574,7 +574,7 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
     At 100TB the list id becomes a partition column: a query touches
     n_probe partitions instead of the full table.
     """
-    from .mlops import kmeans_assign_col, kmeans_fit
+    from .mlops import kmeans_fit, with_kmeans_assignment
 
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
@@ -587,8 +587,8 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
     # once). It also keeps the k x d assignment expression out of every
     # downstream plan: left inline, Catalyst re-optimizes the pushed-down
     # giant predicate per action (~90s of pure planning at 64 dims).
-    listed = flat.withColumn("list_id", kmeans_assign_col(feat_cols, centers)) \
-                 .select("vec_id", "list_id").localCheckpoint(eager=True)
+    listed = with_kmeans_assignment(flat, feat_cols, centers, "list_id") \
+        .select("vec_id", "list_id").localCheckpoint(eager=True)
     e = e.join(listed, "vec_id")
 
     # query's n_probe nearest lists (driver-side: centers are tiny)
