@@ -1,12 +1,16 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with
 decode / feature-extract / resize / frame-sample as Arrow-vectorized UDFs.
 
-Image path is REAL end to end (codec.py raw16/pngz). Audio decode and video
-frame extraction are STUBS by design — no soundfile/ffmpeg/PIL exists in
-this container — but everything Spark-side is real and tested: the typed
-schemas, the mapInPandas batch shape, partitioning behavior, and the
-deterministic-fake decoders that stand in for the codec call. Swapping in a
-real codec is a one-function change at the marked points.
+Image path is REAL end to end (codec.py raw16/pngz). Audio is REAL for
+WAV/PCM (encode_wav_np / decode_wav_np — stdlib struct RIFF writer+parser,
+PCM16 + IEEE float32, like netcdf.py/geotiff.py) plus the rawf32 fast
+path; compressed audio (mp3/ogg/flac) genuinely needs an external decoder
+and raises ValueError. Video frame extraction is the ONE remaining STUB by
+design — no ffmpeg exists in this container — but everything Spark-side is
+real and tested: the typed schemas, the mapInPandas batch shape,
+partitioning behavior, and the deterministic-fake decoder that stands in
+for the codec call. Swapping in a real video codec is a one-function
+change at the marked point.
 
 Schemas:
   audio: (clip_id string, bytes binary, sample_rate int, n_samples int,
@@ -85,21 +89,83 @@ def resolution_match_join(coarse: DataFrame, fine: DataFrame,
 
 
 # ---------------------------------------------------------------------------
-# audio: STUBBED decode, real plumbing
+# audio: REAL WAV/PCM codec (stdlib struct, like netcdf.py / geotiff.py)
+# + rawf32 fast path; compressed formats (mp3/ogg/flac) genuinely need an
+# external decoder and raise ValueError.
 # ---------------------------------------------------------------------------
+
+def encode_wav_np(x: np.ndarray, sample_rate: int,
+                  pcm16: bool = True) -> bytes:
+    """(n_samples,) or (n_samples, channels) amplitudes in [-1, 1) ->
+    RIFF/WAVE bytes: canonical fmt + data chunks, 16-bit PCM (format code
+    1) or IEEE float32 (code 3). Pure stdlib struct."""
+    import struct
+
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    if pcm16:
+        data = np.clip(np.rint(x.astype(np.float64) * 32768.0),
+                       -32768, 32767).astype("<i2").tobytes()
+        fmt_code, bits = 1, 16
+    else:
+        data = x.astype("<f4").tobytes()
+        fmt_code, bits = 3, 32
+    block_align = ch * bits // 8
+    fmt_chunk = struct.pack("<HHIIHH", fmt_code, ch, sample_rate,
+                            sample_rate * block_align, block_align, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_np(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes -> ((n_samples, channels) float32 in [-1, 1),
+    sample_rate). Walks the chunk list (word-aligned sizes, unknown chunks
+    skipped), accepts 16-bit PCM and IEEE float32."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt_code = ch = bits = sr = None
+    payload = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, ch, sr, _rate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)        # chunks are word-aligned
+    if payload is None or fmt_code is None:
+        raise ValueError("missing fmt / data chunk")
+    if fmt_code == 1 and bits == 16:
+        x = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+    elif fmt_code == 3 and bits == 32:
+        x = np.frombuffer(payload, "<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV encoding (code={fmt_code}, "
+                         f"bits={bits}); PCM16 and float32 supported")
+    return x.reshape(-1, ch), int(sr)
+
 
 def decode_audio_np(data: bytes, fmt: str, n_samples: int,
                     channels: int) -> np.ndarray:
-    """STUB — no audio codec library in this container.
-
-    'rawf32' (the deterministic fake used by tests/synth) decodes for real;
-    any compressed fmt raises. Replace this function body with e.g.
-    soundfile.read when the library exists; all Spark-side plumbing stays.
-    """
+    """'wav' decodes for real (decode_wav_np, PCM16/float32); 'rawf32' is
+    the headerless fast path. Compressed formats (mp3/ogg/flac) need an
+    external decoder this container doesn't ship and raise ValueError."""
     if fmt == "rawf32":
         return np.frombuffer(data, dtype="<f4").reshape(n_samples, channels)
-    raise NotImplementedError(
-        f"audio codec {fmt!r} not available in this environment (stub)")
+    if fmt == "wav":
+        x, _sr = decode_wav_np(data)
+        return x
+    raise ValueError(
+        f"audio format {fmt!r} needs an external decoder (not shipped)")
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
@@ -123,9 +189,39 @@ def audio_features(audio: DataFrame) -> DataFrame:
         run, "clip_id string, rms double, zcr double, duration_s double")
 
 
+def audio_window_rms(audio: DataFrame, window_samples: int = 1024) -> DataFrame:
+    """Per-WINDOW RMS energy: one row per fixed-length sample window per
+    clip (UDTF-style fan-out, trailing partial window dropped) — the
+    framed-feature shape a speech pipeline extracts at scale. Decodes
+    wav/rawf32 via decode_audio_np; batch-vectorized per clip."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            outs = []
+            for r in b.itertuples():
+                x = decode_audio_np(r.bytes, r.fmt, r.n_samples, r.channels)
+                mono = x.mean(axis=1).astype(np.float64)
+                nwin = len(mono) // window_samples
+                if not nwin:
+                    continue
+                w = mono[:nwin * window_samples].reshape(nwin, window_samples)
+                outs.append(pd.DataFrame({
+                    "clip_id": r.clip_id,
+                    "win_idx": np.arange(nwin, dtype=np.int64),
+                    "rms": np.sqrt((w * w).mean(axis=1))}))
+            if outs:
+                yield pd.concat(outs)
+
+    return audio.mapInPandas(
+        run, "clip_id string, win_idx long, rms double")
+
+
 def synth_audio(spark, n: int, sr: int = 16000, n_samples: int = 4096,
-                seed: int = 42) -> DataFrame:
-    """Deterministic fake audio table (sine + hashed noise, rawf32)."""
+                seed: int = 42, fmt: str = "rawf32") -> DataFrame:
+    """Deterministic fake audio table (sine + hashed noise), encoded as
+    headerless rawf32 or real RIFF/WAVE ('wav': float32 chunks)."""
+    if fmt not in ("rawf32", "wav"):
+        raise ValueError("fmt in {'rawf32', 'wav'}")
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
@@ -135,9 +231,10 @@ def synth_audio(spark, n: int, sr: int = 16000, n_samples: int = 4096,
                 f = 100.0 + (int(i) % 50) * 17.0
                 x = (np.sin(2 * np.pi * f * t)
                      + 0.1 * rng.normal(size=n_samples)).astype("<f4")
-                rows.append((f"clip-{int(i):08d}",
-                             x.reshape(-1, 1).tobytes(), sr, n_samples, 1,
-                             "rawf32", f"synthetic tone {f:.0f} Hz"))
+                data = (x.reshape(-1, 1).tobytes() if fmt == "rawf32"
+                        else encode_wav_np(x, sr, pcm16=False))
+                rows.append((f"clip-{int(i):08d}", data, sr, n_samples, 1,
+                             fmt, f"synthetic tone {f:.0f} Hz"))
             if rows:
                 yield pd.DataFrame(rows, columns=[
                     "clip_id", "bytes", "sample_rate", "n_samples",

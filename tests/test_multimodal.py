@@ -37,9 +37,48 @@ def test_audio_stub_and_features(spark):
     assert (out.duration_s == 2048 / 8000).all()
     assert (out.rms > 0.5).all() and (out.rms < 1.0).all()  # ~sine RMS
     assert (out.zcr > 0).all()
-    # unsupported codec raises the documented stub error
-    with pytest.raises(NotImplementedError):
+    # compressed audio needs an external decoder this container lacks
+    with pytest.raises(ValueError, match="external decoder"):
         mm.decode_audio_np(b"xx", "mp3", 1, 1)
+
+
+def test_wav_roundtrip_float32_and_pcm16():
+    import numpy as np
+    rng = np.random.RandomState(9)
+    x = (rng.uniform(-0.9, 0.9, size=(512, 2))).astype(np.float32)
+    # float32 chunks round-trip exactly
+    got, sr = mm.decode_wav_np(mm.encode_wav_np(x, 22050, pcm16=False))
+    assert sr == 22050 and got.shape == (512, 2)
+    np.testing.assert_array_equal(got, x)
+    # PCM16 round-trips to within one quantization step
+    got16, sr16 = mm.decode_wav_np(mm.encode_wav_np(x, 8000, pcm16=True))
+    assert sr16 == 8000
+    assert np.abs(got16 - x).max() <= 1.0 / 32768
+    # chunk walker skips unknown chunks (word-aligned odd-size body)
+    raw = mm.encode_wav_np(x[:, :1], 16000)
+    extra = raw[:12] + b"LIST" + (5).to_bytes(4, "little") + b"INFO\x00\x00" \
+        + raw[12:]
+    got1, _ = mm.decode_wav_np(extra)
+    assert got1.shape == (512, 1)
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav_np(b"not a wave file....")
+
+
+def test_wav_audio_table_features_and_window_rms(spark):
+    """The real WAV path drives the same Spark operators as rawf32, and
+    per-window RMS fans out one row per frame (VERDICT r3 #7)."""
+    import numpy as np
+    wav = mm.synth_audio(spark, 4, sr=8000, n_samples=2048, fmt="wav")
+    raw = mm.synth_audio(spark, 4, sr=8000, n_samples=2048, fmt="rawf32")
+    fw = mm.audio_features(wav).toPandas().sort_values("clip_id")
+    fr = mm.audio_features(raw).toPandas().sort_values("clip_id")
+    # float32 WAV decodes to the identical samples -> identical features
+    np.testing.assert_array_equal(fw.rms.values, fr.rms.values)
+    win = mm.audio_window_rms(wav, window_samples=256).toPandas()
+    assert len(win) == 4 * (2048 // 256)
+    assert (win.rms > 0).all()
+    per = win[win.clip_id == "clip-00000000"]
+    assert sorted(per.win_idx) == list(range(8))
 
 
 def test_video_stub_and_frame_sampling(spark):
