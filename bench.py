@@ -154,25 +154,53 @@ def main():
     jobs["image_pipeline"] = (lambda: image_pipeline(spark), 1)
     jobs["image_pipeline_full"] = (lambda: image_pipeline_full(spark), 1)
 
-    # Interleaved rounds (q1..qn, q1..qn, ...), min per query of both wall
-    # and busy-cpu: one slow clock phase can no longer poison a whole
-    # column of BENCH_r{N}.json (VERDICT r2 #5).
+    # Phase-robust protocol (VERDICT r3 #4): the host's effective clock
+    # oscillates ~1.6x between multi-minute phases, and two back-to-back
+    # interleaved reps can BOTH sit inside one slow phase (r3 recorded 5x
+    # inflated walls for image_pipeline_full). Run >=2 full interleaved
+    # campaigns separated by a multi-minute gap and take the min across
+    # ALL reps of ALL campaigns — the best-of-history discipline from
+    # BENCH/BASELINE.md applied in-process.
     REPS = 2
+    CAMPAIGNS = int(os.environ.get("SPARK_GRAFT_BENCH_CAMPAIGNS", "2"))
+    GAP_S = float(os.environ.get("SPARK_GRAFT_BENCH_GAP", "150"))
     walls: dict[str, list[float]] = {n: [] for n in jobs}
     cpus_used: dict[str, list[float]] = {n: [] for n in jobs}
-    for rnd in range(REPS + 1):
-        for name, (thunk, extra) in jobs.items():
-            if rnd >= REPS + extra:
-                continue
-            c0, t0 = _busy_cpu_s(), time.time()
-            _noop(thunk())
-            walls[name].append(time.time() - t0)
-            cpus_used[name].append(_busy_cpu_s() - c0)
+    for campaign in range(CAMPAIGNS):
+        if campaign:
+            time.sleep(GAP_S)           # let the clock phase roll over
+        for rnd in range(REPS + 1):
+            for name, (thunk, extra) in jobs.items():
+                if rnd >= REPS + extra:
+                    continue
+                c0, t0 = _busy_cpu_s(), time.time()
+                _noop(thunk())
+                walls[name].append(time.time() - t0)
+                cpus_used[name].append(_busy_cpu_s() - c0)
 
     times = {n: round(min(w), 3) for n, w in walls.items()}
     cpu_times = {n: round(min(c), 3) for n, c in cpus_used.items()}
     img_sec = min(walls["image_pipeline"])
     full_sec = min(walls["image_pipeline_full"])
+
+    # Flag cpu-second regressions vs the latest recorded round: cpu is the
+    # phase-robust secondary metric, so a >1.5x cpu increase is a REAL
+    # regression signal, not clock noise.
+    regressions = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_files = sorted(f for f in os.listdir(here)
+                         if f.startswith("BENCH_r") and f.endswith(".json"))
+    if prior_files:
+        try:
+            with open(os.path.join(here, prior_files[-1])) as f:
+                doc = json.load(f)
+            # the driver wraps our JSON line under "parsed"
+            prior = (doc.get("parsed") or doc).get("cpu_seconds", {})
+            for n, c in cpu_times.items():
+                if n in prior and prior[n] > 0 and c > 1.5 * prior[n]:
+                    regressions[n] = {"prior_cpu": prior[n], "now_cpu": c}
+        except (OSError, ValueError):
+            pass
 
     total = round(sum(times.values()), 3)
     result = {
@@ -181,6 +209,8 @@ def main():
         "unit": "sec",
         "queries": times,
         "cpu_seconds": cpu_times,
+        "campaigns": CAMPAIGNS,
+        "cpu_regressions_vs_prior": regressions,
         "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
         "throughput": {
             "image_rows": N_IMAGES,
