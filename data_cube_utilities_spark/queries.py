@@ -2206,7 +2206,7 @@ GROUP_A = {
 _PRIORITY = [
     # never had a driver CORRECTNESS row before r4
     "corpus_clean", "embedding_near_dup", "ivf_ann", "lsh_ann_batch",
-    "simhash_near_dup", "temporal_full_stats",
+    "simhash_near_dup", "temporal_full_stats", "lsh_ann_multiprobe",
     # Group B rows whose latest green driver row is r2
     "exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
     "quality_score", "language_id", "token_stats", "doc_fingerprint",

@@ -329,12 +329,24 @@ def q_lsh_ann_batch(spark, sf_dir):
         dims=EMB_DIMS, k=5)
 
 
-SQL_LSH_ANN_BATCH = f"""
+def _sql_lsh_ann_batch(probe_bits: int = 0) -> str:
+    """Batch-ANN oracle; probe_bits=1 adds the classic multi-probe flips
+    (each band key also probed at every one-bit sign flip — the same
+    PLANES_PER_BAND xor ladder the Spark operator explodes)."""
+    if probe_bits:
+        flips = ", ".join(f"xor(key, {1 << j})"
+                          for j in range(textops.PLANES_PER_BAND))
+        q_cte = f"""q0 AS (SELECT vec_id AS query_id, band, key FROM k
+      WHERE vec_id IN {BATCH_QUERY_IDS}),
+q AS (SELECT query_id, band, unnest([key, {flips}]) AS key FROM q0)"""
+    else:
+        q_cte = f"""q AS (SELECT vec_id AS query_id, band, key FROM k
+      WHERE vec_id IN {BATCH_QUERY_IDS})"""
+    return f"""
 WITH {_banded_keys_cte()},
 e AS (SELECT vec_id, unnest(em) AS v, generate_subscripts(em, 1) AS i
       FROM emt),
-q AS (SELECT vec_id AS query_id, band, key FROM k
-      WHERE vec_id IN {BATCH_QUERY_IDS}),
+{q_cte},
 cand AS (SELECT DISTINCT q.query_id, k.vec_id
          FROM k JOIN q ON k.band = q.band AND k.key = q.key
                        AND k.vec_id != q.query_id),
@@ -356,6 +368,23 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        FROM r)
 SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 5
 """
+
+
+SQL_LSH_ANN_BATCH = _sql_lsh_ann_batch(0)
+
+
+def q_lsh_ann_multiprobe(spark, sf_dir):
+    """Batch ANN with probe_bits=1 multi-probe: within each band every
+    query also probes the PLANES_PER_BAND keys one sign-flip away (the
+    most likely homes of a neighbor straddling a hyperplane) — recall
+    climbs toward brute force while staying an equi-join. Hard-signal
+    twin of the pytest superset property."""
+    return textops.lsh_ann_topk_batch(
+        _t(spark, sf_dir, "embeddings"), BATCH_QUERY_IDS,
+        dims=EMB_DIMS, k=5, probe_bits=1)
+
+
+SQL_LSH_ANN_MULTIPROBE = _sql_lsh_ann_batch(1)
 
 
 MAX_HAMMING = 3   # pigeonhole-exact for the 4x16-bit banding
@@ -450,6 +479,7 @@ GROUP_B = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
     "lsh_ann_batch": (q_lsh_ann_batch, SQL_LSH_ANN_BATCH),
+    "lsh_ann_multiprobe": (q_lsh_ann_multiprobe, SQL_LSH_ANN_MULTIPROBE),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "ivf_ann": (q_ivf_ann, None),

@@ -43,7 +43,7 @@ def test_tail_queries_are_long_green_veterans():
         "max_by_selector", "first_last_valid", "trend_slope", "find_gaps",
         "reduce_on_day", "frequency_counts", "cloud_coverage_table",
         "stacked_union", "acquisition_dates", "query_metadata",
-        "pricing_summary",
+        "pricing_summary", "overlapping_extents",
     }
     tail = set(list(queries.registry())[WINDOW:])
     assert tail <= veterans, f"non-veteran starved: {tail - veterans}"
