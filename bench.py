@@ -32,8 +32,9 @@ HEADLINE = [
     "asof_join", "find_gaps", "pip_relational", "zonal_stats", "knn",
     "anti_join_quality_gate",
     # LLM-pipeline group B representatives: banded-LSH dedup, sign-LSH
-    # embedding near-dup, broadcast cosine top-k (TakeOrderedAndProject)
-    "minhash_lsh", "embedding_near_dup", "cosine_topk",
+    # embedding near-dup, broadcast cosine top-k (TakeOrderedAndProject),
+    # and the batch-ANN shape pipelines actually run at scale
+    "minhash_lsh", "embedding_near_dup", "cosine_topk", "lsh_ann_batch",
 ]
 
 
