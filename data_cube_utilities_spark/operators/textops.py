@@ -393,7 +393,7 @@ PLANES_PER_BAND = 8
 LSH_SEED = 7
 
 
-def _plane_matrix(dims: int) -> "np.ndarray":
+def _plane_matrix(dims: int, n_planes: int | None = None) -> "np.ndarray":
     """Deterministic Rademacher (+-1) hyperplanes, (n_planes, dims).
 
     The earlier linear-congruential family ((i*31 + h*17) % 7 - 3) is
@@ -402,19 +402,28 @@ def _plane_matrix(dims: int) -> "np.ndarray":
     coefficients are baked as literals into the generated oracle SQL, so
     both engines evaluate the identical left-to-right +-element chain
     (bit-identical doubles; no aggregate-order hazard)."""
+    if n_planes is None:
+        n_planes = N_BANDS_LSH * PLANES_PER_BAND
     rng = np.random.RandomState(LSH_SEED)
-    return rng.choice([-1.0, 1.0],
-                      size=(N_BANDS_LSH * PLANES_PER_BAND, dims))
+    return rng.choice([-1.0, 1.0], size=(n_planes, dims))
 
 
-def _band_keys_udf(dims: int):
-    """Arrow-vectorized kernel: embedding -> array of N_BANDS_LSH long
-    keys.  Accumulates the plane dots sequentially over dims (one +- add
-    per element, same grouping as the SQL chain) for cross-engine
-    bit-identity; +-1 coefficients make each term an exact sign flip."""
+def _band_keys_udf(dims: int, bands: int = N_BANDS_LSH,
+                   planes: int = PLANES_PER_BAND):
+    """Arrow-vectorized kernel: embedding -> array of `bands` long keys
+    of `planes` sign bits each.  Accumulates the plane dots sequentially
+    over dims (one +- add per element, same grouping as the SQL chain)
+    for cross-engine bit-identity; +-1 coefficients make each term an
+    exact sign flip.
+
+    Sizing rule at scale: collision odds on uncorrelated vectors are
+    ~2^-planes per band, so keep planes >= log2(n_rows / target bucket
+    rows); bands then buy recall (OR-of-ANDs). The 8x8 default is sized
+    for the ~10^3-row test tables; tools/bench_lsh_scale.py evidences
+    8x16 at 2x10^5 rows."""
     from pyspark.sql.functions import pandas_udf
 
-    M = _plane_matrix(dims)
+    M = _plane_matrix(dims, bands * planes)
 
     @pandas_udf("array<long>")
     def keys(vs: pd.Series) -> pd.Series:
@@ -425,25 +434,27 @@ def _band_keys_udf(dims: int):
         for i in range(dims):
             acc += V[:, i:i + 1] * M[:, i]
         bits = acc > 0.0
-        out = np.zeros((V.shape[0], N_BANDS_LSH), dtype=np.int64)
-        for b in range(N_BANDS_LSH):
-            for j in range(PLANES_PER_BAND):
-                out[:, b] |= bits[:, b * PLANES_PER_BAND + j].astype(np.int64) << j
+        out = np.zeros((V.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(planes):
+                out[:, b] |= bits[:, b * planes + j].astype(np.int64) << j
         return pd.Series(list(out))
 
     return keys
 
 
-def lsh_band_key_sqls(dims: int, vec_expr: str = "em") -> list[str]:
-    """The N_BANDS_LSH band-key expressions as ANSI SQL over a 1-based
-    DOUBLE list `vec_expr` — literal +-element chains identical in
-    evaluation order to the _band_keys_udf kernel (oracle twin)."""
-    M = _plane_matrix(dims)
+def lsh_band_key_sqls(dims: int, vec_expr: str = "em",
+                      bands: int = N_BANDS_LSH,
+                      planes: int = PLANES_PER_BAND) -> list[str]:
+    """The band-key expressions as ANSI SQL over a 1-based DOUBLE list
+    `vec_expr` — literal +-element chains identical in evaluation order
+    to the _band_keys_udf kernel (oracle twin)."""
+    M = _plane_matrix(dims, bands * planes)
     keys = []
-    for b in range(N_BANDS_LSH):
+    for b in range(bands):
         bits = []
-        for j in range(PLANES_PER_BAND):
-            p = b * PLANES_PER_BAND + j
+        for j in range(planes):
+            p = b * planes + j
             terms = []
             for i in range(dims):
                 sign = "+" if M[p, i] > 0 else "-"
@@ -455,10 +466,11 @@ def lsh_band_key_sqls(dims: int, vec_expr: str = "em") -> list[str]:
     return keys
 
 
-def _banded_signatures(e: DataFrame, dims: int) -> DataFrame:
+def _banded_signatures(e: DataFrame, dims: int, bands: int = N_BANDS_LSH,
+                       planes: int = PLANES_PER_BAND) -> DataFrame:
     """(vec_id, v) -> (vec_id, v, band, key): one row per band, the table
     you'd materialize at 100 TB ((band, key) is the partition key)."""
-    return (e.withColumn("keys", _band_keys_udf(dims)("v"))
+    return (e.withColumn("keys", _band_keys_udf(dims, bands, planes)("v"))
              .select("vec_id", "v",
                      F.posexplode("keys").alias("band", "key")))
 
@@ -466,7 +478,9 @@ def _banded_signatures(e: DataFrame, dims: int) -> DataFrame:
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                              dims: int = 64, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             release_cache: bool = True) -> DataFrame:
+                             release_cache: bool = True,
+                             bands: int = N_BANDS_LSH,
+                             planes: int = PLANES_PER_BAND) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS — the fifth dedup mode of the
     training-data family (exact / MinHash-LSH / Jaccard / SimHash /
     embedding-cosine). Candidates are pairs sharing >=1 of the
@@ -489,7 +503,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     # the partition key of the scale design, and the persisted table stops
     # the signature pass running once per self-join side (no
     # ReusedExchange when one side broadcasts).
-    sig = (_banded_signatures(e, dims).drop("v")
+    sig = (_banded_signatures(e, dims, bands, planes).drop("v")
            .repartition("band", "key").persist())
     a = sig.select(F.col("vec_id").alias("vec_a"), "band", "key")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band", "key")
@@ -611,7 +625,9 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
                        dims: int, k: int = 5, probe_bits: int = 0,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       release_cache: bool = True) -> DataFrame:
+                       release_cache: bool = True,
+                       bands: int = N_BANDS_LSH,
+                       planes: int = PLANES_PER_BAND) -> DataFrame:
     """Batch ANN — the shape a training-data pipeline actually runs at
     100 TB: MANY queries at once against the LSH-bucketed corpus. The
     query block (tiny) broadcasts onto the bucket equi-join, so candidates
@@ -630,7 +646,7 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     unpersists the signature cache before returning (kNN lifecycle)."""
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    sig = (_banded_signatures(e, dims).drop("v")
+    sig = (_banded_signatures(e, dims, bands, planes).drop("v")
            .repartition("band", "key").persist())
     ids = [int(i) for i in query_ids]
     q = (sig.filter(F.col("vec_id").isin(ids))
@@ -640,7 +656,7 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
             raise ValueError("probe_bits in {0, 1} supported")
         probes = F.array(F.col("key"),
                          *[F.col("key").bitwiseXOR(F.lit(1 << j))
-                           for j in range(PLANES_PER_BAND)])
+                           for j in range(planes)])
         q = q.withColumn("key", F.explode(probes))
     cand = (sig.join(F.broadcast(q), ["band", "key"])
                .filter(F.col("vec_id") != F.col("query_id"))
@@ -663,14 +679,16 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
 
 
 def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 bands: int = N_BANDS_LSH,
+                 planes: int = PLANES_PER_BAND) -> DataFrame:
     """ANN: restrict the exact cosine scan to vectors sharing >=1 banded
     sign-LSH key with the query — the scale path ((band, key) equi-join
     instead of full cross join; candidates bounded by band-bucket mass).
     Output: (vec_id, n_bands_shared, cosine, rank)."""
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    sig = _banded_signatures(e, dims).drop("v").persist()
+    sig = _banded_signatures(e, dims, bands, planes).drop("v").persist()
     q = (sig.filter(F.col("vec_id") == query_id)
             .select("band", "key"))
     cand = (sig.join(F.broadcast(q), ["band", "key"])

@@ -1,0 +1,180 @@
+"""Scale evidence for the banded sign-LSH family (embedding near-dup /
+batch ANN) at 100x the driver tables: 200k x 64-dim clustered vectors.
+
+What this demonstrates (VERDICT r3 What's-wrong #1 follow-through):
+  1. the geometry knob works — candidate-pair mass is controlled by
+     planes-per-band (collision odds ~2^-planes per band on uncorrelated
+     vectors), so the sizing rule `planes >= log2(n / target_bucket)`
+     keeps the equi-join fan-out proportional to genuinely-similar mass
+     instead of O(n^2 / key_space);
+  2. the end-to-end operators (signature build -> (band, key) equi-join ->
+     exact cosine on candidates) run at this scale with bounded
+     intermediates — nothing is all-pairs.
+
+Writes BENCH/LSH_SCALE.md and prints one JSON line.
+Input is synthesized once (deterministic): N_CLUSTERS cluster centers,
+20 members each, noise sized for ~0.9 within-cluster cosine.
+
+Usage: python tools/bench_lsh_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_ROWS = int(os.environ.get("SPARK_GRAFT_LSH_ROWS", "200000"))
+DIMS = 64
+MEMBERS = 20
+NOISE = 0.48            # within-cluster cosine ~ 1/sqrt(1+eps^2) ~ 0.90
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EMB_DIR = f"/tmp/geocube_bench/embeddings_{N_ROWS}"
+
+
+def ensure_embeddings(spark):
+    import numpy as np
+    import pandas as pd
+
+    marker = os.path.join(EMB_DIR, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    def gen(batches):
+        for b in batches:
+            ids = b["id"].to_numpy()
+            rows = []
+            for i in ids:
+                cl = int(i) // MEMBERS
+                center = np.random.RandomState(900_001 + cl).normal(size=DIMS)
+                noise = np.random.RandomState(77_003 + int(i)).normal(size=DIMS)
+                v = (center + NOISE * noise).astype(np.float32)
+                rows.append((int(i), v.tolist(), cl))
+            yield pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+    (spark.range(N_ROWS).repartition(CPUS * 2)
+     .mapInPandas(gen, "vec_id long, embedding array<float>, label long")
+     .write.mode("overwrite").parquet(EMB_DIR))
+
+
+def candidate_pairs_count(spark, emb, planes: int, bands: int = 8) -> int:
+    """Sum over (band, key) buckets of c*(c-1)/2 — the equi-join fan-out,
+    computed as one aggregate (no join)."""
+    from pyspark.sql import functions as F
+
+    from data_cube_utilities_spark.operators import textops
+
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    sig = textops._banded_signatures(e, DIMS, bands, planes).drop("v")
+    out = (sig.groupBy("band", "key").count()
+              .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                   .alias("pairs"))
+              .first()["pairs"])
+    return int(out)
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from data_cube_utilities_spark.operators import textops
+    from data_cube_utilities_spark.session import get_spark
+
+    spark = get_spark("lsh-scale", cores=CPUS, shuffle_partitions=CPUS * 2)
+    ensure_embeddings(spark)
+    emb = spark.read.parquet(EMB_DIR)
+
+    # 1. candidate-mass curve vs planes-per-band (the sizing rule)
+    curve = {}
+    for planes in (8, 16, 24):
+        t0 = time.time()
+        curve[planes] = {
+            "candidate_pairs": candidate_pairs_count(spark, emb, planes),
+            "sec": round(time.time() - t0, 2),
+        }
+    all_pairs = N_ROWS * (N_ROWS - 1) // 2
+
+    # 2. end-to-end near-dup at planes=24 (exact cosine on candidates)
+    t0 = time.time()
+    nd = textops.embedding_near_dup_pairs(
+        emb, threshold=0.85, dims=DIMS, bands=8, planes=24)
+    n_nd = nd.count()
+    nd_sec = time.time() - t0
+
+    # 3. batch ANN, 64 queries, multi-probe, planes=16
+    qids = [i * (N_ROWS // 64) for i in range(64)]
+    t0 = time.time()
+    ann = textops.lsh_ann_topk_batch(
+        emb, qids, dims=DIMS, k=10, probe_bits=1, bands=8, planes=16)
+    n_ann = ann.count()
+    ann_sec = time.time() - t0
+
+    result = {
+        "metric": "banded_lsh_scale_200k",
+        "rows": N_ROWS,
+        "dims": DIMS,
+        "all_pairs": all_pairs,
+        "candidate_curve": {
+            str(p): {
+                **c,
+                "fraction_of_all_pairs": round(c["candidate_pairs"]
+                                               / all_pairs, 6),
+            } for p, c in curve.items()
+        },
+        "near_dup": {"planes": 24, "threshold": 0.85, "pairs_found": n_nd,
+                     "sec": round(nd_sec, 2),
+                     "rows_per_sec": round(N_ROWS / nd_sec, 1)},
+        "batch_ann": {"planes": 16, "queries": 64, "k": 10,
+                      "rows_ranked": n_ann, "sec": round(ann_sec, 2)},
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+    with open(os.path.join(REPO, "BENCH", "LSH_SCALE.md"), "w") as f:
+        f.write(f"""# BENCH/LSH_SCALE — banded sign-LSH at 100x the driver tables
+
+Input: {N_ROWS:,} x {DIMS}-dim clustered vectors ({N_ROWS // MEMBERS:,}
+clusters of {MEMBERS}, within-cluster cosine ~0.9), synthesized
+deterministically at {EMB_DIR}. All-pairs would be {all_pairs:,}.
+
+## The sizing rule (planes-per-band controls candidate mass)
+
+Per-band collision odds on uncorrelated vectors are ~2^-planes, so
+`planes >= log2(n_rows / target_bucket_rows)`; bands buy recall
+(OR-of-ANDs). Candidate (band, key)-join fan-out measured on this table
+(8 bands):
+
+| planes/band | candidate pairs | fraction of all-pairs |
+|---|---|---|
+""")
+        for p, c in result["candidate_curve"].items():
+            f.write(f"| {p} | {c['candidate_pairs']:,} | "
+                    f"{c['fraction_of_all_pairs']:.4%} |\n")
+        f.write(f"""
+The 8x8 default (sized for the ~10^3-row driver tables) is deliberately
+NOT used here: at 2x10^5 rows an 8-bit key space puts ~{N_ROWS // 256}
+rows in every band bucket and the fan-out approaches all-pairs — the
+knob, not the architecture, is what changes with n.
+
+## End-to-end operator runs (local[{CPUS}])
+
+- near-dup pairs (planes=24, cosine >= 0.85): **{n_nd:,} pairs** in
+  {result['near_dup']['sec']}s ({result['near_dup']['rows_per_sec']:,}
+  rows/s end to end — signature build + repartition + equi-join + exact
+  cosine + checkpoint).
+- batch ANN (planes=16, 64 queries, k=10, multi-probe): {n_ann} ranked
+  rows in {result['batch_ann']['sec']}s; candidates per query stay
+  bucket-bounded, the query block broadcasts.
+
+At 10^12 rows the same recipe holds: planes ~ 40 (key space 2^40),
+(band, key) becomes the partition key of the materialized signature
+table, and the per-bucket fan-out stays proportional to true near-dup
+mass. Nothing in the pipeline is all-pairs at any n.
+""")
+
+
+if __name__ == "__main__":
+    main()
