@@ -92,3 +92,32 @@ def test_foreach_batch_snapshot_commits(spark, image_dir, tmp_path):
     q2 = S.foreach_batch_snapshot(stream, table_path, ckpt)
     q2.awaitTermination(60)
     assert table.current_version() == v_before
+
+
+def test_stateful_saturation_equals_batch_twin(spark, image_dir):
+    """applyInPandasWithState branch of SURVEY 2.10: keyed state (63-bucket phash
+    bitmap + count) must survive micro-batch boundaries —
+    maxFilesPerTrigger=2 over 6 files forces >=3 batches — and the LAST
+    update per cell must equal the one-pass batch fold exactly (the fold
+    is order-insensitive, so arrival order cannot matter)."""
+    from data_cube_utilities_spark.streaming import stateful
+
+    stream = S.read_image_stream(spark, image_dir, max_files_per_trigger=2)
+    agg = stateful.streaming_cell_saturation(stream)
+    q = (agg.writeStream.format("memory").queryName("satur")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory sink in update mode appends every emitted update; the final
+    # state per cell is the row with the highest n_obs
+    got = (spark.sql("SELECT * FROM satur").toPandas()
+           .sort_values("n_obs").groupby("cell_id").last().reset_index()
+           .sort_values("cell_id").reset_index(drop=True))
+    exp = (stateful.cell_saturation_batch(spark.read.parquet(image_dir))
+           .toPandas().sort_values("cell_id").reset_index(drop=True))
+    assert got[["cell_id", "n_buckets", "n_obs"]].equals(
+        exp[["cell_id", "n_buckets", "n_obs"]])
+    # several micro-batches actually ran (state crossed boundaries)
+    assert len(spark.sql("SELECT * FROM satur").toPandas()) > len(exp)
