@@ -99,3 +99,33 @@ def test_line_scan_starts_at_origin(x0, y0, x1, y1):
     if len(d):
         dom = 0 if abs(x1 - x0) >= abs(y1 - y0) else 1
         assert (d[:, dom] == 1).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), scale=st.floats(0.01, 100.0))
+def test_lsh_signature_scale_invariance(seed, scale):
+    """Sign-LSH contract: band keys depend only on vector DIRECTION —
+    keys(c * v) == keys(v) for any c > 0 (the sign of each +-1 plane dot
+    is scale-invariant). Checked on the raw kernel arithmetic (the same
+    left-to-right fold the Arrow UDF and the SQL twin run)."""
+    from data_cube_utilities_spark.operators import textops
+
+    dims = 16
+    rng = np.random.RandomState(seed)
+    v = rng.normal(size=dims)
+    M = textops._plane_matrix(dims)
+
+    def keys(vec):
+        acc = np.zeros(M.shape[0])
+        for i in range(dims):
+            acc += vec[i] * M[:, i]
+        bits = acc > 0.0
+        out = []
+        for b in range(textops.N_BANDS_LSH):
+            k = 0
+            for j in range(textops.PLANES_PER_BAND):
+                k |= int(bits[b * textops.PLANES_PER_BAND + j]) << j
+            out.append(k)
+        return out
+
+    assert keys(v) == keys(v * scale)
