@@ -3,10 +3,11 @@ similarity search — first-class engine components for the 100TB corpus
 case (documents / embeddings tables).
 
 Everything is built from JVM-side primitives (split/explode/md5/
-higher-order array functions) — the one Python crossing is the banded
-sign-LSH signature kernel, an Arrow-vectorized pandas UDF (never per-row),
-so the plans shuffle only on the natural keys (token, band signature,
-(band, key)).
+higher-order array functions) — the two Python crossings are the banded
+sign-LSH signature kernel and the exact-cosine scorer, both
+Arrow-vectorized pandas UDFs (never per-row) with evaluation orders
+bit-identical to their JVM/SQL twins, so the plans shuffle only on the
+natural keys (token, band signature, (band, key)).
 
 Design notes per operator:
   exact_dedup      hash-groupBy on md5(text) — one shuffle.
@@ -353,6 +354,40 @@ def _norm(a):
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _cosine_col(va, vb):
+    """Exact cosine(va, vb) as an Arrow-vectorized kernel — BIT-IDENTICAL
+    to the _dot/_norm higher-order form: the fold is the same sequential
+    ((0 + p1) + p2) + ... chain per element (vectorized across rows, not
+    within a row), each p_i one multiply, each norm a sqrt of the same
+    chain, and a zero denominator yields NULL (nan) like F.nullif.
+
+    Why a UDF here: the interpreted higher-order fold costs ~0.7 ms per
+    row, which is fine for top-k-sized candidate sets but collapses on
+    large ones (the 200k-row IVF batch scan: 552 s -> ~10 s). Rounding
+    stays Spark-side (F.round HALF_UP; np.round is banker's)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if not len(xs):
+            return pd.Series([], dtype=float)
+        A = np.stack(xs.to_numpy())
+        B = np.stack(ys.to_numpy())
+        dot = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            dot += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dot / (np.sqrt(na) * np.sqrt(nb))
+            out[(na == 0.0) | (nb == 0.0)] = np.nan   # nullif twin
+        return pd.Series(out)
+
+    return cos(va, vb)
+
+
 def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force cosine top-k against one stored vector — the exact
@@ -362,8 +397,7 @@ def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
     q = (e.filter(F.col("vec_id") == query_id)
           .select(F.col("v").alias("qv")))
     j = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != query_id)
-    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
-        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
+    cos = _cosine_col(F.col("v"), F.col("qv"))
     return _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                         k, "vec_id", "cosine")
 
@@ -420,7 +454,7 @@ def _band_keys_udf(dims: int, bands: int = N_BANDS_LSH,
     ~2^-planes per band, so keep planes >= log2(n_rows / target bucket
     rows); bands then buy recall (OR-of-ANDs). The 8x8 default is sized
     for the ~10^3-row test tables; tools/bench_lsh_scale.py evidences
-    8x16 at 2x10^5 rows."""
+    8x16 (ANN) and 8x24 (near-dup) at 2x10^5 rows."""
     from pyspark.sql.functions import pandas_udf
 
     M = _plane_matrix(dims, bands * planes)
@@ -514,9 +548,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     j = cand.join(va, "vec_a").join(vb, "vec_b")
-    cos = F.round(_dot(F.col("va"), F.col("vb"))
-                  / F.nullif(_norm(F.col("va")) * _norm(F.col("vb")),
-                             F.lit(0.0)), 6)
+    cos = F.round(_cosine_col(F.col("va"), F.col("vb")), 6)
     out = (j.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("vec_a", "vec_b", "n_bands_shared", "cosine"))
@@ -537,7 +569,7 @@ def ivf_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     per-query top-k is a window rank partitioned by query id. The probe
     table (n_queries x n_probe rows + query vectors) broadcasts, so a
     query touches only its probed partitions — never the full table."""
-    from .mlops import kmeans_fit, with_kmeans_assignment
+    from .mlops import kmeans_assign_udf, kmeans_fit
 
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
@@ -545,7 +577,7 @@ def ivf_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
                                 for i in range(dims)])
     feat_cols = [f"_d{i}" for i in range(dims)]
     centers = kmeans_fit(flat, feat_cols, k=n_lists, seed=seed)
-    listed = with_kmeans_assignment(flat, feat_cols, centers, "list_id") \
+    listed = e.withColumn("list_id", kmeans_assign_udf(centers)("v")) \
         .select("vec_id", "list_id").localCheckpoint(eager=True)
     e = e.join(listed, "vec_id")
 
@@ -566,8 +598,7 @@ def ivf_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
 
     j = (e.join(F.broadcast(probes), "list_id")
           .filter(F.col("vec_id") != F.col("query_id")))
-    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
-        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
+    cos = _cosine_col(F.col("v"), F.col("qv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     return (j.withColumn("cosine", F.round(cos, 6))
@@ -588,7 +619,7 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
     At 100TB the list id becomes a partition column: a query touches
     n_probe partitions instead of the full table.
     """
-    from .mlops import kmeans_fit, with_kmeans_assignment
+    from .mlops import kmeans_assign_udf, kmeans_fit
 
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
@@ -601,7 +632,7 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
     # once). It also keeps the k x d assignment expression out of every
     # downstream plan: left inline, Catalyst re-optimizes the pushed-down
     # giant predicate per action (~90s of pure planning at 64 dims).
-    listed = with_kmeans_assignment(flat, feat_cols, centers, "list_id") \
+    listed = e.withColumn("list_id", kmeans_assign_udf(centers)("v")) \
         .select("vec_id", "list_id").localCheckpoint(eager=True)
     e = e.join(listed, "vec_id")
 
@@ -615,8 +646,7 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                     (F.col("vec_id") != query_id))
     q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
     j = cand.crossJoin(F.broadcast(q))
-    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
-        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
+    cos = _cosine_col(F.col("v"), F.col("qv"))
     return _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                         k, "vec_id", "list_id", "cosine")
 
@@ -664,8 +694,7 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     qv = (e.filter(F.col("vec_id").isin(ids))
            .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
     j = cand.join(e, "vec_id").join(F.broadcast(qv), "query_id")
-    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
-        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
+    cos = _cosine_col(F.col("v"), F.col("qv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     out = (j.withColumn("cosine", F.round(cos, 6))
@@ -698,8 +727,7 @@ def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
     qv = (e.filter(F.col("vec_id") == query_id)
            .select(F.col("v").alias("qv")))
     j = cand.join(e, "vec_id").crossJoin(F.broadcast(qv))
-    cos = _dot(F.col("v"), F.col("qv")) / F.nullif(
-        _norm(F.col("v")) * _norm(F.col("qv")), F.lit(0.0))
+    cos = _cosine_col(F.col("v"), F.col("qv"))
     out = _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                        k, "vec_id", "n_bands_shared", "cosine")
     out = out.localCheckpoint(eager=True)
