@@ -390,3 +390,26 @@ def test_grouped_fit_key_schema_follows_input_types(spark):
     assert set(gauss["series_int"]) == {0, 1}
     poly = mlops.poly_fit(df, ["series"], "t", "v").toPandas()
     assert sorted(poly["series"]) == ["a", "b"]
+
+
+def test_with_kmeans_assignment_matches_assign_col(spark):
+    """The staged two-projection assignment (wide-problem codegen form)
+    labels exactly like the single-expression form, including NaN -> -1;
+    and the Arrow GEMM form agrees on well-separated data."""
+    rng = np.random.RandomState(11)
+    X = np.vstack([rng.normal(c, 0.2, size=(40, 3))
+                   for c in [(0, 0, 0), (8, 0, 0), (0, 8, 0)]])
+    pdf = pd.DataFrame(X, columns=["a", "b", "c"])
+    pdf.loc[5, "a"] = None
+    df = spark.createDataFrame(pdf)
+    centers = np.array([[0.0, 0.0, 0.0], [8.0, 0.0, 0.0], [0.0, 8.0, 0.0]])
+    col = df.withColumn("k1", mlops.kmeans_assign_col(["a", "b", "c"],
+                                                      centers))
+    both = mlops.with_kmeans_assignment(col, ["a", "b", "c"], centers,
+                                        "k2").toPandas()
+    assert both.k1.tolist() == both.k2.tolist()
+    assert both.k1.iloc[5] == -1
+    arr = df.withColumn("v", F.array("a", "b", "c").cast("array<double>")) \
+            .withColumn("k3", mlops.kmeans_assign_udf(centers)("v")) \
+            .toPandas()
+    assert arr.k3.tolist() == both.k1.tolist()
