@@ -197,13 +197,23 @@ def geomedian_np(points: np.ndarray, eps: float = 1e-7, max_iter: int = 500) -> 
 
 def medoid_np(points: np.ndarray) -> np.ndarray:
     """The observed point minimizing total distance to the others
-    (hdmedians nanmedoid semantics; first index wins ties)."""
+    (hdmedians nanmedoid semantics). Exact-tie break: lexicographically
+    smallest point vector — hdmedians takes the first INPUT index, but
+    applyInPandas delivers group rows in nondeterministic order, so a
+    value-based tiebreak is the only deterministic distributed contract
+    (and the SQL twin's ORDER BY dsum, bands matches it). The dominant
+    tie is the 2-observation group, where both points' distance sums are
+    the SAME single number on every engine."""
     pts = np.asarray(points, dtype=np.float64)
     pts = pts[~np.isnan(pts).any(axis=1)]
     if len(pts) == 0:
         return None
     d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2))
-    return pts[int(np.argmin(d.sum(axis=1)))].copy()
+    sums = d.sum(axis=1)
+    cand = np.nonzero(sums == sums.min())[0]
+    if len(cand) > 1:
+        cand = cand[np.lexsort(pts[cand][:, ::-1].T)[:1]]
+    return pts[int(cand[0])].copy()
 
 
 def mosaic_geomedian(df: DataFrame, keys: Sequence[str], bands: Sequence[str],

@@ -2013,10 +2013,12 @@ def q_medoid_mosaic(spark, sf_dir):
     operation='medoid'): per pixel group, the OBSERVED point minimizing
     total distance to the others — the joint multi-band stack through the
     real grouped-map kernel. The winner's band values are integers (exact
-    doubles), so the row hash is safe; an argmin flip would need two
-    distinct observations' distance sums within ~1e-11 of each other,
-    which integer-derived bands cannot produce, and exact ties are only
-    between identical vectors (same output either way)."""
+    doubles), so the row hash is safe; a near-tie argmin flip would need
+    two distinct observations' distance sums within ~1e-11, which
+    integer-derived bands cannot produce, and EXACT ties (a 2-observation
+    group always ties; identical vectors tie) break deterministically to
+    the lexicographically smallest vector on both engines (medoid_np /
+    the oracle's ORDER BY dsum, blue, green, red)."""
     px = _lineitem_bands(spark, sf_dir)
     sub = (px.filter((F.col("l_orderkey") % 25) == 3)
              .select((F.col("l_partkey") % 150).alias("px"),
