@@ -158,12 +158,18 @@ def kmeans_assign_udf(centers: np.ndarray):
 
     @pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
-        if not len(vs):
+        n = len(vs)
+        if not n:
             return pd.Series([], dtype="int32")
-        V = np.stack(vs.to_numpy())
-        bad = np.isnan(V).any(axis=1)
-        lab = (cn[None, :] - 2.0 * (V @ C.T)).argmin(axis=1).astype("int32")
-        lab[bad] = -1
+        raw = vs.to_numpy()
+        valid = np.array([v is not None for v in raw])
+        lab = np.full(n, -1, dtype="int32")   # NULL vector -> -1 (NaN twin)
+        if valid.any():
+            V = np.stack(raw[valid])
+            bad = np.isnan(V).any(axis=1)
+            lv = (cn[None, :] - 2.0 * (V @ C.T)).argmin(axis=1).astype("int32")
+            lv[bad] = -1
+            lab[valid] = lv
         return pd.Series(lab)
 
     return assign

@@ -44,6 +44,25 @@ from pyspark.sql import functions as F
 # tokenization / shingles (identical semantics to the SQL oracles)
 # ---------------------------------------------------------------------------
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Repartition the doc table to full parallelism BEFORE a
+    multiplicative explode (shingle x band x md5, token explode, per-char
+    simhash votes).
+
+    The fan-out otherwise executes at the SCAN's partitioning: a
+    single-row-group parquet file (exactly what a re-shard job or a
+    small-partition read produces) serializes the most expensive stage
+    into ONE task (VERDICT r4 What's-wrong #1 — measured 9.8s -> 2.4s at
+    sf0.1 local[32]). The doc-table shuffle this buys is linear in the
+    INPUT, always cheaper than running the 10-100x fan-out serially.
+    No-op when the input already has enough partitions."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", F.split(F.col(text_col), " "))
 
@@ -76,7 +95,7 @@ def minhash_signatures(df: DataFrame, n_bands: int,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(id, band, sig): sig = min over shingles of md5(shingle || '#' || band)."""
-    sh = explode_trigrams(df, id_col, text_col)
+    sh = explode_trigrams(_fanout(df), id_col, text_col)
     bands = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))))
     keyed = bands.withColumn(
         "h", F.md5(F.concat_ws("#", F.col("shingle"), F.col("band"))))
@@ -124,7 +143,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
     vocabulary so the Jaccard stays internally consistent. Without it one
     ubiquitous token inside a block is still an O(n_block^2) join
     (VERDICT r1 scale-killer: quadratic blow-up at 100x). None = exact."""
-    t = with_tokens(df, text_col)
+    t = with_tokens(_fanout(df), text_col)
     tok = (t.select(F.col(id_col).alias("id"),
                     *( [F.col(block_col).alias("blk")] if block_col else []),
                     F.explode(F.array_distinct("tokens")).alias("tok")))
@@ -225,7 +244,7 @@ def simhash_spark_sql(docs_table: str, id_col: str = "doc_id",
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     spark = df.sparkSession
-    df.createOrReplaceTempView("__simhash_in")
+    _fanout(df).createOrReplaceTempView("__simhash_in")
     return spark.sql(simhash_spark_sql("__simhash_in", id_col, text_col))
 
 
@@ -332,7 +351,7 @@ def language_scores(df: DataFrame, id_col: str = "doc_id",
 def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Winnowing-style fingerprint: min/max hashed trigram + trigram count."""
-    sh = explode_trigrams(df, id_col, text_col)
+    sh = explode_trigrams(_fanout(df), id_col, text_col)
     h = sh.withColumn("h", F.md5("shingle"))
     return (h.groupBy(id_col)
              .agg(F.min("h").alias("fp_min"),
@@ -364,26 +383,38 @@ def _cosine_col(va, vb):
     Why a UDF here: the interpreted higher-order fold costs ~0.7 ms per
     row, which is fine for top-k-sized candidate sets but collapses on
     large ones (the 200k-row IVF batch scan: 552 s -> ~10 s). Rounding
-    stays Spark-side (F.round HALF_UP; np.round is banker's)."""
+    stays Spark-side (F.round HALF_UP; np.round is banker's).
+
+    NULL embeddings propagate to NULL cosine (the _dot/_norm twin's
+    semantics): np.stack over a batch containing None would otherwise
+    crash the task — one null vector in a 100 TB corpus must not turn a
+    query into a job failure (ADVICE r4)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        if not len(xs):
+        n = len(xs)
+        if not n:
             return pd.Series([], dtype=float)
-        A = np.stack(xs.to_numpy())
-        B = np.stack(ys.to_numpy())
-        dot = np.zeros(len(A))
-        na = np.zeros(len(A))
-        nb = np.zeros(len(A))
-        for i in range(A.shape[1]):
-            dot += A[:, i] * B[:, i]
-            na += A[:, i] * A[:, i]
-            nb += B[:, i] * B[:, i]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = dot / (np.sqrt(na) * np.sqrt(nb))
-            out[(na == 0.0) | (nb == 0.0)] = np.nan   # nullif twin
-        return pd.Series(out)
+        xr, yr = xs.to_numpy(), ys.to_numpy()
+        valid = np.array([x is not None and y is not None
+                          for x, y in zip(xr, yr)])
+        res = np.full(n, np.nan)    # NaN -> NULL through Arrow
+        if valid.any():
+            A = np.stack(xr[valid])
+            B = np.stack(yr[valid])
+            dot = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                dot += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = dot / (np.sqrt(na) * np.sqrt(nb))
+                out[(na == 0.0) | (nb == 0.0)] = np.nan   # nullif twin
+            res[valid] = out
+        return pd.Series(res)
 
     return cos(va, vb)
 
@@ -425,6 +456,39 @@ def _ranked_topk(scored: DataFrame, k: int, *out_cols: str) -> DataFrame:
 N_BANDS_LSH = 8
 PLANES_PER_BAND = 8
 LSH_SEED = 7
+# Auto-sizing target: keep expected bucket occupancy on uncorrelated
+# vectors near this many rows, i.e. planes >= log2(n_rows / target).
+LSH_TARGET_BUCKET = 4
+
+
+def auto_planes(n_rows: int,
+                target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Bits per band sized from the corpus: collision odds on
+    uncorrelated vectors are ~2^-planes per band, so planes =
+    max(PLANES_PER_BAND, ceil(log2(n_rows / target_bucket))) keeps the
+    expected bucket near target_bucket rows and the candidate fan-out
+    proportional to genuinely-similar mass. The fixed 8-bit default is
+    sized for ~10^3-row tables; BENCH/LSH_SCALE.md's own data shows 8
+    planes at 2x10^5 rows is 3.77% of all-pairs vs 0.0007% at 24 — this
+    rule stops that geometry silently shipping to a big corpus
+    (VERDICT r4 Next #5)."""
+    import math
+    if n_rows <= 0:
+        return PLANES_PER_BAND
+    return max(PLANES_PER_BAND,
+               math.ceil(math.log2(max(n_rows / target_bucket, 1.0))))
+
+
+def _resolve_planes(e: DataFrame, planes: int | None,
+                    n_rows: int | None) -> int:
+    """planes=None -> auto-size from n_rows (caller-supplied, or one cheap
+    count — parquet metadata at scale). Explicit planes pin the geometry
+    (the driver-oracle queries do this: the generated literal SQL must
+    match bit-for-bit)."""
+    if planes is not None:
+        return planes
+    n = n_rows if n_rows is not None else e.count()
+    return auto_planes(n)
 
 
 def _plane_matrix(dims: int, n_planes: int | None = None) -> "np.ndarray":
@@ -461,18 +525,25 @@ def _band_keys_udf(dims: int, bands: int = N_BANDS_LSH,
 
     @pandas_udf("array<long>")
     def keys(vs: pd.Series) -> pd.Series:
-        if not len(vs):
+        n = len(vs)
+        if not n:
             return pd.Series([], dtype=object)
-        V = np.stack(vs.to_numpy())  # (n, dims) float64
-        acc = np.zeros((V.shape[0], M.shape[0]))
-        for i in range(dims):
-            acc += V[:, i:i + 1] * M[:, i]
-        bits = acc > 0.0
-        out = np.zeros((V.shape[0], bands), dtype=np.int64)
-        for b in range(bands):
-            for j in range(planes):
-                out[:, b] |= bits[:, b * planes + j].astype(np.int64) << j
-        return pd.Series(list(out))
+        raw = vs.to_numpy()
+        valid = np.array([v is not None for v in raw])
+        res: list = [None] * n           # NULL vector -> NULL keys
+        if valid.any():
+            V = np.stack(raw[valid])     # (n_valid, dims) float64
+            acc = np.zeros((V.shape[0], M.shape[0]))
+            for i in range(dims):
+                acc += V[:, i:i + 1] * M[:, i]
+            bits = acc > 0.0
+            out = np.zeros((V.shape[0], bands), dtype=np.int64)
+            for b in range(bands):
+                for j in range(planes):
+                    out[:, b] |= bits[:, b * planes + j].astype(np.int64) << j
+            for pos, row in zip(np.flatnonzero(valid), out):
+                res[pos] = row
+        return pd.Series(res)
 
     return keys
 
@@ -514,7 +585,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                              vec_col: str = "embedding",
                              release_cache: bool = True,
                              bands: int = N_BANDS_LSH,
-                             planes: int = PLANES_PER_BAND) -> DataFrame:
+                             planes: int | None = None,
+                             n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS — the fifth dedup mode of the
     training-data family (exact / MinHash-LSH / Jaccard / SimHash /
     embedding-cosine). Candidates are pairs sharing >=1 of the
@@ -530,9 +602,13 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     session calling this per-batch must not accumulate cached tables
     (VERDICT r3 What's-wrong #2; the kNN lifecycle pattern).  Pass False
     to keep the lazy plan (the signature cache then stays owned by the
-    caller for the plan's lifetime)."""
+    caller for the plan's lifetime).
+
+    planes=None auto-sizes the band width from the corpus row count
+    (auto_planes; n_rows skips the count when the caller knows it)."""
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
+    planes = _resolve_planes(e, planes, n_rows)
     # Repartition on the composite join key, then persist: (band, key) IS
     # the partition key of the scale design, and the persisted table stops
     # the signature pass running once per self-join side (no
@@ -657,7 +733,8 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
                        vec_col: str = "embedding",
                        release_cache: bool = True,
                        bands: int = N_BANDS_LSH,
-                       planes: int = PLANES_PER_BAND) -> DataFrame:
+                       planes: int | None = None,
+                       n_rows: int | None = None) -> DataFrame:
     """Batch ANN — the shape a training-data pipeline actually runs at
     100 TB: MANY queries at once against the LSH-bucketed corpus. The
     query block (tiny) broadcasts onto the bucket equi-join, so candidates
@@ -673,9 +750,11 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     Output: (query_id, vec_id, cosine, rank<=k).
 
     release_cache=True materializes the k x |queries| result and
-    unpersists the signature cache before returning (kNN lifecycle)."""
+    unpersists the signature cache before returning (kNN lifecycle).
+    planes=None auto-sizes the band width from the corpus row count."""
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
+    planes = _resolve_planes(e, planes, n_rows)
     sig = (_banded_signatures(e, dims, bands, planes).drop("v")
            .repartition("band", "key").persist())
     ids = [int(i) for i in query_ids]
@@ -710,13 +789,22 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
 def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  bands: int = N_BANDS_LSH,
-                 planes: int = PLANES_PER_BAND) -> DataFrame:
+                 planes: int | None = None,
+                 n_rows: int | None = None,
+                 release_cache: bool = True) -> DataFrame:
     """ANN: restrict the exact cosine scan to vectors sharing >=1 banded
     sign-LSH key with the query — the scale path ((band, key) equi-join
     instead of full cross join; candidates bounded by band-bucket mass).
-    Output: (vec_id, n_bands_shared, cosine, rank)."""
+    Output: (vec_id, n_bands_shared, cosine, rank).
+
+    planes=None auto-sizes the band width from the corpus row count.
+    release_cache=True (default) materializes the k-row result and
+    unpersists the signature cache before returning; False hands the lazy
+    plan plus cache ownership to the caller — same contract as every
+    sibling operator (ADVICE r4)."""
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
+    planes = _resolve_planes(e, planes, n_rows)
     sig = _banded_signatures(e, dims, bands, planes).drop("v").persist()
     q = (sig.filter(F.col("vec_id") == query_id)
             .select("band", "key"))
@@ -730,6 +818,7 @@ def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
     cos = _cosine_col(F.col("v"), F.col("qv"))
     out = _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                        k, "vec_id", "n_bands_shared", "cosine")
-    out = out.localCheckpoint(eager=True)
-    sig.unpersist()
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        sig.unpersist()
     return out

@@ -1254,6 +1254,69 @@ def q_shepherd_segments(spark, sf_dir):
                .orderBy("image_id"))
 
 
+def q_shepherd_clumps(spark, sf_dir):
+    """The CLUMP stage of Shepherd segmentation in isolation
+    (segmentation.clump_np: equal-value connected components via
+    rasterops' vectorized Shiloach-Vishkin union-find) over a
+    DETERMINISTIC quantization of the standard 64x64 test plane — no
+    k-means, so the stage gets a true hash oracle through the same
+    recursive-closure SQL family as vectorize_regions (VERDICT r4 Next
+    #9; the full pipeline shepherd_segments stays rows-only). Scan-order
+    clump labels are engine-internal; rows key by per-clump stats."""
+    import numpy as np
+    import pandas as pd
+    from .operators import rasterops
+    from .operators import segmentation as seg
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    plane = (((xx * xx * 31 + yy * yy * 17 + xx * yy * 7) % 1000) // 250) \
+        .astype(np.float64)
+    df = rasterops.plane_df(spark, {(0, 0): plane})
+
+    def kern(batches):
+        for b in batches:
+            for r in b.itertuples():
+                arr = rasterops._decode_plane(r.data, int(r.h), int(r.w))
+                z = arr.astype(np.int64)
+                lab = seg.clump_np(z)
+                ys2, xs2 = np.mgrid[0:int(r.h), 0:int(r.w)]
+                pdf = pd.DataFrame({"lab": lab.ravel(), "z": z.ravel(),
+                                    "x": xs2.ravel(), "y": ys2.ravel()})
+                g = pdf.groupby("lab").agg(
+                    z_value=("z", "min"), n_px=("x", "size"),
+                    min_x=("x", "min"), min_y=("y", "min"),
+                    max_x=("x", "max"), max_y=("y", "max"),
+                    sum_x=("x", "sum"), sum_y=("y", "sum"))
+                yield g.reset_index(drop=True)
+
+    schema = ("z_value long, n_px long, min_x long, min_y long, "
+              "max_x long, max_y long, sum_x long, sum_y long")
+    return df.mapInPandas(kern, schema)
+
+
+SQL_SHEPHERD_CLUMPS = r"""
+WITH RECURSIVE px AS (
+  SELECT gx.i AS x, gy.i AS y, gy.i * 64 + gx.i AS id,
+         ((gx.i*gx.i*31 + gy.i*gy.i*17 + gx.i*gy.i*7) % 1000) // 250 AS z
+  FROM generate_series(0, 63) gx(i) CROSS JOIN generate_series(0, 63) gy(i)),
+e AS (
+  SELECT a.id AS s, b.id AS t
+  FROM px a JOIN px b
+    ON (abs(a.x - b.x) + abs(a.y - b.y)) = 1 AND a.z = b.z),
+reach AS (
+  SELECT id AS id, id AS lab FROM px
+  UNION
+  SELECT e.s AS id, r.lab FROM reach r JOIN e ON e.t = r.id),
+comp AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+SELECT min(p.z) AS z_value, count(*) AS n_px,
+       min(p.x) AS min_x, min(p.y) AS min_y,
+       max(p.x) AS max_x, max(p.y) AS max_y,
+       CAST(sum(p.x) AS BIGINT) AS sum_x, CAST(sum(p.y) AS BIGINT) AS sum_y
+FROM comp JOIN px p ON p.id = comp.id
+GROUP BY comp.lab
+"""
+
+
 def q_mostcommon_crs(spark, sf_dir):
     """mostcommon_crs (dea datahandling.py:498-546): distributed mode with
     deterministic tie-break — the CRS vote, one partial-agg count."""
@@ -2182,6 +2245,7 @@ GROUP_A = {
     "phenology": (q_phenology, SQL_PHENOLOGY),
     "frac_coverage": (q_frac_coverage, _sql_frac_coverage()),
     "shepherd_segments": (q_shepherd_segments, None),
+    "shepherd_clumps": (q_shepherd_clumps, SQL_SHEPHERD_CLUMPS),
     "water_quality": (q_water_quality, SQL_WATER_QUALITY),
     "pan_sharpen": (q_pan_sharpen, SQL_PAN_SHARPEN),
     "fused_masks": (q_fused_masks, SQL_FUSED_MASKS),
@@ -2201,33 +2265,94 @@ GROUP_A = {
 
 # The driver's CORRECTNESS hard signal covers the FIRST 50 registry entries
 # in dict order (observed r2/r3: GROUP_A-then-GROUP_B order silently starved
-# all of Group B plus the GROUP_A tail in r3).  Order by how much each row
-# NEEDS the hard signal: never-driver-checked first, then rows whose only
-# green driver row is old, newest additions next, and the long-green veterans
-# (still pytest- and tools/check_oracles-covered every session) at the tail.
+# all of Group B plus the GROUP_A tail in r3).  r4 shipped a static priority
+# list, which fixed the starvation once but pinned the same 20 veterans past
+# the window FOREVER (ADVICE r4: a future regression in a tail query could
+# never be caught again).  The standing policy is therefore a ROTATION
+# derived from the recorded driver history: stalest-checked first, so every
+# query periodically re-enters the 50-row hard-check window.
+
+# Static fallback when no CORRECTNESS_r*.json history exists (fresh
+# checkout): the r4 need-ranked order.
 _PRIORITY = [
-    # never had a driver CORRECTNESS row before r4
     "corpus_clean", "embedding_near_dup", "ivf_ann", "lsh_ann_batch",
     "simhash_near_dup", "temporal_full_stats", "lsh_ann_multiprobe",
-    # Group B rows whose latest green driver row is r2
     "exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
     "quality_score", "language_id", "token_stats", "doc_fingerprint",
     "cosine_topk", "lsh_ann",
-    # GROUP_A tail the r3 window skipped (green r2 + judge re-run only)
     "mostcommon_crs", "lag_linregress", "temporal_change_stats",
 ]
 
 
+def _correctness_history() -> dict[str, tuple[int, int]]:
+    """name -> (last_checked_round, n_checked) scraped from the driver's
+    own CORRECTNESS_r*.json artifacts at the repo root.
+
+    'Checked' = a fully green hash row (rows/schema/hash all true) or a
+    by-design rows-only `no_oracle` row.  A RED row does not count: the
+    query keeps its old (stale) rank and stays inside the re-check window
+    until the driver sees it green again."""
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist: dict[str, tuple[int, int]] = {}
+    try:
+        files = os.listdir(root)
+    except OSError:
+        return hist
+    for fn in files:
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(root, fn)) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(doc, dict):
+            continue
+        for name, row in doc.items():
+            if not isinstance(row, dict):
+                continue
+            green = (bool(row.get("rows_match")) and bool(row.get("schema_match"))
+                     and bool(row.get("hash_match"))) \
+                or row.get("err") == "no_oracle"
+            if green:
+                last, n = hist.get(name, (0, 0))
+                hist[name] = (max(last, rnd), n + 1)
+    return hist
+
+
+def _rotation_key(hist, order_idx):
+    """Sort key: (last green round asc, total green rows asc, insertion
+    idx).  Never-green rows sort first; among same-round ties the
+    least-evidenced query re-enters the window before a thrice-green
+    veteran."""
+    def key(name):
+        last, n = hist.get(name, (0, 0))
+        return (last, n, order_idx[name])
+    return key
+
+
 def registry() -> dict[str, tuple]:
-    """name -> (spark_callable, oracle_sql_or_None)."""
+    """name -> (spark_callable, oracle_sql_or_None).
+
+    Ordered stalest-driver-check first so the driver's 50-row hard-signal
+    window rotates over all entries across rounds (every query re-enters
+    within ceil(n_queries / 50) + 1 rounds of its last check)."""
     from . import queries_text
 
     full = dict(GROUP_A)
     full.update(queries_text.GROUP_B)
+    hist = _correctness_history()
+    if hist:
+        order_idx = {n: i for i, n in enumerate(full)}
+        names = sorted(full, key=_rotation_key(hist, order_idx))
+        return {k: full[k] for k in names}
     out = {k: full[k] for k in _PRIORITY}
-    # Newest-first among the rest: GROUP_A is roughly chronological, so
-    # reversing puts single-green r3 rows inside the 50-row window and the
-    # three-rounds-green r1 veterans at the very end.
     for k in reversed([k for k in full if k not in out]):
         out[k] = full[k]
     return out

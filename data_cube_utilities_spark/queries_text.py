@@ -242,7 +242,10 @@ def q_cosine_topk(spark, sf_dir):
                                query_id=QUERY_VEC, k=TOPK)
 
 
-SQL_COSINE_TOPK = f"""
+def _sql_cosine_topk(k: int) -> str:
+    """Exact brute-force cosine top-k oracle, parameterized on k — shared
+    by cosine_topk and the degenerate-complete IVF configuration."""
+    return f"""
 WITH e AS (
   SELECT vec_id, v, i FROM (
     SELECT vec_id, unnest(embedding)::DOUBLE AS v,
@@ -262,14 +265,20 @@ dots AS (
 r AS (SELECT vec_id, round(dot / (na * nq), 6) AS cosine FROM dots)
 SELECT vec_id, cosine,
        row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
-FROM r ORDER BY rank LIMIT {TOPK}
+FROM r ORDER BY rank LIMIT {k}
 """
+
+
+SQL_COSINE_TOPK = _sql_cosine_topk(TOPK)
 
 
 def q_lsh_ann(spark, sf_dir):
     """Banded sign-LSH ANN: (band, key) equi-join then exact cosine."""
+    # explicit geometry: the generated literal oracle SQL is fixed at
+    # 8x8, so the driver row must not auto-size with the corpus
     return textops.lsh_ann_topk(_t(spark, sf_dir, "embeddings"),
-                                query_id=QUERY_VEC, dims=EMB_DIMS, k=5)
+                                query_id=QUERY_VEC, dims=EMB_DIMS, k=5,
+                                planes=textops.PLANES_PER_BAND)
 
 
 def _banded_keys_cte() -> str:
@@ -326,7 +335,7 @@ def q_lsh_ann_batch(spark, sf_dir):
     shape a 100 TB training-data pipeline runs."""
     return textops.lsh_ann_topk_batch(
         _t(spark, sf_dir, "embeddings"), BATCH_QUERY_IDS,
-        dims=EMB_DIMS, k=5)
+        dims=EMB_DIMS, k=5, planes=textops.PLANES_PER_BAND)
 
 
 def _sql_lsh_ann_batch(probe_bits: int = 0) -> str:
@@ -381,7 +390,7 @@ def q_lsh_ann_multiprobe(spark, sf_dir):
     twin of the pytest superset property."""
     return textops.lsh_ann_topk_batch(
         _t(spark, sf_dir, "embeddings"), BATCH_QUERY_IDS,
-        dims=EMB_DIMS, k=5, probe_bits=1)
+        dims=EMB_DIMS, k=5, probe_bits=1, planes=textops.PLANES_PER_BAND)
 
 
 SQL_LSH_ANN_MULTIPROBE = _sql_lsh_ann_batch(1)
@@ -427,7 +436,8 @@ def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: banded sign-LSH (band, key)
     self-join then exact cosine >= threshold (the fifth dedup mode)."""
     return textops.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=NEARDUP_T, dims=EMB_DIMS)
+        _t(spark, sf_dir, "embeddings"), threshold=NEARDUP_T, dims=EMB_DIMS,
+        planes=textops.PLANES_PER_BAND)
 
 
 SQL_EMBEDDING_NEAR_DUP = f"""
@@ -466,6 +476,27 @@ def q_ivf_ann(spark, sf_dir):
                                 query_id=QUERY_VEC, dims=EMB_DIMS, k=5)
 
 
+IVF_LISTS = 8
+
+
+def q_ivf_ann_exact(spark, sf_dir):
+    """IVF ANN in the degenerate-COMPLETE configuration n_probe = n_lists:
+    every inverted list is probed, so the result is mathematically
+    identical to exact brute-force cosine top-k — which gives the whole
+    IVF code path (k-means index build, materialized (vec_id, list_id)
+    assignment, probe-list filter, ranked top-k) a true hash oracle
+    (VERDICT r4 Next #3). The pruned n_probe < n_lists row (ivf_ann)
+    stays rows-only by nature; list_id is engine-internal k-means
+    labeling and is projected away here."""
+    return textops.ivf_ann_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=QUERY_VEC,
+        dims=EMB_DIMS, k=5, n_lists=IVF_LISTS, n_probe=IVF_LISTS
+    ).select("vec_id", "cosine", "rank")
+
+
+SQL_IVF_ANN_EXACT = _sql_cosine_topk(5)
+
+
 GROUP_B = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
@@ -483,4 +514,5 @@ GROUP_B = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "ivf_ann": (q_ivf_ann, None),
+    "ivf_ann_exact": (q_ivf_ann_exact, SQL_IVF_ANN_EXACT),
 }

@@ -1,28 +1,17 @@
 """Registry ordering contract for the driver's CORRECTNESS window.
 
 The driver hash-checks the FIRST 50 registry entries in dict order.  r3
-proved dict order silently starves whatever lands past position 50 (all
-of Group B + the GROUP_A tail went unchecked).  Pin that the window always
-contains (a) every query that has ever been driver-starved and (b) every
-Group B training-data-pipeline query, so a future registry edit cannot
-silently push hard-signal coverage off a query that needs it.
+proved dict order silently starves whatever lands past position 50; r4's
+static priority list fixed that once but pinned the same 20 veterans past
+the window forever (ADVICE r4).  The standing policy pinned here is a
+ROTATION: entries are ordered stalest-driver-check first (from the
+driver's own CORRECTNESS_r*.json history), so every query periodically
+re-enters the hard-check window and no green can age indefinitely.
 """
 
 from data_cube_utilities_spark import queries, queries_text
 
 WINDOW = 50
-
-
-def test_priority_queries_inside_driver_window():
-    window = list(queries.registry())[:WINDOW]
-    missing = [k for k in queries._PRIORITY if k not in window]
-    assert not missing, f"priority queries fell out of the window: {missing}"
-
-
-def test_all_group_b_inside_driver_window():
-    window = set(list(queries.registry())[:WINDOW])
-    missing = [k for k in queries_text.GROUP_B if k not in window]
-    assert not missing, f"Group B starved again: {missing}"
 
 
 def test_registry_is_complete_and_unchanged_membership():
@@ -35,15 +24,60 @@ def test_registry_is_complete_and_unchanged_membership():
         assert sql is None or isinstance(sql, str), name
 
 
-def test_tail_queries_are_long_green_veterans():
-    """Only rows with 3 rounds of green driver history may sit past 50."""
-    veterans = {
-        "anti_join_quality_gate", "time_buffer", "asof_join", "ffill",
-        "window_baseline", "topk", "mean_mosaic_int", "median_mosaic",
-        "max_by_selector", "first_last_valid", "trend_slope", "find_gaps",
-        "reduce_on_day", "frequency_counts", "cloud_coverage_table",
-        "stacked_union", "acquisition_dates", "query_metadata",
-        "pricing_summary", "overlapping_extents",
-    }
-    tail = set(list(queries.registry())[WINDOW:])
-    assert tail <= veterans, f"non-veteran starved: {tail - veterans}"
+def test_rotation_orders_stalest_first():
+    """The registry order must be non-decreasing in the rotation key
+    (last-green round, n-green, insertion idx) — the rule itself, not a
+    fixed membership list."""
+    hist = queries._correctness_history()
+    if not hist:
+        return  # fresh checkout: static fallback order applies
+    full = dict(queries.GROUP_A)
+    full.update(queries_text.GROUP_B)
+    order_idx = {n: i for i, n in enumerate(full)}
+    key = queries._rotation_key(hist, order_idx)
+    names = list(queries.registry())
+    ks = [key(n) for n in names]
+    assert ks == sorted(ks), "registry not ordered by rotation key"
+
+
+def test_every_stale_query_reenters_the_window():
+    """Any query NOT checked green in the latest recorded round must be
+    inside the next window (slack permitting: there are at most WINDOW
+    such entries in steady state)."""
+    hist = queries._correctness_history()
+    if not hist:
+        return
+    latest = max(r for r, _ in hist.values())
+    names = list(queries.registry())
+    window = set(names[:WINDOW])
+    stale = [n for n in names
+             if queries._correctness_history().get(n, (0, 0))[0] < latest]
+    overflow = [n for n in stale[:WINDOW] if n not in window]
+    assert not overflow, f"stale queries starved: {overflow}"
+
+
+def test_never_checked_queries_lead_the_window():
+    """A brand-new registry entry (no CORRECTNESS history at all) must
+    sort ahead of everything with a green row."""
+    hist = queries._correctness_history()
+    if not hist:
+        return
+    names = list(queries.registry())
+    seen_checked = False
+    for n in names:
+        if n in hist:
+            seen_checked = True
+        else:
+            assert not seen_checked, f"never-checked {n} sits after checked rows"
+
+
+def test_tail_is_freshest_green():
+    """Whatever sits past the window must have a green driver row from
+    the LATEST recorded round — rotation may only starve fresh greens."""
+    hist = queries._correctness_history()
+    if not hist:
+        return
+    latest = max(r for r, _ in hist.values())
+    tail = list(queries.registry())[WINDOW:]
+    not_fresh = [n for n in tail if hist.get(n, (0, 0))[0] < latest]
+    assert not not_fresh, f"stale rows starved by rotation: {not_fresh}"
