@@ -189,8 +189,14 @@ def main():
     # regression signal, not clock noise.
     regressions = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    prior_files = sorted(f for f in os.listdir(here)
-                         if f.startswith("BENCH_r") and f.endswith(".json"))
+    # sort by the parsed round number, not the filename: the zero padding
+    # is two digits, so lexicographic order would compare r100 < r99 and
+    # silently baseline against a stale round (ADVICE r4)
+    import re
+    prior_files = sorted(
+        (f for f in os.listdir(here)
+         if re.fullmatch(r"BENCH_r(\d+)\.json", f)),
+        key=lambda f: int(re.fullmatch(r"BENCH_r(\d+)\.json", f).group(1)))
     if prior_files:
         try:
             with open(os.path.join(here, prior_files[-1])) as f:
@@ -203,6 +209,19 @@ def main():
         except (OSError, ValueError):
             pass
 
+    # Serialized-stage detector (VERDICT r4 Next #8): on a 32-core box a
+    # query whose busy-cpu / wall ratio is < 2 is running essentially
+    # single-stream — a one-task fan-out stage (the r4 minhash defect) is
+    # invisible in cpu-seconds but glaring in this ratio. Only meaningful
+    # above a wall floor: sub-0.8s queries are dominated by fixed
+    # scheduling latency, not by their longest stage.
+    serial_flags = {}
+    for n in jobs:
+        w, c = times[n], cpu_times[n]
+        if w >= 0.8 and c / max(w, 1e-9) < 2.0:
+            serial_flags[n] = {"wall": w, "cpu": c,
+                               "ratio": round(c / w, 2)}
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "headline_suite_plus_image_pipeline_wall",
@@ -212,6 +231,7 @@ def main():
         "cpu_seconds": cpu_times,
         "campaigns": CAMPAIGNS,
         "cpu_regressions_vs_prior": regressions,
+        "serial_stage_flags": serial_flags,
         "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
         "throughput": {
             "image_rows": N_IMAGES,

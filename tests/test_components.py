@@ -92,6 +92,33 @@ def test_vectorize_regions_global_tiled_equals_monolithic(spark):
     per_tile = rasterops.vectorize_regions(df).toPandas()
     assert len(per_tile) > len(out)
 
+    # the distributed seam merge (min-label propagation over the seam-edge
+    # DataFrame, VERDICT r4 Next #4) must produce BIT-IDENTICAL rows —
+    # including region_ids (roots are the same min (tx,ty,region) key)
+    dist = (rasterops.vectorize_regions_global(
+                df, threshold=0.5, tile_w=T, tile_h=T,
+                seam_merge="distributed").toPandas()
+            .sort_values("region_id").reset_index(drop=True))
+    drv = out.sort_values("region_id").reset_index(drop=True)
+    assert dist.equals(drv), "driver vs distributed seam merge diverged"
+
+
+def test_cc_labels_df_min_label(spark):
+    """_cc_labels_df: every node converges to the component minimum, incl.
+    a long chain (pointer-jump convergence) and disjoint components."""
+    from pyspark.sql import functions as F  # noqa: F401
+    # chain 10->11->...->29 (diameter 19), triangle {100,101,102}, pair
+    edges = [(i, i + 1) for i in range(10, 29)] \
+        + [(100, 101), (101, 102), (100, 102), (7, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    lab = {r.u: r.lab
+           for r in rasterops._cc_labels_df(df).collect()}
+    for n in range(10, 30):
+        assert lab[n] == 10
+    for n in (100, 101, 102):
+        assert lab[n] == 100
+    assert lab[5] == 5 and lab[7] == 5
+
 
 def test_vectorize_regions(spark):
     plane = np.zeros((8, 8))

@@ -154,6 +154,40 @@ def test_compact_cover_and_pruning(spark):
     assert df.filter(pred).count() == 300
 
 
+def test_compact_cover_distributed_matches_numpy(spark):
+    """The distributed promotion loop (groupBy parent, count==4 per level,
+    VERDICT r4 Next #7) must reproduce cells.compact exactly: a fully
+    compactable uniform block promotes all the way up (collect bounded by
+    the COMPACTED cover, here 1 cell), an uncompactable scatter stays
+    put, and a mixed-res input matches the numpy reference."""
+    from data_cube_utilities_spark import cells
+
+    # fully compactable: all 16 res-2 children of one res-0 cell
+    full = cells.children(int(cells.encode(45.0, -90.0, 0)), 2)
+    df = spark.createDataFrame([(int(c),) for c in full], "cell_id long")
+    cover = tiling.compact_cover(df)
+    assert len(cover) == 1 and int(cells.cell_res(cover[0])) == 0
+    assert np.array_equal(cover, cells.compact(full))
+
+    # uncompactable: one child from each of 5 different parents
+    parents = cells.children(int(cells.encode(45.0, -90.0, 1)), 3)[:5]
+    scatter = np.array([cells.children(int(p), 4)[0] for p in parents])
+    df2 = spark.createDataFrame([(int(c),) for c in scatter], "cell_id long")
+    cover2 = np.sort(tiling.compact_cover(df2))
+    assert np.array_equal(cover2, np.sort(scatter))
+
+    # mixed-resolution input: numpy parity on a pseudo-random cover
+    rng = np.random.RandomState(11)
+    mixed = np.concatenate([
+        cells.children(int(cells.encode(10.0, 10.0, 2)), 4),     # promotable
+        cells.encode(rng.uniform(-60, 60, 40), rng.uniform(-170, 170, 40), 6),
+        cells.encode(rng.uniform(-60, 60, 10), rng.uniform(-170, 170, 10), 3),
+    ])
+    df3 = spark.createDataFrame([(int(c),) for c in mixed], "cell_id long")
+    assert np.array_equal(np.sort(tiling.compact_cover(df3)),
+                          np.sort(cells.compact(mixed)))
+
+
 def test_salting_exact_mean(spark):
     # one hot cell (many rows), several cold ones
     rng = np.random.RandomState(9)

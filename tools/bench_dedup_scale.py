@@ -12,9 +12,11 @@ that every dedup mode keeps its intermediates bounded at scale:
   jaccard    lang-blocked token join with the max_df stopword cap.
 
 Corpus: 20k template clusters of 10 docs (~30 tokens from a 10^6-word
-vocabulary; members 1..9 carry 0-2 token substitutions, so clusters are
-genuine near-dup families), plus every 20th doc an exact copy of its
-cluster canonical. Deterministic.
+vocabulary). Members 4 and 9 of each cluster are EXACT copies of the
+cluster canonical (deliberately planted exact dups — 2 per cluster); the
+other non-canonical members carry 0-2 token substitutions (genuine
+near-dup families; a ~1/3-probability zero-substitution draw adds
+incidental exact copies on top). Deterministic.
 
 Writes BENCH/DEDUP_SCALE.md and prints one JSON line.
 Usage: python tools/bench_dedup_scale.py
@@ -54,7 +56,11 @@ def ensure_documents(spark):
                 base = np.random.RandomState(500_007 + cl) \
                     .randint(0, 1_000_000, size=TOKENS)
                 toks = base.copy()
-                if member and i % 20 != 0:   # every 20th doc: exact dup
+                # members 4 and 9: planted exact copies of the canonical
+                # (ADVICE r4: the old `i % 20` guard was dead code — i%20==0
+                # implies member==0, so no exact copy was ever planted);
+                # other non-canonical members get 0-2 substitutions
+                if member and member % 5 != 4:
                     rng = np.random.RandomState(64_013 + i)
                     for _ in range(rng.randint(0, 3)):
                         toks[rng.randint(0, TOKENS)] = rng.randint(0, 1_000_000)

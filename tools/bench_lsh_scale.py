@@ -87,6 +87,12 @@ def main():
     ensure_embeddings(spark)
     emb = spark.read.parquet(EMB_DIR)
 
+    # 0. the no-knob call auto-sizes from the corpus (VERDICT r4 Next #5):
+    # planes=None must pick >= 16 at this row count, not the 8-bit
+    # driver-table default
+    auto = textops.auto_planes(N_ROWS)
+    assert auto >= 16, f"auto_planes({N_ROWS}) = {auto} — sizing rule broken"
+
     # 1. candidate-mass curve vs planes-per-band (the sizing rule)
     curve = {}
     for planes in (8, 16, 24):
@@ -124,6 +130,7 @@ def main():
         "metric": "banded_lsh_scale_200k",
         "rows": N_ROWS,
         "dims": DIMS,
+        "auto_planes_no_knob": auto,
         "all_pairs": all_pairs,
         "candidate_curve": {
             str(p): {
@@ -164,10 +171,15 @@ Per-band collision odds on uncorrelated vectors are ~2^-planes, so
             f.write(f"| {p} | {c['candidate_pairs']:,} | "
                     f"{c['fraction_of_all_pairs']:.4%} |\n")
         f.write(f"""
-The 8x8 default (sized for the ~10^3-row driver tables) is deliberately
+The 8x8 geometry (sized for the ~10^3-row driver tables) is deliberately
 NOT used here: at 2x10^5 rows an 8-bit key space puts ~{N_ROWS // 256}
 rows in every band bucket and the fan-out approaches all-pairs — the
-knob, not the architecture, is what changes with n.
+knob, not the architecture, is what changes with n. Since r5 the knob
+turns itself: `planes=None` (the no-knob default on
+embedding_near_dup_pairs / lsh_ann_topk / lsh_ann_topk_batch) resolves
+via `auto_planes(n_rows)` = max(8, ceil(log2(n_rows / 4))) — on this
+table it picks **{auto} planes** (asserted in this script). Driver-oracle
+queries pin planes=8 explicitly to match their generated literal SQL.
 
 ## End-to-end operator runs (local[{CPUS}])
 
