@@ -4,13 +4,12 @@ decode / feature-extract / resize / frame-sample as Arrow-vectorized UDFs.
 Image path is REAL end to end (codec.py raw16/pngz). Audio is REAL for
 WAV/PCM (encode_wav_np / decode_wav_np — stdlib struct RIFF writer+parser,
 PCM16 + IEEE float32, like netcdf.py/geotiff.py) plus the rawf32 fast
-path; compressed audio (mp3/ogg/flac) genuinely needs an external decoder
-and raises ValueError. Video frame extraction is the ONE remaining STUB by
-design — no ffmpeg exists in this container — but everything Spark-side is
-real and tested: the typed schemas, the mapInPandas batch shape,
-partitioning behavior, and the deterministic-fake decoder that stands in
-for the codec call. Swapping in a real video codec is a one-function
-change at the marked point.
+path. Video is REAL for uncompressed RIFF/AVI (encode_avi_np /
+decode_avi_np — 8-bit DIB frames with padded bottom-up rows, grayscale
+palette, avih/strh/strf headers and an idx1 index) plus the rawgray8
+fast path. Compressed codecs on either path (mp3/ogg/flac, h264/vp9/...)
+genuinely need an external decoder this container doesn't ship and raise
+ValueError.
 
 Schemas:
   audio: (clip_id string, bytes binary, sample_rate int, n_samples int,
@@ -244,19 +243,130 @@ def synth_audio(spark, n: int, sr: int = 16000, n_samples: int = 4096,
 
 
 # ---------------------------------------------------------------------------
-# video: STUBBED frame extraction, real plumbing
+# video: REAL uncompressed RIFF/AVI container (stdlib struct, the same
+# chunk-walk discipline as the WAV codec above / netcdf.py / geotiff.py):
+# 8-bit grayscale DIB frames — bottom-up rows padded to 4 bytes, grayscale
+# RGBQUAD palette, avih/strh/strf headers, movi '00db' chunks, idx1 index.
+# Compressed codecs (h264/vp9/...) genuinely need an external decoder and
+# raise ValueError, like mp3/ogg on the audio path.
 # ---------------------------------------------------------------------------
+
+def _avi_row_stride(w: int) -> int:
+    return (w + 3) & ~3          # DIB rows pad to 4-byte multiples
+
+
+def encode_avi_np(frames: np.ndarray, fps: float = 10.0) -> bytes:
+    """(n_frames, h, w) uint8 -> RIFF/AVI bytes with one 'vids' stream of
+    uncompressed 8-bit DIB frames (BI_RGB, bottom-up, 4-byte-padded rows,
+    256-entry grayscale palette) + an idx1 keyframe index."""
+    import struct
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    stride = _avi_row_stride(w)
+    scale, rate = 1000, int(round(fps * 1000))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frame_sz = stride * h
+    avih = struct.pack(
+        "<14I", int(1e6 / fps), frame_sz * int(fps), 0, 0x10,  # HASINDEX
+        n, 0, 1, frame_sz, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h", b"vids", b"DIB ", 0, 0, 0, 0,
+        scale, rate, 0, n, frame_sz, -1, 0, 0, 0, int(w), int(h))
+    palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_sz,
+                       0, 0, 256, 0) + palette
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = b""
+    idx_entries = []
+    for f in frames:
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, :w] = f[::-1]              # bottom-up rows
+        idx_entries.append((len(movi_body) + 4, frame_sz))
+        movi_body += chunk(b"00db", padded.tobytes())
+    movi = lst(b"movi", movi_body)
+    idx1 = chunk(b"idx1", b"".join(
+        struct.pack("<4sIII", b"00db", 0x10, off, sz)
+        for off, sz in idx_entries))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_np(data: bytes) -> tuple[np.ndarray, float]:
+    """RIFF/AVI bytes -> ((n_frames, h, w) uint8, fps). Walks the chunk
+    tree (word-aligned sizes, unknown chunks skipped), reads dims from the
+    stream format header, un-pads and re-flips the bottom-up DIB rows.
+    Only uncompressed 8-bit DIB streams decode; anything else needs an
+    external codec and raises ValueError."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+
+    w = h = bits = compression = None
+    fps = 0.0
+    payloads: list[bytes] = []
+
+    def walk(buf: bytes):
+        nonlocal w, h, bits, compression, fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body = buf[pos + 8:pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])                       # skip the list kind
+            elif cid == b"strh":
+                _t, _hdl, _fl, _pri, _lang, _init, scale, rate = \
+                    struct.unpack("<4s4sIHHIII", body[:28])
+                if _t == b"vids" and scale:
+                    fps = rate / scale
+            elif cid == b"strf" and len(body) >= 40:
+                _sz, w, h, _pl, bits, compression = \
+                    struct.unpack("<IiiHHI", body[:20])
+            elif cid in (b"00db", b"00dc"):
+                payloads.append(body)
+            pos += 8 + size + (size & 1)             # word-aligned
+    walk(data[12:])
+
+    if w is None:
+        raise ValueError("missing stream format (strf) chunk")
+    if compression != 0 or bits != 8:
+        raise ValueError(
+            f"compressed/deep AVI stream (biCompression={compression}, "
+            f"bits={bits}) needs an external decoder (not shipped)")
+    stride = _avi_row_stride(w)
+    frames = np.stack([
+        np.frombuffer(p[:stride * h], dtype=np.uint8)
+          .reshape(h, stride)[::-1, :w]              # re-flip, un-pad
+        for p in payloads])
+    return frames, fps
+
 
 def sample_frames_np(data: bytes, fmt: str, w: int, h: int, n_frames: int,
                      every: int) -> np.ndarray:
-    """STUB — no video codec in this container. 'rawgray8' (frames
-    concatenated as uint8 planes; the deterministic fake) decodes for real;
-    compressed containers raise. Returns (k, h, w) uint8."""
+    """Frame sampling: 'avi' decodes the real RIFF/AVI container
+    (decode_avi_np); 'rawgray8' is the headerless fast path (frames
+    concatenated as uint8 planes). Compressed codecs raise ValueError.
+    Returns (k, h, w) uint8."""
     if fmt == "rawgray8":
         frames = np.frombuffer(data, dtype=np.uint8).reshape(n_frames, h, w)
         return frames[::every].copy()
-    raise NotImplementedError(
-        f"video codec {fmt!r} not available in this environment (stub)")
+    if fmt == "avi":
+        frames, _fps = decode_avi_np(data)
+        return frames[::every].copy()
+    raise ValueError(
+        f"video codec {fmt!r} needs an external decoder (not shipped)")
 
 
 def video_frame_features(video: DataFrame, every: int = 5) -> DataFrame:
@@ -286,8 +396,12 @@ def video_frame_features(video: DataFrame, every: int = 5) -> DataFrame:
 
 
 def synth_video(spark, n: int, w: int = 16, h: int = 16, n_frames: int = 20,
-                seed: int = 42) -> DataFrame:
-    """Deterministic fake video table (moving gradient, rawgray8)."""
+                seed: int = 42, fmt: str = "rawgray8") -> DataFrame:
+    """Deterministic fake video table (moving gradient), encoded as
+    headerless rawgray8 planes or a real RIFF/AVI container ('avi')."""
+    if fmt not in ("rawgray8", "avi"):
+        raise ValueError("fmt in {'rawgray8', 'avi'}")
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
@@ -295,8 +409,10 @@ def synth_video(spark, n: int, w: int = 16, h: int = 16, n_frames: int = 20,
                 base = (np.arange(w)[None, :] + np.arange(h)[:, None])
                 frames = np.stack([(base + 3 * f + int(i)) % 256
                                    for f in range(n_frames)]).astype(np.uint8)
-                rows.append((f"vid-{int(i):08d}", frames.tobytes(), w, h,
-                             n_frames, 10.0, "rawgray8",
+                data = (frames.tobytes() if fmt == "rawgray8"
+                        else encode_avi_np(frames, fps=10.0))
+                rows.append((f"vid-{int(i):08d}", data, w, h,
+                             n_frames, 10.0, fmt,
                              f"synthetic pan {int(i)}"))
             if rows:
                 yield pd.DataFrame(rows, columns=[

@@ -1,5 +1,6 @@
 """Multimodal plumbing: real image resize/pyramid + resolution-match join;
-audio/video stubs with deterministic fakes (Spark-side plumbing real)."""
+real stdlib WAV (PCM16/float32) and AVI (8-bit DIB) codecs; compressed
+formats refuse with ValueError (no external decoders in this container)."""
 
 import numpy as np
 import pytest
@@ -81,7 +82,7 @@ def test_wav_audio_table_features_and_window_rms(spark):
     assert sorted(per.win_idx) == list(range(8))
 
 
-def test_video_stub_and_frame_sampling(spark):
+def test_video_rawgray8_frame_sampling(spark):
     v = mm.synth_video(spark, 3, w=8, h=8, n_frames=20)
     out = mm.video_frame_features(v, every=5).toPandas()
     # 20 frames sampled every 5 -> 4 rows per video
@@ -90,8 +91,54 @@ def test_video_stub_and_frame_sampling(spark):
     per = out[out.video_id == "vid-00000000"].sort_values("frame_idx")
     assert per.motion.iloc[0] == 0.0
     assert (per.motion.iloc[1:] > 0).all()  # the pan moves
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         mm.sample_frames_np(b"xx", "h264", 1, 1, 1, 1)
+
+
+def test_avi_roundtrip_exact():
+    """The stdlib RIFF/AVI codec round-trips frames bit-exactly, including
+    an odd width (DIB rows pad to 4-byte multiples, bottom-up order)."""
+    rng = np.random.RandomState(17)
+    for w, h in [(16, 12), (13, 7), (5, 9)]:        # odd widths hit padding
+        frames = rng.randint(0, 256, size=(6, h, w)).astype(np.uint8)
+        data = mm.encode_avi_np(frames, fps=24.0)
+        back, fps = mm.decode_avi_np(data)
+        assert back.shape == frames.shape
+        assert np.array_equal(back, frames)
+        assert abs(fps - 24.0) < 1e-9
+    # container sanity: real RIFF/AVI magic + headers present
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    for tag in (b"avih", b"strh", b"strf", b"movi", b"idx1", b"00db"):
+        assert tag in data
+    # truncated / foreign bytes refuse cleanly
+    with pytest.raises(ValueError):
+        mm.decode_avi_np(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_avi_video_table_features_match_rawgray8(spark):
+    """The AVI-encoded table produces IDENTICAL frame features to the
+    rawgray8 fast path — the container is lossless and the Spark plumbing
+    (mapInPandas batch shape, schema) is shared."""
+    raw = mm.video_frame_features(
+        mm.synth_video(spark, 3, w=13, h=8, n_frames=15), every=3) \
+        .toPandas().sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+    avi = mm.video_frame_features(
+        mm.synth_video(spark, 3, w=13, h=8, n_frames=15, fmt="avi"),
+        every=3) \
+        .toPandas().sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+    assert raw.equals(avi)
+
+
+def test_no_notimplementederror_left_in_package():
+    """VERDICT r4 Next #6 done-criterion: zero NotImplementedError in the
+    package — every codec path either decodes for real or refuses with a
+    ValueError naming the missing external decoder."""
+    import pathlib
+
+    pkg = pathlib.Path(mm.__file__).resolve().parents[1]
+    hits = [str(p) for p in pkg.rglob("*.py")
+            if "NotImplementedError" in p.read_text()]
+    assert not hits, hits
 
 
 def test_deterministic_fakes(spark):
