@@ -74,6 +74,67 @@ def test_sliding_window_stats_works_on_stream(spark, image_dir):
     assert got == 2 * spark.read.parquet(image_dir).count()
 
 
+def test_watermark_evicts_late_rows(spark, tmp_path):
+    """Late-data semantics end to end (the watermark clause of SURVEY
+    2.10): a row arriving AFTER the watermark has passed its window must
+    be dropped, so the append-mode result differs from the batch fold by
+    exactly the late row. File order is forced via mtimes +
+    maxFilesPerTrigger=1 (FileStreamSource processes oldest-first)."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "late_src")
+    os.makedirs(d)
+
+    def write(name, stamps):
+        t = pa.table({"ts": pd.to_datetime(stamps)
+                      .values.astype("datetime64[us]"),
+                      "v": [1] * len(stamps)})
+        pq.write_table(t, f"{d}/{name}.parquet")
+        time.sleep(1.1)                  # distinct mtime -> stable order
+
+    # batch 0: three on-time rows in window 00:00-00:10, plus a 01:00 row
+    # that advances the watermark to 00:55 (delay 5 min) at batch end
+    write("a", ["2020-01-01 00:05:00"] * 3 + ["2020-01-01 01:00:00"])
+    # batch 1 runs WITH watermark 00:55: window 00:00-00:10 is finalized
+    # (emitted n=3, state evicted). A row arriving in the SAME batch as
+    # finalization would still be merged — eviction only protects windows
+    # closed in an EARLIER batch, hence this spacer batch.
+    write("b", ["2020-01-01 01:01:00"])
+    # batch 2: the LATE row for the long-closed window (00:06 < watermark
+    # 00:55, state already gone -> dropped), plus a 02:00 row that pushes
+    # the final watermark past the 01:00 window so it emits too
+    write("c", ["2020-01-01 00:06:00", "2020-01-01 02:00:00"])
+
+    stream = (spark.readStream.schema("ts timestamp, v long")
+              .option("maxFilesPerTrigger", 1).parquet(d)
+              .withWatermark("ts", "5 minutes"))
+    agg = stream.groupBy(F.window("ts", "10 minutes")) \
+                .agg(F.count("*").alias("n"))
+    q = (agg.writeStream.format("memory").queryName("latewin")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (spark.sql("SELECT window.start AS ws, n FROM latewin")
+           .toPandas().sort_values("ws").reset_index(drop=True))
+    # the closed first window counts 3, NOT 4 — the late row was evicted;
+    # the batch fold over the same files would count 4
+    assert str(got.ws.iloc[0]).startswith("2020-01-01 00:00") \
+        and got.n.iloc[0] == 3
+    batch_n = (spark.read.parquet(d)
+               .groupBy(F.window("ts", "10 minutes"))
+               .agg(F.count("*").alias("n"))
+               .filter(F.col("window.start") == "2020-01-01 00:00:00")
+               .first()["n"])
+    assert batch_n == 4          # the batch fold still sees the late row
+
+
 def test_foreach_batch_snapshot_commits(spark, image_dir, tmp_path):
     table_path = str(tmp_path / "snap_tbl")
     ckpt = str(tmp_path / "ckpt")

@@ -126,6 +126,41 @@ def main():
     n_ivf = ivf.count()
     ivf_sec = time.time() - t0
 
+    # 5. MEASURED recall@10 vs exact brute force (one broadcast pass over
+    # the full table for all 64 queries — the accuracy ground truth the
+    # pytest superset property only bounds)
+    from pyspark.sql import Window
+
+    from data_cube_utilities_spark.operators.textops import _cosine_col
+
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    qv = (e.filter(F.col("vec_id").isin(qids))
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("qv")))
+    t0 = time.time()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    brute = (e.crossJoin(F.broadcast(qv))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          F.round(_cosine_col(F.col("v"), F.col("qv")), 6))
+              .select("query_id", "vec_id", "cosine")
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 10)
+              .select("query_id", "vec_id")
+              .localCheckpoint(eager=True))
+    n_brute = brute.count()
+    brute_sec = time.time() - t0
+
+    def recall(res) -> float:
+        hits = (res.select("query_id", "vec_id")
+                   .join(brute.select("query_id", "vec_id"),
+                         ["query_id", "vec_id"]).count())
+        return round(hits / n_brute, 4)
+
+    rec_ann, rec_ivf = recall(ann), recall(ivf)
+
     result = {
         "metric": "banded_lsh_scale_200k",
         "rows": N_ROWS,
@@ -143,9 +178,13 @@ def main():
                      "sec": round(nd_sec, 2),
                      "rows_per_sec": round(N_ROWS / nd_sec, 1)},
         "batch_ann": {"planes": 16, "queries": 64, "k": 10,
-                      "rows_ranked": n_ann, "sec": round(ann_sec, 2)},
+                      "rows_ranked": n_ann, "sec": round(ann_sec, 2),
+                      "recall_at_10": rec_ann},
         "batch_ivf": {"n_lists": 64, "n_probe": 4, "queries": 64, "k": 10,
-                      "rows_ranked": n_ivf, "sec": round(ivf_sec, 2)},
+                      "rows_ranked": n_ivf, "sec": round(ivf_sec, 2),
+                      "recall_at_10": rec_ivf},
+        "brute_force_baseline": {"queries": 64, "k": 10,
+                                 "sec": round(brute_sec, 2)},
     }
     spark.stop()
     print(json.dumps(result))
@@ -189,12 +228,17 @@ queries pin planes=8 explicitly to match their generated literal SQL.
   cosine + checkpoint).
 - batch ANN (planes=16, 64 queries, k=10, multi-probe): {n_ann} ranked
   rows in {result['batch_ann']['sec']}s; candidates per query stay
-  bucket-bounded, the query block broadcasts.
+  bucket-bounded, the query block broadcasts. **Measured recall@10 vs
+  exact brute force: {rec_ann:.1%}.**
 - batch IVF ANN (64-list k-means index built ONCE, n_probe=4, 64
   queries, k=10): {n_ivf} ranked rows in {result['batch_ivf']['sec']}s;
   each query's exact scan touches ~6% of the table (its 4 probed lists —
   the partition-pruning shape at 100 TB, where list_id is a partition
-  column written once at index build).
+  column written once at index build). **Measured recall@10:
+  {rec_ivf:.1%}.**
+- exact brute-force ground truth (all 64 queries x the full table in one
+  broadcast pass, Arrow cosine): {result['brute_force_baseline']['sec']}s
+  — the accuracy baseline both ANN paths trade against.
 
 At 10^12 rows the same recipe holds: planes ~ 40 (key space 2^40),
 (band, key) becomes the partition key of the materialized signature
