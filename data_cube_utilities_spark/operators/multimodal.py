@@ -25,6 +25,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .. import codec
 
@@ -240,6 +241,33 @@ def synth_audio(spark, n: int, sr: int = 16000, n_samples: int = 4096,
                     "channels", "fmt", "caption"])
 
     return spark.range(n).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def image_near_dup_pairs(images: DataFrame, max_hamming: int = 3,
+                         id_col: str = "image_id",
+                         caption_col: str | None = "caption") -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs over the phash column of the
+    image+caption table (the input_hint shape; codec.phash64 derives the
+    hash from pixels at ingest): banded (band, key) equi-join with
+    pigeonhole-exact recall at hamming <= 3, popcount-XOR filter — the
+    image twin of the text dedup family, never all-pairs. With a caption
+    column, each pair also carries caption_match (near-dup image with a
+    DIFFERENT caption is the interesting row in a training-data dedup).
+    Output (id_a, id_b, hamming[, caption_match])."""
+    from . import textops
+
+    pairs = textops.hash_near_dup_pairs(
+        images, id_col=id_col, hash_col="phash", max_hamming=max_hamming)
+    if caption_col is None:
+        return pairs
+    ca = images.select(F.col(id_col).alias("id_a"),
+                       F.col(caption_col).alias("_cap_a"))
+    cb = images.select(F.col(id_col).alias("id_b"),
+                       F.col(caption_col).alias("_cap_b"))
+    return (pairs.join(ca, "id_a").join(cb, "id_b")
+                 .withColumn("caption_match",
+                             (F.col("_cap_a") == F.col("_cap_b")))
+                 .select("id_a", "id_b", "hamming", "caption_match"))
 
 
 # ---------------------------------------------------------------------------

@@ -292,6 +292,54 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
     return out
 
 
+def hash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        hash_col: str = "phash", max_hamming: int = 3,
+                        n_bands: int = 4,
+                        release_cache: bool = True) -> DataFrame:
+    """Near-duplicate PAIRS over any 64-bit hash column — the image-phash
+    twin of simhash_near_dup_pairs (the input_hint table carries
+    phash:int64 per image; codec.phash64 produces it from pixels). Split
+    the hash into n_bands equal bit-bands; by pigeonhole any pair within
+    hamming distance <= n_bands - 1 shares at least one identical band,
+    so the (band, key) equi-join has EXACT recall at the default
+    threshold — never all-pairs. Survivors get the true popcount-XOR
+    filter (F.bit_count, pure codegen). Output (id_a, id_b, hamming).
+
+    The banded table is one row per (row, band) — persisted so the scan
+    runs once, released before returning (the kNN lifecycle)."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded recall is only exact for hamming <= n_bands - 1 "
+            f"({n_bands - 1}); raise n_bands for {max_hamming}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col).cast("long")
+    keys = [F.shiftrightunsigned(h, i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_bands)]
+    e = (df.select(F.col(id_col).alias("id"), h.alias("h"),
+                   F.posexplode(F.array(*[k.cast("long") for k in keys]))
+                    .alias("band", "key"))
+           .persist())
+    a = e.select(F.col("id").alias("id_a"), F.col("h").alias("ha"),
+                 "band", "key")
+    b = e.select(F.col("id").alias("id_b"), F.col("h").alias("hb"),
+                 "band", "key")
+    cand = (a.join(b, ["band", "key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "ha", "id_b", "hb")
+             .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    out = (cand.withColumn("hamming", ham)
+               .filter(F.col("hamming") <= max_hamming)
+               .select("id_a", "id_b", "hamming"))
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        e.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -497,6 +497,49 @@ def q_ivf_ann_exact(spark, sf_dir):
 SQL_IVF_ANN_EXACT = _sql_cosine_topk(5)
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """Banded 64-bit-hash near-dup pairs (textops.hash_near_dup_pairs —
+    the image-phash dedup operator; multimodal.image_near_dup_pairs wraps
+    it over the image+caption table). Driven here over a DETERMINISTIC
+    pseudo-phash both engines derive identically from the part table:
+    groups of 4 consecutive part keys share all but the low 2 bits, so
+    near-dup pairs exist at every hamming level the operator filters."""
+    p = _t(spark, sf_dir, "part")
+    # integer div/mod only (Spark `div` truncates, DuckDB `//` floors —
+    # identical on the non-negative keys). The group base replicates into
+    # the three upper 16-bit bands (x (2^48 + 2^32 + 2^16)) so distinct
+    # groups do NOT collide there — an all-zero upper half would turn
+    # every band bucket into all-pairs (the degenerate case the banding
+    # exists to avoid).
+    ph = F.expr("CAST((p_partkey div 4) * 281479271743488 "
+                "+ (p_partkey div 4) * 16 + p_partkey % 4 AS BIGINT)")
+    imgs = p.select(F.col("p_partkey").alias("img_id"), ph.alias("phash"))
+    return textops.hash_near_dup_pairs(
+        imgs, id_col="img_id", hash_col="phash", max_hamming=3)
+
+
+SQL_PHASH_NEAR_DUP = """
+WITH imgs AS (
+  SELECT p_partkey AS img_id,
+         CAST((p_partkey // 4) * 281479271743488
+              + (p_partkey // 4) * 16 + p_partkey % 4 AS BIGINT) AS ph
+  FROM part),
+e AS (
+  SELECT img_id, ph,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([(ph // 1) % 65536, (ph // 65536) % 65536,
+                 (ph // 4294967296) % 65536,
+                 (ph // 281474976710656) % 65536]) AS key
+  FROM imgs),
+cand AS (
+  SELECT DISTINCT a.img_id AS id_a, a.ph AS ha, b.img_id AS id_b, b.ph AS hb
+  FROM e a JOIN e b ON a.band = b.band AND a.key = b.key
+                    AND a.img_id < b.img_id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 GROUP_B = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
@@ -515,4 +558,5 @@ GROUP_B = {
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "ivf_ann": (q_ivf_ann, None),
     "ivf_ann_exact": (q_ivf_ann_exact, SQL_IVF_ANN_EXACT),
+    "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
 }

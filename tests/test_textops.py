@@ -257,3 +257,57 @@ def test_banded_lsh_candidate_join_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(band" in plan
     spark.catalog.clearCache()
+
+
+def test_hash_near_dup_pairs_brute_parity(spark):
+    """Banded 64-bit-hash near-dup (the image-phash dedup operator) must
+    equal the brute-force popcount filter exactly — pigeonhole recall is
+    EXACT at hamming <= n_bands - 1, including hashes using the full
+    64-bit range (negative longs)."""
+    rng = np.random.RandomState(23)
+    vals = rng.randint(-2**63, 2**63, size=60, dtype=np.int64)
+    # plant near-dups: flip 1-3 bits of earlier values
+    planted = []
+    for i in range(20):
+        v = int(vals[i])
+        for _ in range(int(rng.randint(1, 4))):
+            v ^= 1 << int(rng.randint(0, 64))
+        planted.append(v)
+    allv = [int(x) for x in vals] + planted
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(allv)], "img_id long, phash long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in textops.hash_near_dup_pairs(
+               df, id_col="img_id", hash_col="phash").collect()}
+    exp = set()
+    for i in range(len(allv)):
+        for j in range(i + 1, len(allv)):
+            h = bin((allv[i] ^ allv[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 3:
+                exp.add((i, j, h))
+    assert got == exp and exp      # fixture actually planted pairs
+
+
+def test_hash_near_dup_rejects_unreachable_threshold():
+    import pyspark.sql  # noqa: F401
+
+    with pytest.raises(ValueError):
+        textops.hash_near_dup_pairs(None, max_hamming=4, n_bands=4)
+
+
+def test_image_near_dup_pairs_caption_flag(spark):
+    """multimodal.image_near_dup_pairs over the image+caption shape:
+    identical-phash pairs found, caption_match flags same/different
+    captions."""
+    from data_cube_utilities_spark.operators import multimodal as mm
+
+    C = 0x5A5A5A5A5A5A5A5A                             # 32 bits set, far from 7
+    rows = [("a", 7, "cat"), ("b", 7, "cat"),          # dup, same caption
+            ("c", C, "dog"), ("d", C ^ 3, "bird"),     # hamming 2, diff
+            ("e", ~C & 0x7FFFFFFFFFFFFFFF, "far")]     # no partner
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    out = {(r.id_a, r.id_b): (r.hamming, r.caption_match)
+           for r in mm.image_near_dup_pairs(df).collect()}
+    assert out[("a", "b")] == (0, True)
+    assert out[("c", "d")] == (2, False)
+    assert len(out) == 2
