@@ -67,6 +67,52 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", F.split(F.col(text_col), " "))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the RE2-compatible
+# subset (no lookahead) so the Spark (java.util.regex) and DuckDB (RE2)
+# token streams are byte-identical: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, then bare whitespace runs.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def with_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish pre-tokenization (the merge-free first stage every BPE
+    tokenizer runs): split text into contraction / letter-run / digit-run /
+    punctuation-run / whitespace pieces with one JVM-side
+    regexp_extract_all — no UDF, stays inside whole-stage codegen.
+
+    This is the unit LLM data pipelines meter corpora in ("~N BPE
+    pre-tokens" tracks sub-word token counts far better than whitespace
+    words, which under-count punctuation-heavy and CJK-ish text).
+    Reference token accounting shape: dea_tools text-summary idiom;
+    pattern follows the published GPT-2 regex (Radford et al. 2019) minus
+    the `\\s+(?!\\S)` lookahead RE2 lacks."""
+    return df.withColumn(
+        "bpe_tokens",
+        F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)))
+
+
+def bpe_token_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document BPE-pre-token accounting: total pieces, distinct
+    piece types, word pieces (letter-runs), and the pieces-per-whitespace-
+    word blowup ratio (the fertility proxy LLM data work tracks)."""
+    t = with_bpe_tokens(with_tokens(df, text_col), text_col)
+    n_bpe = F.size("bpe_tokens")
+    n_words = F.size("tokens")
+    # a piece is a "word piece" when it ends in a letter or digit; rlike
+    # built through the Column API (not F.expr) so the pattern never
+    # round-trips through SQL string-literal escaping
+    wordish = F.filter("bpe_tokens", lambda x: x.rlike(r"[\p{L}\p{N}]$"))
+    return t.select(
+        id_col,
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bpe_tokens")).alias("n_bpe_types"),
+        F.size(wordish).alias("n_word_pieces"),
+        F.round(n_bpe / n_words, 6).alias("pieces_per_word"))
+
+
 def explode_trigrams(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, shingle) rows of word trigrams, order-preserving."""
@@ -870,3 +916,156 @@ def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
         out = out.localCheckpoint(eager=True)
         sig.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ memory path)
+# ---------------------------------------------------------------------------
+
+def pq_codebook_first_rows(emb: DataFrame, dims: int, m: int = 8,
+                           ksub: int = 16, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> "np.ndarray":
+    """Deterministic PQ codebook: centroid c of subspace s is the s-th
+    subvector of the row with the (c+1)-th smallest id.  No training —
+    the configuration exists so the whole PQ path (encode + ADC) has an
+    exact ANSI-SQL twin the driver can hash (same trick as
+    ivf_ann_exact).  Production indexes use pq_codebook_train.
+
+    Returns (m, ksub, dsub) float64; bounded driver collect of ksub rows.
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    rows = (emb.orderBy(id_col).limit(ksub)
+               .select(F.col(vec_col).cast("array<double>")).collect())
+    if len(rows) < ksub:
+        raise ValueError(f"need >= {ksub} rows for the first-rows codebook")
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    dsub = dims // m
+    return np.stack([X[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+
+def pq_codebook_train(emb: DataFrame, dims: int, m: int = 8,
+                      ksub: int = 256, sample: int = 100_000,
+                      seed: int = 42, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> "np.ndarray":
+    """Trained PQ codebook: an independent k-means (mlops._lloyd_np) per
+    subspace over a bounded driver sample.  The sample bound — not the
+    table size — caps driver memory; at 100 TB the index trains on ~1e5
+    rows and encodes everything else executor-side."""
+    from .mlops import _lloyd_np
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    s = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    n = s.count()
+    if n > sample:
+        s = s.sample(fraction=min(1.0, 1.25 * sample / n), seed=seed) \
+             .limit(sample)
+    X = np.asarray([r["v"] for r in s.collect()], dtype=np.float64)
+    dsub = dims // m
+    books = []
+    for sub in range(m):
+        Xs = X[:, sub * dsub:(sub + 1) * dsub]
+        books.append(_lloyd_np(Xs, k=min(ksub, len(Xs)), seed=seed + sub))
+    return np.stack(books)
+
+
+def _pq_encode_udf(codebook: "np.ndarray"):
+    """Arrow kernel: embedding -> array<int> of m codebook indices.
+    Distances are the DIRECT sum of squared diffs (no GEMM expansion):
+    an exact-duplicate subvector must land at distance exactly 0.0 so the
+    argmin tie-break (smallest index) is bit-stable vs the SQL twin's
+    row_number ORDER BY d2, cidx."""
+    from pyspark.sql.functions import pandas_udf
+
+    CB = np.ascontiguousarray(codebook)          # (m, ksub, dsub)
+    m, ksub, dsub = CB.shape
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        if not n:
+            return pd.Series([], dtype=object)
+        raw = vs.to_numpy()
+        valid = np.array([v is not None for v in raw])
+        res: list = [None] * n                   # NULL vector -> NULL codes
+        if valid.any():
+            V = np.stack(raw[valid])             # (nv, dims)
+            codes = np.empty((V.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                Vs = V[:, s * dsub:(s + 1) * dsub]
+                d2 = ((Vs[:, None, :] - CB[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)   # first-min tie-break
+            for pos, row in zip(np.flatnonzero(valid), codes):
+                res[pos] = [int(c) for c in row]
+        return pd.Series(res)
+
+    return enc
+
+
+def pq_encode(emb: DataFrame, codebook: "np.ndarray",
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes) — the PQ index table.  At 100 TB this is what gets
+    written: m bytes per row (codes) instead of 4*dims (vectors), a
+    32-64x shrink that turns an out-of-memory ANN scan into an in-memory
+    one; the raw vectors stay in cold storage for optional re-ranking."""
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    return e.select("vec_id",
+                    _pq_encode_udf(codebook)("v").alias("codes"))
+
+
+def pq_adc_topk(emb: DataFrame, query_id: int, dims: int,
+                codebook: "np.ndarray" = None, k: int = 10,
+                m: int = 8, ksub: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codes: DataFrame = None) -> DataFrame:
+    """PQ asymmetric-distance top-k: score every row as
+    sum_s LUT[s][code_s] where LUT[s][c] = ||q_s - centroid_{s,c}||^2 —
+    the query is never quantized, only the corpus is.  The scan touches
+    ONLY the codes table (m small ints per row) plus an m x ksub LUT
+    shipped in the UDF closure; TakeOrderedAndProject keeps the top-k
+    without a global sort.  codebook=None uses the deterministic
+    first-rows codebook (SQL-oracle-able); pass pq_codebook_train output
+    and a precomputed `codes` table for the production path.
+
+    Reference shape: ANN memory path of the dedup/similarity family
+    (SURVEY §2 training-data ops); Jegou et al. 2011 (PQ) per PAPERS.md.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if codebook is None:
+        codebook = pq_codebook_first_rows(emb, dims, m=m, ksub=ksub,
+                                          id_col=id_col, vec_col=vec_col)
+    CB = np.ascontiguousarray(codebook)
+    m, ksub, dsub = CB.shape
+    if codes is None:
+        codes = pq_encode(emb, CB, id_col=id_col, vec_col=vec_col)
+
+    qrow = (emb.filter(F.col(id_col) == query_id)
+               .select(F.col(vec_col).cast("array<double>")).first())
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    # LUT in the same direct-diff form as the encoder (and the SQL twin)
+    lut = np.stack([((qv[s * dsub:(s + 1) * dsub][None, :]
+                      - CB[s]) ** 2).sum(axis=1) for s in range(m)])
+
+    @pandas_udf("double")
+    def adc(cs: pd.Series) -> pd.Series:
+        n = len(cs)
+        if not n:
+            return pd.Series([], dtype=float)
+        C = np.stack(cs.to_numpy())              # (n, m) int
+        d = np.zeros(len(C))
+        for s in range(m):                        # sequential over subspaces
+            d += lut[s][C[:, s]]
+        return pd.Series(d)
+
+    scored = (codes.filter(F.col("vec_id") != query_id)
+                   .withColumn("adc_d2", F.round(adc("codes"), 6)))
+    # TakeOrderedAndProject (per-partition partial top-k) — never a
+    # global Window rank over the full scored table (_ranked_topk note)
+    top = (scored.select("vec_id", "adc_d2")
+                 .orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+                 .limit(k))
+    w = Window.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))

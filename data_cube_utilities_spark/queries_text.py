@@ -219,6 +219,36 @@ FROM documents GROUP BY source
 """
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish pre-tokenizer accounting (the brief's 'whitespace + a
+    BPE-ish regex' token counting): per-doc piece counts via one JVM-side
+    regexp_extract_all; the oracle runs the identical RE2-safe pattern in
+    DuckDB, so the token streams must agree byte-for-byte."""
+    return textops.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+# the pattern opens with an apostrophe (contraction branch) — double it
+# for the SQL string literal
+_BPE_SQL_PAT = textops.BPE_PRETOKEN_PATTERN.replace("'", "''")
+
+SQL_BPE_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_BPE_SQL_PAT}') AS bpe,
+         string_split(text, ' ') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(bpe) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(bpe)) AS INT) AS n_bpe_types,
+       CAST(len(list_filter(bpe,
+             x -> regexp_matches(x, '[\\p{{L}}\\p{{N}}]$'))) AS INT)
+           AS n_word_pieces,
+       round(len(bpe) / len(words), 6) AS pieces_per_word
+FROM t
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style trigram fingerprints."""
     return textops.doc_fingerprint(_t(spark, sf_dir, "documents"))
@@ -497,6 +527,64 @@ def q_ivf_ann_exact(spark, sf_dir):
 SQL_IVF_ANN_EXACT = _sql_cosine_topk(5)
 
 
+PQ_M = 8          # subspaces (dsub = EMB_DIMS / PQ_M = 8)
+PQ_KSUB = 16      # centroids per subspace
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k with the deterministic first-rows
+    codebook (centroid c of subspace s = subvector s of the row with the
+    (c+1)-th smallest vec_id), so encode + asymmetric-distance scoring
+    are BOTH SQL-expressible and the driver hashes the whole PQ path:
+    codebook build, argmin encode with (d2, cidx) tie-break, LUT scoring,
+    ranked top-k.  Production indexes swap in pq_codebook_train (k-means
+    per subspace) — same encode/score code path, pytest-pinned."""
+    return textops.pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=QUERY_VEC,
+        dims=EMB_DIMS, k=TOPK, m=PQ_M, ksub=PQ_KSUB)
+
+
+_PQ_DSUB = EMB_DIMS // PQ_M
+
+SQL_PQ_ADC_TOPK = f"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+firstk AS (
+  SELECT vec_id AS src_id, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_KSUB})
+),
+cv AS (
+  SELECT f.cidx, e.i, e.val FROM ev e JOIN firstk f ON e.vec_id = f.src_id
+),
+dist AS (
+  SELECT v.vec_id, (v.i - 1) // {_PQ_DSUB} AS s, c.cidx,
+         sum((v.val - c.val) * (v.val - c.val)) AS d2
+  FROM ev v JOIN cv c ON v.i = c.i
+  GROUP BY v.vec_id, (v.i - 1) // {_PQ_DSUB}, c.cidx
+),
+codes AS (
+  SELECT vec_id, s, cidx FROM (
+    SELECT vec_id, s, cidx,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, cidx ASC) AS rn
+    FROM dist) WHERE rn = 1
+),
+lut AS (SELECT s, cidx, d2 FROM dist WHERE vec_id = {QUERY_VEC}),
+adc AS (
+  SELECT codes.vec_id, round(sum(lut.d2), 6) AS adc_d2
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.cidx = lut.cidx
+  WHERE codes.vec_id != {QUERY_VEC}
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, adc_d2,
+       row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+FROM adc ORDER BY rank LIMIT {TOPK}
+"""
+
+
 def q_phash_near_dup(spark, sf_dir):
     """Banded 64-bit-hash near-dup pairs (textops.hash_near_dup_pairs —
     the image-phash dedup operator; multimodal.image_near_dup_pairs wraps
@@ -549,6 +637,7 @@ GROUP_B = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),
@@ -558,5 +647,6 @@ GROUP_B = {
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "ivf_ann": (q_ivf_ann, None),
     "ivf_ann_exact": (q_ivf_ann_exact, SQL_IVF_ANN_EXACT),
+    "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
 }

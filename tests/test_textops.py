@@ -311,3 +311,76 @@ def test_image_near_dup_pairs_caption_flag(spark):
     assert out[("a", "b")] == (0, True)
     assert out[("c", "d")] == (2, False)
     assert len(out) == 2
+
+
+def test_bpe_pretokenizer_pieces(spark):
+    df = spark.createDataFrame(
+        [(1, "It's a well-known fact: 42 cats aren't 'normal'!  ok")],
+        "doc_id long, text string")
+    toks = textops.with_bpe_tokens(df).select("bpe_tokens").first()[0]
+    # contraction split, space-prefixed word runs, digit runs, punct runs,
+    # and the double space surviving as a whitespace piece
+    assert toks[:4] == ["It", "'s", " a", " well"]
+    assert " 42" in toks and "'t" in toks and "  " in toks
+    assert "".join(toks) == "It's a well-known fact: 42 cats aren't 'normal'!  ok"
+
+
+def test_bpe_token_stats_columns_and_ratio(docs):
+    out = textops.bpe_token_stats(docs).toPandas().set_index("doc_id")
+    assert list(out.columns) == [
+        "n_bpe_tokens", "n_bpe_types", "n_word_pieces", "pieces_per_word"]
+    r = out.loc[1]
+    # plain lowercase prose: one piece per word, all word pieces
+    assert r.n_bpe_tokens == 9 == r.n_word_pieces
+    assert r.pieces_per_word == 1.0
+    assert out.n_bpe_types.le(out.n_bpe_tokens).all()
+
+
+def _pq_emb(spark, n=60, dims=16, seed=9):
+    rng = np.random.RandomState(seed)
+    vecs = rng.normal(size=(n, dims))
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_pq_adc_exact_with_complete_codebook(spark):
+    # codebook = every row's subvectors (ksub = n): each subvector encodes
+    # to an exact-match centroid, so ADC == true squared L2 distance
+    emb, vecs = _pq_emb(spark, n=40, dims=16)
+    cb = textops.pq_codebook_first_rows(emb, dims=16, m=4, ksub=40)
+    out = textops.pq_adc_topk(emb, query_id=0, dims=16, codebook=cb,
+                              k=10).toPandas()
+    true_d2 = ((vecs - vecs[0]) ** 2).sum(axis=1)
+    order = np.argsort(true_d2, kind="stable")
+    exact_top = [i for i in order if i != 0][:10]
+    assert list(out.vec_id) == exact_top
+    np.testing.assert_allclose(out.adc_d2,
+                               np.round(true_d2[exact_top], 6), atol=2e-6)
+
+
+def test_pq_trained_codebook_recall(spark):
+    emb, vecs = _pq_emb(spark, n=200, dims=16, seed=11)
+    cb = textops.pq_codebook_train(emb, dims=16, m=8, ksub=32, seed=3)
+    assert cb.shape == (8, 32, 2)
+    codes = textops.pq_encode(emb, cb).toPandas()
+    assert codes.codes.map(len).eq(8).all()
+    out = textops.pq_adc_topk(emb, query_id=0, dims=16, codebook=cb,
+                              k=10).toPandas()
+    true_d2 = ((vecs - vecs[0]) ** 2).sum(axis=1)
+    exact_top = [i for i in np.argsort(true_d2) if i != 0][:10]
+    # quantized distances still put most of the true neighbors in the top-k
+    recall = len(set(out.vec_id) & set(exact_top)) / 10
+    assert recall >= 0.5
+
+
+def test_pq_encode_null_safe(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, None), (2, [0.0] * 8)],
+        "vec_id long, embedding array<double>")
+    cb = np.zeros((2, 2, 4))
+    cb[:, 1, :] = 1.0
+    out = textops.pq_encode(df, cb).toPandas().set_index("vec_id")
+    assert out.loc[1].codes is None          # NULL vector -> NULL codes
+    assert list(out.loc[0].codes) == [1, 1]  # nearest centroid per subspace
+    assert list(out.loc[2].codes) == [0, 0]
