@@ -3,11 +3,12 @@ similarity search — first-class engine components for the 100TB corpus
 case (documents / embeddings tables).
 
 Everything is built from JVM-side primitives (split/explode/md5/
-higher-order array functions) — the two Python crossings are the banded
-sign-LSH signature kernel and the exact-cosine scorer, both
-Arrow-vectorized pandas UDFs (never per-row) with evaluation orders
-bit-identical to their JVM/SQL twins, so the plans shuffle only on the
-natural keys (token, band signature, (band, key)).
+higher-order array functions) — the Python crossings are Arrow-
+vectorized pandas UDFs only (never per-row): the banded sign-LSH
+signature kernel, the exact-cosine scorer, and the PQ encode/ADC
+kernels, each with an evaluation order matched to its JVM/SQL twin, so
+the plans shuffle only on the natural keys (token, band signature,
+(band, key), list_id).
 
 Design notes per operator:
   exact_dedup      hash-groupBy on md5(text) — one shuffle.
@@ -946,27 +947,55 @@ def pq_codebook_first_rows(emb: DataFrame, dims: int, m: int = 8,
 
 def pq_codebook_train(emb: DataFrame, dims: int, m: int = 8,
                       ksub: int = 256, sample: int = 100_000,
-                      seed: int = 42, id_col: str = "vec_id",
+                      seed: int = 42, max_iter: int = 25,
+                      id_col: str = "vec_id",
                       vec_col: str = "embedding") -> "np.ndarray":
     """Trained PQ codebook: an independent k-means (mlops._lloyd_np) per
-    subspace over a bounded driver sample.  The sample bound — not the
-    table size — caps driver memory; at 100 TB the index trains on ~1e5
-    rows and encodes everything else executor-side."""
+    subspace over a bounded sample.  The m fits are independent, so they
+    run as m PARALLEL grouped-map tasks executor-side (one row per
+    (subspace, sampled vector), groupBy(s).applyInPandas) — the driver
+    never holds the sample, only the m x ksub centroid rows it collects
+    at the end.  The sample bound — not the table size — caps per-task
+    memory; at 100 TB the index trains on ~1e5 rows and encodes
+    everything else executor-side.  max_iter=25 is the usual PQ budget
+    (codebook quality plateaus well before full Lloyd convergence; FAISS
+    trains with 25 sweeps).  Each group sorts by id before fitting so
+    the centroids are deterministic for a given sample set."""
     from .mlops import _lloyd_np
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
-    s = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    dsub = dims // m
+    s = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
     n = s.count()
     if n > sample:
         s = s.sample(fraction=min(1.0, 1.25 * sample / n), seed=seed) \
              .limit(sample)
-    X = np.asarray([r["v"] for r in s.collect()], dtype=np.float64)
-    dsub = dims // m
-    books = []
-    for sub in range(m):
-        Xs = X[:, sub * dsub:(sub + 1) * dsub]
-        books.append(_lloyd_np(Xs, k=min(ksub, len(Xs)), seed=seed + sub))
-    return np.stack(books)
+    sub = (s.select("vec_id", F.explode(F.array(*[
+               F.struct(F.lit(si).alias("s"),
+                        F.slice("v", si * dsub + 1, dsub).alias("sv"))
+               for si in range(m)])).alias("e"))
+            .select("vec_id", "e.s", "e.sv"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        X = np.stack(pdf["sv"].to_numpy())
+        si = int(pdf["s"].iloc[0])
+        C = _lloyd_np(X, k=min(ksub, len(X)), seed=seed + si,
+                      max_iter=max_iter)
+        return pd.DataFrame({"s": si, "cidx": np.arange(len(C)),
+                             "c": [list(map(float, r)) for r in C]})
+
+    rows = (sub.groupBy("s")
+               .applyInPandas(fit, "s int, cidx int, c array<double>")
+               .collect())
+    by_s: dict = {}
+    for r in rows:
+        by_s.setdefault(r["s"], {})[r["cidx"]] = r["c"]
+    return np.stack([
+        np.asarray([by_s[si][c] for c in range(len(by_s[si]))],
+                   dtype=np.float64)
+        for si in range(m)])
 
 
 def _pq_encode_udf(codebook: "np.ndarray"):
@@ -1030,7 +1059,8 @@ def pq_adc_topk(emb: DataFrame, query_id: int, dims: int,
     and a precomputed `codes` table for the production path.
 
     Reference shape: ANN memory path of the dedup/similarity family
-    (SURVEY §2 training-data ops); Jegou et al. 2011 (PQ) per PAPERS.md.
+    (SURVEY §2 training-data ops); PQ follows Jegou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -1069,3 +1099,147 @@ def pq_adc_topk(emb: DataFrame, query_id: int, dims: int,
                  .limit(k))
     w = Window.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def ivf_pq_topk(emb: DataFrame, query_id: int, dims: int, k: int = 10,
+                n_lists: int = 8, n_probe: int = 2,
+                m: int = 8, ksub: int = 16,
+                codebook: "np.ndarray" = None,
+                rerank: int = 0, seed: int = 42,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN design.  Coarse k-means lists
+    prune the scan to n_probe partitions (ivf_ann_topk's index); within
+    the probed lists the scoring touches ONLY the PQ codes table
+    (m small ints/row — the 32-64x memory shrink that keeps a 10^12-row
+    index resident) via the ADC LUT; rerank > 0 then re-joins the raw
+    vectors for the ADC top-`rerank` only and re-orders those by exact
+    squared L2 (the standard recall-restoring refinement — still a
+    k-bounded join, never a full-vector scan).
+
+    Output (vec_id, list_id, adc_d2, rank) — with rerank, adc_d2 carries
+    the EXACT rounded d2 of the re-ranked survivors.  rerank >= corpus
+    and n_probe = n_lists and a complete codebook degenerate to exact
+    brute-force L2 top-k (the SQL-oracle configuration, same trick as
+    ivf_ann_exact)."""
+    from pyspark.sql.functions import pandas_udf
+    from .mlops import kmeans_assign_udf, kmeans_fit
+
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    # coarse quantizer == the IVF index build (list_id is the partition
+    # column at scale; materialized once — ivf_ann_topk note)
+    flat = e.select("vec_id", *[F.element_at("v", i + 1).alias(f"_d{i}")
+                                for i in range(dims)])
+    centers = kmeans_fit(flat, [f"_d{i}" for i in range(dims)],
+                         k=n_lists, seed=seed)
+    listed = e.withColumn("list_id", kmeans_assign_udf(centers)("v")) \
+        .select("vec_id", "list_id").localCheckpoint(eager=True)
+
+    if codebook is None:
+        codebook = pq_codebook_first_rows(emb, dims, m=m, ksub=ksub,
+                                          id_col=id_col, vec_col=vec_col)
+    CB = np.ascontiguousarray(codebook)
+    m, ksub, dsub = CB.shape
+    codes = pq_encode(emb, CB, id_col=id_col, vec_col=vec_col) \
+        .join(listed, "vec_id")
+
+    qrow = (e.filter(F.col("vec_id") == query_id).select("v").first())
+    qv = np.asarray(qrow["v"], dtype=np.float64)
+    d2c = ((centers - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2c)[:n_probe]]
+    lut = np.stack([((qv[s * dsub:(s + 1) * dsub][None, :]
+                      - CB[s]) ** 2).sum(axis=1) for s in range(m)])
+
+    @pandas_udf("double")
+    def adc(cs: pd.Series) -> pd.Series:
+        if not len(cs):
+            return pd.Series([], dtype=float)
+        C = np.stack(cs.to_numpy())
+        d = np.zeros(len(C))
+        for s in range(m):
+            d += lut[s][C[:, s]]
+        return pd.Series(d)
+
+    scored = (codes.filter(F.col("list_id").isin(probe) &
+                           (F.col("vec_id") != query_id))
+                   .withColumn("adc_d2", F.round(adc("codes"), 6)))
+    order = [F.col("adc_d2").asc(), F.col("vec_id").asc()]
+    if rerank:
+        # exact refinement of the ADC short-list: bounded at `rerank`
+        # rows, so the raw-vector join never touches the full table
+        short = (scored.select("vec_id", "list_id")
+                       .orderBy(*order).limit(max(rerank, k)))
+        exact = short.join(e, "vec_id").crossJoin(
+            F.broadcast(e.filter(F.col("vec_id") == query_id)
+                         .select(F.col("v").alias("qv"))))
+        d2 = F.aggregate(
+            F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        scored = exact.withColumn("adc_d2", F.round(d2, 6))
+    top = (scored.select("vec_id", "list_id", "adc_d2")
+                 .orderBy(*order).limit(k))
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def pq_adc_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
+                      dims: int, codebook: "np.ndarray", k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      codes: DataFrame = None) -> DataFrame:
+    """Batch PQ-ADC top-k: ONE pass over the codes table serves every
+    query.  All per-query LUTs ship together in the kernel closure
+    (nq x m x ksub doubles — ~1 MB for 64 queries at 8x256); each Arrow
+    batch scores the (nq, n_batch) distance matrix with vectorized LUT
+    gathers and emits only its per-query top-k rows (map-side partial
+    top-k), so the final global rank runs over <= nq * k * n_partitions
+    rows instead of nq * n_rows.  The partial is EXACT, not approximate:
+    rows are cut by the same (rounded d2, vec_id) total order the global
+    window uses, and a global top-k is always a merge of per-batch
+    top-ks under one total order.
+
+    Same batch-amortization argument as ivf_ann_topk_batch / the LSH
+    batch probes; the scan never touches raw vectors."""
+    CB = np.ascontiguousarray(codebook)
+    m, ksub, dsub = CB.shape
+    if codes is None:
+        codes = pq_encode(emb, CB, id_col=id_col, vec_col=vec_col)
+
+    ids = [int(i) for i in query_ids]
+    qrows = {int(r[0]): np.asarray(r[1], dtype=np.float64)
+             for r in emb.filter(F.col(id_col).isin(ids))
+                         .select(id_col,
+                                 F.col(vec_col).cast("array<double>"))
+                         .collect()}
+    ids = [i for i in ids if i in qrows]
+    luts = np.stack([
+        np.stack([((qrows[q][s * dsub:(s + 1) * dsub][None, :]
+                    - CB[s]) ** 2).sum(axis=1) for s in range(m)])
+        for q in ids])                                  # (nq, m, ksub)
+    qarr = np.asarray(ids, dtype=np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())        # (n, m)
+            vid = pdf["vec_id"].to_numpy()
+            D = np.zeros((len(qarr), len(C)))
+            for s in range(m):
+                D += luts[:, s, :][:, C[:, s]]           # (nq, n) gather
+            D = np.round(D, 6)
+            out = []
+            for qi, q in enumerate(qarr):
+                keep = vid != q                          # no self-match
+                order = np.lexsort((vid[keep], D[qi][keep]))[:k]
+                sub_v, sub_d = vid[keep][order], D[qi][keep][order]
+                out.append(pd.DataFrame({"query_id": q, "vec_id": sub_v,
+                                         "adc_d2": sub_d}))
+            yield pd.concat(out, ignore_index=True)
+
+    partial = codes.mapInPandas(
+        score, "query_id long, vec_id long, adc_d2 double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k))

@@ -585,6 +585,43 @@ FROM adc ORDER BY rank LIMIT {TOPK}
 """
 
 
+def q_ivf_pq_exact(spark, sf_dir):
+    """IVF-PQ in the degenerate-COMPLETE configuration: every list probed
+    AND a complete codebook (ksub = corpus size, so each subvector
+    encodes to an exact-match centroid and ADC == true squared L2) —
+    mathematically identical to exact brute-force L2 top-k, giving the
+    composed IVF-PQ code path (coarse index, PQ encode, LUT scoring,
+    ranked top-k) a true hash oracle, same trick as ivf_ann_exact.
+    Production uses pruned lists + trained codebooks + rerank,
+    pytest-pinned (test_ivf_pq_*)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    return textops.ivf_pq_topk(
+        emb, query_id=QUERY_VEC, dims=EMB_DIMS, k=TOPK,
+        n_lists=IVF_LISTS, n_probe=IVF_LISTS, m=PQ_M, ksub=n
+    ).select("vec_id", "adc_d2", "rank")
+
+
+SQL_IVF_PQ_EXACT = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+q AS (SELECT i, val AS qval FROM e WHERE vec_id = {QUERY_VEC}),
+d AS (
+  SELECT e.vec_id,
+         round(sum((e.val - q.qval) * (e.val - q.qval)), 6) AS adc_d2
+  FROM e JOIN q ON e.i = q.i
+  WHERE e.vec_id != {QUERY_VEC}
+  GROUP BY e.vec_id
+)
+SELECT vec_id, adc_d2,
+       row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+FROM d ORDER BY rank LIMIT {TOPK}
+"""
+
+
 def q_phash_near_dup(spark, sf_dir):
     """Banded 64-bit-hash near-dup pairs (textops.hash_near_dup_pairs —
     the image-phash dedup operator; multimodal.image_near_dup_pairs wraps
@@ -648,5 +685,6 @@ GROUP_B = {
     "ivf_ann": (q_ivf_ann, None),
     "ivf_ann_exact": (q_ivf_ann_exact, SQL_IVF_ANN_EXACT),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
+    "ivf_pq_exact": (q_ivf_pq_exact, SQL_IVF_PQ_EXACT),
     "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
 }

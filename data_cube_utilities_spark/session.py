@@ -35,6 +35,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(n, 32)
 
+    # Python workers must be able to import this package: closures that
+    # reference module-level functions (grouped-map fitters, Arrow
+    # kernels) pickle BY REFERENCE, so the worker re-imports the module.
+    # Local-mode workers inherit PYTHONPATH from the driver env — add the
+    # package root if the caller launched from elsewhere (tools/, /tmp).
+    # On a real cluster this is spark-submit --py-files dist/geocube.zip.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pkg_root + os.pathsep + pp) if pp \
+            else pkg_root
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

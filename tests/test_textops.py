@@ -384,3 +384,47 @@ def test_pq_encode_null_safe(spark):
     assert out.loc[1].codes is None          # NULL vector -> NULL codes
     assert list(out.loc[0].codes) == [1, 1]  # nearest centroid per subspace
     assert list(out.loc[2].codes) == [0, 0]
+
+
+def test_ivf_pq_degenerate_exact(spark):
+    # complete codebook (ksub = n) + all lists probed => exact L2 top-k
+    emb, vecs = _pq_emb(spark, n=40, dims=16, seed=21)
+    cb = textops.pq_codebook_first_rows(emb, dims=16, m=4, ksub=40)
+    out = textops.ivf_pq_topk(emb, query_id=0, dims=16, k=8,
+                              n_lists=4, n_probe=4, codebook=cb).toPandas()
+    true_d2 = ((vecs - vecs[0]) ** 2).sum(axis=1)
+    exact_top = [i for i in np.argsort(true_d2, kind="stable") if i != 0][:8]
+    assert list(out.vec_id) == exact_top
+
+
+def test_ivf_pq_rerank_restores_exact_distances(spark):
+    emb, vecs = _pq_emb(spark, n=120, dims=16, seed=22)
+    cb = textops.pq_codebook_train(emb, dims=16, m=8, ksub=16, seed=5)
+    out = textops.ivf_pq_topk(emb, query_id=0, dims=16, k=5,
+                              n_lists=4, n_probe=4, codebook=cb,
+                              rerank=40).toPandas()
+    true_d2 = ((vecs - vecs[0]) ** 2).sum(axis=1)
+    # re-ranked survivors carry EXACT distances, and with a 40-deep
+    # short-list over all lists the top hit matches brute force
+    for _, r in out.iterrows():
+        np.testing.assert_allclose(r.adc_d2, round(true_d2[int(r.vec_id)], 6),
+                                   atol=2e-6)
+    exact_top = [i for i in np.argsort(true_d2) if i != 0][:5]
+    assert out.vec_id.iloc[0] == exact_top[0]
+    assert len(set(out.vec_id) & set(exact_top)) >= 3
+
+
+def test_pq_batch_matches_single_query(spark):
+    emb, vecs = _pq_emb(spark, n=150, dims=16, seed=33)
+    emb = emb.repartition(6)          # force multi-partition partial top-k
+    cb = textops.pq_codebook_train(emb, dims=16, m=8, ksub=16, seed=7)
+    ids = [0, 17, 99]
+    batch = textops.pq_adc_topk_batch(emb, ids, dims=16, codebook=cb,
+                                      k=5).toPandas()
+    for q in ids:
+        single = textops.pq_adc_topk(emb, query_id=q, dims=16, codebook=cb,
+                                     k=5).toPandas()
+        b = batch[batch.query_id == q].sort_values("rank")
+        assert list(b.vec_id) == list(single.vec_id)
+        np.testing.assert_allclose(b.adc_d2.to_numpy(),
+                                   single.adc_d2.to_numpy(), atol=1e-9)

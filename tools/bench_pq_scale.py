@@ -1,0 +1,189 @@
+"""Scale evidence for the product-quantization ANN path at 100x the
+driver tables: 200k x 64-dim clustered vectors (same deterministic table
+as bench_lsh_scale).
+
+What this demonstrates:
+  1. the MEMORY play — PQ codes (m small ints/row) vs raw float vectors
+     on disk: the shrink factor that keeps a 10^12-row index resident
+     where raw vectors cannot be;
+  2. the batch ADC scan (one codes-only pass serves all queries,
+     map-side partial top-k) runs at this scale with bounded
+     intermediates and competitive wall time;
+  3. MEASURED recall@10 vs exact brute-force L2, plus the rerank
+     refinement's recall restoration — accuracy is a number, not a
+     claim.
+
+Writes BENCH/PQ_SCALE.md and prints one JSON line.
+Usage: python tools/bench_pq_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench_lsh_scale import CPUS, DIMS, EMB_DIR, N_ROWS, ensure_embeddings  # noqa: E402
+
+M = 8
+KSUB = 256
+N_QUERIES = 64
+K = 10
+CODES_DIR = f"/tmp/geocube_bench/pq_codes_{N_ROWS}"
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            if not fn.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def main():
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_cube_utilities_spark.operators import textops
+    from data_cube_utilities_spark.session import get_spark
+
+    spark = get_spark("pq-scale", cores=CPUS, shuffle_partitions=CPUS * 2)
+    ensure_embeddings(spark)
+    emb = spark.read.parquet(EMB_DIR)
+
+    # 1. index build: per-subspace k-means on a bounded sample
+    t0 = time.time()
+    cb = textops.pq_codebook_train(emb, dims=DIMS, m=M, ksub=KSUB,
+                                   sample=50_000, seed=1)
+    train_sec = time.time() - t0
+
+    # 2. encode the full table and persist the codes — the thing that
+    # actually gets written at 100 TB
+    t0 = time.time()
+    textops.pq_encode(emb, cb).write.mode("overwrite").parquet(CODES_DIR)
+    encode_sec = time.time() - t0
+    raw_b, code_b = dir_bytes(EMB_DIR), dir_bytes(CODES_DIR)
+    codes = spark.read.parquet(CODES_DIR)
+
+    # 3. batch ADC: one codes-only scan serves all queries
+    qids = [i * (N_ROWS // N_QUERIES) for i in range(N_QUERIES)]
+    t0 = time.time()
+    adc = textops.pq_adc_topk_batch(emb, qids, dims=DIMS, codebook=cb,
+                                    k=K, codes=codes) \
+        .localCheckpoint(eager=True)
+    n_adc = adc.count()
+    adc_sec = time.time() - t0
+
+    # 4. exact brute-force L2 ground truth (broadcast all queries, one
+    # full-vector pass) — the metric PQ approximates
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    qv = (e.filter(F.col("vec_id").isin(qids))
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("qv")))
+    d2 = F.aggregate(F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc())
+    t0 = time.time()
+    brute = (e.crossJoin(F.broadcast(qv))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("d2", F.round(d2, 6))
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= K)
+              .select("query_id", "vec_id")
+              .localCheckpoint(eager=True))
+    n_brute = brute.count()
+    brute_sec = time.time() - t0
+
+    def recall(res) -> float:
+        hits = res.select("query_id", "vec_id").join(
+            brute, ["query_id", "vec_id"]).count()
+        return round(hits / n_brute, 4)
+
+    rec_adc = recall(adc)
+
+    # 5. rerank refinement: exact L2 on each query's ADC top-100
+    # short-list only (bounded raw-vector join)
+    t0 = time.time()
+    short = textops.pq_adc_topk_batch(emb, qids, dims=DIMS, codebook=cb,
+                                      k=100, codes=codes)
+    rr = (short.select("query_id", "vec_id")
+               .join(e, "vec_id")
+               .join(F.broadcast(qv), "query_id")
+               .withColumn("d2", F.round(d2, 6))
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= K)
+               .select("query_id", "vec_id")
+               .localCheckpoint(eager=True))
+    rr.count()
+    rr_sec = time.time() - t0
+    rec_rr = recall(rr)
+
+    result = {
+        "metric": "pq_scale_200k",
+        "rows": N_ROWS, "dims": DIMS, "m": M, "ksub": KSUB,
+        "train_sec": round(train_sec, 2),
+        "encode_sec": round(encode_sec, 2),
+        "encode_rows_per_sec": round(N_ROWS / encode_sec, 1),
+        "raw_bytes": raw_b, "code_bytes": code_b,
+        "shrink_factor": round(raw_b / code_b, 1),
+        "batch_adc": {"queries": N_QUERIES, "k": K, "rows_ranked": n_adc,
+                      "sec": round(adc_sec, 2), "recall_at_10": rec_adc},
+        "rerank_100": {"sec": round(rr_sec, 2), "recall_at_10": rec_rr},
+        "brute_force_l2": {"sec": round(brute_sec, 2)},
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+    with open(os.path.join(REPO, "BENCH", "PQ_SCALE.md"), "w") as f:
+        f.write(f"""# BENCH/PQ_SCALE — product quantization at 100x the driver tables
+
+Input: the bench_lsh_scale table — {N_ROWS:,} x {DIMS}-dim clustered
+vectors. Geometry m={M} subspaces x {KSUB} centroids (8 bytes of codes
+per row). local[{CPUS}].
+
+## The memory play
+
+| | on-disk bytes | per row |
+|---|---|---|
+| raw float vectors | {raw_b:,} | ~{raw_b // N_ROWS} B |
+| PQ codes | {code_b:,} | ~{code_b // N_ROWS} B |
+
+**{result['shrink_factor']}x shrink** — at 10^12 rows this is the
+difference between an index that fits executor memory and one that
+cannot; raw vectors stay in cold storage and are touched only by the
+bounded rerank join.
+
+## Build + scan (measured)
+
+- codebook train (per-subspace k-means, 50k-row bounded sample):
+  {result['train_sec']}s
+- encode {N_ROWS:,} rows: {result['encode_sec']}s
+  ({result['encode_rows_per_sec']:,} rows/s)
+- batch ADC top-{K}, {N_QUERIES} queries, ONE codes-only scan with
+  map-side partial top-k: {result['batch_adc']['sec']}s
+- exact brute-force L2 baseline (full-vector scan): {result['brute_force_l2']['sec']}s
+
+## Accuracy (measured against exact L2 top-{K})
+
+- ADC-only recall@10: **{rec_adc}**
+- with exact rerank of each query's ADC top-100 (bounded join):
+  **{rec_rr}**
+
+The rerank path restores recall lost to quantization while still never
+scanning raw vectors — the short-list is {N_QUERIES} x 100 rows. The
+degenerate-complete configuration (every subvector its own centroid)
+is exact by construction and is what the driver row ivf_pq_exact
+hash-verifies against DuckDB.
+""")
+
+
+if __name__ == "__main__":
+    main()
