@@ -1243,3 +1243,30 @@ def pq_adc_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
         F.col("adc_d2").asc(), F.col("vec_id").asc())
     return (partial.withColumn("rank", F.row_number().over(w))
                    .filter(F.col("rank") <= k))
+
+
+def contamination_pairs(docs: DataFrame, probes: DataFrame,
+                        min_shared: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        probe_id_col: str = "probe_id") -> DataFrame:
+    """Train/test decontamination: (doc, probe) pairs sharing >=
+    min_shared distinct word trigrams — the n-gram-overlap
+    contamination check LLM data pipelines run between the training
+    corpus and every evaluation benchmark before training.
+
+    Scale shape: benchmarks are small (10^3-10^5 rows) next to a 100 TB
+    corpus, so the probe trigram table BROADCASTS and the corpus side
+    explodes at full parallelism (_fanout) — one map-side hash join on
+    the shingle, no shuffle of the corpus fan-out; the groupBy pair
+    count is bounded by genuinely-overlapping mass.  Distinct trigrams
+    per side so a repeated phrase can't inflate the count."""
+    d = (explode_trigrams(_fanout(docs), id_col, text_col)
+         .select(F.col(id_col).alias("doc_id"), "shingle").distinct())
+    p = (explode_trigrams(probes, probe_id_col, text_col)
+         .select(F.col(probe_id_col).alias("probe_id"), "shingle")
+         .distinct())
+    return (d.join(F.broadcast(p), "shingle")
+             .groupBy("doc_id", "probe_id")
+             .agg(F.count("*").alias("n_shared_ngrams"))
+             .filter(F.col("n_shared_ngrams") >= min_shared))

@@ -527,6 +527,36 @@ def q_ivf_ann_exact(spark, sf_dir):
 SQL_IVF_ANN_EXACT = _sql_cosine_topk(5)
 
 
+def q_contamination(spark, sf_dir):
+    """Train/test decontamination: corpus docs sharing >= 2 distinct word
+    trigrams with a 'benchmark' probe set (every 50th doc, excluding
+    trivial self-pairs) — the n-gram-overlap contamination gate run
+    before training.  Probe side broadcasts; corpus fan-out runs at full
+    parallelism."""
+    docs = _t(spark, sf_dir, "documents")
+    probes = (docs.filter(F.col("doc_id") % 50 == 0)
+                  .select(F.col("doc_id").alias("probe_id"), "text"))
+    out = textops.contamination_pairs(docs, probes, min_shared=2)
+    return out.filter(F.col("doc_id") != F.col("probe_id"))
+
+
+SQL_CONTAMINATION = """
+WITH sh AS (
+  SELECT doc_id, unnest([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+                         for i in generate_series(1, greatest(len(sp)-2, 0))]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+p AS (SELECT DISTINCT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 50 = 0)
+SELECT d.doc_id, p.probe_id,
+       count(*) AS n_shared_ngrams
+FROM d JOIN p ON d.shingle = p.shingle
+WHERE d.doc_id != p.probe_id
+GROUP BY d.doc_id, p.probe_id
+HAVING count(*) >= 2
+"""
+
+
 PQ_M = 8          # subspaces (dsub = EMB_DIMS / PQ_M = 8)
 PQ_KSUB = 16      # centroids per subspace
 
@@ -675,6 +705,7 @@ GROUP_B = {
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),

@@ -428,3 +428,20 @@ def test_pq_batch_matches_single_query(spark):
         assert list(b.vec_id) == list(single.vec_id)
         np.testing.assert_allclose(b.adc_d2.to_numpy(),
                                    single.adc_d2.to_numpy(), atol=1e-9)
+
+
+def test_contamination_pairs(spark):
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "totally unrelated content with different words here"),
+        (3, "alpha beta gamma delta something else entirely"),  # 2 shared trigrams with probe 10
+    ], "doc_id long, text string")
+    probes = spark.createDataFrame([
+        (10, "alpha beta gamma delta epsilon"),
+    ], "probe_id long, text string")
+    out = textops.contamination_pairs(docs, probes, min_shared=2).toPandas()
+    got = {(int(r.doc_id), int(r.probe_id)): int(r.n_shared_ngrams)
+           for _, r in out.iterrows()}
+    # doc 1 shares 3 trigrams (abc, bcd, cde), doc 3 shares 2 (abc, bcd),
+    # doc 2 shares none
+    assert got == {(1, 10): 3, (3, 10): 2}
