@@ -118,10 +118,14 @@ def explode_trigrams(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, shingle) rows of word trigrams, order-preserving."""
     t = with_tokens(df, text_col)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (element_at(_, 0)
+    # then throws), so short docs must short-circuit to an empty array —
+    # which is also what the oracle's generate_series(1, 0) yields
     tri = F.expr(
-        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+        "CASE WHEN size(tokens) < 3 THEN array() "
+        "ELSE transform(sequence(1, size(tokens) - 2), "
         "i -> concat_ws(' ', element_at(tokens, i), "
-        "element_at(tokens, i + 1), element_at(tokens, i + 2)))")
+        "element_at(tokens, i + 1), element_at(tokens, i + 2))) END")
     return (t.withColumn("shingle", F.explode(tri))
              .select(id_col, "shingle"))
 
@@ -1270,3 +1274,45 @@ def contamination_pairs(docs: DataFrame, probes: DataFrame,
              .groupBy("doc_id", "probe_id")
              .agg(F.count("*").alias("n_shared_ngrams"))
              .filter(F.col("n_shared_ngrams") >= min_shared))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021 quality rules):
+    the most-frequent-bigram count and trigram duplication, the signals
+    behind the 'top n-gram fraction' / 'duplicate n-gram fraction'
+    filters LLM pipelines apply after the length/stopword gates.
+
+    Ships EXACT integers (counts, not ratios) so the driver row can never
+    tie on a rounding grid; callers derive top_bigram_frac =
+    top_bigram_n / n_bigrams etc.  All JVM: one explode + two-level
+    aggregation, shuffles only on (id, bigram) then id."""
+    t = with_tokens(df, text_col)
+    # short docs short-circuit: sequence(1, 0) is descending in Spark
+    # (explode_trigrams note)
+    big = F.expr(
+        "CASE WHEN size(tokens) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(tokens) - 1), "
+        "i -> concat_ws(' ', element_at(tokens, i), "
+        "element_at(tokens, i + 1))) END")
+    tri = F.expr(
+        "CASE WHEN size(tokens) < 3 THEN array() "
+        "ELSE transform(sequence(1, size(tokens) - 2), "
+        "i -> concat_ws(' ', element_at(tokens, i), "
+        "element_at(tokens, i + 1), element_at(tokens, i + 2))) END")
+    base = t.select(F.col(id_col).alias("doc_id"),
+                    big.alias("bigrams"), tri.alias("trigrams"))
+    bstats = (base.select("doc_id", F.explode("bigrams").alias("bg"))
+                  .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+                  .groupBy("doc_id")
+                  .agg(F.sum("c").alias("n_bigrams"),
+                       F.max("c").alias("top_bigram_n")))
+    tstats = base.select(
+        "doc_id",
+        F.size("trigrams").alias("n_trigrams"),
+        F.size(F.array_distinct("trigrams")).alias("n_distinct_trigrams"))
+    return tstats.join(bstats, "doc_id", "left") \
+        .select("doc_id",
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+                "n_trigrams", "n_distinct_trigrams")

@@ -557,6 +557,39 @@ HAVING count(*) >= 2
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition features (top-bigram count, trigram
+    duplication) — exact integers, the ratios derive downstream."""
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+bg AS (
+  SELECT doc_id, unnest([sp[i] || ' ' || sp[i+1]
+                         for i in generate_series(1, greatest(len(sp)-1, 0))]) AS bg
+  FROM t
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              CAST(max(c) AS BIGINT) AS top_bigram_n
+       FROM bc GROUP BY doc_id),
+tr AS (
+  SELECT doc_id,
+         CAST(greatest(len(sp) - 2, 0) AS INT) AS n_trigrams,
+         CAST(len(list_distinct([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+               for i in generate_series(1, greatest(len(sp)-2, 0))])) AS INT)
+             AS n_distinct_trigrams
+  FROM t
+)
+SELECT tr.doc_id,
+       coalesce(bs.n_bigrams, 0) AS n_bigrams,
+       coalesce(bs.top_bigram_n, 0) AS top_bigram_n,
+       tr.n_trigrams, tr.n_distinct_trigrams
+FROM tr LEFT JOIN bs ON tr.doc_id = bs.doc_id
+"""
+
+
 PQ_M = 8          # subspaces (dsub = EMB_DIMS / PQ_M = 8)
 PQ_KSUB = 16      # centroids per subspace
 
@@ -706,6 +739,7 @@ GROUP_B = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),

@@ -445,3 +445,32 @@ def test_contamination_pairs(spark):
     # doc 1 shares 3 trigrams (abc, bcd, cde), doc 3 shares 2 (abc, bcd),
     # doc 2 shares none
     assert got == {(1, 10): 3, (3, 10): 2}
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame([
+        (1, "spam spam spam spam spam"),        # max repetition
+        (2, "all words here are unique ones"),  # no repetition
+        (3, "one"),                             # no bigrams/trigrams
+    ], "doc_id long, text string")
+    out = textops.repetition_stats(docs).toPandas().set_index("doc_id")
+    r1 = out.loc[1]
+    assert r1.n_bigrams == 4 == r1.top_bigram_n       # all bigrams identical
+    assert r1.n_trigrams == 3 and r1.n_distinct_trigrams == 1
+    r2 = out.loc[2]
+    assert r2.top_bigram_n == 1                       # every bigram unique
+    assert r2.n_trigrams == r2.n_distinct_trigrams == 4
+    r3 = out.loc[3]
+    assert r3.n_bigrams == 0 and r3.top_bigram_n == 0 and r3.n_trigrams == 0
+
+
+def test_short_docs_yield_empty_ngrams_not_errors(spark):
+    # sequence(1, 0) is DESCENDING in Spark — a 1-2 token doc used to
+    # throw INVALID_INDEX_OF_ZERO inside the trigram transform
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "now three tokens")],
+        "doc_id long, text string")
+    sh = textops.explode_trigrams(docs).toPandas()
+    assert set(sh.doc_id) == {3} and list(sh.shingle) == ["now three tokens"]
+    rep = textops.repetition_stats(docs).toPandas().set_index("doc_id")
+    assert rep.loc[1].n_bigrams == 0 and rep.loc[2].n_trigrams == 0
