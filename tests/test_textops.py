@@ -474,3 +474,28 @@ def test_short_docs_yield_empty_ngrams_not_errors(spark):
     assert set(sh.doc_id) == {3} and list(sh.shingle) == ["now three tokens"]
     rep = textops.repetition_stats(docs).toPandas().set_index("doc_id")
     assert rep.loc[1].n_bigrams == 0 and rep.loc[2].n_trigrams == 0
+
+
+def test_image_features_to_pq_ann_composition(spark):
+    """Axes A+B end to end: synthesized image+caption rows -> batched
+    decode + raster features (one Arrow crossing) -> feature vectors as
+    embeddings -> PQ codebook + batch-ADC similarity search. Pins that
+    the multimodal feature output plugs straight into the ANN family."""
+    from data_cube_utilities_spark import synth
+    from data_cube_utilities_spark.operators import rasterops
+
+    img = synth.synthesize_images(spark, 80, tile_px=16)
+    feats = rasterops.tile_features(img)
+    emb = (feats.select(
+        F.monotonically_increasing_id().alias("vec_id"),
+        F.array("clean_frac", "water_frac", "mean_ndvi", "mean_nir")
+         .cast("array<double>").alias("embedding"))
+        .na.drop().localCheckpoint(eager=True))
+    n = emb.count()
+    assert n > 50
+    cb = textops.pq_codebook_train(emb, dims=4, m=2, ksub=8, seed=3)
+    qid = int(emb.select("vec_id").first()[0])
+    out = textops.pq_adc_topk_batch(emb, [qid], dims=4, codebook=cb,
+                                    k=5).toPandas()
+    assert len(out) == 5 and (out.query_id == qid).all()
+    assert (out.adc_d2 >= 0).all() and out["rank"].tolist() == [1, 2, 3, 4, 5]
