@@ -68,3 +68,55 @@ def cell_saturation_batch(images: DataFrame) -> DataFrame:
     return (images.groupBy("cell_id")
             .agg(F.bit_count(F.bit_or(bit)).cast("int").alias("n_buckets"),
                  F.count("*").alias("n_obs")))
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-dedup gate (the Group-B dedup family, incrementally)
+# ---------------------------------------------------------------------------
+
+DEDUP_OUT_SCHEMA = "text_hash string, doc_id long, n_seen long"
+DEDUP_STATE_SCHEMA = "keeper_id long, n_seen long"
+
+
+def _dedup_gate(key, pdfs, state):
+    """Per content-hash state: (keeper_id, n_seen). Keeper is the
+    RUNNING MIN doc_id — a commutative fold, so the settled row is
+    identical under any micro-batch arrival order and equals the batch
+    twin (exact_dedup's min-id keeper) exactly; an early batch may emit
+    a larger keeper that a later batch revises (update mode re-emits).
+    State is O(1) per distinct document — the only state size that
+    survives 10^12 rows."""
+    keeper, n_seen = state.get if state.exists else (None, 0)
+    batch_min, batch_n = None, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        m = int(pdf["doc_id"].min())
+        batch_min = m if batch_min is None else min(batch_min, m)
+        batch_n += len(pdf)
+    if batch_n == 0:
+        return
+    keeper = batch_min if keeper is None else min(keeper, batch_min)
+    n_seen += batch_n
+    state.update((int(keeper), int(n_seen)))
+    yield pd.DataFrame({"text_hash": [key[0]], "doc_id": [int(keeper)],
+                        "n_seen": [int(n_seen)]})
+
+
+def streaming_exact_dedup(stream: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """Streaming exact-dedup gate: documents keyed by md5(text); each
+    micro-batch emits the hash's keeper id and the running copy count,
+    so a downstream sink keeps rows where doc_id == keeper and drops
+    duplicates — exact_dedup as data arrives instead of as a batch job.
+    The incremental fold (running min, running count) is
+    order-insensitive across batches, so the settled per-hash row
+    equals the batch twin exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (stream.withColumn("text_hash", F.md5(F.col(text_col)))
+            .groupBy("text_hash")
+            .applyInPandasWithState(
+                _dedup_gate, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))

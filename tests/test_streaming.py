@@ -182,3 +182,53 @@ def test_stateful_saturation_equals_batch_twin(spark, image_dir):
         exp[["cell_id", "n_buckets", "n_obs"]])
     # several micro-batches actually ran (state crossed boundaries)
     assert len(spark.sql("SELECT * FROM satur").toPandas()) > len(exp)
+
+
+def test_streaming_exact_dedup_equals_batch_twin(spark, tmp_path):
+    """Streaming exact-dedup gate: state (keeper min-id, copy count)
+    crosses micro-batch boundaries; the settled per-hash row equals the
+    batch exact_dedup fold under an arrival order that delivers a
+    SMALLER doc_id in a LATER batch (the revision case)."""
+    from data_cube_utilities_spark.operators import textops
+    from data_cube_utilities_spark.streaming import stateful
+
+    d = str(tmp_path / "docstream")
+    # file names order the arrival: dup of doc 1 arrives first as doc 9,
+    # then the smaller keeper 1 in a later file
+    rows = {
+        "part-0": [(9, "dup text"), (4, "only copy a")],
+        "part-1": [(1, "dup text"), (5, "only copy b")],
+        "part-2": [(3, "dup text"), (6, "third text")],
+    }
+    import os
+    os.makedirs(d)
+    for fn, rs in rows.items():
+        spark.createDataFrame(rs, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{d}/{fn}")
+    all_docs = spark.read.option("recursiveFileLookup", "true").parquet(d)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(d))
+    out = stateful.streaming_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedupgate")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT * FROM dedupgate").toPandas()
+    settled = (emitted.sort_values("n_seen").groupby("text_hash")
+               .last().reset_index())
+    exp = (textops.exact_dedup(all_docs).toPandas()
+           .rename(columns={"keeper_id": "doc_id", "n_copies": "n_seen"}))
+    s = settled.sort_values("text_hash").reset_index(drop=True)
+    e = exp.sort_values("text_hash").reset_index(drop=True)
+    assert s[["text_hash", "doc_id", "n_seen"]].equals(
+        e[["text_hash", "doc_id", "n_seen"]])
+    # the dup hash was emitted more than once (state really updated
+    # across batches) and its keeper was revised downward to 1
+    dup_hash = e[e.n_seen == 3].text_hash.iloc[0]
+    dup_rows = emitted[emitted.text_hash == dup_hash].sort_values("n_seen")
+    assert len(dup_rows) >= 2
+    assert dup_rows.doc_id.iloc[-1] == 1
