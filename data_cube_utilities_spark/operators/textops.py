@@ -1007,11 +1007,18 @@ def _pq_encode_udf(codebook: "np.ndarray"):
     Distances are the DIRECT sum of squared diffs (no GEMM expansion):
     an exact-duplicate subvector must land at distance exactly 0.0 so the
     argmin tie-break (smallest index) is bit-stable vs the SQL twin's
-    row_number ORDER BY d2, cidx."""
+    row_number ORDER BY d2, cidx.  Centroids are processed in chunks of
+    <= 256 with a running (min, argmin) fold — identical results to the
+    full-matrix argmin (first-strict-min semantics preserved via the `<`
+    comparison against the running best), but the temporary stays
+    (n_batch, 256, dsub) no matter how large ksub grows (the
+    degenerate-complete ksub = corpus-size oracle configuration would
+    otherwise materialize gigabytes per Arrow batch)."""
     from pyspark.sql.functions import pandas_udf
 
     CB = np.ascontiguousarray(codebook)          # (m, ksub, dsub)
     m, ksub, dsub = CB.shape
+    CHUNK = 256
 
     @pandas_udf("array<int>")
     def enc(vs: pd.Series) -> pd.Series:
@@ -1026,8 +1033,17 @@ def _pq_encode_udf(codebook: "np.ndarray"):
             codes = np.empty((V.shape[0], m), dtype=np.int32)
             for s in range(m):
                 Vs = V[:, s * dsub:(s + 1) * dsub]
-                d2 = ((Vs[:, None, :] - CB[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1)   # first-min tie-break
+                best = np.full(V.shape[0], np.inf)
+                barg = np.zeros(V.shape[0], dtype=np.int64)
+                for c0 in range(0, ksub, CHUNK):
+                    C = CB[s][c0:c0 + CHUNK]
+                    d2 = ((Vs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    arg = np.argmin(d2, axis=1)      # first min in chunk
+                    dmin = d2[np.arange(len(arg)), arg]
+                    upd = dmin < best                # strict: earlier chunk
+                    best[upd] = dmin[upd]            # wins exact ties
+                    barg[upd] = arg[upd] + c0
+                codes[:, s] = barg
             for pos, row in zip(np.flatnonzero(valid), codes):
                 res[pos] = [int(c) for c in row]
         return pd.Series(res)
