@@ -72,9 +72,13 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 # subset (no lookahead) so the Spark (java.util.regex) and DuckDB (RE2)
 # token streams are byte-identical: contraction suffixes, space-prefixed
 # letter runs, digit runs, punctuation runs, then bare whitespace runs.
+# Whitespace is the EXPLICIT class [ \t\n\f\r], not \s: java.util.regex
+# \s includes vertical tab (\x0B) but RE2's does not, so a \x0B document
+# would tokenize differently per engine under \s.
+_BPE_WS = r" \t\n\f\r"
 BPE_PRETOKEN_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)"
-    r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+")
+    rf"| ?[\p{{L}}]+| ?[\p{{N}}]+| ?[^{_BPE_WS}\p{{L}}\p{{N}}]+|[{_BPE_WS}]+")
 
 
 def with_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -114,19 +118,24 @@ def bpe_token_stats(df: DataFrame, id_col: str = "doc_id",
         F.round(n_bpe / n_words, 6).alias("pieces_per_word"))
 
 
+def _ngram_expr(n: int) -> str:
+    """SQL expr: the array of word n-grams over `tokens`.  Docs shorter
+    than n short-circuit to an empty array: sequence(1, 0) is DESCENDING
+    [1, 0] in Spark, so the naive greatest(size-n+1, 0) bound makes
+    element_at(tokens, 0) throw — the guard lives HERE, once, and the
+    empty result matches the oracles' ascending-only generate_series."""
+    parts = ", ".join(f"element_at(tokens, i + {j})" if j
+                      else "element_at(tokens, i)" for j in range(n))
+    return (f"CASE WHEN size(tokens) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size(tokens) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts})) END")
+
+
 def explode_trigrams(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, shingle) rows of word trigrams, order-preserving."""
     t = with_tokens(df, text_col)
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark (element_at(_, 0)
-    # then throws), so short docs must short-circuit to an empty array —
-    # which is also what the oracle's generate_series(1, 0) yields
-    tri = F.expr(
-        "CASE WHEN size(tokens) < 3 THEN array() "
-        "ELSE transform(sequence(1, size(tokens) - 2), "
-        "i -> concat_ws(' ', element_at(tokens, i), "
-        "element_at(tokens, i + 1), element_at(tokens, i + 2))) END")
-    return (t.withColumn("shingle", F.explode(tri))
+    return (t.withColumn("shingle", F.explode(F.expr(_ngram_expr(3))))
              .select(id_col, "shingle"))
 
 
@@ -953,7 +962,8 @@ def pq_codebook_train(emb: DataFrame, dims: int, m: int = 8,
                       ksub: int = 256, sample: int = 100_000,
                       seed: int = 42, max_iter: int = 25,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> "np.ndarray":
+                      vec_col: str = "embedding",
+                      n_rows: int | None = None) -> "np.ndarray":
     """Trained PQ codebook: an independent k-means (mlops._lloyd_np) per
     subspace over a bounded sample.  The m fits are independent, so they
     run as m PARALLEL grouped-map tasks executor-side (one row per
@@ -971,7 +981,9 @@ def pq_codebook_train(emb: DataFrame, dims: int, m: int = 8,
     dsub = dims // m
     s = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    n = s.count()
+    # n_rows skips the sizing count() — one whole extra table scan at
+    # 100 TB just to pick a sampling fraction (the kmeans_fit contract)
+    n = n_rows if n_rows is not None else s.count()
     if n > sample:
         s = s.sample(fraction=min(1.0, 1.25 * sample / n), seed=seed) \
              .limit(sample)
@@ -1026,7 +1038,14 @@ def _pq_encode_udf(codebook: "np.ndarray"):
         if not n:
             return pd.Series([], dtype=object)
         raw = vs.to_numpy()
-        valid = np.array([v is not None for v in raw])
+        # NULL and NaN-containing vectors both yield NULL codes (the
+        # kmeans_assign_udf NaN-twin rule): a NaN distance compares False
+        # against the running min, which would otherwise silently encode
+        # the row as centroid 0 in every subspace
+        valid = np.array([
+            v is not None
+            and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+            for v in raw])
         res: list = [None] * n                   # NULL vector -> NULL codes
         if valid.any():
             V = np.stack(raw[valid])             # (nv, dims)
@@ -1064,6 +1083,36 @@ def pq_encode(emb: DataFrame, codebook: "np.ndarray",
                     _pq_encode_udf(codebook)("v").alias("codes"))
 
 
+def _adc_lut(qv: "np.ndarray", CB: "np.ndarray") -> "np.ndarray":
+    """(m, ksub) LUT of ||q_s - centroid_{s,c}||^2, same direct-diff
+    form as the encoder (and the SQL twins) — shared by all ADC paths."""
+    m, ksub, dsub = CB.shape
+    return np.stack([((qv[s * dsub:(s + 1) * dsub][None, :]
+                       - CB[s]) ** 2).sum(axis=1) for s in range(m)])
+
+
+def _adc_score_udf(lut: "np.ndarray"):
+    """Arrow kernel: codes -> ADC distance (sequential LUT-partial sum
+    over subspaces).  Callers must filter NULL codes first (pq_encode
+    emits NULL for NULL/NaN embeddings — those rows are not candidates,
+    the _cosine_col NULL-propagation rule)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = lut.shape[0]
+
+    @pandas_udf("double")
+    def adc(cs: pd.Series) -> pd.Series:
+        if not len(cs):
+            return pd.Series([], dtype=float)
+        C = np.stack(cs.to_numpy())              # (n, m) int
+        d = np.zeros(len(C))
+        for s in range(m):                        # sequential over subspaces
+            d += lut[s][C[:, s]]
+        return pd.Series(d)
+
+    return adc
+
+
 def pq_adc_topk(emb: DataFrame, query_id: int, dims: int,
                 codebook: "np.ndarray" = None, k: int = 10,
                 m: int = 8, ksub: int = 16,
@@ -1082,35 +1131,19 @@ def pq_adc_topk(emb: DataFrame, query_id: int, dims: int,
     (SURVEY §2 training-data ops); PQ follows Jegou, Douze, Schmid,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
     """
-    from pyspark.sql.functions import pandas_udf
-
     if codebook is None:
         codebook = pq_codebook_first_rows(emb, dims, m=m, ksub=ksub,
                                           id_col=id_col, vec_col=vec_col)
     CB = np.ascontiguousarray(codebook)
-    m, ksub, dsub = CB.shape
     if codes is None:
         codes = pq_encode(emb, CB, id_col=id_col, vec_col=vec_col)
 
     qrow = (emb.filter(F.col(id_col) == query_id)
                .select(F.col(vec_col).cast("array<double>")).first())
     qv = np.asarray(qrow[0], dtype=np.float64)
-    # LUT in the same direct-diff form as the encoder (and the SQL twin)
-    lut = np.stack([((qv[s * dsub:(s + 1) * dsub][None, :]
-                      - CB[s]) ** 2).sum(axis=1) for s in range(m)])
-
-    @pandas_udf("double")
-    def adc(cs: pd.Series) -> pd.Series:
-        n = len(cs)
-        if not n:
-            return pd.Series([], dtype=float)
-        C = np.stack(cs.to_numpy())              # (n, m) int
-        d = np.zeros(len(C))
-        for s in range(m):                        # sequential over subspaces
-            d += lut[s][C[:, s]]
-        return pd.Series(d)
-
-    scored = (codes.filter(F.col("vec_id") != query_id)
+    adc = _adc_score_udf(_adc_lut(qv, CB))
+    scored = (codes.filter((F.col("vec_id") != query_id)
+                           & F.col("codes").isNotNull())
                    .withColumn("adc_d2", F.round(adc("codes"), 6)))
     # TakeOrderedAndProject (per-partition partial top-k) — never a
     # global Window rank over the full scored table (_ranked_topk note)
@@ -1142,7 +1175,6 @@ def ivf_pq_topk(emb: DataFrame, query_id: int, dims: int, k: int = 10,
     and n_probe = n_lists and a complete codebook degenerate to exact
     brute-force L2 top-k (the SQL-oracle configuration, same trick as
     ivf_ann_exact)."""
-    from pyspark.sql.functions import pandas_udf
     from .mlops import kmeans_assign_udf, kmeans_fit
 
     e = emb.select(F.col(id_col).alias("vec_id"),
@@ -1168,31 +1200,21 @@ def ivf_pq_topk(emb: DataFrame, query_id: int, dims: int, k: int = 10,
     qv = np.asarray(qrow["v"], dtype=np.float64)
     d2c = ((centers - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2c)[:n_probe]]
-    lut = np.stack([((qv[s * dsub:(s + 1) * dsub][None, :]
-                      - CB[s]) ** 2).sum(axis=1) for s in range(m)])
-
-    @pandas_udf("double")
-    def adc(cs: pd.Series) -> pd.Series:
-        if not len(cs):
-            return pd.Series([], dtype=float)
-        C = np.stack(cs.to_numpy())
-        d = np.zeros(len(C))
-        for s in range(m):
-            d += lut[s][C[:, s]]
-        return pd.Series(d)
-
-    scored = (codes.filter(F.col("list_id").isin(probe) &
-                           (F.col("vec_id") != query_id))
+    adc = _adc_score_udf(_adc_lut(qv, CB))
+    scored = (codes.filter(F.col("list_id").isin(probe)
+                           & (F.col("vec_id") != query_id)
+                           & F.col("codes").isNotNull())
                    .withColumn("adc_d2", F.round(adc("codes"), 6)))
     order = [F.col("adc_d2").asc(), F.col("vec_id").asc()]
     if rerank:
         # exact refinement of the ADC short-list: bounded at `rerank`
-        # rows, so the raw-vector join never touches the full table
+        # rows, so the raw-vector join never touches the full table; the
+        # query vector is already on the driver — ship it as a literal
+        # array instead of re-scanning the table for one row
         short = (scored.select("vec_id", "list_id")
                        .orderBy(*order).limit(max(rerank, k)))
-        exact = short.join(e, "vec_id").crossJoin(
-            F.broadcast(e.filter(F.col("vec_id") == query_id)
-                         .select(F.col("v").alias("qv"))))
+        exact = short.join(e, "vec_id").withColumn(
+            "qv", F.array(*[F.lit(float(x)) for x in qv]))
         d2 = F.aggregate(
             F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x)
@@ -1231,15 +1253,19 @@ def pq_adc_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
                          .select(id_col,
                                  F.col(vec_col).cast("array<double>"))
                          .collect()}
+    # ids absent from the table are skipped (the ivf_ann_topk_batch
+    # contract) — but an entirely-unresolvable request dies HERE with a
+    # clear message, not as an opaque np.stack error inside the kernel
     ids = [i for i in ids if i in qrows]
-    luts = np.stack([
-        np.stack([((qrows[q][s * dsub:(s + 1) * dsub][None, :]
-                    - CB[s]) ** 2).sum(axis=1) for s in range(m)])
-        for q in ids])                                  # (nq, m, ksub)
+    if not ids:
+        raise ValueError(
+            f"none of query_ids {list(query_ids)!r} present in {id_col}")
+    luts = np.stack([_adc_lut(qrows[q], CB) for q in ids])  # (nq, m, ksub)
     qarr = np.asarray(ids, dtype=np.int64)
 
     def score(batches):
         for pdf in batches:
+            pdf = pdf[pdf["codes"].notna()]      # NULL codes: not candidates
             if not len(pdf):
                 continue
             C = np.stack(pdf["codes"].to_numpy())        # (n, m)
@@ -1304,18 +1330,8 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     top_bigram_n / n_bigrams etc.  All JVM: one explode + two-level
     aggregation, shuffles only on (id, bigram) then id."""
     t = with_tokens(df, text_col)
-    # short docs short-circuit: sequence(1, 0) is descending in Spark
-    # (explode_trigrams note)
-    big = F.expr(
-        "CASE WHEN size(tokens) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(tokens) - 1), "
-        "i -> concat_ws(' ', element_at(tokens, i), "
-        "element_at(tokens, i + 1))) END")
-    tri = F.expr(
-        "CASE WHEN size(tokens) < 3 THEN array() "
-        "ELSE transform(sequence(1, size(tokens) - 2), "
-        "i -> concat_ws(' ', element_at(tokens, i), "
-        "element_at(tokens, i + 1), element_at(tokens, i + 2))) END")
+    big = F.expr(_ngram_expr(2))
+    tri = F.expr(_ngram_expr(3))
     base = t.select(F.col(id_col).alias("doc_id"),
                     big.alias("bigrams"), tri.alias("trigrams"))
     bstats = (base.select("doc_id", F.explode("bigrams").alias("bg"))

@@ -672,12 +672,18 @@ WITH e AS (
   FROM embeddings
 ),
 q AS (SELECT i, val AS qval FROM e WHERE vec_id = {QUERY_VEC}),
-d AS (
-  SELECT e.vec_id,
-         round(sum((e.val - q.qval) * (e.val - q.qval)), 6) AS adc_d2
+-- two-level sum (per-subspace partials, then across subspaces) matches
+-- the Python path's nested LUT-partial evaluation order, keeping the
+-- engines' float noise inside the round-6 guard band
+d1 AS (
+  SELECT e.vec_id, (e.i - 1) // {_PQ_DSUB} AS s,
+         sum((e.val - q.qval) * (e.val - q.qval)) AS d2s
   FROM e JOIN q ON e.i = q.i
   WHERE e.vec_id != {QUERY_VEC}
-  GROUP BY e.vec_id
+  GROUP BY e.vec_id, (e.i - 1) // {_PQ_DSUB}
+),
+d AS (
+  SELECT vec_id, round(sum(d2s), 6) AS adc_d2 FROM d1 GROUP BY vec_id
 )
 SELECT vec_id, adc_d2,
        row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank

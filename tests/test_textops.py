@@ -499,3 +499,24 @@ def test_image_features_to_pq_ann_composition(spark):
                                     k=5).toPandas()
     assert len(out) == 5 and (out.query_id == qid).all()
     assert (out.adc_d2 >= 0).all() and out["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_pq_null_and_nan_vectors_excluded_from_adc(spark):
+    # NULL embeddings -> NULL codes -> not candidates (no kernel crash);
+    # NaN-containing vectors must NOT silently encode as centroid 0
+    rows = [(0, [0.0] * 8), (1, [1.0] * 8), (2, None),
+            (3, [float("nan")] + [0.0] * 7), (4, [2.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = textops.pq_codebook_first_rows(df.filter("embedding is not null")
+                                        .filter("vec_id != 3"),
+                                        dims=8, m=2, ksub=3)
+    codes = textops.pq_encode(df, cb).toPandas().set_index("vec_id")
+    assert codes.loc[2].codes is None and codes.loc[3].codes is None
+    single = textops.pq_adc_topk(df, query_id=0, dims=8, codebook=cb,
+                                 k=10).toPandas()
+    assert set(single.vec_id) == {1, 4}          # 2 and 3 excluded
+    batch = textops.pq_adc_topk_batch(df, [0], dims=8, codebook=cb,
+                                      k=10).toPandas()
+    assert set(batch.vec_id) == {1, 4}
+    with pytest.raises(ValueError, match="none of query_ids"):
+        textops.pq_adc_topk_batch(df, [999], dims=8, codebook=cb, k=5)
