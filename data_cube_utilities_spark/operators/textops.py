@@ -1348,3 +1348,82 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                 F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                 F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
                 "n_trigrams", "n_distinct_trigrams")
+
+
+# ---------------------------------------------------------------------------
+# reproducible sampling (training-mix construction)
+# ---------------------------------------------------------------------------
+
+HASH_BUCKETS = 16 ** 6      # 6 md5 hex chars: 0 .. 16777215
+
+
+def hash_bucket_col(id_col: str = "doc_id", salt: str = "v1"):
+    """Deterministic per-row bucket in [0, HASH_BUCKETS): the first 6 hex
+    chars of md5(id || '#' || salt) as an integer.  Pure map-side
+    arithmetic — no shuffle, no RNG state — and bit-identical in any
+    engine that has md5 (the DuckDB twin casts the same substring), so a
+    sample drawn today reproduces byte-for-byte in next month's rerun,
+    on a different cluster, or in the oracle.  Changing the salt draws
+    an independent sample."""
+    key = F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long")
+
+
+def deterministic_sample(df: DataFrame, fraction: float = None,
+                         fractions: dict = None,
+                         id_col: str = "doc_id",
+                         stratum_col: str = "source",
+                         salt: str = "v1") -> DataFrame:
+    """Reproducible (stratified) downsampling: keep rows whose hash
+    bucket falls under floor(fraction * HASH_BUCKETS) — the
+    training-mix construction step (N% of source A, M% of source B)
+    done as a deterministic filter instead of Spark's RNG-based
+    sample()/sampleBy(), whose draw depends on partitioning and cannot
+    be reproduced by another engine or a re-partitioned rerun.
+
+    fraction: one global rate; fractions: {stratum: rate} applied via
+    stratum_col (strata absent from the dict are DROPPED — a mix spec
+    is a whitelist)."""
+    if (fraction is None) == (fractions is None):
+        raise ValueError("pass exactly one of fraction / fractions")
+    b = hash_bucket_col(id_col, salt)
+    if fraction is not None:
+        return df.filter(b < int(fraction * HASH_BUCKETS))
+    thresholds = F.create_map(*[
+        F.lit(x) for kv in fractions.items()
+        for x in (kv[0], int(kv[1] * HASH_BUCKETS))])
+    expr = thresholds[F.col(stratum_col)]
+    return df.filter(b < expr)
+
+
+def char_bigram_familiarity(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet-style LM gate, made
+    exact-integer): score each document by how familiar its character
+    bigrams are to the corpus — garbled/boilerplate/wrong-charset text
+    is exactly the text whose bigrams the corpus has rarely seen.
+
+    Two aggregations: (1) fit — global bigram counts (the 'language
+    model', a tiny table that BROADCASTS: ~|alphabet|^2 rows no matter
+    the corpus size); (2) score — each doc's bigrams join the count
+    table, sum. Ships exact integers (familiarity_total, n_bigrams);
+    the avg-familiarity / log-prob ratio derives downstream — same
+    tie-proof contract as quality_features."""
+    grams = (_fanout(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"CASE WHEN length({text_col}) < 2 THEN array() "
+            f"ELSE transform(sequence(1, length({text_col}) - 1), "
+            f"i -> substring({text_col}, i, 2)) END")).alias("bg")))
+    model = grams.groupBy("bg").agg(F.count("*").alias("corpus_n"))
+    scored = (grams.join(F.broadcast(model), "bg")
+                   .groupBy("doc_id")
+                   .agg(F.sum("corpus_n").alias("familiarity_total"),
+                        F.count("*").alias("n_bigrams")))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(scored, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("familiarity_total", F.lit(0))
+                        .alias("familiarity_total"),
+                       F.coalesce("n_bigrams", F.lit(0))
+                        .alias("n_bigrams")))

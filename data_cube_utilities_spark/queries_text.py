@@ -590,6 +590,57 @@ FROM tr LEFT JOIN bs ON tr.doc_id = bs.doc_id
 """
 
 
+def q_char_bigram_familiarity(spark, sf_dir):
+    """Perplexity-proxy gate: per-doc sum of corpus-wide char-bigram
+    frequencies (exact integers; the tiny global count table broadcasts)."""
+    return textops.char_bigram_familiarity(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHAR_BIGRAM_FAMILIARITY = """
+WITH g AS (
+  SELECT doc_id, unnest([substr(text, i, 2)
+                         for i in generate_series(1, length(text) - 1)]) AS bg
+  FROM documents
+),
+model AS (SELECT bg, count(*) AS corpus_n FROM g GROUP BY bg),
+scored AS (
+  SELECT g.doc_id, CAST(sum(m.corpus_n) AS BIGINT) AS familiarity_total,
+         count(*) AS n_bigrams
+  FROM g JOIN model m ON g.bg = m.bg GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.familiarity_total, 0) AS familiarity_total,
+       coalesce(s.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+SAMPLE_MIX = {"src0": 0.5, "src1": 0.25, "src2": 1.0}
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible stratified downsampling (training-mix construction):
+    md5-bucket filter, no RNG — the identical draw is recomputed by the
+    DuckDB twin, which is the whole point of the operator."""
+    return textops.deterministic_sample(
+        _t(spark, sf_dir, "documents"), fractions=SAMPLE_MIX
+    ).select("doc_id", "source")
+
+
+_MIX_PRED = " OR ".join(
+    f"(source = '{s}' AND bucket < {int(f * textops.HASH_BUCKETS)})"
+    for s, f in SAMPLE_MIX.items())
+
+SQL_DETERMINISTIC_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(doc_id || '#v1'), 1, 6)) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, source FROM b WHERE {_MIX_PRED}
+"""
+
+
 PQ_M = 8          # subspaces (dsub = EMB_DIMS / PQ_M = 8)
 PQ_KSUB = 16      # centroids per subspace
 
@@ -746,6 +797,8 @@ GROUP_B = {
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
+    "char_bigram_familiarity": (q_char_bigram_familiarity, SQL_CHAR_BIGRAM_FAMILIARITY),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),

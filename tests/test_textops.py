@@ -520,3 +520,41 @@ def test_pq_null_and_nan_vectors_excluded_from_adc(spark):
     assert set(batch.vec_id) == {1, 4}
     with pytest.raises(ValueError, match="none of query_ids"):
         textops.pq_adc_topk_batch(df, [999], dims=8, codebook=cb, k=5)
+
+
+def test_deterministic_sample_reproducible_and_stratified(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string"))
+         .alias("source"))
+    a = textops.deterministic_sample(docs, fraction=0.3).toPandas()
+    b = textops.deterministic_sample(docs.repartition(7),
+                                     fraction=0.3).toPandas()
+    # identical draw regardless of partitioning; rate near 30%
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    assert 0.2 < len(a) / 1000 < 0.4
+    # independent draw under a different salt
+    c = textops.deterministic_sample(docs, fraction=0.3, salt="v2").toPandas()
+    assert sorted(c.doc_id) != sorted(a.doc_id)
+    st = textops.deterministic_sample(
+        docs, fractions={"src0": 1.0, "src1": 0.2}).toPandas()
+    assert set(st.source) <= {"src0", "src1"}     # whitelist semantics
+    assert (st.source == "src0").sum() == 250     # fraction 1.0 keeps all
+    assert 20 < (st.source == "src1").sum() < 80
+    with pytest.raises(ValueError, match="exactly one"):
+        textops.deterministic_sample(docs)
+
+
+def test_char_bigram_familiarity(spark):
+    docs = spark.createDataFrame([
+        (1, "aaaa"), (2, "aaab"), (3, "zq"), (4, "x"),
+    ], "doc_id long, text string")
+    out = textops.char_bigram_familiarity(docs).toPandas().set_index("doc_id")
+    # corpus counts: 'aa' x5 (3 from doc1, 2 from doc2), 'ab' x1, 'zq' x1
+    assert out.loc[1].familiarity_total == 15 and out.loc[1].n_bigrams == 3
+    assert out.loc[2].familiarity_total == 11 and out.loc[2].n_bigrams == 3
+    assert out.loc[3].familiarity_total == 1    # rare bigram -> low score
+    assert out.loc[4].familiarity_total == 0 == out.loc[4].n_bigrams
+    # the garbled doc scores lowest per-bigram — the gate's purpose
+    per = out.familiarity_total / out.n_bigrams.clip(lower=1)
+    assert per.loc[3] < per.loc[1]
