@@ -103,9 +103,27 @@ def main():
                                      max_df=200).count()
     out["jaccard"] = {"pairs_ge_0.8": ng, "sec": round(time.time() - t0, 2)}
 
+    # r5 pipeline-stage additions over the same corpus
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    probes = (docs.filter(F.col("doc_id") % 200 == 0)
+                  .select(F.col("doc_id").alias("probe_id"), "text"))
+    ct = textops.contamination_pairs(docs, probes, min_shared=2)         .filter(F.col("doc_id") != F.col("probe_id")).count()
+    out["contamination"] = {"probes": N_DOCS // 200, "pairs": ct,
+                            "sec": round(time.time() - t0, 2)}
+
+    t0 = time.time()
+    fam = textops.char_bigram_familiarity(docs).count()
+    out["familiarity"] = {"rows": fam, "sec": round(time.time() - t0, 2)}
+
+    t0 = time.time()
+    samp = textops.deterministic_sample(docs, fraction=0.1).count()
+    out["det_sample"] = {"kept": samp, "sec": round(time.time() - t0, 2)}
+
     total = sum(v["sec"] for v in out.values() if isinstance(v, dict))
     out["total_sec"] = round(total, 2)
-    out["docs_per_sec_all_four"] = round(4 * N_DOCS / total, 1)
+    out["docs_per_sec_all_modes"] = round(7 * N_DOCS / total, 1)
     spark.stop()
     print(json.dumps(out))
 
@@ -125,8 +143,16 @@ keeps candidates proportional to planted-duplicate mass.
 | SimHash (4x16-bit bands, hamming<=3) | {out['simhash']['pairs_hamming_le3']:,} pairs | {out['simhash']['sec']}s |
 | n-gram Jaccard (lang-blocked, max_df=200, >=0.8) | {out['jaccard']['pairs_ge_0.8']:,} pairs | {out['jaccard']['sec']}s |
 
-Total {out['total_sec']}s — {out['docs_per_sec_all_four']:,} doc-passes/s
-across the four modes, signature/token caches released after each call
+r5 pipeline stages over the same corpus:
+
+| stage | result | wall |
+|---|---|---|
+| decontamination vs {out['contamination']['probes']:,} probes (broadcast trigram join) | {out['contamination']['pairs']:,} flagged pairs | {out['contamination']['sec']}s |
+| char-bigram familiarity (broadcast LM counts) | {out['familiarity']['rows']:,} rows scored | {out['familiarity']['sec']}s |
+| deterministic 10% sample (md5-bucket, no shuffle) | {out['det_sample']['kept']:,} kept | {out['det_sample']['sec']}s |
+
+Total {out['total_sec']}s — {out['docs_per_sec_all_modes']:,} doc-passes/s
+across the seven modes, signature/token caches released after each call
 (no cache accumulates between modes; the session ends with zero
 persistent non-checkpoint RDDs).
 
