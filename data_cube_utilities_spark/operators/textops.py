@@ -1427,3 +1427,71 @@ def char_bigram_familiarity(df: DataFrame, id_col: str = "doc_id",
                         .alias("familiarity_total"),
                        F.coalesce("n_bigrams", F.lit(0))
                         .alias("n_bigrams")))
+
+
+def ivf_pq_index_write(emb: DataFrame, path: str, dims: int,
+                       n_lists: int = 8, m: int = 8, ksub: int = 16,
+                       codebook: "np.ndarray" = None, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> dict:
+    """Build and PERSIST the IVF-PQ index: codes written as parquet
+    partitioned BY list_id — on disk, list_id is a real partition
+    column, so a query's probed lists become partition-pruned directory
+    reads (the scan literally never opens the other lists' files).
+    Centroids + codebook ride along as a .npz sidecar.
+
+    This is the 'build once, query forever' shape: at 100 TB the index
+    build is one job writing m-byte code rows into n_lists directories;
+    every later query is a pruned read of n_probe directories.
+    Returns the metadata dict (paths + geometry)."""
+    import os
+
+    from .mlops import kmeans_assign_udf, kmeans_fit
+
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    flat = e.select("vec_id", *[F.element_at("v", i + 1).alias(f"_d{i}")
+                                for i in range(dims)])
+    centers = kmeans_fit(flat, [f"_d{i}" for i in range(dims)],
+                         k=n_lists, seed=seed)
+    if codebook is None:
+        codebook = pq_codebook_first_rows(emb, dims, m=m, ksub=ksub,
+                                          id_col=id_col, vec_col=vec_col)
+    CB = np.ascontiguousarray(codebook)
+    codes = (pq_encode(emb, CB, id_col=id_col, vec_col=vec_col)
+             .join(e.withColumn("list_id", kmeans_assign_udf(centers)("v"))
+                    .select("vec_id", "list_id"), "vec_id"))
+    codes.write.mode("overwrite").partitionBy("list_id") \
+        .parquet(os.path.join(path, "codes"))
+    np.savez(os.path.join(path, "index_meta.npz"),
+             centers=centers, codebook=CB)
+    return {"codes": os.path.join(path, "codes"),
+            "meta": os.path.join(path, "index_meta.npz"),
+            "n_lists": int(centers.shape[0]), "m": int(CB.shape[0]),
+            "ksub": int(CB.shape[1])}
+
+
+def ivf_pq_index_query(spark, path: str, query_vec: "np.ndarray",
+                       k: int = 10, n_probe: int = 2) -> DataFrame:
+    """Query a persisted IVF-PQ index: load the tiny sidecar, pick the
+    n_probe nearest lists, read ONLY those partitions (the
+    list_id IN (...) filter prunes at the parquet-directory level —
+    plan-asserted in tests), score codes via the ADC LUT, ranked
+    top-k.  No raw vectors are ever read."""
+    import os
+
+    with np.load(os.path.join(path, "index_meta.npz")) as z:
+        centers, CB = z["centers"], z["codebook"]
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2c = ((centers - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2c)[:n_probe]]
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    adc = _adc_score_udf(_adc_lut(qv, np.ascontiguousarray(CB)))
+    scored = (codes.filter(F.col("list_id").isin(probe)
+                           & F.col("codes").isNotNull())
+                   .withColumn("adc_d2", F.round(adc("codes"), 6)))
+    top = (scored.select("vec_id", "list_id", "adc_d2")
+                 .orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+                 .limit(k))
+    w = Window.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))

@@ -615,6 +615,48 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+def q_dedup_gate(spark, sf_dir):
+    """The keyed-state streaming dedup gate, driven through a REAL
+    Structured Streaming query (applyInPandasWithState is streaming-only
+    in Spark 4): stream the documents table through
+    streaming_exact_dedup into a memory sink, then hand the driver the
+    settled per-hash rows — which the exact_dedup SQL twin must match.
+    Multi-batch state crossing + keeper revision are pytest-pinned
+    (tests/test_streaming); this row hash-verifies the operator's
+    OUTPUT against DuckDB."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import stateful
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    d = tempfile.mkdtemp(prefix="dedupgate_src_")
+    os.symlink(src, os.path.join(d, "part-00000.parquet"))
+    name = "dedupgate_" + uuid.uuid4().hex[:8]
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (stateful.streaming_exact_dedup(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+    emitted = spark.table(name)
+    w = Window.partitionBy("text_hash").orderBy(F.col("n_seen").desc())
+    return (emitted.withColumn("rn", F.row_number().over(w))
+                   .filter("rn = 1").drop("rn"))
+
+
+SQL_DEDUP_GATE = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
+       count(*) AS n_seen
+FROM documents GROUP BY md5(text)
+"""
+
+
 SAMPLE_MIX = {"src0": 0.5, "src1": 0.25, "src2": 1.0}
 
 
@@ -799,6 +841,7 @@ GROUP_B = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
     "char_bigram_familiarity": (q_char_bigram_familiarity, SQL_CHAR_BIGRAM_FAMILIARITY),
+    "dedup_gate": (q_dedup_gate, SQL_DEDUP_GATE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),

@@ -47,8 +47,9 @@ def _saturate(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame
 def streaming_cell_saturation(stream: DataFrame) -> DataFrame:
     """Keyed-state streaming aggregate over the image stream: for every
     cell, the occupancy of 63 phash buckets + total observations, state
-    carried across micro-batches. Works on a batch DataFrame too (Spark
-    runs the same grouped-map with empty initial state once)."""
+    carried across micro-batches.  applyInPandasWithState is
+    streaming-only in Spark 4 — for a one-shot batch equivalent use
+    cell_saturation_batch (the parity twin below)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (stream.select("cell_id", "phash")
