@@ -245,3 +245,32 @@ def test_group_b_operators_release_their_caches(spark):
         leaked = {k: v for k, v in new.items()
                   if "localCheckpoint" not in v}
         assert not leaked, f"leaked caches: {leaked}"
+
+
+def test_contamination_probe_side_broadcasts(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    probes = (docs.filter(F.col("doc_id") % 50 == 0)
+                  .select(F.col("doc_id").alias("probe_id"), "text"))
+    plan = plan_of(textops.contamination_pairs(docs, probes))
+    # the benchmark side must be the broadcast build side — the corpus
+    # fan-out never shuffles on the shingle
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_familiarity_model_broadcasts(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(textops.char_bigram_familiarity(docs))
+    assert "BroadcastExchange" in plan       # the bigram count table
+
+
+def test_deterministic_sample_is_shuffle_free(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(textops.deterministic_sample(docs, fraction=0.3))
+    # pure map-side filter: no exchange of any kind in the plan
+    assert "Exchange" not in plan
