@@ -615,6 +615,36 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+VOCAB_K = 200
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Vocabulary construction over the BPE pre-tokens: the top-K pieces
+    by corpus frequency (ties by piece) — the frequency table a real BPE
+    trainer's merge loop starts from.  One explode + count + ranked
+    top-K (TakeOrderedAndProject shape)."""
+    t = textops.with_bpe_tokens(_t(spark, sf_dir, "documents"))
+    counts = (t.select(F.explode("bpe_tokens").alias("piece"))
+               .groupBy("piece").agg(F.count("*").alias("n")))
+    top = (counts.orderBy(F.col("n").desc(), F.col("piece").asc())
+                 .limit(VOCAB_K))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n").desc(), F.col("piece").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+SQL_BPE_VOCAB = f"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS piece
+  FROM documents
+),
+c AS (SELECT piece, count(*) AS n FROM t GROUP BY piece)
+SELECT piece, n,
+       row_number() OVER (ORDER BY n DESC, piece ASC) AS rank
+FROM c ORDER BY rank LIMIT {VOCAB_K}
+"""
+
+
 def q_dedup_gate(spark, sf_dir):
     """The keyed-state streaming dedup gate, driven through a REAL
     Structured Streaming query (applyInPandasWithState is streaming-only
@@ -837,6 +867,7 @@ GROUP_B = {
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
+    "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
