@@ -1383,7 +1383,12 @@ def deterministic_sample(df: DataFrame, fraction: float = None,
 
     fraction: one global rate; fractions: {stratum: rate} applied via
     stratum_col (strata absent from the dict are DROPPED — a mix spec
-    is a whitelist)."""
+    is a whitelist).
+
+    Threshold-bucket draws are NESTED: sample(f1) is a subset of
+    sample(f2) whenever f1 <= f2 (same salt), so growing a training mix
+    from 10% to 30% keeps every row already shipped — no re-shuffling
+    of the corpus between mix iterations (property-pinned in tests)."""
     if (fraction is None) == (fractions is None):
         raise ValueError("pass exactly one of fraction / fractions")
     b = hash_bucket_col(id_col, salt)

@@ -584,3 +584,15 @@ def test_ivf_pq_persisted_index_partition_pruning(spark, tmp_path):
     import re
     m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m2 and "list_id" in m2.group(1)
+
+
+def test_deterministic_sample_is_nested(spark):
+    """Threshold buckets nest: growing the rate keeps every previously
+    sampled row (same salt) — the property that lets a training mix grow
+    without reshuffling what was already shipped."""
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    small = set(textops.deterministic_sample(docs, fraction=0.1)
+                .toPandas().doc_id)
+    big = set(textops.deterministic_sample(docs, fraction=0.3)
+              .toPandas().doc_id)
+    assert small <= big and len(small) < len(big)
