@@ -1364,8 +1364,13 @@ def hash_bucket_col(id_col: str = "doc_id", salt: str = "v1"):
     engine that has md5 (the DuckDB twin casts the same substring), so a
     sample drawn today reproduces byte-for-byte in next month's rerun,
     on a different cluster, or in the oracle.  Changing the salt draws
-    an independent sample."""
-    key = F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt))
+    an independent sample.
+
+    NULL ids propagate to a NULL bucket (F.concat, not concat_ws, whose
+    skip-NULLs rule would give NULL ids the valid bucket of '#salt') —
+    matching the SQL twin's `id || '#salt'`, where a NULL id can never
+    pass a `bucket < threshold` gate."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))
     return F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long")
 
 
@@ -1402,7 +1407,8 @@ def deterministic_sample(df: DataFrame, fraction: float = None,
 
 
 def char_bigram_familiarity(df: DataFrame, id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            release_cache: bool = True) -> DataFrame:
     """Perplexity-proxy quality scoring (the CCNet-style LM gate, made
     exact-integer): score each document by how familiar its character
     bigrams are to the corpus — garbled/boilerplate/wrong-charset text
@@ -1413,25 +1419,35 @@ def char_bigram_familiarity(df: DataFrame, id_col: str = "doc_id",
     the corpus size); (2) score — each doc's bigrams join the count
     table, sum. Ships exact integers (familiarity_total, n_bigrams);
     the avg-familiarity / log-prob ratio derives downstream — same
-    tie-proof contract as quality_features."""
+    tie-proof contract as quality_features.
+
+    The bigram explode is the dominant stage and feeds BOTH branches
+    (model fit + scoring join), so it is persisted once and released
+    after the result materializes (release_cache=False hands back the
+    lazy plan for inspection, the minhash contract)."""
     grams = (_fanout(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(
             f"CASE WHEN length({text_col}) < 2 THEN array() "
             f"ELSE transform(sequence(1, length({text_col}) - 1), "
-            f"i -> substring({text_col}, i, 2)) END")).alias("bg")))
+            f"i -> substring({text_col}, i, 2)) END")).alias("bg"))
+             .persist())
     model = grams.groupBy("bg").agg(F.count("*").alias("corpus_n"))
     scored = (grams.join(F.broadcast(model), "bg")
                    .groupBy("doc_id")
                    .agg(F.sum("corpus_n").alias("familiarity_total"),
                         F.count("*").alias("n_bigrams")))
     ids = df.select(F.col(id_col).alias("doc_id"))
-    return (ids.join(scored, "doc_id", "left")
-               .select("doc_id",
-                       F.coalesce("familiarity_total", F.lit(0))
-                        .alias("familiarity_total"),
-                       F.coalesce("n_bigrams", F.lit(0))
-                        .alias("n_bigrams")))
+    out = (ids.join(scored, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("familiarity_total", F.lit(0))
+                       .alias("familiarity_total"),
+                      F.coalesce("n_bigrams", F.lit(0))
+                       .alias("n_bigrams")))
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        grams.unpersist()
+    return out
 
 
 def ivf_pq_index_write(emb: DataFrame, path: str, dims: int,
@@ -1463,9 +1479,12 @@ def ivf_pq_index_write(emb: DataFrame, path: str, dims: int,
         codebook = pq_codebook_first_rows(emb, dims, m=m, ksub=ksub,
                                           id_col=id_col, vec_col=vec_col)
     CB = np.ascontiguousarray(codebook)
-    codes = (pq_encode(emb, CB, id_col=id_col, vec_col=vec_col)
-             .join(e.withColumn("list_id", kmeans_assign_udf(centers)("v"))
-                    .select("vec_id", "list_id"), "vec_id"))
+    # codes and list_id are both per-row maps over the same rows — ONE
+    # projection, one scan, zero shuffle (the earlier two-branch + join
+    # form scanned the embedding table twice and shuffled the corpus)
+    codes = e.select("vec_id",
+                     _pq_encode_udf(CB)("v").alias("codes"),
+                     kmeans_assign_udf(centers)("v").alias("list_id"))
     codes.write.mode("overwrite").partitionBy("list_id") \
         .parquet(os.path.join(path, "codes"))
     np.savez(os.path.join(path, "index_meta.npz"),

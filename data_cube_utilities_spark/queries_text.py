@@ -653,8 +653,15 @@ def q_dedup_gate(spark, sf_dir):
     settled per-hash rows — which the exact_dedup SQL twin must match.
     Multi-batch state crossing + keeper revision are pytest-pinned
     (tests/test_streaming); this row hash-verifies the operator's
-    OUTPUT against DuckDB."""
+    OUTPUT against DuckDB.
+
+    LOCAL-ONLY sf_dir: Spark's file stream source refuses a direct
+    file path ('basePath' must be a directory), so the single-file
+    table is symlinked into a temp dir — which requires a POSIX
+    filesystem.  Every other registry query takes any URI; against a
+    remote store, point the stream at the table's real directory."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -674,10 +681,18 @@ def q_dedup_gate(spark, sf_dir):
     finally:
         q.stop()
     from pyspark.sql import Window
-    emitted = spark.table(name)
-    w = Window.partitionBy("text_hash").orderBy(F.col("n_seen").desc())
-    return (emitted.withColumn("rn", F.row_number().over(w))
-                   .filter("rn = 1").drop("rn"))
+    try:
+        emitted = spark.table(name)
+        w = Window.partitionBy("text_hash").orderBy(F.col("n_seen").desc())
+        # materialize before dropping the memory sink + temp dir: the
+        # driver collects later, and repeated registry runs must not
+        # accumulate sink tables in driver memory or dirs in /tmp
+        return (emitted.withColumn("rn", F.row_number().over(w))
+                       .filter("rn = 1").drop("rn")
+                       .localCheckpoint(eager=True))
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
 
 
 SQL_DEDUP_GATE = """

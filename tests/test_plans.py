@@ -263,8 +263,9 @@ def test_familiarity_model_broadcasts(spark):
     from data_cube_utilities_spark.operators import textops
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = plan_of(textops.char_bigram_familiarity(docs))
+    plan = plan_of(textops.char_bigram_familiarity(docs, release_cache=False))
     assert "BroadcastExchange" in plan       # the bigram count table
+    assert "InMemoryTableScan" in plan       # the persisted bigram fan-out
 
 
 def test_deterministic_sample_is_shuffle_free(spark):

@@ -545,6 +545,18 @@ def test_deterministic_sample_reproducible_and_stratified(spark):
         textops.deterministic_sample(docs)
 
 
+def test_hash_bucket_null_id_never_sampled(spark):
+    # NULL ids must propagate to a NULL bucket (the SQL twin's || rule):
+    # concat_ws would give every NULL id the one bucket of '#salt',
+    # silently sampling them in or out as a block
+    docs = spark.createDataFrame(
+        [(None, "a"), ("d1", "b")], "doc_id string, source string")
+    b = docs.select(textops.hash_bucket_col().alias("bucket")).toPandas()
+    assert b.bucket.isna().sum() == 1
+    kept = textops.deterministic_sample(docs, fraction=1.0).toPandas()
+    assert list(kept.doc_id) == ["d1"]        # NULL id fails every gate
+
+
 def test_char_bigram_familiarity(spark):
     docs = spark.createDataFrame([
         (1, "aaaa"), (2, "aaab"), (3, "zq"), (4, "x"),
