@@ -1406,6 +1406,74 @@ def deterministic_sample(df: DataFrame, fraction: float = None,
     return df.filter(b < expr)
 
 
+def pack_chunks(df: DataFrame, window: int = 512, n_shards: int = 32,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_tokens=None, salt: str = "v1",
+                release_cache: bool = True) -> DataFrame:
+    """Sequence packing (concat-and-chunk): lay every document's tokens
+    end-to-end in a deterministic global order and split the stream into
+    fixed `window`-token training chunks — the manifest a training-data
+    pipeline ships to the loader ("chunk 17 = tokens 384.. of doc A,
+    then tokens 0..127 of doc B").  One row per (chunk, document) span.
+
+    Global token offsets WITHOUT a global sort: the packing order is
+    (shard, id) where shard = md5-bucket(id) % n_shards.  Offsets are a
+    two-level prefix sum —
+      (1) within-shard running sum (Window.partitionBy(shard): bounded
+          partitions, ~corpus/n_shards docs each — scale n_shards with
+          the cluster);
+      (2) shard base = prefix sum over the n_shards-row totals table
+          (a single tiny window) broadcast-joined back.
+    No driver collect anywhere; the only corpus-wide shuffle is the
+    partitionBy(shard) exchange.  Every output is an exact integer and
+    the draw is engine-portable (md5 order, no RNG), so the identical
+    manifest reproduces on any engine — the deterministic_sample
+    contract applied to packing.
+
+    Docs with zero tokens carry no stream positions and are dropped
+    (a sequence(first,last) with last < first would be DESCENDING —
+    the r5 element_at(0) lesson).
+    """
+    from pyspark.sql import Window
+
+    W = int(window)
+    n = (F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+         if n_tokens is not None
+         else F.size(F.split(F.col(text_col), " "))).cast("long")
+    d = (df.select(F.col(id_col).alias("doc_id"), n.alias("n"),
+                   (hash_bucket_col(id_col, salt) % n_shards).alias("shard"))
+           .filter(F.col("n") > 0)
+           .persist())
+    # d (three ints per doc, ~24 bytes/row vs the full text) feeds both
+    # the within-shard window and the shard-totals agg; persisting it
+    # pins the corpus to ONE scan — the two branches prune columns
+    # differently, so neither static exchange reuse nor AQE dedups them
+    wloc = (Window.partitionBy("shard").orderBy("doc_id")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    o = d.withColumn("loc", F.coalesce(F.sum("n").over(wloc), F.lit(0)))
+    tot = d.groupBy("shard").agg(F.sum("n").alias("tot"))
+    wsh = (Window.orderBy("shard")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+    base = tot.select("shard", F.coalesce(F.sum("tot").over(wsh),
+                                          F.lit(0)).alias("base"))
+    g = (o.join(F.broadcast(base), "shard")
+          .select("doc_id", "n", (F.col("base") + F.col("loc")).alias("off")))
+    # doc spans stream tokens [off, off+n); chunk c covers [cW, (c+1)W)
+    x = g.withColumn("chunk_id", F.explode(F.expr(
+        f"sequence(off div {W}, (off + n - 1) div {W})")))
+    s = F.greatest("off", F.col("chunk_id") * W)
+    e = F.least(F.col("off") + F.col("n"), (F.col("chunk_id") + 1) * W)
+    out = x.select(
+        F.col("chunk_id").cast("long").alias("chunk_id"), "doc_id",
+        (s - F.col("chunk_id") * W).cast("long").alias("pos_in_chunk"),
+        (s - F.col("off")).cast("long").alias("tok_begin"),
+        (e - s).cast("long").alias("n_tok"))
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        d.unpersist()
+    return out
+
+
 def char_bigram_familiarity(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             release_cache: bool = True) -> DataFrame:

@@ -728,6 +728,63 @@ SELECT doc_id, source FROM b WHERE {_MIX_PRED}
 """
 
 
+_PACK_W, _PACK_SHARDS = 256, 16
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing manifest: documents laid end-to-end in the
+    deterministic (md5-shard, id) order, split into fixed 256-token
+    chunks — one row per (chunk, doc) span.  Offsets are exact integers
+    from a two-level prefix sum (no global sort, no RNG), so the DuckDB
+    twin reproduces the manifest bit-for-bit."""
+    return textops.pack_chunks(_t(spark, sf_dir, "documents"),
+                               window=_PACK_W, n_shards=_PACK_SHARDS)
+
+
+SQL_PACK_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(('0x' || substr(md5(doc_id || '#v1'), 1, 6)) AS BIGINT)
+           % {_PACK_SHARDS} AS shard
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+),
+o AS (
+  SELECT doc_id, n, shard,
+         CAST(COALESCE(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS loc
+  FROM d
+),
+st AS (SELECT shard, CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY shard),
+sb AS (
+  SELECT shard,
+         CAST(COALESCE(sum(tot) OVER (ORDER BY shard
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS base
+  FROM st
+),
+g AS (
+  SELECT o.doc_id, o.n, sb.base + o.loc AS off
+  FROM o JOIN sb ON o.shard = sb.shard
+),
+x AS (
+  SELECT doc_id, n, off,
+         unnest([c for c in
+                 generate_series(off // {_PACK_W},
+                                 (off + n - 1) // {_PACK_W})]) AS chunk_id
+  FROM g
+)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+       CAST(greatest(off, chunk_id * {_PACK_W})
+            - chunk_id * {_PACK_W} AS BIGINT) AS pos_in_chunk,
+       CAST(greatest(off, chunk_id * {_PACK_W}) - off AS BIGINT) AS tok_begin,
+       CAST(least(off + n, (chunk_id + 1) * {_PACK_W})
+            - greatest(off, chunk_id * {_PACK_W}) AS BIGINT) AS n_tok
+FROM x
+"""
+
+
 PQ_M = 8          # subspaces (dsub = EMB_DIMS / PQ_M = 8)
 PQ_KSUB = 16      # centroids per subspace
 
@@ -886,6 +943,7 @@ GROUP_B = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "char_bigram_familiarity": (q_char_bigram_familiarity, SQL_CHAR_BIGRAM_FAMILIARITY),
     "dedup_gate": (q_dedup_gate, SQL_DEDUP_GATE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

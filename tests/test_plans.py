@@ -275,3 +275,18 @@ def test_deterministic_sample_is_shuffle_free(spark):
     plan = plan_of(textops.deterministic_sample(docs, fraction=0.3))
     # pure map-side filter: no exchange of any kind in the plan
     assert "Exchange" not in plan
+
+
+def test_pack_chunks_single_scan_and_broadcast_base(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(textops.pack_chunks(docs, window=64, n_shards=8,
+                                       release_cache=False))
+    # both prefix-sum branches read the persisted (doc_id, n, shard)
+    # projection -> the corpus parquet is scanned once at cache fill
+    assert plan.count("InMemoryTableScan") == 2
+    # shard bases (n_shards rows) broadcast back; the only corpus-wide
+    # exchange is the hashpartitioning on shard for the window
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(shard" in plan

@@ -608,3 +608,48 @@ def test_deterministic_sample_is_nested(spark):
     big = set(textops.deterministic_sample(docs, fraction=0.3)
               .toPandas().doc_id)
     assert small <= big and len(small) < len(big)
+
+
+def test_pack_chunks_invariants(spark):
+    import random
+    rng = random.Random(7)
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" * 1 for _ in range(rng.randint(1, 40))))
+         for i in range(200)],
+        "doc_id long, text string")
+    W = 32
+    m = textops.pack_chunks(docs, window=W, n_shards=8).toPandas()
+    # a zero-token doc (only expressible via an explicit count column —
+    # the whitespace tokenizer maps "" to the single token [""]) is
+    # dropped: it has no stream positions
+    zdocs = docs.withColumn(
+        "ntok", F.when(F.col("doc_id") == 0, 0)
+                 .otherwise(F.size(F.split("text", " "))))
+    mz = textops.pack_chunks(zdocs, window=W, n_shards=8,
+                             n_tokens="ntok").toPandas()
+    assert 0 not in set(mz.doc_id) and 1 in set(mz.doc_id)
+    # per-doc spans tile the doc exactly: contiguous tok_begin, sum == n
+    tok = docs.toPandas()
+    tok["n"] = tok.text.str.split(" ").str.len()
+    per_doc = m.groupby("doc_id").n_tok.sum()
+    assert (per_doc.sort_index().values ==
+            tok.set_index("doc_id").n.sort_index().values).all()
+    for _, grp in m.groupby("doc_id"):
+        g = grp.sort_values("tok_begin")
+        assert g.tok_begin.iloc[0] == 0
+        assert (g.tok_begin.values[1:] ==
+                (g.tok_begin + g.n_tok).values[:-1]).all()
+    # every chunk but the last is exactly full and tiles [0, W)
+    fill = m.groupby("chunk_id").n_tok.sum().sort_index()
+    assert (fill.values[:-1] == W).all() and fill.values[-1] <= W
+    for _, grp in m.groupby("chunk_id"):
+        g = grp.sort_values("pos_in_chunk")
+        assert g.pos_in_chunk.iloc[0] == 0
+        assert (g.pos_in_chunk.values[1:] ==
+                (g.pos_in_chunk + g.n_tok).values[:-1]).all()
+    # deterministic under repartitioning (the manifest IS the contract)
+    m2 = textops.pack_chunks(docs.repartition(13), window=W,
+                             n_shards=8).toPandas()
+    key = ["chunk_id", "doc_id", "pos_in_chunk", "tok_begin", "n_tok"]
+    assert sorted(map(tuple, m[key].values.tolist())) == \
+        sorted(map(tuple, m2[key].values.tolist()))
