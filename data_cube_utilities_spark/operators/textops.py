@@ -1474,6 +1474,42 @@ def pack_chunks(df: DataFrame, window: int = 512, n_shards: int = 32,
     return out
 
 
+# PII patterns restricted to the Java-regex / RE2 common subset (no
+# lookaround, explicit ASCII classes, \b = ASCII word boundary in both)
+# so the Spark scrub and the DuckDB twin redact byte-identically.
+# Order matters and is part of the contract: email first (an address
+# would otherwise leave its user/host digits for the looser patterns),
+# then IPv4, then phone — each pattern runs on the previous step's
+# output, counts included.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9][0-9 -]{6,13}[0-9]"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               patterns=PII_PATTERNS,
+               out_col: str = "redacted") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / IPv4
+    addresses / international-format phone numbers with typed tokens
+    (<EMAIL>, <IPV4>, ...) and count each kind per row.  Pure JVM
+    regexp_replace / regexp_extract_all chains — whole-stage codegen,
+    no UDF, no shuffle; the scan stays the only stage at any scale.
+
+    The patterns are deliberately simple, high-precision ASCII forms
+    (the C4/Gopher-style scrub, not a validator): a 999.999.999.999
+    'address' is redacted too — over-redaction is the safe failure
+    mode for training data."""
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat in patterns:
+        counts.append(F.size(F.regexp_extract_all(
+            cur, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
+    return df.select("*", *counts, cur.alias(out_col))
+
+
 def char_bigram_familiarity(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             release_cache: bool = True) -> DataFrame:

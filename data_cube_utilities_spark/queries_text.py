@@ -728,6 +728,61 @@ SELECT doc_id, source FROM b WHERE {_MIX_PRED}
 """
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing: the synthetic corpus carries no PII, so the query
+    plants a deterministic email + IPv4 + phone into every third doc
+    (pure column arithmetic both engines replicate), then runs the real
+    redaction operator; the oracle re-derives the identical injection
+    and redacts with the same Java/RE2-common patterns."""
+    d = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7"))
+    d2 = d.withColumn("text", F.when(F.col("doc_id") % 3 == 0, pii)
+                               .otherwise(F.col("text")))
+    return textops.redact_pii(d2).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+
+
+_PII = dict(textops.PII_PATTERNS)
+
+SQL_REDACT_PII = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || doc_id
+                || '@mail.example.org or +1555 01'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                || ' from 10.0.' || (doc_id % 200) || '.7'
+         ELSE text END AS t0
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t0, '{_PII["email"]}')) AS BIGINT)
+           AS n_email,
+         regexp_replace(t0, '{_PII["email"]}', '<EMAIL>', 'g') AS t1
+  FROM t
+),
+r2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '{_PII["ipv4"]}')) AS BIGINT)
+           AS n_ipv4,
+         regexp_replace(t1, '{_PII["ipv4"]}', '<IPV4>', 'g') AS t2
+  FROM r1
+)
+SELECT doc_id, n_email, n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{_PII["phone"]}')) AS BIGINT)
+         AS n_phone,
+       regexp_replace(t2, '{_PII["phone"]}', '<PHONE>', 'g') AS redacted
+FROM r2
+"""
+
+
 _PACK_W, _PACK_SHARDS = 256, 16
 
 
@@ -944,6 +999,7 @@ GROUP_B = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     "char_bigram_familiarity": (q_char_bigram_familiarity, SQL_CHAR_BIGRAM_FAMILIARITY),
     "dedup_gate": (q_dedup_gate, SQL_DEDUP_GATE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -290,3 +290,14 @@ def test_pack_chunks_single_scan_and_broadcast_base(spark):
     # exchange is the hashpartitioning on shard for the window
     assert "BroadcastExchange" in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_redact_pii_is_jvm_codegen(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(textops.redact_pii(docs))
+    # regex scrub stays JVM-side in one codegen stage: no Python workers,
+    # no exchange of any kind
+    assert "Python" not in plan and "Exchange" not in plan
+    assert "*(1)" in plan or "WholeStageCodegen" in plan

@@ -653,3 +653,26 @@ def test_pack_chunks_invariants(spark):
     key = ["chunk_id", "doc_id", "pos_in_chunk", "tok_begin", "n_tok"]
     assert sorted(map(tuple, m[key].values.tolist())) == \
         sorted(map(tuple, m2[key].values.tolist()))
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail a.b-c_d@sub.example.co and x@y.io today"),
+        (2, "server 192.168.0.1 then 10.0.300.7 and v1.2 only"),
+        (3, "call +1 555 0123 or +44 20-7946-0958 now"),
+        (4, "mixed bob@h.org at 8.8.8.8 phone +15550100 end"),
+        (5, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.redact_pii(df).toPandas().set_index("doc_id")
+    assert out.loc[1].n_email == 2 and "<EMAIL>" in out.loc[1].redacted
+    assert "@" not in out.loc[1].redacted
+    # over-redaction is the contract: 10.0.300.7 matches the simple form
+    assert out.loc[2].n_ipv4 == 2 and "v1.2" in out.loc[2].redacted
+    assert out.loc[3].n_phone == 2
+    r4 = out.loc[4]
+    assert (r4.n_email, r4.n_ipv4, r4.n_phone) == (1, 1, 1)
+    assert r4.redacted == "mixed <EMAIL> at <IPV4> phone <PHONE> end"
+    r5 = out.loc[5]
+    assert (r5.n_email, r5.n_ipv4, r5.n_phone) == (0, 0, 0)
+    assert r5.redacted == rows[4][1]
