@@ -448,3 +448,102 @@ def synth_video(spark, n: int, w: int = 16, h: int = 16, n_frames: int = 20,
                     "fmt", "caption"])
 
     return spark.range(n).mapInPandas(gen, VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# webdataset-style tar shards: the standard on-disk layout for multimodal
+# training corpora (key.payload + key.json metadata members, N keys per
+# .tar, loaders stream shards sequentially)
+# ---------------------------------------------------------------------------
+
+def write_tar_shards(df: DataFrame, path: str, n_shards: int = 16,
+                     key_col: str = "image_id", payload_col: str = "bytes",
+                     ext: str = "raw16", meta_cols: list | None = None,
+                     salt: str = "v1") -> DataFrame:
+    """WebDataset-style shard sink: rows are md5-bucketed into n_shards
+    groups and each group is written as ONE tar file by the executor
+    task that owns it (`path` must be a store all executors can write —
+    shared fs / object store; local fs in local mode).  Each key
+    contributes a `<key>.<ext>` payload member and, with meta_cols, a
+    `<key>.json` sidecar.
+
+    Shard bytes are DETERMINISTIC: members sorted by key, zeroed
+    mtime/uid/gid, USTAR format, sorted-key JSON — re-writing the same
+    rows reproduces every shard bit-for-bit (tested), so shards can be
+    content-addressed and diffed across pipeline runs.
+
+    Scale shape: one shuffle (groupBy shard), then embarrassingly
+    parallel tar writes; n_shards is the parallelism AND the file count
+    — size it so shards land in the loader's sweet spot (~100MB-1GB).
+    Returns the per-shard manifest (shard, n_members, data_bytes)."""
+    import io
+    import json
+    import os
+    import tarfile
+
+    from .textops import hash_bucket_col
+
+    os.makedirs(path, exist_ok=True)
+    meta_cols = list(meta_cols or [])
+    cols = [key_col, payload_col, *meta_cols]
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        fn = os.path.join(path, f"shard-{shard:05d}.tar")
+        data_bytes = 0
+        with tarfile.open(fn, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for r in pdf[cols].itertuples(index=False):
+                key, payload = str(r[0]), bytes(r[1])
+                members = [(f"{key}.{ext}", payload)]
+                if meta_cols:
+                    meta = {c: v for c, v in zip(meta_cols, r[2:])}
+                    members.append((f"{key}.json", json.dumps(
+                        meta, sort_keys=True, default=str).encode()))
+                for name, blob in members:
+                    info = tarfile.TarInfo(name)
+                    info.size = len(blob)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tf.addfile(info, io.BytesIO(blob))
+                data_bytes += len(payload)
+        return pd.DataFrame([{"shard": shard, "n_members": len(pdf),
+                              "data_bytes": data_bytes}])
+
+    sharded = df.withColumn(
+        "shard", hash_bucket_col(key_col, salt) % n_shards)
+    return (sharded.groupBy("shard")
+                   .applyInPandas(_write,
+                                  "shard long, n_members long, "
+                                  "data_bytes long"))
+
+
+def read_tar_shards(spark, path: str) -> DataFrame:
+    """Read webdataset shards back: binaryFile scan of the .tar files
+    (one task per shard — the loader-side parallelism) + an Arrow untar
+    kernel.  One row per member: (shard, key, ext, data)."""
+    import io
+    import os
+    import re
+    import tarfile
+
+    files = (spark.read.format("binaryFile")
+                  .load(os.path.join(path, "*.tar"))
+                  .select("path", "content"))
+
+    def _untar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for p, content in zip(b["path"], b["content"]):
+                m = re.search(r"shard-(\d+)\.tar$", p)
+                shard = int(m.group(1)) if m else -1
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for mem in tf.getmembers():
+                        key, _, ex = mem.name.rpartition(".")
+                        out.append((shard, key, ex,
+                                    tf.extractfile(mem).read()))
+            yield pd.DataFrame(out, columns=["shard", "key", "ext", "data"])
+
+    return files.mapInPandas(
+        _untar, "shard long, key string, ext string, data binary")

@@ -728,6 +728,53 @@ SELECT doc_id, source FROM b WHERE {_MIX_PRED}
 """
 
 
+_TAR_SHARDS = 8
+
+
+def q_tar_shards(spark, sf_dir):
+    """WebDataset tar shard sink, verified END TO END: write the
+    documents table (utf-8 payload per doc) into md5-bucketed tar
+    shards, read the tars BACK with the shard reader, and hash the
+    per-shard manifest (member count, payload bytes, key range) that
+    the oracle re-derives from the raw table — the tars must therefore
+    contain exactly the right members with exactly the right bytes."""
+    import shutil
+    import tempfile
+
+    from .operators import multimodal
+
+    d = (_t(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("string").alias("doc_id"),
+                 F.encode("text", "utf-8").alias("payload")))
+    out = tempfile.mkdtemp(prefix="tarshards_")
+    try:
+        multimodal.write_tar_shards(d, out, n_shards=_TAR_SHARDS,
+                                    key_col="doc_id",
+                                    payload_col="payload",
+                                    ext="txt").collect()
+        back = multimodal.read_tar_shards(spark, out)
+        return (back.filter("ext = 'txt'")
+                    .groupBy("shard")
+                    .agg(F.count("*").alias("n_members"),
+                         F.sum(F.length("data")).alias("data_bytes"),
+                         F.min("key").alias("key_min"),
+                         F.max("key").alias("key_max"))
+                    .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_TAR_SHARDS = f"""
+SELECT CAST(('0x' || substr(md5(doc_id || '#v1'), 1, 6)) AS BIGINT)
+         % {_TAR_SHARDS} AS shard,
+       count(*) AS n_members,
+       CAST(sum(strlen(text)) AS BIGINT) AS data_bytes,
+       min(CAST(doc_id AS VARCHAR)) AS key_min,
+       max(CAST(doc_id AS VARCHAR)) AS key_max
+FROM documents GROUP BY 1
+"""
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing: the synthetic corpus carries no PII, so the query
     plants a deterministic email + IPv4 + phone into every third doc
@@ -1000,6 +1047,7 @@ GROUP_B = {
     "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "redact_pii": (q_redact_pii, SQL_REDACT_PII),
+    "tar_shards": (q_tar_shards, SQL_TAR_SHARDS),
     "char_bigram_familiarity": (q_char_bigram_familiarity, SQL_CHAR_BIGRAM_FAMILIARITY),
     "dedup_gate": (q_dedup_gate, SQL_DEDUP_GATE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
