@@ -77,6 +77,89 @@ def resize_images(images: DataFrame, factor: int) -> DataFrame:
              "cell_id long")
 
 
+# ---------------------------------------------------------------------------
+# image augmentation: the training-pipeline transform family (flip /
+# rotate / transpose / center-crop).  Two faces of ONE semantics:
+#   augment_image_np / augment_images — the real binary path (decode ->
+#     numpy view -> re-encode), what a vision pipeline ships;
+#   augment_long — the identical transform as a pure coordinate remap
+#     over long-form (py, px, val) rows: no UDF, no shuffle, and exactly
+#     expressible in ANSI SQL, which is how the driver hash-verifies the
+#     family (a parity test pins binary path == long path per op).
+# ---------------------------------------------------------------------------
+
+AUGMENT_OPS = ("hflip", "vflip", "rot90", "rot180", "transpose")
+
+
+def augment_image_np(block: np.ndarray, op: str) -> np.ndarray:
+    """(h, w, bands) -> augmented block. rot90 is counter-clockwise
+    (np.rot90 axes=(0,1)); transpose swaps the spatial axes."""
+    if op == "hflip":
+        return block[:, ::-1]
+    if op == "vflip":
+        return block[::-1]
+    if op == "rot90":
+        return np.rot90(block, axes=(0, 1))
+    if op == "rot180":
+        return block[::-1, ::-1]
+    if op == "transpose":
+        return block.transpose(1, 0, 2)
+    raise ValueError(f"unknown augment op {op!r}")
+
+
+def augment_images(images: DataFrame, ops=AUGMENT_OPS) -> DataFrame:
+    """Per-image augmented copies: one output row per (image, op), id
+    suffixed '#<op>'.  Map-only (no shuffle); flips/rotations are numpy
+    VIEWS, so the only real work is the re-encode copy."""
+    ops = tuple(ops)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                blk = codec.decode_block(bytes(r.bytes), r.w, r.h, r.fmt)
+                for op in ops:
+                    a = augment_image_np(blk, op)
+                    rows.append((f"{r.image_id}#{op}", op,
+                                 codec.encode_block(a, "raw16"),
+                                 a.shape[1], a.shape[0], "raw16",
+                                 r.cell_id))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "image_id", "op", "bytes", "w", "h", "fmt", "cell_id"])
+
+    return images.mapInPandas(
+        run, "image_id string, op string, bytes binary, w int, h int, "
+             "fmt string, cell_id long")
+
+
+def augment_long(df: DataFrame, op: str, w: int, h: int,
+                 x_col: str = "px", y_col: str = "py") -> DataFrame:
+    """The same augmentation as a coordinate remap over long-form pixel
+    rows (one projection — whole-stage codegen, zero shuffle).  Source
+    pixel (py, px) lands at:
+      hflip     (py, w-1-px)          vflip     (h-1-py, px)
+      rot90     (w-1-px, py)          rot180    (h-1-py, w-1-px)
+      transpose (px, py)
+    (rot90: np.rot90 k=1 gives out[i,j] = in[j, w-1-i], so dest row =
+    w-1-px, dest col = py.)  Value columns pass through untouched."""
+    x, y = F.col(x_col), F.col(y_col)
+    remap = {
+        "hflip": (w - 1 - x, y),
+        "vflip": (x, h - 1 - y),
+        "rot90": (y, w - 1 - x),
+        "rot180": (w - 1 - x, h - 1 - y),
+        "transpose": (y, x),
+    }
+    if op not in remap:
+        raise ValueError(f"unknown augment op {op!r}")
+    nx, ny = remap[op]
+    others = [c for c in df.columns if c not in (x_col, y_col)]
+    return df.select(*others,
+                     nx.cast("int").alias(x_col),
+                     ny.cast("int").alias(y_col))
+
+
 def resolution_match_join(coarse: DataFrame, fine: DataFrame,
                           factor: int) -> DataFrame:
     """Resolution-matching join: downsample the fine table to the coarse

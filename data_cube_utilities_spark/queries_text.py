@@ -728,6 +728,42 @@ SELECT doc_id, source FROM b WHERE {_MIX_PRED}
 """
 
 
+def q_image_augment(spark, sf_dir):
+    """Image augmentation, hash-verified through the long-form twin:
+    an 8x8 pixel grid derives from the part keys (both engines replicate
+    it exactly), then the REAL augment_long remap — the same transform
+    the binary decode->numpy->encode path applies, pinned equal per op
+    by tests/test_multimodal.py — runs for hflip and rot90."""
+    from .operators import multimodal
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey") - 1
+    base = p.select(
+        F.expr("(p_partkey - 1) div 64").alias("img_id"),
+        (F.expr("(p_partkey - 1) div 8") % 8).cast("int").alias("py"),
+        (k % 8).cast("int").alias("px"),
+        ((F.col("p_partkey") * 37) % 4096).alias("val"))
+    outs = [multimodal.augment_long(base, op, w=8, h=8)
+            .withColumn("op", F.lit(op)) for op in ("hflip", "rot90")]
+    return outs[0].unionByName(outs[1]) \
+                  .select("img_id", "op", "py", "px", "val")
+
+
+SQL_IMAGE_AUGMENT = """
+WITH base AS (
+  SELECT (p_partkey - 1) // 64 AS img_id,
+         CAST(((p_partkey - 1) // 8) % 8 AS INT) AS py,
+         CAST((p_partkey - 1) % 8 AS INT) AS px,
+         (p_partkey * 37) % 4096 AS val
+  FROM part
+)
+SELECT img_id, 'hflip' AS op, py, CAST(7 - px AS INT) AS px, val FROM base
+UNION ALL
+SELECT img_id, 'rot90' AS op, CAST(7 - px AS INT) AS py,
+       CAST(py AS INT) AS px, val FROM base
+"""
+
+
 _TAR_SHARDS = 8
 
 
@@ -1048,6 +1084,7 @@ GROUP_B = {
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     "tar_shards": (q_tar_shards, SQL_TAR_SHARDS),
+    "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
     "char_bigram_familiarity": (q_char_bigram_familiarity, SQL_CHAR_BIGRAM_FAMILIARITY),
     "dedup_gate": (q_dedup_gate, SQL_DEDUP_GATE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -180,3 +180,32 @@ def test_tar_shards_roundtrip_and_deterministic(spark, tmp_path):
         h1 = hashlib.md5(open(os.path.join(p1, fn), "rb").read()).hexdigest()
         h2 = hashlib.md5(open(os.path.join(p2, fn), "rb").read()).hexdigest()
         assert h1 == h2, fn
+
+
+def test_augment_binary_equals_long_form(spark):
+    """The numpy binary path and the SQL-expressible coordinate remap
+    are the same transform, op by op."""
+    imgs = synth.synthesize_images(spark, 2, tile_px=8, partitions=1)
+    srcs = {r["image_id"]: codec.decode_block(bytes(r["bytes"]),
+                                              r["w"], r["h"], r["fmt"])
+            for r in imgs.collect()}
+    aug = {(r["image_id"], r["op"]):
+           codec.decode_block(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+           for r in mm.augment_images(imgs).collect()}
+    for iid, blk in srcs.items():
+        h, w, _ = blk.shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        long_pdf = spark.createDataFrame(
+            [(int(y), int(x), int(blk[y, x, 0]))
+             for y, x in zip(yy.ravel(), xx.ravel())],
+            "py int, px int, val int")
+        for op in mm.AUGMENT_OPS:
+            expect = mm.augment_image_np(blk, op)
+            # binary kernel output shipped through encode/decode
+            assert (aug[(f"{iid}#{op}", op)] == expect).all(), op
+            # long-form remap scatters to the identical frame (band 0)
+            got = mm.augment_long(long_pdf, op, w=w, h=h).toPandas()
+            oh, ow = expect.shape[:2]
+            frame = np.zeros((oh, ow), dtype=np.int64)
+            frame[got.py.values, got.px.values] = got.val.values
+            assert (frame == expect[:, :, 0].astype(np.int64)).all(), op
