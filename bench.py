@@ -35,6 +35,9 @@ HEADLINE = [
     # embedding near-dup, broadcast cosine top-k (TakeOrderedAndProject),
     # and the batch-ANN shape pipelines actually run at scale
     "minhash_lsh", "embedding_near_dup", "cosine_topk", "lsh_ann_batch",
+    # r5: sequence packing — the manifest-building shape (window prefix
+    # sums + broadcast shard bases) a training pipeline runs corpus-wide
+    "pack_chunks",
 ]
 
 
