@@ -121,9 +121,38 @@ def main():
     samp = textops.deterministic_sample(docs, fraction=0.1).count()
     out["det_sample"] = {"kept": samp, "sec": round(time.time() - t0, 2)}
 
+    t0 = time.time()
+    pk = textops.pack_chunks(docs, window=2048, n_shards=CPUS * 4)
+    n_chunks = pk.agg(F.max("chunk_id")).first()[0] + 1
+    out["pack"] = {"manifest_rows": pk.count(), "chunks": int(n_chunks),
+                   "sec": round(time.time() - t0, 2)}
+
+    t0 = time.time()
+    rd = textops.redact_pii(docs).agg(
+        F.sum("n_email") + F.sum("n_ipv4") + F.sum("n_phone")).first()[0]
+    out["redact"] = {"hits": int(rd), "sec": round(time.time() - t0, 2)}
+
+    import shutil
+    import tempfile
+
+    from data_cube_utilities_spark.operators import multimodal
+    tar_dir = tempfile.mkdtemp(prefix="tarscale_")
+    try:
+        t0 = time.time()
+        man = multimodal.write_tar_shards(
+            docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        F.encode("text", "utf-8").alias("payload")),
+            tar_dir, n_shards=CPUS, key_col="doc_id",
+            payload_col="payload", ext="txt").toPandas()
+        out["tar_shards"] = {"shards": len(man),
+                             "mb": round(man.data_bytes.sum() / 1e6, 1),
+                             "sec": round(time.time() - t0, 2)}
+    finally:
+        shutil.rmtree(tar_dir, ignore_errors=True)
+
     total = sum(v["sec"] for v in out.values() if isinstance(v, dict))
     out["total_sec"] = round(total, 2)
-    out["docs_per_sec_all_modes"] = round(7 * N_DOCS / total, 1)
+    out["docs_per_sec_all_modes"] = round(10 * N_DOCS / total, 1)
     spark.stop()
     print(json.dumps(out))
 
@@ -132,7 +161,8 @@ def main():
 
 Corpus: {N_DOCS // MEMBERS:,} template clusters of {MEMBERS} (~{TOKENS}
 tokens from a 10^6-word vocabulary; members carry 0-2 token
-substitutions), every 20th doc an exact copy of its cluster canonical.
+substitutions), members 4 and 9 of each cluster exact copies of the
+cluster canonical.
 All-pairs would be {N_DOCS * (N_DOCS - 1) // 2:,}; every mode below
 keeps candidates proportional to planted-duplicate mass.
 
@@ -150,9 +180,12 @@ r5 pipeline stages over the same corpus:
 | decontamination vs {out['contamination']['probes']:,} probes (broadcast trigram join) | {out['contamination']['pairs']:,} flagged pairs | {out['contamination']['sec']}s |
 | char-bigram familiarity (broadcast LM counts) | {out['familiarity']['rows']:,} rows scored | {out['familiarity']['sec']}s |
 | deterministic 10% sample (md5-bucket, no shuffle) | {out['det_sample']['kept']:,} kept | {out['det_sample']['sec']}s |
+| sequence packing (2048-tok chunks, {CPUS * 4} shards) | {out['pack']['manifest_rows']:,} manifest rows / {out['pack']['chunks']:,} chunks | {out['pack']['sec']}s |
+| PII redaction (email+ipv4+phone codegen scrub) | {out['redact']['hits']:,} hits | {out['redact']['sec']}s |
+| webdataset tar shards ({CPUS} tars, write) | {out['tar_shards']['mb']}MB payload | {out['tar_shards']['sec']}s |
 
 Total {out['total_sec']}s — {out['docs_per_sec_all_modes']:,} doc-passes/s
-across the seven modes, signature/token caches released after each call
+across the ten modes, signature/token caches released after each call
 (no cache accumulates between modes; the session ends with zero
 persistent non-checkpoint RDDs).
 
