@@ -1350,6 +1350,91 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                 "n_trigrams", "n_distinct_trigrams")
 
 
+def near_dup_clusters(df: DataFrame, n_bands: int = 8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Near-duplicate CLUSTER resolution — the decision step the pair
+    detectors feed: candidate pairs (minhash_lsh_pairs) -> distributed
+    connected components -> one keeper per cluster.  This is what a real
+    dedup pipeline ships (Lee et al. 2022): not "these docs look alike"
+    but "drop these rows, keep those".
+
+    Output (doc_id, cluster_id, is_keeper, cluster_size):
+    cluster_id = MINIMUM doc id in the connected component of the pair
+    graph; docs with no candidate pair are their own singleton cluster;
+    is_keeper marks exactly one row per cluster (the minimum id).
+
+    100 TB shape: the CC iteration (rasterops._cc_labels_df — min-label
+    propagation + pointer jumping, O(log diameter) rounds) shuffles only
+    the PAIR graph, which is bounded by genuinely-similar mass and
+    orders of magnitude smaller than the corpus; the corpus is touched
+    once by the signature build and once by the final label equi-join.
+    Reference shape: the dedup recipe around
+    data_cube_utilities/dc_utilities.py's mosaic keeper-selection idiom,
+    lifted to the document graph."""
+    from .rasterops import _cc_labels_df
+
+    pairs = minhash_lsh_pairs(df, n_bands=n_bands, id_col=id_col,
+                              text_col=text_col)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    lab = _cc_labels_df(edges)
+    labeled = (df.select(F.col(id_col))
+                 .join(lab.withColumnRenamed("u", id_col), id_col, "left")
+                 .select(F.col(id_col),
+                         F.coalesce("lab", F.col(id_col)).alias("cluster_id")))
+    sizes = (labeled.groupBy("cluster_id")
+                    .agg(F.count("*").alias("cluster_size")))
+    return (labeled.join(sizes, "cluster_id")
+                   .select(id_col, "cluster_id",
+                           (F.col(id_col) == F.col("cluster_id"))
+                           .cast("int").alias("is_keeper"),
+                           "cluster_size"))
+
+
+def duplicate_spans(df: DataFrame, span: int = 10,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact-substring duplication accounting (the Lee et al. 2022
+    "deduplicating training data" EXACT-SUBSTRING mode, in its windowed
+    form): every length-`span` token window is hashed; a window whose
+    hash occurs more than once in the corpus is duplicated text.  Emits
+    per-doc exact integers (n_spans, n_dup_spans, n_cross_dup_spans) —
+    the fraction a pipeline thresholds on derives downstream.
+
+    n_dup_spans counts windows whose hash repeats ANYWHERE (including
+    within the same doc — self-repetition is still memorizable text);
+    n_cross_dup_spans counts windows shared with at least one OTHER doc.
+
+    100 TB shape: the window fan-out is ~tokens-per-doc rows per doc
+    (same order as the shingle explode) and runs at _fanout parallelism;
+    the only shuffles are the groupBy on the span hash (combinable — the
+    map-side partial collapses same-window repeats within a partition)
+    and the per-doc rollup.  Nothing is quadratic: cross-doc duplicate
+    mass is found by hash equality, never pairwise comparison."""
+    sh = (with_tokens(_fanout(df), text_col)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.expr(_ngram_expr(span))).alias("w"))
+          .select("doc_id", F.md5("w").alias("h")))
+    per = sh.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    glob = per.groupBy("h").agg(F.sum("c").alias("tot"),
+                                F.count("*").alias("n_docs"))
+    j = per.join(glob, "h")
+    stats = (j.groupBy("doc_id")
+              .agg(F.sum("c").alias("n_spans"),
+                   F.sum(F.when(F.col("tot") > 1, F.col("c"))
+                          .otherwise(F.lit(0))).alias("n_dup_spans"),
+                   F.sum(F.when(F.col("n_docs") > 1, F.col("c"))
+                          .otherwise(F.lit(0))).alias("n_cross_dup_spans")))
+    return (df.select(F.col(id_col).alias("doc_id"))
+              .join(stats, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                      F.coalesce("n_dup_spans", F.lit(0))
+                       .alias("n_dup_spans"),
+                      F.coalesce("n_cross_dup_spans", F.lit(0))
+                       .alias("n_cross_dup_spans")))
+
+
 # ---------------------------------------------------------------------------
 # reproducible sampling (training-mix construction)
 # ---------------------------------------------------------------------------

@@ -1067,9 +1067,92 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution: minhash pair graph -> distributed
+    connected components (min-label propagation + pointer jumping) ->
+    keeper per cluster.  The drop-list the dedup pipeline actually
+    ships; oracle closes the same graph with a recursive CTE."""
+    return textops.near_dup_clusters(_t(spark, sf_dir, "documents"),
+                                     n_bands=N_BANDS)
+
+
+SQL_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+                         for i in generate_series(1, greatest(len(sp)-2, 0))]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+),
+sig AS (
+  SELECT doc_id, band, min(md5(shingle || '#' || band)) AS sig
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
+  GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+cc AS (
+  SELECT u, u AS lab FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, cc.lab FROM edges e JOIN cc ON cc.u = e.v
+),
+labfin AS (SELECT u AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY u),
+final AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labfin l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(doc_id = cluster_id AS INT) AS is_keeper,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM final
+"""
+
+
+SPAN_W = 10
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplication accounting: length-{SPAN_W} token
+    windows hashed; per-doc duplicated-window counts (total and
+    cross-doc), exact integers."""
+    return textops.duplicate_spans(_t(spark, sf_dir, "documents"),
+                                   span=SPAN_W)
+
+
+SQL_DUPLICATE_SPANS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+w AS (
+  SELECT doc_id,
+         md5(unnest([array_to_string(sp[i:i+{SPAN_W - 1}], ' ')
+              for i in generate_series(1, greatest(len(sp)-{SPAN_W - 1}, 0))])) AS h
+  FROM t
+),
+per AS (SELECT doc_id, h, count(*) AS c FROM w GROUP BY doc_id, h),
+gl AS (SELECT h, sum(c) AS tot, count(*) AS n_docs FROM per GROUP BY h),
+stats AS (
+  SELECT per.doc_id,
+         CAST(sum(per.c) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN gl.tot > 1 THEN per.c ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+         CAST(sum(CASE WHEN gl.n_docs > 1 THEN per.c ELSE 0 END) AS BIGINT)
+             AS n_cross_dup_spans
+  FROM per JOIN gl ON per.h = gl.h GROUP BY per.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_spans, 0) AS n_spans,
+       coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(s.n_cross_dup_spans, 0) AS n_cross_dup_spans
+FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+"""
+
+
 GROUP_B = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
+    "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
     "quality_score": (q_quality_score, SQL_QUALITY),

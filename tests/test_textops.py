@@ -676,3 +676,50 @@ def test_redact_pii(spark):
     r5 = out.loc[5]
     assert (r5.n_email, r5.n_ipv4, r5.n_phone) == (0, 0, 0)
     assert r5.redacted == rows[4][1]
+
+
+def test_near_dup_clusters_transitive_and_singletons(spark):
+    # A~B and B~C pair via shared band signatures, but the cluster must
+    # close TRANSITIVELY (A, B, C in one cluster) even if A and C never
+    # pair directly; D is untouched -> its own singleton cluster.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame([
+        (10, base),
+        (11, base + " extra"),                     # near-dup of 10
+        (12, base + " extra words"),               # near-dup of 11
+        (40, "completely different unrelated content with other words here"),
+    ], "doc_id long, text string")
+    out = textops.near_dup_clusters(docs, n_bands=8).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert set(out.index) == {10, 11, 12, 40}
+    # the dup chain collapses to one cluster labeled by the min id
+    assert out.loc[10].cluster_id == out.loc[11].cluster_id \
+        == out.loc[12].cluster_id == 10
+    assert out.loc[40].cluster_id == 40 and out.loc[40].cluster_size == 1
+    # exactly one keeper per cluster, and it is the min id
+    keepers = out[out.is_keeper == 1]
+    assert sorted(keepers.index) == [10, 40]
+    assert out.loc[10].cluster_size == 3
+
+
+def test_duplicate_spans_counts(spark):
+    span = textops.duplicate_spans
+    shared = " ".join(f"tok{i}" for i in range(10))       # one 10-token window
+    docs = spark.createDataFrame([
+        (1, shared + " unique1 unique2"),                  # shares w/ doc 2
+        (2, shared),                                       # exactly the window
+        (3, " ".join(["rep"] * 12)),                       # self-repetition only
+        (4, "too short"),                                  # < span tokens
+    ], "doc_id long, text string")
+    out = span(docs, span=10).toPandas().set_index("doc_id").sort_index()
+    # doc 2: single window, duplicated cross-doc
+    assert out.loc[2].n_spans == 1
+    assert out.loc[2].n_dup_spans == 1 == out.loc[2].n_cross_dup_spans
+    # doc 1: 3 windows, only the first matches doc 2
+    assert out.loc[1].n_spans == 3
+    assert out.loc[1].n_dup_spans == 1 == out.loc[1].n_cross_dup_spans
+    # doc 3: all 3 windows are the same hash -> dup within doc, not cross
+    assert out.loc[3].n_spans == 3
+    assert out.loc[3].n_dup_spans == 3 and out.loc[3].n_cross_dup_spans == 0
+    # doc 4: shorter than the span -> zero rows, still present
+    assert out.loc[4].n_spans == 0 and out.loc[4].n_dup_spans == 0
