@@ -804,3 +804,139 @@ def transect(df_lines: DataFrame, pixels: DataFrame,
         expand, f"line_id long, seq long, {px_col} long, {py_col} long")
     return cells_df.join(pixels, [px_col, py_col], "left") \
                    .orderBy("line_id", "seq")
+
+
+# ---------------------------------------------------------------------------
+# distributed linear algebra: gram matrix / PCA (SURVEY 2.9 ML family;
+# the dimensionality-reduction stage LLM pipelines run before ANN indexing)
+# ---------------------------------------------------------------------------
+
+def gram_stats(emb: DataFrame, dims: int,
+               vec_col: str = "embedding") -> DataFrame:
+    """One-pass distributed second-moment statistics over an array
+    column: long-form rows (i, j, g) of the gram matrix X^T X, plus the
+    column sums as (i, -1, sum_i) and the row count as (-1, -1, n).
+
+    The classic map-side-combine shape for covariance at scale: each
+    Arrow batch folds into ONE d x d float64 accumulator per partition,
+    and the only shuffle is n_partitions x (d^2 + d + 1) tiny rows into
+    a groupBy sum — the 100 TB corpus is read exactly once and never
+    shuffled. float64 accumulation is EXACT when the inputs are
+    integer-valued (|sum| < 2^53), which is how the driver oracle hashes
+    it (quantized inputs); float inputs are pytest-pinned against numpy.
+
+    Rows that are NULL, have a non-`dims` length, or contain NULL/NaN
+    elements are skipped (the engine's NULL-propagation convention —
+    a single bad vector must not poison or crash the job)."""
+    def run(batches):
+        G = np.zeros((dims, dims), dtype=np.float64)
+        s = np.zeros(dims, dtype=np.float64)
+        n = 0
+        for b in batches:
+            vs = b[vec_col]
+            rows = [np.asarray(v, dtype=np.float64) for v in vs
+                    if v is not None and len(v) == dims]
+            if not rows:
+                continue
+            X = np.stack(rows)
+            ok = ~np.isnan(X).any(axis=1)
+            if ok.any():
+                X = X[ok]
+                G += X.T @ X
+                s += X.sum(axis=0)
+                n += len(X)
+        if n == 0:
+            return
+        ii, jj = np.meshgrid(np.arange(dims), np.arange(dims),
+                             indexing="ij")
+        yield pd.concat([
+            pd.DataFrame({"i": ii.ravel().astype(np.int32),
+                          "j": jj.ravel().astype(np.int32),
+                          "g": G.ravel()}),
+            pd.DataFrame({"i": np.arange(dims, dtype=np.int32),
+                          "j": np.full(dims, -1, dtype=np.int32),
+                          "g": s}),
+            pd.DataFrame({"i": np.array([-1], dtype=np.int32),
+                          "j": np.array([-1], dtype=np.int32),
+                          "g": [float(n)]}),
+        ], ignore_index=True)
+
+    parts = emb.select(vec_col).mapInPandas(run, schema="i int, j int, g double")
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def gram_matrix(emb: DataFrame, dims: int,
+                vec_col: str = "embedding") -> DataFrame:
+    """Long-form (i, j, g) gram matrix X^T X — gram_stats minus the
+    moment bookkeeping rows."""
+    return gram_stats(emb, dims, vec_col).filter("i >= 0 AND j >= 0")
+
+
+def pca_fit(emb: DataFrame, dims: int, k: int,
+            vec_col: str = "embedding"):
+    """PCA via the one-pass gram/mean statistics: the executors reduce
+    the corpus to d^2 + d + 1 numbers (gram_stats), the driver
+    eigendecomposes the d x d covariance — O(d^3) driver work, bounded
+    by the EMBEDDING WIDTH, never the corpus.
+
+    Returns (components [k, d] float64, explained_var [k], mean [d], n).
+    Sign convention: each component is oriented so its largest-magnitude
+    coefficient is positive (eigenvectors are sign-ambiguous; a
+    deterministic orientation makes projections reproducible across
+    LAPACK builds)."""
+    rows = gram_stats(emb, dims, vec_col).collect()
+    G = np.zeros((dims, dims))
+    s = np.zeros(dims)
+    n = 0
+    for r in rows:
+        if r.i == -1:
+            n = int(r.g)
+        elif r.j == -1:
+            s[r.i] = r.g
+        else:
+            G[r.i, r.j] = r.g
+    if n < 2:
+        raise ValueError(f"PCA needs >= 2 valid rows, got {n}")
+    mu = s / n
+    C = (G - n * np.outer(mu, mu)) / (n - 1)
+    w, V = np.linalg.eigh(C)           # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = V[:, order].T
+    flip = np.sign(comps[np.arange(len(order)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return comps, w[order], mu, n
+
+
+def pca_project(emb: DataFrame, components: np.ndarray, mean: np.ndarray,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Project the array column onto fitted components: one Arrow
+    crossing, Y = (X - mean) @ components^T per batch (a GEMM), output
+    (id, projection array<double>).  The tiny [k, d] component matrix
+    rides the closure — broadcast by construction.  Bad rows (NULL,
+    wrong length, NaN elements) project to NULL, never crash."""
+    comps = np.ascontiguousarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    dims = comps.shape[1]
+
+    def run(batches):
+        for b in batches:
+            vs = b[vec_col]
+            out = []
+            good_idx, good_rows = [], []
+            for pos, v in enumerate(vs):
+                if v is not None and len(v) == dims:
+                    a = np.asarray(v, dtype=np.float64)
+                    if not np.isnan(a).any():
+                        good_idx.append(pos)
+                        good_rows.append(a)
+                out.append(None)
+            if good_rows:
+                Y = (np.stack(good_rows) - mu) @ comps.T
+                for pos, y in zip(good_idx, Y):
+                    out[pos] = y.tolist()
+            yield pd.DataFrame({id_col: b[id_col], "projection": out})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, projection array<double>")

@@ -1148,8 +1148,41 @@ FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
 """
 
 
+GRAM_Q = 1000
+
+
+def q_embedding_gram(spark, sf_dir):
+    """Distributed gram matrix (X^T X) over the embeddings, on inputs
+    quantized to round(x*1000) so the float64 accumulation is EXACT and
+    the oracle hash has no rounding grid: one Arrow crossing per
+    partition, shuffle = n_partitions x d^2 tiny rows.  (.5 ties cannot
+    occur: x*1000 = m + 0.5 needs x = (2m+1)/2000, whose denominator is
+    not a power of two — unrepresentable in binary floating point.)"""
+    from .operators import mlops
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * GRAM_Q)).alias("embedding"))
+    return mlops.gram_matrix(q, dims=EMB_DIMS)
+
+
+SQL_EMBEDDING_GRAM = f"""
+WITH q AS (
+  SELECT [round(CAST(x AS DOUBLE) * {GRAM_Q}) for x in embedding] AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+idx AS (SELECT unnest(generate_series(1, {EMB_DIMS})) AS d)
+SELECT CAST(a.d - 1 AS INT) AS i, CAST(b.d - 1 AS INT) AS j,
+       CAST(sum(qv[a.d] * qv[b.d]) AS DOUBLE) AS g
+FROM q, idx a, idx b
+GROUP BY 1, 2
+"""
+
+
 GROUP_B = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),

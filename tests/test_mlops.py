@@ -413,3 +413,48 @@ def test_with_kmeans_assignment_matches_assign_col(spark):
             .withColumn("k3", mlops.kmeans_assign_udf(centers)("v")) \
             .toPandas()
     assert arr.k3.tolist() == both.k1.tolist()
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(40)]
+    # plant bad rows: NULL vector, NaN element, wrong length — all skipped
+    rows += [(100, None), (101, [float("nan")] * 6), (102, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = mlops.gram_matrix(df, dims=6).toPandas()
+    G = np.zeros((6, 6))
+    for _, r in got.iterrows():
+        G[int(r.i), int(r.j)] = r.g
+    Xd = X.astype(np.float64)
+    assert np.allclose(G, Xd.T @ Xd, rtol=1e-12, atol=1e-9)
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    # anisotropic cloud so the principal axes are unambiguous
+    X = rng.normal(size=(200, 5)) * np.array([10.0, 5.0, 1.0, 0.5, 0.1])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    comps, ev, mu, n = mlops.pca_fit(df, dims=5, k=3)
+    assert n == 200
+    # reference PCA on the exact same float32-rounded data
+    Xf = X.astype(np.float32).astype(np.float64)
+    C = np.cov(Xf, rowvar=False)
+    w, V = np.linalg.eigh(C)
+    ref = V[:, np.argsort(w)[::-1][:3]].T
+    flip = np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])
+    ref = ref * flip[:, None]
+    assert np.allclose(np.sort(ev)[::-1], np.sort(w)[::-1][:3], rtol=1e-6)
+    assert np.allclose(comps, ref, atol=1e-6)
+    # projection: distributed == (X - mean) @ comps.T; bad row -> NULL
+    proj = mlops.pca_project(df, comps, mu).toPandas().set_index("vec_id")
+    Y = (Xf - Xf.mean(axis=0)) @ comps.T
+    got = np.stack(proj.sort_index().projection.values)
+    assert np.allclose(got, Y, atol=1e-8)
+    bad = spark.createDataFrame([(1, None)], "vec_id long, embedding array<float>")
+    pb = mlops.pca_project(bad, comps, mu).collect()
+    assert pb[0].projection is None
