@@ -301,3 +301,28 @@ def test_redact_pii_is_jvm_codegen(spark):
     # no exchange of any kind
     assert "Python" not in plan and "Exchange" not in plan
     assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_gram_stats_partial_aggregates_before_exchange(spark):
+    # the gram kernel must map-side-combine: ONE Arrow crossing, then a
+    # partial_sum HashAggregate BEFORE the exchange on (i, j) — shuffle
+    # volume is n_partitions x d^2 tiny rows, never the data
+    from data_cube_utilities_spark.operators import mlops
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    g = mlops.gram_stats(emb, dims=64)
+    plan = plan_of(g)
+    assert plan.count("MapInPandas") == 1
+    assert "partial_sum" in plan
+    # partial aggregate sits below the exchange (map-side combine)
+    assert plan.index("partial_sum") > plan.index("Exchange")
+
+
+def test_near_dup_clusters_never_cartesian(spark):
+    from data_cube_utilities_spark.operators import textops
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = textops.near_dup_clusters(docs, n_bands=8)
+    # the operator runs CC eagerly (localCheckpoints inside); assert on
+    # the final joined plan plus the invariant that every doc came back
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert out.count() == docs.count()

@@ -103,6 +103,27 @@ def main():
                                      max_df=200).count()
     out["jaccard"] = {"pairs_ge_0.8": ng, "sec": round(time.time() - t0, 2)}
 
+    # cluster RESOLUTION: pair graph -> distributed CC -> keeper per cluster
+    from pyspark.sql import functions as _F
+    t0 = time.time()
+    cl = textops.near_dup_clusters(docs, n_bands=8)
+    agg = cl.agg(_F.count("*").alias("n"),
+                 _F.sum("is_keeper").alias("keepers"),
+                 _F.sum(_F.when(_F.col("cluster_size") > 1, 1)
+                        .otherwise(0)).alias("in_multi")).first()
+    out["clusters"] = {"docs": int(agg["n"]), "keepers": int(agg["keepers"]),
+                       "docs_in_multi": int(agg["in_multi"]),
+                       "sec": round(time.time() - t0, 2)}
+
+    # exact-substring span duplication (Lee et al. windowed form)
+    t0 = time.time()
+    ds = textops.duplicate_spans(docs, span=10)
+    dagg = ds.agg(_F.sum("n_spans").alias("spans"),
+                  _F.sum("n_cross_dup_spans").alias("cross")).first()
+    out["dup_spans"] = {"windows": int(dagg["spans"]),
+                        "cross_dup_windows": int(dagg["cross"]),
+                        "sec": round(time.time() - t0, 2)}
+
     # r5 pipeline-stage additions over the same corpus
     from pyspark.sql import functions as F
 
@@ -152,7 +173,9 @@ def main():
 
     total = sum(v["sec"] for v in out.values() if isinstance(v, dict))
     out["total_sec"] = round(total, 2)
-    out["docs_per_sec_all_modes"] = round(10 * N_DOCS / total, 1)
+    n_modes = sum(1 for v in out.values()
+                  if isinstance(v, dict) and "sec" in v)
+    out["docs_per_sec_all_modes"] = round(n_modes * N_DOCS / total, 1)
     spark.stop()
     print(json.dumps(out))
 
@@ -172,6 +195,8 @@ keeps candidates proportional to planted-duplicate mass.
 | MinHash+LSH (8 bands) | {out['minhash']['candidate_pairs']:,} candidate pairs | {out['minhash']['sec']}s |
 | SimHash (4x16-bit bands, hamming<=3) | {out['simhash']['pairs_hamming_le3']:,} pairs | {out['simhash']['sec']}s |
 | n-gram Jaccard (lang-blocked, max_df=200, >=0.8) | {out['jaccard']['pairs_ge_0.8']:,} pairs | {out['jaccard']['sec']}s |
+| cluster resolution (pair graph -> distributed CC -> keepers) | {out['clusters']['keepers']:,} keepers / {out['clusters']['docs_in_multi']:,} docs in multi-doc clusters | {out['clusters']['sec']}s |
+| exact-substring spans (10-token windows) | {out['dup_spans']['cross_dup_windows']:,} of {out['dup_spans']['windows']:,} windows cross-doc dup | {out['dup_spans']['sec']}s |
 
 r5 pipeline stages over the same corpus:
 
@@ -185,7 +210,7 @@ r5 pipeline stages over the same corpus:
 | webdataset tar shards ({CPUS} tars, write) | {out['tar_shards']['mb']}MB payload | {out['tar_shards']['sec']}s |
 
 Total {out['total_sec']}s — {out['docs_per_sec_all_modes']:,} doc-passes/s
-across the ten modes, signature/token caches released after each call
+across the modes, signature/token caches released after each call
 (no cache accumulates between modes; the session ends with zero
 persistent non-checkpoint RDDs).
 

@@ -161,6 +161,16 @@ def main():
 
     rec_ann, rec_ivf = recall(ann), recall(ivf)
 
+    # 6. one-pass gram/PCA: 200k x 64 reduced to d^2+d+1 numbers on the
+    # executors, driver does the d x d eigh; then distributed projection
+    from data_cube_utilities_spark.operators import mlops
+    t0 = time.time()
+    comps, ev, mu, n_fit = mlops.pca_fit(emb, dims=DIMS, k=16)
+    fit_sec = time.time() - t0
+    t0 = time.time()
+    n_proj = mlops.pca_project(emb, comps, mu).count()
+    proj_sec = time.time() - t0
+
     result = {
         "metric": "banded_lsh_scale_200k",
         "rows": N_ROWS,
@@ -185,6 +195,9 @@ def main():
                       "recall_at_10": rec_ivf},
         "brute_force_baseline": {"queries": 64, "k": 10,
                                  "sec": round(brute_sec, 2)},
+        "pca": {"k": 16, "fit_rows": n_fit, "fit_sec": round(fit_sec, 2),
+                "project_rows": n_proj, "project_sec": round(proj_sec, 2),
+                "top16_eigval_sum": round(float(ev.sum()), 3)},
     }
     spark.stop()
     print(json.dumps(result))
@@ -239,6 +252,12 @@ queries pin planes=8 explicitly to match their generated literal SQL.
 - exact brute-force ground truth (all 64 queries x the full table in one
   broadcast pass, Arrow cosine): {result['brute_force_baseline']['sec']}s
   — the accuracy baseline both ANN paths trade against.
+- one-pass PCA (k=16): fit {n_fit:,} rows in
+  {result['pca']['fit_sec']}s — the executors reduce the table to
+  d^2+d+1 numbers (one Arrow crossing, map-side-combined partials), the
+  d x d eigh runs on the driver; distributed projection of all rows in
+  {result['pca']['project_sec']}s. At 100 TB the fit cost is one table
+  scan; the collect is always {DIMS * DIMS + DIMS + 1} values.
 
 At 10^12 rows the same recipe holds: planes ~ 40 (key space 2^40),
 (band, key) becomes the partition key of the materialized signature
