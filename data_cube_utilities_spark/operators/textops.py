@@ -1350,33 +1350,29 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                 "n_trigrams", "n_distinct_trigrams")
 
 
-def near_dup_clusters(df: DataFrame, n_bands: int = 8,
-                      id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """Near-duplicate CLUSTER resolution — the decision step the pair
-    detectors feed: candidate pairs (minhash_lsh_pairs) -> distributed
-    connected components -> one keeper per cluster.  This is what a real
-    dedup pipeline ships (Lee et al. 2022): not "these docs look alike"
-    but "drop these rows, keep those".
+def cluster_from_pairs(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       a_col: str = "doc_a",
+                       b_col: str = "doc_b") -> DataFrame:
+    """Generic cluster RESOLUTION over any pair detector's output:
+    candidate pairs -> distributed connected components -> one keeper
+    per cluster.  Every pair family in this module (minhash_lsh_pairs,
+    simhash_near_dup_pairs, ngram_jaccard_pairs, embedding_near_dup_pairs,
+    hash_near_dup_pairs) feeds this directly.
 
-    Output (doc_id, cluster_id, is_keeper, cluster_size):
-    cluster_id = MINIMUM doc id in the connected component of the pair
-    graph; docs with no candidate pair are their own singleton cluster;
+    Output (id_col, cluster_id, is_keeper, cluster_size):
+    cluster_id = MINIMUM id in the connected component of the pair
+    graph; rows with no candidate pair are their own singleton cluster;
     is_keeper marks exactly one row per cluster (the minimum id).
 
     100 TB shape: the CC iteration (rasterops._cc_labels_df — min-label
     propagation + pointer jumping, O(log diameter) rounds) shuffles only
     the PAIR graph, which is bounded by genuinely-similar mass and
     orders of magnitude smaller than the corpus; the corpus is touched
-    once by the signature build and once by the final label equi-join.
-    Reference shape: the dedup recipe around
-    data_cube_utilities/dc_utilities.py's mosaic keeper-selection idiom,
-    lifted to the document graph."""
+    once by the pair detector and once by the final label equi-join."""
     from .rasterops import _cc_labels_df
 
-    pairs = minhash_lsh_pairs(df, n_bands=n_bands, id_col=id_col,
-                              text_col=text_col)
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     lab = _cc_labels_df(edges)
     labeled = (df.select(F.col(id_col))
                  .join(lab.withColumnRenamed("u", id_col), id_col, "left")
@@ -1389,6 +1385,45 @@ def near_dup_clusters(df: DataFrame, n_bands: int = 8,
                            (F.col(id_col) == F.col("cluster_id"))
                            .cast("int").alias("is_keeper"),
                            "cluster_size"))
+
+
+def near_dup_clusters(df: DataFrame, n_bands: int = 8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Near-duplicate CLUSTER resolution — the decision step the pair
+    detectors feed: candidate pairs (minhash_lsh_pairs) -> distributed
+    connected components -> one keeper per cluster.  This is what a real
+    dedup pipeline ships (Lee et al. 2022): not "these docs look alike"
+    but "drop these rows, keep those".  See cluster_from_pairs for the
+    output contract and the 100 TB shape.
+    Reference shape: the dedup recipe around
+    data_cube_utilities/dc_utilities.py's mosaic keeper-selection idiom,
+    lifted to the document graph."""
+    pairs = minhash_lsh_pairs(df, n_bands=n_bands, id_col=id_col,
+                              text_col=text_col)
+    return cluster_from_pairs(df, pairs, id_col=id_col)
+
+
+def semantic_dedup_clusters(emb: DataFrame, threshold: float = 0.9,
+                            dims: int = 64, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            bands: int = N_BANDS_LSH,
+                            planes: int | None = None,
+                            n_rows: int | None = None) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): rows whose
+    embeddings are near-duplicates (exact cosine >= threshold over
+    banded sign-LSH candidates) collapse into clusters, keeping the
+    minimum id of each — the embedding-space twin of near_dup_clusters.
+
+    Output (id_col, cluster_id, is_keeper, cluster_size); same LSH
+    recall contract as embedding_near_dup_pairs (a pair colliding in no
+    band is not a candidate).  100 TB: pair mass is bounded by the
+    cosine threshold, and the CC closure shuffles only that graph."""
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=threshold, dims=dims, id_col=id_col,
+        vec_col=vec_col, bands=bands, planes=planes, n_rows=n_rows)
+    return cluster_from_pairs(emb, pairs, id_col=id_col,
+                              a_col="vec_a", b_col="vec_b")
 
 
 def duplicate_spans(df: DataFrame, span: int = 10,

@@ -1180,8 +1180,61 @@ GROUP BY 1, 2
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    (banded sign-LSH candidates, exact cosine >= NEARDUP_T) -> the same
+    distributed-CC cluster resolution as near_dup_clusters, over the
+    embeddings table.  Oracle = the embedding pair SQL feeding a
+    recursive-CTE closure."""
+    return textops.semantic_dedup_clusters(
+        _t(spark, sf_dir, "embeddings"), threshold=NEARDUP_T,
+        dims=EMB_DIMS, planes=textops.PLANES_PER_BAND)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE {_banded_keys_cte()},
+e AS (SELECT vec_id, unnest(em) AS v, generate_subscripts(em, 1) AS i
+      FROM emt),
+cand AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM k x JOIN k y ON x.band = y.band AND x.key = y.key
+                    AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b,
+         sum(ea.v * eb.v) AS dot,
+         sqrt(sum(ea.v * ea.v)) AS na,
+         sqrt(sum(eb.v * eb.v)) AS nb
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+pr AS (SELECT vec_a, vec_b FROM dots
+       WHERE round(dot / (na * nb), 6) >= {NEARDUP_T}),
+edges AS (SELECT vec_a AS s, vec_b AS d FROM pr
+          UNION SELECT vec_b, vec_a FROM pr),
+cc AS (
+  SELECT s, s AS lab FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e2.s, cc.lab FROM edges e2 JOIN cc ON cc.s = e2.d
+),
+labfin AS (SELECT s AS vec_id, min(lab) AS cluster_id FROM cc GROUP BY s),
+final AS (
+  SELECT m.vec_id, coalesce(l.cluster_id, m.vec_id) AS cluster_id
+  FROM embeddings m LEFT JOIN labfin l ON m.vec_id = l.vec_id
+)
+SELECT vec_id, cluster_id,
+       CAST(vec_id = cluster_id AS INT) AS is_keeper,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM final
+"""
+
+
 GROUP_B = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),

@@ -702,6 +702,40 @@ def test_near_dup_clusters_transitive_and_singletons(spark):
     assert out.loc[10].cluster_size == 3
 
 
+def test_cluster_from_pairs_is_detector_agnostic(spark):
+    # the resolution step must compose with ANY pair table: hand it a
+    # synthetic pair graph (7-8, 8-9 chain; 20 isolated) and check the
+    # closure, keepers, and sizes without any detector in the loop
+    rows = spark.createDataFrame(
+        [(7,), (8,), (9,), (20,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(7, 8), (8, 9)], "doc_a long, doc_b long")
+    out = textops.cluster_from_pairs(rows, pairs).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert list(out.cluster_id) == [7, 7, 7, 20]
+    assert list(out.is_keeper) == [1, 0, 0, 1]
+    assert list(out.cluster_size) == [3, 3, 3, 1]
+
+
+def test_semantic_dedup_clusters_matches_pair_graph(spark):
+    # keepers of semantic_dedup_clusters == CC closure of the
+    # embedding_near_dup_pairs graph at the same threshold
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    th, planes = 0.3, textops.PLANES_PER_BAND
+    out = textops.semantic_dedup_clusters(emb, threshold=th, dims=64,
+                                          planes=planes).toPandas()
+    assert len(out) == emb.count()
+    pairs = textops.embedding_near_dup_pairs(emb, threshold=th, dims=64,
+                                             planes=planes).toPandas()
+    # every paired vec shares a cluster with its partner
+    cid = dict(zip(out.vec_id, out.cluster_id))
+    assert all(cid[a] == cid[b] for a, b in zip(pairs.vec_a, pairs.vec_b))
+    # one keeper per cluster, keeper is the min id of its cluster
+    g = out.groupby("cluster_id")
+    assert (g.is_keeper.sum() == 1).all()
+    assert (g.apply(lambda d: d.vec_id.min() == d.cluster_id)).all()
+
+
 def test_duplicate_spans_counts(spark):
     span = textops.duplicate_spans
     shared = " ".join(f"tok{i}" for i in range(10))       # one 10-token window
