@@ -702,6 +702,88 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_phash_gate(spark, sf_dir):
+    """The keyed-state streaming NEAR-dup gate (banded 64-bit hash, per-
+    bucket keeper, popcount hamming) driven through a real streaming
+    query, like q_dedup_gate.  The 60-bit content hash stands in for the
+    image table's phash column (conv of 15 md5 hex chars — the
+    cross-engine int-from-md5 identity), so near-dup here means exact
+    content dup: hamming to the bucket keeper is 0 for copies and the
+    oracle recomputes every (band, key, member) row in SQL.  The single
+    symlinked file arrives as ONE micro-batch, so arrival-order
+    semantics are deterministic; multi-batch keeper revision is
+    pytest-pinned in tests/test_streaming."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import stateful
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    d = tempfile.mkdtemp(prefix="phgate_src_")
+    os.symlink(src, os.path.join(d, "part-00000.parquet"))
+    name = "phgate_" + uuid.uuid4().hex[:8]
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).parquet(d)
+              .withColumn("phash",
+                          F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+                           .cast("long")))
+    q = (stateful.streaming_phash_near_dup(stream, id_col="doc_id")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+    try:
+        emitted = spark.table(name)
+        w = (Window.partitionBy("band", "key", "member_id")
+                   .orderBy(F.col("n_seen").desc()))
+        return (emitted.withColumn("rn", F.row_number().over(w))
+                       .filter("rn = 1").drop("rn")
+                       .localCheckpoint(eager=True))
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_PHASH_GATE = """
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS member_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash
+  FROM documents
+),
+e AS (
+  SELECT member_id, phash,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([phash % 65536,
+                 (phash // 65536) % 65536,
+                 (phash // 4294967296) % 65536,
+                 (phash // 281474976710656) % 65536]) AS key
+  FROM h
+),
+k AS (
+  SELECT band, key, member_id, phash,
+         row_number() OVER (PARTITION BY band, key ORDER BY member_id)
+           AS rn,
+         count(*) OVER (PARTITION BY band, key) AS n_seen
+  FROM e
+),
+keep AS (SELECT band, key, member_id AS keeper_id,
+                phash AS keeper_phash
+         FROM k WHERE rn = 1)
+SELECT CAST(k.band AS INT) AS band, k.key, k.member_id, keep.keeper_id,
+       CAST(bit_count(xor(k.phash, keep.keeper_phash)) AS INT) AS hamming,
+       CAST(k.member_id != keep.keeper_id
+            AND bit_count(xor(k.phash, keep.keeper_phash)) <= 3 AS INT)
+         AS is_dup,
+       k.n_seen
+FROM k JOIN keep ON k.band = keep.band AND k.key = keep.key
+"""
+
+
 SAMPLE_MIX = {"src0": 0.5, "src1": 0.25, "src2": 1.0}
 
 
@@ -1256,6 +1338,7 @@ GROUP_B = {
     "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
     "char_bigram_familiarity": (q_char_bigram_familiarity, SQL_CHAR_BIGRAM_FAMILIARITY),
     "dedup_gate": (q_dedup_gate, SQL_DEDUP_GATE),
+    "phash_gate": (q_phash_gate, SQL_PHASH_GATE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "lsh_ann": (q_lsh_ann, SQL_LSH_ANN),

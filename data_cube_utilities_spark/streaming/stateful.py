@@ -121,3 +121,121 @@ def streaming_exact_dedup(stream: DataFrame,
             .applyInPandasWithState(
                 _dedup_gate, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA,
                 "update", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming phash near-dup gate (the image-dedup family, incrementally)
+# ---------------------------------------------------------------------------
+
+PHGATE_OUT_SCHEMA = ("band int, key long, member_id string, "
+                     "keeper_id string, hamming int, is_dup int, "
+                     "n_seen long")
+PHGATE_STATE_SCHEMA = "keeper_id string, keeper_phash long, n_seen long"
+_M64 = (1 << 64) - 1
+PHGATE_MAX_HAMMING = 3
+PHGATE_BANDS = 4
+
+
+def _phash_gate(key, pdfs, state):
+    """Per (band, key) state: (keeper_id, keeper_phash, n_seen).
+    Keeper = running lexicographic-min member id (commutative, so the
+    settled keeper equals the batch twin under any arrival order); each
+    batch emits ITS member rows judged against the keeper as settled at
+    that batch's end — hamming(member, keeper) and the is_dup flag at
+    threshold PHGATE_MAX_HAMMING.  State is O(1) per occupied bucket:
+    the only size that survives 10^12 images.  By pigeonhole, a pair
+    within hamming <= PHGATE_BANDS - 1 shares >= 1 band key, so a
+    genuinely near-duplicate arrival always lands in its earlier twin's
+    bucket in at least one band (the batch detector's recall contract,
+    hash_near_dup_pairs)."""
+    keeper, kph, n_seen = state.get if state.exists else (None, 0, 0)
+    members = []
+    for pdf in pdfs:
+        members.extend((str(m), int(p))
+                       for m, p in zip(pdf["member_id"], pdf["phash"]))
+    if not members:
+        return
+    bm_id, bm_ph = min(members)
+    if keeper is None or bm_id < keeper:
+        keeper, kph = bm_id, bm_ph
+    n_seen += len(members)
+    state.update((keeper, int(kph), int(n_seen)))
+    band, bkey = int(key[0]), int(key[1])
+    hams = [bin((p ^ kph) & _M64).count("1") for _, p in members]
+    yield pd.DataFrame({
+        "band": [band] * len(members),
+        "key": [bkey] * len(members),
+        "member_id": [m for m, _ in members],
+        "keeper_id": [keeper] * len(members),
+        "hamming": hams,
+        "is_dup": [int(m != keeper and h <= PHGATE_MAX_HAMMING)
+                   for (m, _), h in zip(members, hams)],
+        "n_seen": [n_seen] * len(members),
+    })
+
+
+def _banded(df: DataFrame, id_col: str, phash_col: str) -> DataFrame:
+    """(member_id, phash, band, key): the PHGATE_BANDS x 16-bit band keys
+    of the 64-bit hash, JVM-side (same banding as hash_near_dup_pairs)."""
+    from pyspark.sql import functions as F
+
+    width = 64 // PHGATE_BANDS
+    mask = (1 << width) - 1
+    h = F.col(phash_col).cast("long")
+    keys = [F.shiftrightunsigned(h, i * width).bitwiseAND(F.lit(mask))
+            .cast("long") for i in range(PHGATE_BANDS)]
+    return df.select(F.col(id_col).cast("string").alias("member_id"),
+                     h.alias("phash"),
+                     F.posexplode(F.array(*keys)).alias("band", "key"))
+
+
+def streaming_phash_near_dup(stream: DataFrame,
+                             id_col: str = "image_id",
+                             phash_col: str = "phash") -> DataFrame:
+    """Streaming NEAR-dup gate over a 64-bit perceptual-hash column (the
+    input_hint image table's phash:int64): arrivals are banded into
+    PHGATE_BANDS x 16-bit keys and keyed state per occupied (band, key)
+    bucket tracks (keeper, keeper_phash, n_seen); each arrival is judged
+    against its bucket keeper by exact popcount-XOR hamming.  The
+    incremental form of hash_near_dup_pairs: admit-or-drop against the
+    bucket representative as images arrive, instead of a batch pair
+    join.  Downstream, a member with is_dup=1 in ANY band is a
+    near-duplicate of an already-admitted image."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (_banded(stream, id_col, phash_col)
+            .groupBy("band", "key")
+            .applyInPandasWithState(
+                _phash_gate, PHGATE_OUT_SCHEMA, PHGATE_STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))
+
+
+def phash_gate_batch(df: DataFrame, id_col: str = "image_id",
+                     phash_col: str = "phash") -> DataFrame:
+    """Batch twin for parity: per (band, key) the keeper is the
+    lexicographic-min member id; every member row carries popcount-XOR
+    hamming to the keeper's phash and the same is_dup flag.  Equals the
+    streaming gate exactly when the stream arrives in one micro-batch;
+    across many batches the settled keeper/n_seen still match (the
+    fold is commutative) while early members keep their
+    judged-at-arrival flags — the gate semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = _banded(df, id_col, phash_col)
+    w = Window.partitionBy("band", "key")
+    keep = (e.withColumn("rn", F.row_number().over(
+                w.orderBy("member_id")))
+             .withColumn("n_seen", F.count("*").over(w)))
+    k = (keep.filter("rn = 1")
+             .select("band", "key", F.col("member_id").alias("keeper_id"),
+                     F.col("phash").alias("keeper_phash")))
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("keeper_phash"))) \
+           .cast("int")
+    return (keep.join(k, ["band", "key"])
+                .select("band", "key", "member_id", "keeper_id",
+                        ham.alias("hamming"),
+                        ((F.col("member_id") != F.col("keeper_id"))
+                         & (ham <= PHGATE_MAX_HAMMING))
+                        .cast("int").alias("is_dup"),
+                        F.col("n_seen").cast("long").alias("n_seen")))

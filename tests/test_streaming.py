@@ -232,3 +232,92 @@ def test_streaming_exact_dedup_equals_batch_twin(spark, tmp_path):
     dup_rows = emitted[emitted.text_hash == dup_hash].sort_values("n_seen")
     assert len(dup_rows) >= 2
     assert dup_rows.doc_id.iloc[-1] == 1
+
+
+def test_streaming_phash_gate_single_batch_equals_twin(spark, tmp_path):
+    """One micro-batch: the streaming phash gate's rows equal
+    phash_gate_batch exactly — including a REAL near-dup (hamming 2)
+    and an unrelated hash (no shared band key with the others)."""
+    from data_cube_utilities_spark.streaming import stateful
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    base = 0x1234_5678_9ABC_DEF0
+    rows = [("a", base),
+            ("b", base ^ 0b101),                  # hamming 2 from a
+            ("c", signed(base ^ (1 << 63) ^ 1)),  # hamming 2, sign+low bit
+            ("z", 0x7EDC_BA98_7654_3210)]         # unrelated
+    d = str(tmp_path / "imgs")
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    df.coalesce(1).write.parquet(d)
+
+    stream = (spark.readStream.schema("image_id string, phash long")
+              .parquet(d))
+    q = (stateful.streaming_phash_near_dup(stream)
+         .writeStream.format("memory").queryName("phgate")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (spark.sql("SELECT * FROM phgate").toPandas()
+           .sort_values(["band", "key", "member_id"]).reset_index(drop=True))
+    exp = (stateful.phash_gate_batch(spark.read.parquet(d)).toPandas()
+           .sort_values(["band", "key", "member_id"]).reset_index(drop=True))
+    assert got.equals(exp[got.columns.tolist()])
+    # b and c collide with keeper a in the bands their flips do NOT
+    # touch and are flagged there; z is never flagged
+    flagged = got[got.is_dup == 1]
+    assert set(flagged.member_id) == {"b", "c"}
+    assert (flagged[flagged.member_id == "b"].hamming == 2).all()
+    assert "z" not in set(flagged.member_id)
+
+
+def test_streaming_phash_gate_multibatch_keeper_revision(spark, tmp_path):
+    """Keeper revision across micro-batches: a smaller id arriving LATER
+    takes over the bucket; the settled keeper/n_seen equal the batch
+    twin (commutative fold) while the later batch's rows are judged
+    against the revised keeper."""
+    from data_cube_utilities_spark.streaming import stateful
+
+    ph = 0x0F0F_0F0F_0F0F_0F0F
+    files = {"part-0": [("m", ph)], "part-1": [("a", ph ^ 0b11)]}
+    d = str(tmp_path / "imgs2")
+    import os
+    os.makedirs(d)
+    for fn, rs in files.items():
+        spark.createDataFrame(rs, "image_id string, phash long") \
+            .coalesce(1).write.parquet(f"{d}/{fn}")
+    stream = (spark.readStream.schema("image_id string, phash long")
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(d))
+    q = (stateful.streaming_phash_near_dup(stream)
+         .writeStream.format("memory").queryName("phgate2")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM phgate2").toPandas()
+    # batch 1: m is its own keeper wherever it lands
+    first = got[got.member_id == "m"]
+    assert (first.keeper_id == "m").all() and (first.is_dup == 0).all()
+    assert (first.n_seen == 1).all()
+    # batch 2: the 2-bit flip touches only band 0, so a shares m's
+    # bucket in bands 1-3 and REVISES the keeper there ('a' < 'm');
+    # judged vs itself -> hamming 0, not dup
+    shared = got[(got.member_id == "a") & (got.n_seen == 2)]
+    assert sorted(shared.band) == [1, 2, 3]
+    assert (shared.keeper_id == "a").all() and (shared.is_dup == 0).all()
+    # settled per-bucket state equals the batch twin's keeper/n_seen
+    all_imgs = spark.read.option("recursiveFileLookup", "true").parquet(d)
+    twin = stateful.phash_gate_batch(all_imgs).toPandas()
+    settled = (got.sort_values("n_seen").groupby(["band", "key"])
+               .last().reset_index())
+    t = (twin.groupby(["band", "key"])
+         .agg(keeper_id=("keeper_id", "first"), n_seen=("n_seen", "first"))
+         .reset_index())
+    m = settled.merge(t, on=["band", "key"], suffixes=("", "_t"))
+    assert (m.keeper_id == m.keeper_id_t).all()
+    assert (m.n_seen == m.n_seen_t).all()
