@@ -1331,6 +1331,51 @@ GROUP BY event_type ORDER BY n DESC, event_type LIMIT 1
 """
 
 
+_PROFILE_KINDS = [
+    ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+    ("l_linenumber", "num"), ("l_quantity", "num"),
+    ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+    ("l_returnflag", "str"), ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def q_profile_table(spark, sf_dir):
+    """ANALYZE-style one-scan table profile (catalog.profile_table) over
+    lineitem's full mixed-type schema: exact per-column n_rows / n_nulls
+    / n_distinct / min / max — the column-quality summary the reference
+    derives ad hoc per notebook, generalized.  min/max of stored values
+    only (no arithmetic), so the hash has no rounding surface."""
+    from .sources.catalog import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem"))
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c, kind in _PROFILE_KINDS:
+        if kind == "num":
+            mn, mx = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
+            ms = xs = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            xs = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms, xs = f"min({c})", f"max({c})"
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str FROM lineitem")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_PROFILE_TABLE = _profile_sql()
+
+
 def q_lag_linregress(spark, sf_dir):
     """lag_linregress_3D moments (dea temporal.py:811-881): the four
     SQL-expressible outputs — cov/cor/slope/intercept of value against
@@ -2257,6 +2302,7 @@ GROUP_A = {
     "compute_slip": (q_compute_slip, SQL_COMPUTE_SLIP),
     "medoid_mosaic": (q_medoid_mosaic, SQL_MEDOID_MOSAIC),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
+    "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),

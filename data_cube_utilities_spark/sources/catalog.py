@@ -82,3 +82,66 @@ def full_dataset_extent(df: DataFrame, time_col: str = "acquired_at",
         "latitude": df.select(lat_col).distinct().orderBy(lat_col),
         "longitude": df.select(lon_col).distinct().orderBy(lon_col),
     }
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
+                  ts_fmt: str = "yyyy-MM-dd HH:mm:ss") -> DataFrame:
+    """ANALYZE-style per-column profile in ONE table scan: for every
+    column, (n_rows, n_nulls, n_distinct exact, min/max).  Numeric
+    min/max land in min_num/max_num (double); string and temporal
+    min/max land in min_str/max_str (temporal formatted via ts_fmt so
+    the representation is engine-portable).  The column-quality summary
+    the reference derives ad hoc per notebook (dc_utilities'
+    clean-pixel percentages, data_access_api's per-dim extents),
+    generalized to any table.
+
+    100 TB shape: a single wide aggregate — every stat is an algebraic
+    fold with a map-side partial (count / min / max; countDistinct
+    expands by n_profiled_columns before the partial, Spark's standard
+    multi-distinct EXPAND plan, shuffling only distinct values).  The
+    1-row result is checkpointed and exploded to long form DRIVER-side:
+    the long-form union never re-executes the scan."""
+    from pyspark.sql import types as T
+
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    kinds: dict[str, str] = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if isinstance(dt, T.NumericType):
+            kinds[c] = "num"
+            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                             T.DateType)):
+            kinds[c] = "ts"
+            aggs.append(F.date_format(F.min(c), ts_fmt).alias(f"{c}__mn"))
+            aggs.append(F.date_format(F.max(c), ts_fmt).alias(f"{c}__mx"))
+        else:
+            kinds[c] = "str"
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__mn"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__mx"))
+    one = df.agg(*aggs).localCheckpoint(eager=True)
+
+    parts = []
+    for c in cols:
+        num = kinds[c] == "num"
+        parts.append(one.select(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (F.col(f"{c}__mn") if num
+             else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"{c}__mx") if num
+             else F.lit(None).cast("double")).alias("max_num"),
+            (F.lit(None).cast("string") if num
+             else F.col(f"{c}__mn")).alias("min_str"),
+            (F.lit(None).cast("string") if num
+             else F.col(f"{c}__mx")).alias("max_str")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -54,3 +54,40 @@ def test_full_dataset_extent(spark):
     assert [r.y for r in ext["latitude"].collect()] == [1.0, 2.0]
     assert [r.x for r in ext["longitude"].collect()] == [10.0, 11.0]
     assert catalog.full_dataset_extent(df.limit(0)) == {}
+
+
+def test_profile_table_mixed_types_and_nulls(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "b", dt.datetime(2024, 1, 2, 3, 4, 5)),
+         (2, None, "a", dt.datetime(2024, 6, 7, 8, 9, 10)),
+         (2, -1.0, None, None)],
+        "k long, v double, s string, t timestamp")
+    out = (catalog.profile_table(df).toPandas()
+           .set_index("col_name"))
+    assert (out.n_rows == 3).all()
+    assert out.loc["k"].n_nulls == 0 and out.loc["k"].n_distinct == 2
+    assert out.loc["k"].min_num == 1.0 and out.loc["k"].max_num == 2.0
+    assert out.loc["v"].n_nulls == 1 and out.loc["v"].min_num == -1.0
+    assert out.loc["v"].max_num == 2.5
+    assert out.loc["s"].n_nulls == 1
+    assert out.loc["s"].min_str == "a" and out.loc["s"].max_str == "b"
+    assert out.loc["t"].n_nulls == 1
+    assert out.loc["t"].min_str == "2024-01-02 03:04:05"
+    assert out.loc["t"].max_str == "2024-06-07 08:09:10"
+    # numeric rows leave the string slots null and vice versa
+    import math
+    assert out.loc["k"].min_str is None
+    assert math.isnan(out.loc["s"].min_num)
+
+
+def test_profile_table_single_scan(spark):
+    # the long-form union must explode the CHECKPOINTED 1-row aggregate,
+    # never re-running the scan: the physical plan of the output contains
+    # only LogicalRDD scans (the checkpoint), no file scan at all
+    df = spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS x")
+    out = catalog.profile_table(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "Range" not in plan
