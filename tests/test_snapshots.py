@@ -85,3 +85,76 @@ def test_manifest_json_is_valid(spark, table):
         m = json.load(f)
     assert set(m) >= {"version", "parent", "operation", "partitions",
                       "lineage", "created_utc", "total_rows"}
+
+
+def test_incremental_append_scan(spark, table):
+    table.commit(_df(spark, 0, 10, "a"), ["part"])                    # v0
+    table.commit(_df(spark, 10, 15, "b"), ["part"], operation="append")  # v1
+    table.commit(_df(spark, 15, 17, "c"), ["part"], operation="append")  # v2
+    assert sorted(r.id for r in
+                  table.read_changes(spark, 0).collect()) == list(range(10, 17))
+    assert sorted(r.id for r in
+                  table.read_changes(spark, 0, 1).collect()) == list(range(10, 15))
+    assert sorted(r.id for r in
+                  table.read_changes(spark, 1, 2).collect()) == [15, 16]
+    assert table.read_changes(spark, 2, 2).count() == 0
+    # an overwrite inside the range is refused, like Iceberg
+    table.commit(_df(spark, 0, 3, "d"), ["part"], operation="overwrite")  # v3
+    with pytest.raises(ValueError, match="overwrite"):
+        table.read_changes(spark, 2, 3)
+    # and appends after the overwrite scan fine again
+    table.commit(_df(spark, 3, 5, "e"), ["part"], operation="append")     # v4
+    assert sorted(r.id for r in
+                  table.read_changes(spark, 3, 4).collect()) == [3, 4]
+
+
+def test_rollback_branches_without_clobbering(spark, table):
+    table.commit(_df(spark, 0, 10, "a"), ["part"])                    # v0
+    table.commit(_df(spark, 10, 15, "b"), ["part"], operation="append")  # v1
+    table.commit(_df(spark, 15, 20, "c"), ["part"], operation="append")  # v2
+    table.rollback(1)
+    assert table.current_version() == 1
+    assert table.read(spark).count() == 15
+    # orphan v2 still time-travels until expiry
+    assert table.read(spark, version=2).count() == 20
+    # next commit branches as v3 with parent 1 — v2 untouched
+    v = table.commit(_df(spark, 50, 52, "d"), ["part"], operation="append")
+    assert v == 3 and table.manifest(3)["parent"] == 1
+    assert table.read(spark).count() == 17
+    assert table.read(spark, version=2).count() == 20
+
+
+def test_expire_snapshots_drops_orphans_keeps_chain(spark, table):
+    table.commit(_df(spark, 0, 10, "a"), ["part"])                    # v0
+    table.commit(_df(spark, 10, 15, "b"), ["part"], operation="append")  # v1
+    table.commit(_df(spark, 15, 20, "c"), ["part"], operation="append")  # v2
+    table.rollback(1)
+    table.commit(_df(spark, 50, 52, "d"), ["part"], operation="append")  # v3
+    expired = table.expire_snapshots(keep_last=1)
+    # head v3's chain is v3->v1->v0: all kept even at keep_last=1;
+    # only the orphan v2 expires
+    assert expired == [2]
+    assert not os.path.exists(os.path.join(table.data_dir, "v00002"))
+    assert table.read(spark).count() == 17
+    assert table.read(spark, version=0).count() == 10
+    with pytest.raises(FileNotFoundError):
+        table.manifest(2)
+
+
+def test_manifest_metrics_prune_scan(spark, table):
+    table.commit(_df(spark, 0, 10, "a"), ["part"], metrics_cols=["v"])
+    table.commit(_df(spark, 100, 110, "b"), ["part"], operation="append",
+                 metrics_cols=["v"])
+    table.commit(_df(spark, 200, 210, "c"), ["part"], operation="append",
+                 metrics_cols=["v"])
+    # bounds inside the middle commit only -> one dir survives pruning
+    dirs = table.pruned_dirs(2, {"v": (101.0, 105.0)})
+    assert len(dirs) == 1 and dirs[0].endswith("v00001")
+    out = table.read(spark, where={"v": (101.0, 105.0)})
+    assert sorted(r.id for r in out.collect()) == list(range(101, 106))
+    # a column with no recorded metrics never prunes (only filters)
+    assert len(table.pruned_dirs(2, {"id": (0, 1)})) == 3
+    out2 = table.read(spark, where={"id": (0, 1)})
+    assert out2.count() == 2
+    # predicate matching nothing still returns a well-formed empty result
+    assert table.read(spark, where={"v": (1e9, 2e9)}).count() == 0
