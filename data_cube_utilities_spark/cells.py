@@ -244,3 +244,78 @@ def encode_sql(lat_expr: str, lon_expr: str, res: int) -> str:
     ix = f"least(greatest(CAST(floor(({lon_w} + 180.0)/360.0 * {nx}) AS BIGINT), 0), {nx - 1})"
     iy = f"least(greatest(CAST(floor((90.0 - ({lat_expr}))/180.0 * {ny}) AS BIGINT), 0), {ny - 1})"
     return f"({res} * CAST({_RES_MULT} AS BIGINT) + {iy} * CAST({_IY_MULT} AS BIGINT) + {ix})"
+
+
+# -- Z-order (Morton) spatial clustering key --------------------------------
+# The data-layout half of the tiling story (Iceberg's rewrite-with-zorder):
+# interleaving the quantized (iy, ix) bits gives a 1-D sort key whose order
+# preserves 2-D locality, so range-partitioned + sorted parquet gets tight
+# per-file lat/lon min/max — manifest and row-group pruning then skip most
+# files for any bbox scan. Spread steps are the classic magic-mask Morton
+# encode; bits <= 16 (a 2^16 x 2^16 grid, z < 2^33).
+
+_Z_STEPS = [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+            (1, 0x5555555555555555)]
+
+
+def zorder_np(ix, iy, bits: int = 16):
+    """numpy reference: interleave ix (even bits) with iy (odd bits)."""
+    if bits > 16:
+        raise ValueError("bits must be <= 16")
+
+    def spread(v):
+        v = np.asarray(v, dtype=np.int64) & ((1 << bits) - 1)
+        for s, m in _Z_STEPS:
+            v = (v | (v << s)) & m
+        return v
+
+    return spread(ix) | (spread(iy) << 1)
+
+
+def _quant_col(lat: Column, lon: Column, bits: int) -> tuple[Column, Column]:
+    n = 1 << bits
+    shifted = lon + F.lit(180.0)
+    lon_w = shifted - F.lit(360.0) * F.floor(shifted / F.lit(360.0)) - F.lit(180.0)
+    ix = F.floor((lon_w + 180.0) / 360.0 * n).cast("long")
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1))
+    iy = F.floor((F.lit(90.0) - lat) / 180.0 * n).cast("long")
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1))
+    return ix, iy
+
+
+def zorder_col(lat: Column, lon: Column, bits: int = 16) -> Column:
+    """Column twin of zorder_np over quantized lat/lon (same grid
+    arithmetic as encode_col) — pure codegen, no UDF."""
+    if bits > 16:
+        raise ValueError("bits must be <= 16")
+
+    def spread(v: Column) -> Column:
+        v = v.bitwiseAND(F.lit((1 << bits) - 1))
+        for s, m in _Z_STEPS:
+            v = (v.bitwiseOR(F.shiftleft(v, s))).bitwiseAND(F.lit(m))
+        return v
+
+    ix, iy = _quant_col(lat, lon, bits)
+    return spread(ix).bitwiseOR(F.shiftleft(spread(iy), 1)).alias("zkey")
+
+
+def zorder_sql(lat_expr: str, lon_expr: str, bits: int = 16) -> str:
+    """ANSI-SQL twin for the DuckDB oracle — identical arithmetic."""
+    if bits > 16:
+        raise ValueError("bits must be <= 16")
+    n = 1 << bits
+    lon_w = (f"(( ({lon_expr}) + 180.0) - 360.0 * "
+             f"floor((({lon_expr}) + 180.0)/360.0) - 180.0)")
+    ix = (f"least(greatest(CAST(floor(({lon_w} + 180.0)/360.0 * {n}) "
+          f"AS BIGINT), 0), {n - 1})")
+    iy = (f"least(greatest(CAST(floor((90.0 - ({lat_expr}))/180.0 * {n}) "
+          f"AS BIGINT), 0), {n - 1})")
+
+    def spread(e: str) -> str:
+        e = f"(({e}) & {(1 << bits) - 1})"
+        for s, m in _Z_STEPS:
+            e = f"((({e}) | (({e}) << {s})) & {m})"
+        return e
+
+    return f"({spread(ix)} | ({spread(iy)} << 1))"

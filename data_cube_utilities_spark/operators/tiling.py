@@ -187,3 +187,18 @@ def salted_mean(df: DataFrame, cell_col: str, value_cols: Sequence[str],
         *[(F.sum(f"_s_{c}") / F.sum("_n")).alias(f"{c}_mean")
           for c in value_cols],
         F.sum("_n").alias("n"))
+
+
+def zorder_layout(df: DataFrame, lat_col: str, lon_col: str,
+                  n_files: int, bits: int = 16) -> DataFrame:
+    """Z-order clustered write layout (Iceberg's rewrite-with-zorder):
+    range-partition on the Morton key, sort within partitions — each
+    output file then covers a tight lat/lon bbox, so any bbox scan
+    prunes most files via parquet row-group (and snapshot-manifest)
+    min/max.  Write the result with .write.parquet; the zkey column is
+    kept so layout audits (and future compactions) can see it."""
+    from ..cells import zorder_col
+
+    z = df.withColumn("zkey", zorder_col(F.col(lat_col), F.col(lon_col),
+                                         bits))
+    return z.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")

@@ -1376,6 +1376,29 @@ def _profile_sql() -> str:
 SQL_PROFILE_TABLE = _profile_sql()
 
 
+ZBITS = 16
+
+
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over the supplier point cloud —
+    the layout half of the tiling story (Iceberg rewrite-with-zorder):
+    quantize lat/lon to a 2^16 grid and interleave bits with the
+    magic-mask spread, pure codegen arithmetic.  tiling.zorder_layout
+    uses the same key to range-partition + sort files so bbox scans
+    prune (pytest-pinned); this row hash-checks the key itself."""
+    s = _t(spark, sf_dir, "supplier").withColumn("x", F.expr(SUP_X)) \
+                                     .withColumn("y", F.expr(SUP_Y))
+    return s.select("s_suppkey",
+                    cells.zorder_col(F.col("y"), F.col("x"), ZBITS)
+                         .alias("zkey"))
+
+
+SQL_ZORDER = f"""
+WITH pts AS (SELECT s_suppkey, {SUP_X} AS x, {SUP_Y} AS y FROM supplier)
+SELECT s_suppkey, {cells.zorder_sql('y', 'x', 16)} AS zkey FROM pts
+"""
+
+
 def q_lag_linregress(spark, sf_dir):
     """lag_linregress_3D moments (dea temporal.py:811-881): the four
     SQL-expressible outputs — cov/cor/slope/intercept of value against
@@ -2303,6 +2326,7 @@ GROUP_A = {
     "medoid_mosaic": (q_medoid_mosaic, SQL_MEDOID_MOSAIC),
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
+    "zorder": (q_zorder, SQL_ZORDER),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),

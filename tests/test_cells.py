@@ -145,3 +145,72 @@ def test_column_twin_matches_numpy(spark):
         )
         exp = np.sort(cells.encode(pdf.lat.to_numpy(), pdf.lon.to_numpy(), res))
         assert (got == exp).all()
+
+
+def test_zorder_np_reference_values():
+    import numpy as np
+    from data_cube_utilities_spark import cells
+
+    assert cells.zorder_np(0, 0) == 0
+    assert cells.zorder_np(3, 1) == 0b111          # x even bits, y odd
+    assert cells.zorder_np(0, 3) == 0b1010
+    assert cells.zorder_np(65535, 65535) == 2**32 - 1
+    # locality: consecutive z codes decode to adjacent-ish grid steps
+    xs = np.arange(64) % 8
+    ys = np.arange(64) // 8
+    z = cells.zorder_np(xs, ys, bits=3)
+    assert len(set(map(int, z))) == 64             # bijective on the grid
+
+
+def test_zorder_col_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark import cells
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-60, 60, 300)
+    lon = rng.uniform(-179, 179, 300)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    got = (df.select(cells.zorder_col(F.col("lat"), F.col("lon"), 16)
+                     .alias("z"))
+             .toPandas()["z"].to_numpy())
+    n = 1 << 16
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((90.0 - lat) / 180.0 * n), 0, n - 1).astype(np.int64)
+    assert (got == cells.zorder_np(ix, iy, 16)).all()
+
+
+def test_zorder_layout_tightens_file_bboxes(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark.operators import tiling
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({"lat": rng.uniform(-60, 60, 20000),
+                        "lon": rng.uniform(-179, 179, 20000)})
+    df = spark.createDataFrame(pdf)
+
+    def mean_bbox_area(path):
+        back = (spark.read.parquet(path)
+                .withColumn("f", F.input_file_name())
+                .groupBy("f")
+                .agg((F.max("lat") - F.min("lat")).alias("dy"),
+                     (F.max("lon") - F.min("lon")).alias("dx")))
+        rows = back.collect()
+        return sum(r.dy * r.dx for r in rows) / len(rows), len(rows)
+
+    base = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(base)
+    zpath = str(tmp_path / "zordered")
+    tiling.zorder_layout(df, "lat", "lon", n_files=16).write.parquet(zpath)
+
+    plain_area, n1 = mean_bbox_area(base)
+    z_area, n2 = mean_bbox_area(zpath)
+    assert n1 >= 8 and n2 >= 8
+    # random layout: every file spans ~the whole domain; z-ordered files
+    # cover a small fraction — the pruning win a bbox scan collects
+    assert z_area < plain_area / 4
+    # and the rows themselves are unchanged
+    assert spark.read.parquet(zpath).count() == 20000
