@@ -1,0 +1,95 @@
+"""Mergeable distinct-count sketches (KMV / k-minimum-values).
+
+Beyond-reference training-pipeline operator (task mandate): estimating
+per-cell / per-source distinct cardinalities (unique images per S2 cell,
+unique captions per shard, unique n-grams per language) at 100 TB without
+a full count-distinct shuffle per question.
+
+Why KMV and not HyperLogLog: Spark's approx_count_distinct is an HLL
+whose result depends on internal implementation details, so no other
+engine can reproduce it — it cannot be hash-oracled and a sketch stored
+today cannot be re-derived byte-identically tomorrow.  KMV over a
+DETERMINISTIC hash (md5, the repo-wide idiom of textops.hash_bucket_col)
+is engine-reproducible: the k smallest 48-bit hash values of a column are
+the same in Spark, DuckDB, or a future rerun, the estimator
+(k-1) / kth_min_fraction is exact integer arithmetic, and two sketches
+merge associatively (union the hash sets, re-take the k smallest) — the
+property that lets partial sketches be built per partition / per day and
+combined without touching raw data again (Beyer et al., "On synopses for
+distinct-value estimation under multiset operations", SIGMOD'07).
+
+Scale shape: the only wide operation is the DISTINCT on (group, hash),
+which hash-aggregates map-side first — shuffle volume is bounded by the
+per-partition distinct count, not the row count.  The subsequent k-min
+rank moves each group's distinct hashes to one reducer; for extreme
+cardinality per group, pre-filter `hv < threshold` using a prior (or
+pessimistic) sketch so only candidate minima shuffle — KMV survives any
+such pre-filter that keeps the true k minima, because the k smallest
+hashes are unaffected by dropping values above them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 12 hex chars = 48-bit hash domain: large enough that birthday collisions
+# are negligible below ~2^24 distinct values per group, small enough that
+# (k-1) * DOMAIN stays inside int64 for any practical k (k <= 32767).
+HEX_CHARS = 12
+DOMAIN = 16 ** HEX_CHARS
+
+
+def kmv_hash_col(value_col: str, hex_chars: int = HEX_CHARS):
+    """Deterministic 48-bit hash of a value: first `hex_chars` hex chars
+    of md5(CAST(value AS STRING)) as a long.  Bit-identical in any engine
+    with md5 (DuckDB twin: CAST('0x' || substr(md5(v), 1, n) AS BIGINT));
+    NULL values propagate to NULL and never enter a sketch."""
+    return F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
+                              1, hex_chars), 16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, group_cols: Sequence[str], value_col: str,
+               k: int = 64) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct hash values.
+
+    Returns one row per group: `hashes` (ascending array, len <= k),
+    `n_kept`, `kth` (the largest kept hash), and `est_distinct` — the
+    EXACT-arithmetic estimator: the distinct count itself when the group
+    has fewer than k distinct values (the sketch is then lossless), else
+    floor((k-1) * DOMAIN / kth), the classic (k-1)/kth-fraction estimate
+    (relative error ~ 1/sqrt(k-2))."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use a lit group)")
+    h = (df.select(*group_cols, kmv_hash_col(value_col).alias("hv"))
+           .filter(F.col("hv").isNotNull())
+           .distinct())
+    return _sketch_from_hashes(h, group_cols, k)
+
+
+def _sketch_from_hashes(h: DataFrame, group_cols: Sequence[str],
+                        k: int) -> DataFrame:
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    kept = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (kept.groupBy(*group_cols)
+                .agg(F.count("*").alias("n_kept"),
+                     F.max("hv").alias("kth"),
+                     F.sort_array(F.collect_list("hv")).alias("hashes"))
+                .withColumn(
+                    "est_distinct",
+                    F.when(F.col("n_kept") < k, F.col("n_kept"))
+                     .otherwise(F.expr(f"({k - 1}L * {DOMAIN}L) div kth"))))
+
+
+def kmv_merge(sketches: DataFrame, group_cols: Sequence[str],
+              k: int = 64) -> DataFrame:
+    """Merge partial sketches (multiple rows per group, e.g. one per day
+    or per shard) into one sketch per group: union the kept hash sets and
+    re-take the k smallest.  Associative and commutative; merging the
+    per-part sketches of any partition of the data equals sketching the
+    whole (pinned in tests) — the property that makes KMV incremental."""
+    h = (sketches.select(*group_cols, F.explode("hashes").alias("hv"))
+                 .distinct())
+    return _sketch_from_hashes(h, group_cols, k)

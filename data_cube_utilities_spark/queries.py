@@ -2272,6 +2272,94 @@ FROM expl e LEFT JOIN pix ON r['px'] = pix.px AND r['py'] = pix.py
 """
 
 
+def q_salted_zonal(spark, sf_dir):
+    """Skew-defused zonal aggregation (north-rule 'salted repartitioning
+    for coastline/urban skew'): a deliberately hot cell (~60% of all rows
+    land on cell 0 — the coastline/metro shape) is hash-spread over 8 salt
+    partials by tiling.salt_hot_cells, partial (sum, count) per
+    (cell, salt), then an exact second-stage merge per cell.  The salted
+    two-stage result is EXACTLY the plain GROUP BY (integer partials
+    commute), which is what the oracle recomputes — so the hash row pins
+    both the skew machinery and its exactness.
+
+    Reference parity: the reference's per-chunk aggregation
+    (dc_chunker.create_geographic_chunks + recombine, SURVEY.md 3.2) has
+    no skew story at all; this is its scale-safe replacement."""
+    from .operators import tiling
+
+    li = _t(spark, sf_dir, "lineitem")
+    cell = F.when(F.col("l_orderkey") % 100 < 60, F.lit(0)) \
+            .otherwise(F.col("l_orderkey") % 100).cast("long")
+    df = li.select(cell.alias("cell"),
+                   F.col("l_quantity").cast("long").alias("qty"),
+                   "l_orderkey")
+    out = tiling.salted_mean(df, "cell", ["qty"], threshold=1000,
+                             n_salt=8, id_col="l_orderkey")
+    return out.select("cell", "qty_mean", F.col("n").cast("long").alias("n"))
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per group (operators/sketches.py): the
+    k=64 smallest md5-48bit hashes of l_partkey per l_linenumber, the
+    exact-integer estimator, and the true distinct count alongside so the
+    row itself documents estimator quality.  Every output value is exact
+    integer arithmetic over a deterministic hash — DuckDB recomputes the
+    identical sketch, so this is a full hash oracle of a cardinality
+    SKETCH (impossible with approx_count_distinct's HLL)."""
+    from .operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = sketches.kmv_sketch(li, ["l_linenumber"], "l_partkey", k=64)
+    exact = li.groupBy("l_linenumber").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct"))
+    return (sk.join(exact, "l_linenumber")
+              .select(F.col("l_linenumber").cast("long").alias("grp"),
+                      "n_kept", "kth", "est_distinct", "exact_distinct"))
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT CAST(l_linenumber AS BIGINT) AS grp,
+         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM lineitem
+),
+r AS (
+  SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+  FROM h
+),
+s AS (
+  SELECT grp, count(*) AS n_kept, max(hv) AS kth
+  FROM r WHERE rn <= 64 GROUP BY grp
+),
+x AS (
+  SELECT CAST(l_linenumber AS BIGINT) AS grp,
+         count(DISTINCT l_partkey) AS exact_distinct
+  FROM lineitem GROUP BY 1
+)
+SELECT s.grp, s.n_kept, s.kth,
+       CAST(CASE WHEN s.n_kept < 64 THEN s.n_kept
+                 ELSE (63 * 281474976710656) // s.kth END AS BIGINT)
+         AS est_distinct,
+       x.exact_distinct
+FROM s JOIN x ON s.grp = x.grp
+"""
+
+
+SQL_SALTED_ZONAL = """
+WITH b AS (
+  SELECT CASE WHEN l_orderkey % 100 < 60 THEN 0
+              ELSE l_orderkey % 100 END AS cell,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT cell,
+       CAST(sum(qty) AS DOUBLE) / count(*) AS qty_mean,
+       count(*) AS n
+FROM b GROUP BY cell
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -2298,6 +2386,8 @@ GROUP_A = {
     "wofs_classify": (q_wofs_classify, SQL_WOFS_CLASSIFY),
     "band_indices": (q_band_indices, SQL_BAND_INDICES),
     "cell_assignment": (q_cell_assignment, SQL_CELL_ASSIGNMENT),
+    "salted_zonal": (q_salted_zonal, SQL_SALTED_ZONAL),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

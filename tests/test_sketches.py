@@ -1,0 +1,75 @@
+"""KMV distinct-count sketch: losslessness below k, estimator accuracy,
+and the merge algebra that makes it incremental."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_cube_utilities_spark.operators import sketches
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 3 groups with known cardinalities: 40 (< k), 500, 2000 distinct
+    # values, each value repeated a varying number of times
+    rows = spark.range(0, 20000).select(
+        F.when(F.col("id") % 3 == 0, "small")
+         .when(F.col("id") % 3 == 1, "mid")
+         .otherwise("big").alias("grp"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 40)
+         .when(F.col("id") % 3 == 1, F.col("id") % 500)
+         .otherwise(F.col("id") % 2000 + 10_000).alias("v"))
+    return rows
+
+
+def test_small_group_is_lossless(values):
+    sk = sketches.kmv_sketch(values, ["grp"], "v", k=64)
+    row = {r["grp"]: r for r in sk.collect()}
+    assert row["small"]["n_kept"] == 40
+    assert row["small"]["est_distinct"] == 40          # exact below k
+    assert len(row["small"]["hashes"]) == 40
+    assert row["small"]["hashes"] == sorted(row["small"]["hashes"])
+
+
+def test_estimator_within_kmv_error(values):
+    sk = sketches.kmv_sketch(values, ["grp"], "v", k=64)
+    row = {r["grp"]: r for r in sk.collect()}
+    # (k-1)/kth estimator: relative sd ~ 1/sqrt(k-2) ~ 12.7% at k=64;
+    # allow 4 sd. True counts: mid=500 (id%3==1 -> id%500 hits all 500
+    # residues? id = 1,4,7,...: id%500 over step-3 ids covers all residues
+    # since gcd(3,500)=1), big=2000 likewise (gcd(3,2000)=1).
+    for grp, true in (("mid", 500), ("big", 2000)):
+        est = row[grp]["est_distinct"]
+        assert abs(est - true) / true < 0.51, (grp, est, true)
+
+
+def test_merge_of_parts_equals_sketch_of_whole(values):
+    whole = sketches.kmv_sketch(values, ["grp"], "v", k=64)
+    parts = [values.filter(F.col("id") % 4 == i) for i in range(4)]
+    partials = None
+    for p in parts:
+        s = sketches.kmv_sketch(p, ["grp"], "v", k=64)
+        partials = s if partials is None else partials.unionByName(s)
+    merged = sketches.kmv_merge(partials, ["grp"], k=64)
+    a = {r["grp"]: (r["n_kept"], r["kth"], r["est_distinct"], r["hashes"])
+         for r in whole.collect()}
+    b = {r["grp"]: (r["n_kept"], r["kth"], r["est_distinct"], r["hashes"])
+         for r in merged.collect()}
+    assert a == b
+
+
+def test_merge_is_idempotent_and_order_insensitive(values):
+    s1 = sketches.kmv_sketch(values.filter("id % 2 = 0"), ["grp"], "v", k=32)
+    s2 = sketches.kmv_sketch(values.filter("id % 2 = 1"), ["grp"], "v", k=32)
+    ab = sketches.kmv_merge(s1.unionByName(s2), ["grp"], k=32)
+    ba = sketches.kmv_merge(s2.unionByName(s1).unionByName(s1), ["grp"], k=32)
+    key = lambda df: sorted(map(tuple, df.select(
+        "grp", "n_kept", "kth", "est_distinct").collect()))
+    assert key(ab) == key(ba)
+
+
+def test_null_values_never_enter_the_sketch(spark):
+    df = spark.createDataFrame(
+        [("g", None), ("g", "a"), ("g", "b"), ("g", None)],
+        "grp string, v string")
+    sk = sketches.kmv_sketch(df, ["grp"], "v", k=8).collect()
+    assert sk[0]["n_kept"] == 2 and sk[0]["est_distinct"] == 2
