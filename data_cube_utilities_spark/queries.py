@@ -2298,6 +2298,46 @@ def q_salted_zonal(spark, sf_dir):
     return out.select("cell", "qty_mean", F.col("n").cast("long").alias("n"))
 
 
+def q_iceberg_merge(spark, sf_dir):
+    """Row-level table semantics end-to-end (sources/snapshots.py):
+    overwrite -> append -> equality-DELETE (merge-on-read keyset commit,
+    no data rewrite) -> MERGE upsert (atomic deletes+inserts dir) ->
+    read.  The final read resolves four commits, applies the delete
+    keysets to strictly-earlier rows only, and lets the merge's inserts
+    supersede its own delete — the oracle recomputes the equivalent
+    relational state directly from `orders`.  Emulated Iceberg v2
+    semantics per SURVEY §7.0 (no runtime jars in this env)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable
+
+    path = os.path.join(tempfile.gettempdir(),
+                        "geocube_iceberg_merge_"
+                        + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable(path)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
+    t.commit(o.filter("o_orderkey % 4 < 3"), operation="overwrite")
+    t.commit(o.filter("o_orderkey % 4 = 3"), operation="append")
+    t.delete_where(spark, "o_orderkey % 10 = 7", key_cols=["o_orderkey"])
+    t.merge_upsert(o.filter("o_orderkey % 5 = 0")
+                    .withColumn("price", F.col("price") * 2),
+                   key_cols=["o_orderkey"])
+    return t.read(spark).select("o_orderkey", "price")
+
+
+SQL_ICEBERG_MERGE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_totalprice AS DOUBLE) * 2
+            ELSE CAST(o_totalprice AS DOUBLE) END AS price
+FROM orders
+WHERE o_orderkey % 10 <> 7
+"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per group (operators/sketches.py): the
     k=64 smallest md5-48bit hashes of l_partkey per l_linenumber, the
@@ -2388,6 +2428,7 @@ GROUP_A = {
     "cell_assignment": (q_cell_assignment, SQL_CELL_ASSIGNMENT),
     "salted_zonal": (q_salted_zonal, SQL_SALTED_ZONAL),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "iceberg_merge": (q_iceberg_merge, SQL_ICEBERG_MERGE),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

@@ -102,21 +102,33 @@ class SnapshotTable:
         return sorted(out)
 
     # -- commit ------------------------------------------------------------
-    def commit(self, df: DataFrame, partition_cols: Sequence[str] = (),
-               operation: str = "overwrite",
-               metrics_cols: Sequence[str] = (),
-               lineage: dict | None = None) -> int:
-        """Write df as the next snapshot; returns the new version."""
-        assert operation in ("overwrite", "append")
+    def _next_version(self) -> tuple[int, int | None]:
         parent = self.current_version()
         # next version = max EXISTING version + 1 (not parent + 1): after a
         # rollback the head is older than orphaned versions, and a commit
         # must branch without clobbering their manifests/data
         existing = self.all_versions()
-        version = 0 if not existing else existing[-1] + 1
+        return (0 if not existing else existing[-1] + 1), parent
+
+    def commit(self, df: DataFrame, partition_cols: Sequence[str] = (),
+               operation: str = "overwrite",
+               metrics_cols: Sequence[str] = (),
+               lineage: dict | None = None,
+               delete_cols: Sequence[str] | None = None) -> int:
+        """Write df as the next snapshot; returns the new version.
+
+        operation='delete' writes df as an EQUALITY-DELETE keyset
+        (Iceberg v2 merge-on-read): df's rows are (delete_cols) key
+        tuples; `read` drops every matching row committed strictly
+        before this version, without rewriting any data file."""
+        assert operation in ("overwrite", "append", "delete")
+        version, parent = self._next_version()
         dir_name = f"v{version:05d}"
         out_dir = os.path.join(self.data_dir, dir_name)
 
+        if operation == "delete":
+            delete_cols = list(delete_cols or df.columns)
+            df = df.select(*delete_cols).distinct()
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
@@ -155,23 +167,134 @@ class SnapshotTable:
             "lineage": lineage or {},
             "created_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if operation == "delete":
+            manifest["delete_cols"] = list(delete_cols)
         with open(self._manifest_path(version), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         self._flip_pointer(version)
         return version
 
+    def delete_where(self, spark: SparkSession, predicate,
+                     key_cols: Sequence[str],
+                     lineage: dict | None = None) -> int:
+        """Row-level DELETE as an equality-delete commit (merge-on-read):
+        scans the current snapshot for rows matching `predicate` (a SQL
+        string or Column), writes only their (key_cols) tuples — at
+        100 TB a delete touches the keyset, never the table.  Returns
+        the new version."""
+        keys = self.read(spark).filter(predicate).select(*key_cols)
+        return self.commit(keys, operation="delete", delete_cols=key_cols,
+                           lineage=lineage or {"op": "delete_where"})
+
+    def merge_upsert(self, source: DataFrame, key_cols: Sequence[str],
+                     partition_cols: Sequence[str] = (),
+                     metrics_cols: Sequence[str] = (),
+                     lineage: dict | None = None) -> int:
+        """MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+        INSERT, as ONE atomic snapshot: the commit dir holds
+        `inserts/` (every source row) and `deletes/` (the source key
+        tuples).  A read drops prior rows matching a delete key
+        (strictly-earlier commits only), then sees the inserts — matched
+        keys are replaced, unmatched keys are inserted, and readers can
+        never observe the delete without the insert.  Cost is
+        O(|source|) written bytes: the existing table is NOT rewritten
+        (Iceberg's merge-on-read MERGE, not copy-on-write)."""
+        version, parent = self._next_version()
+        dir_name = f"v{version:05d}"
+        out_dir = os.path.join(self.data_dir, dir_name)
+        key_cols = list(key_cols)
+
+        w = source.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(os.path.join(out_dir, "inserts"))
+        source.select(*key_cols).distinct().write.mode("overwrite") \
+              .parquet(os.path.join(out_dir, "deletes"))
+
+        spark = source.sparkSession
+        written = spark.read.parquet(os.path.join(out_dir, "inserts"))
+        aggs = [F.count("*").alias("__rows")]
+        for c in metrics_cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        if partition_cols:
+            stats = written.groupBy(*partition_cols).agg(*aggs).collect()
+        else:
+            stats = written.agg(*aggs).collect()
+        partitions = [{
+            "values": {c: _json_safe(r.asDict()[c]) for c in partition_cols},
+            "row_count": r.asDict()["__rows"],
+            "metrics": {c: {"min": _json_safe(r.asDict()[f"__min_{c}"]),
+                            "max": _json_safe(r.asDict()[f"__max_{c}"])}
+                        for c in metrics_cols},
+        } for r in stats]
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "operation": "merge",
+            "data_dir": dir_name,
+            "partition_cols": list(partition_cols),
+            "partitions": partitions,
+            "total_rows": int(sum(p["row_count"] for p in partitions)),
+            "delete_cols": key_cols,
+            "lineage": lineage or {"op": "merge_upsert"},
+            "created_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(self._manifest_path(version), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        self._flip_pointer(version)
+        return version
+
+    def compact(self, spark: SparkSession, n_files: int,
+                partition_cols: Sequence[str] = (),
+                metrics_cols: Sequence[str] = ()) -> int:
+        """rewrite_data_files: materialize the current snapshot as one
+        fresh overwrite commit in `n_files` bin-packed files, folding in
+        any accumulated equality deletes (small-file compaction + delete
+        compaction in one pass).  Data-identical by construction; like
+        any overwrite it resets the append chain, so incremental readers
+        must re-baseline (read_changes refuses to cross it)."""
+        df = self.read(spark)
+        before = sum(len([f for f in files if f.endswith(".parquet")])
+                     for _, _, files in os.walk(self.data_dir))
+        return self.commit(df.repartition(n_files),
+                           partition_cols=partition_cols,
+                           metrics_cols=metrics_cols,
+                           operation="overwrite",
+                           lineage={"maintenance": "compaction",
+                                    "files_before": before,
+                                    "target_files": n_files})
+
     # -- read ---------------------------------------------------------------
-    def _live_dirs(self, version: int) -> list[str]:
-        """Data dirs visible at `version`: walk parents until an overwrite."""
-        dirs = []
+    def _chain(self, version: int) -> list[dict]:
+        """Manifests from the base overwrite up to `version`, oldest
+        first.  delete/merge commits do not reset the chain (they modify
+        rows of earlier commits); only an overwrite does."""
+        chain = []
         v: int | None = version
         while v is not None:
             m = self.manifest(v)
-            dirs.append(os.path.join(self.data_dir, m["data_dir"]))
+            chain.append(m)
             if m["operation"] == "overwrite":
                 break
             v = m.get("parent")
-        return list(reversed(dirs))
+        return list(reversed(chain))
+
+    @staticmethod
+    def _entry_paths(m: dict, base: str) -> tuple[str | None, str | None]:
+        """(data_path, delete_path) a manifest contributes to a read."""
+        op = m["operation"]
+        if op in ("overwrite", "append"):
+            return base, None
+        if op == "delete":
+            return None, base
+        if op == "merge":
+            return os.path.join(base, "inserts"), os.path.join(base, "deletes")
+        raise ValueError(f"unknown operation {op!r}")
+
+    def _live_dirs(self, version: int) -> list[str]:
+        """Commit dirs (roots) needed to reconstruct `version`."""
+        return [os.path.join(self.data_dir, m["data_dir"])
+                for m in self._chain(version)]
 
     def read(self, spark: SparkSession, version: int | None = None,
              where: dict | None = None) -> DataFrame:
@@ -181,22 +304,70 @@ class SnapshotTable:
         dir granularity — and applies the same predicate row-level, so
         the result is identical with or without pruning (partition-dir
         pruning within a surviving commit dir is Catalyst's, via the
-        pushed filter)."""
+        pushed filter).
+
+        Equality deletes (delete/merge commits) apply merge-on-read: a
+        row committed at version c is dropped iff some later delete
+        keyset (version d > c) contains its key.  One aggregated
+        left-join does it — the delete side is the union of keysets with
+        max(delete version) per key, tiny next to the data and
+        broadcastable at any scale."""
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
-        dirs = (self._live_dirs(v) if not where
-                else self.pruned_dirs(v, where))
-        if not dirs:
-            dirs = self._live_dirs(v)[:1]   # schema-only; predicate empties it
-        # one read per commit dir (each has its own partition-discovery
-        # root), unioned; Catalyst still prunes partitions within each
-        out = spark.read.parquet(dirs[0])
-        for d in dirs[1:]:
-            out = out.unionByName(spark.read.parquet(d), allowMissingColumns=True)
+        chain = self._chain(v)
+        keep = set(self.pruned_dirs(v, where)) if where else None
+        data, dels, del_cols = [], [], None
+        for m in chain:
+            base = os.path.join(self.data_dir, m["data_dir"])
+            dpath, xpath = self._entry_paths(m, base)
+            if dpath is not None and (keep is None or dpath in keep):
+                data.append((m["version"], dpath))
+            if xpath is not None:
+                cols = list(m["delete_cols"])
+                if del_cols is not None and cols != del_cols:
+                    raise ValueError(
+                        f"mixed equality-delete keys in one chain: "
+                        f"{del_cols} vs {cols} (v{m['version']})")
+                del_cols = cols
+                dels.append((m["version"], xpath))
+        if not data:
+            # predicate pruned everything: schema-only empty frame
+            first = self._entry_paths(
+                chain[0], os.path.join(self.data_dir, chain[0]["data_dir"]))[0]
+            return self._apply_where(spark.read.parquet(first).limit(0), where)
+
+        if not dels:
+            out = spark.read.parquet(data[0][1])
+            for _, d in data[1:]:
+                out = out.unionByName(spark.read.parquet(d),
+                                      allowMissingColumns=True)
+            return self._apply_where(out, where)
+
+        parts = []
+        for ver, d in data:
+            parts.append(spark.read.parquet(d)
+                         .withColumn("__commit", F.lit(ver)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        dk = spark.read.parquet(dels[0][1]) \
+                  .withColumn("__dver", F.lit(dels[0][0]))
+        for ver, d in dels[1:]:
+            dk = dk.unionByName(spark.read.parquet(d)
+                                .withColumn("__dver", F.lit(ver)))
+        dagg = dk.groupBy(*del_cols).agg(F.max("__dver").alias("__last_del"))
+        out = out.join(F.broadcast(dagg), on=del_cols, how="left") \
+                 .filter(F.col("__last_del").isNull()
+                         | (F.col("__last_del") <= F.col("__commit"))) \
+                 .drop("__commit", "__last_del")
+        return self._apply_where(out, where)
+
+    @staticmethod
+    def _apply_where(df: DataFrame, where: dict | None) -> DataFrame:
         for c, (lo, hi) in (where or {}).items():
-            out = out.filter((F.col(c) >= lo) & (F.col(c) <= hi))
-        return out
+            df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+        return df
 
     def pruned_dirs(self, version: int, where: dict) -> list[str]:
         """Commit dirs at `version` whose manifest says they MIGHT hold
@@ -223,17 +394,13 @@ class SnapshotTable:
             return True
 
         out = []
-        v: int | None = version
-        chain = []
-        while v is not None:
-            m = self.manifest(v)
-            chain.append(m)
-            if m["operation"] == "overwrite":
-                break
-            v = m.get("parent")
-        for m in reversed(chain):
+        for m in self._chain(version):
+            dpath, _ = self._entry_paths(
+                m, os.path.join(self.data_dir, m["data_dir"]))
+            if dpath is None:
+                continue   # delete commits contribute no data rows
             if any(overlaps(p) for p in m["partitions"]) or not m["partitions"]:
-                out.append(os.path.join(self.data_dir, m["data_dir"]))
+                out.append(dpath)
         return out
 
     def read_changes(self, spark: SparkSession, from_version: int,
@@ -252,10 +419,11 @@ class SnapshotTable:
         v: int | None = to_v
         while v is not None and v != from_version:
             m = self.manifest(v)
-            if m["operation"] == "overwrite":
+            if m["operation"] != "append":
                 raise ValueError(
-                    f"v{v} is an overwrite inside the incremental range "
-                    f"({from_version}, {to_v}]: appends-between undefined")
+                    f"v{v} is a {m['operation']} inside the incremental "
+                    f"range ({from_version}, {to_v}]: appends-between "
+                    f"undefined when rows were rewritten or removed")
             dirs.append(os.path.join(self.data_dir, m["data_dir"]))
             v = m.get("parent")
         if v != from_version:

@@ -158,3 +158,111 @@ def test_manifest_metrics_prune_scan(spark, table):
     assert out2.count() == 2
     # predicate matching nothing still returns a well-formed empty result
     assert table.read(spark, where={"v": (1e9, 2e9)}).count() == 0
+
+
+# -- row-level semantics: equality deletes, merge, compaction (r5) ----------
+
+def test_equality_delete_merge_on_read(spark, table):
+    table.commit(_df(spark, 0, 10, "a"), ["part"], operation="overwrite")
+    table.commit(_df(spark, 10, 15, "b"), ["part"], operation="append")
+    v_del = table.delete_where(spark, "id % 3 = 0", key_cols=["id"])
+    back = sorted(r["id"] for r in table.read(spark).collect())
+    assert back == [i for i in range(15) if i % 3 != 0]
+    # merge-on-read: no data dir was rewritten — the delete commit holds
+    # only the keyset
+    keyset = spark.read.parquet(
+        os.path.join(table.data_dir, f"v{v_del:05d}"))
+    assert sorted(r["id"] for r in keyset.collect()) == [0, 3, 6, 9, 12]
+    assert keyset.columns == ["id"]
+    # time travel still sees the pre-delete snapshot
+    assert table.read(spark, version=1).count() == 15
+
+
+def test_rows_appended_after_delete_survive_it(spark, table):
+    table.commit(_df(spark, 0, 10, "a"), ["part"], operation="overwrite")
+    table.delete_where(spark, "id >= 0", key_cols=["id"])   # delete all
+    assert table.read(spark).count() == 0
+    # re-append some of the same keys AFTER the delete: they must be
+    # visible (the delete applies to strictly-earlier commits only)
+    table.commit(_df(spark, 0, 4, "a"), ["part"], operation="append")
+    assert sorted(r["id"] for r in table.read(spark).collect()) == [0, 1, 2, 3]
+
+
+def test_merge_upsert_updates_and_inserts_atomically(spark, table):
+    table.commit(_df(spark, 0, 10, "a"), ["part"], operation="overwrite")
+    src = _df(spark, 5, 12, "b").withColumn("v", F.col("v") * 10)
+    v = table.merge_upsert(src, key_cols=["id"])
+    rows = {r["id"]: (r["v"], r["part"]) for r in table.read(spark).collect()}
+    assert set(rows) == set(range(12))
+    for i in range(5):                      # untouched
+        assert rows[i] == (float(i), "a")
+    for i in range(5, 12):                  # updated (5-9) + inserted (10-11)
+        assert rows[i] == (float(i) * 10, "b")
+    m = table.manifest(v)
+    assert m["operation"] == "merge" and m["delete_cols"] == ["id"]
+    # merged rows are NOT deleted by their own merge's keyset
+    assert table.read(spark).filter("id = 5").count() == 1
+
+
+def test_delete_then_merge_reinserts_key(spark, table):
+    table.commit(_df(spark, 0, 6, "a"), operation="overwrite")
+    table.delete_where(spark, "id = 2", key_cols=["id"])
+    assert table.read(spark).filter("id = 2").count() == 0
+    table.merge_upsert(_df(spark, 2, 3, "z"), key_cols=["id"])
+    got = table.read(spark).filter("id = 2").collect()
+    assert len(got) == 1 and got[0]["part"] == "z"
+
+
+def test_read_changes_refuses_delete_and_merge(spark, table):
+    table.commit(_df(spark, 0, 5, "a"), operation="overwrite")
+    table.commit(_df(spark, 5, 8, "a"), operation="append")
+    table.delete_where(spark, "id = 1", key_cols=["id"])
+    with pytest.raises(ValueError, match="delete"):
+        table.read_changes(spark, 0)
+    # but a range that stops before the delete still works
+    assert sorted(r["id"] for r in
+                  table.read_changes(spark, 0, 1).collect()) == [5, 6, 7]
+
+
+def test_compact_folds_deletes_and_is_data_identical(spark, table):
+    table.commit(_df(spark, 0, 10, "a"), ["part"], operation="overwrite")
+    table.commit(_df(spark, 10, 20, "b"), ["part"], operation="append")
+    table.delete_where(spark, "id % 2 = 0", key_cols=["id"])
+    before = sorted((r["id"], r["v"]) for r in table.read(spark).collect())
+    v = table.compact(spark, n_files=2)
+    after = sorted((r["id"], r["v"]) for r in table.read(spark).collect())
+    assert before == after
+    m = table.manifest(v)
+    assert m["operation"] == "overwrite"
+    assert m["lineage"]["maintenance"] == "compaction"
+    assert m["lineage"]["files_before"] >= 3
+    # compaction resets the chain: one live commit dir, read scans it alone
+    assert len(table._live_dirs(v)) == 1
+    # incremental reads re-baseline from the compaction
+    table.commit(_df(spark, 50, 52, "c"), ["part"], operation="append")
+    assert sorted(r["id"] for r in
+                  table.read_changes(spark, v).collect()) == [50, 51]
+
+
+def test_manifest_pruning_skips_deleted_era_dirs(spark, table):
+    table.commit(_df(spark, 0, 10, "a"), ["part"], metrics_cols=["id"],
+                 operation="overwrite")
+    table.commit(_df(spark, 100, 110, "b"), ["part"], metrics_cols=["id"],
+                 operation="append")
+    table.delete_where(spark, "id = 105", key_cols=["id"])
+    # pruning on id keeps only the second data dir; the delete still applies
+    got = sorted(r["id"] for r in
+                 table.read(spark, where={"id": (100, 120)}).collect())
+    assert got == [i for i in range(100, 110) if i != 105]
+    assert len(table.pruned_dirs(table.current_version(),
+                                 {"id": (100, 120)})) == 1
+
+
+def test_expire_keeps_merge_and_delete_dirs_of_live_chain(spark, table):
+    table.commit(_df(spark, 0, 5, "a"), operation="overwrite")     # v0
+    table.delete_where(spark, "id = 0", key_cols=["id"])           # v1
+    table.merge_upsert(_df(spark, 3, 7, "m"), key_cols=["id"])     # v2
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == []    # whole chain needed to rebuild the head
+    got = sorted(r["id"] for r in table.read(spark).collect())
+    assert got == [1, 2, 3, 4, 5, 6]
