@@ -476,16 +476,12 @@ def compute_slip(baseline: DataFrame, target: DataFrame, dem: DataFrame,
         kern, schema="tx long, ty long, slip binary, h int, w int, n_slip long")
 
 
-def focal_filter_halo(planes: DataFrame, radius: int, stat: str = "mean") -> DataFrame:
-    """Distributed focal filter: each tile ships r-wide strips to its 8 grid
-    neighbors, every tile assembles a (h+2r, w+2r) padded plane (NaN where no
-    neighbor exists = true raster edge), filters, crops. Result is exactly
-    equal to filtering the stitched monolithic raster.
-
-    Cost model at scale: the strip shuffle moves only 2r(h+w) pixels per
-    tile (a few % of the tile) instead of re-shuffling whole tiles.
-    """
-    r = radius
+def halo_strips(planes: DataFrame, r: int) -> DataFrame:
+    """Strip exchange for halo stencils: each tile ships r-wide strips to
+    its 8 grid neighbors (plus itself whole).  The receiver group
+    (tx, ty) can then assemble a (h+2r, w+2r) padded plane.  Shuffle cost
+    is 2r(h+w) pixels per tile — a few % of the tile at r=1..3 — instead
+    of re-shuffling whole tiles."""
 
     def emit_strips(batches):
         for b in batches:
@@ -507,28 +503,52 @@ def focal_filter_halo(planes: DataFrame, radius: int, stat: str = "mean") -> Dat
                 yield pd.DataFrame(outs, columns=[
                     "tx", "ty", "src_tx", "src_ty", "strip", "sh", "sw"])
 
-    strips = planes.mapInPandas(emit_strips, schema=STRIP_SCHEMA)
+    return planes.mapInPandas(emit_strips, schema=STRIP_SCHEMA)
+
+
+def _assemble_padded(pdf: pd.DataFrame, r: int):
+    """(tx, ty, padded (h+2r, w+2r) plane with NaN beyond true raster
+    edges, h, w) for one halo group — None if the group only holds
+    strips shipped INTO a tile that doesn't exist."""
+    tx = int(pdf["tx"].iloc[0])
+    ty = int(pdf["ty"].iloc[0])
+    own = pdf[(pdf.src_tx == tx) & (pdf.src_ty == ty)]
+    if own.empty:
+        return None
+    center = _decode_plane(own["strip"].iloc[0],
+                           int(own["sh"].iloc[0]), int(own["sw"].iloc[0]))
+    h, w = center.shape
+    pad = np.full((h + 2 * r, w + 2 * r), np.nan)
+    pad[r:r + h, r:r + w] = center
+    for row in pdf.itertuples():
+        dx, dy = int(row.src_tx) - tx, int(row.src_ty) - ty
+        if (dx, dy) == (0, 0):
+            continue
+        piece = _decode_plane(row.strip, int(row.sh), int(row.sw))
+        ys = {-1: slice(0, r), 0: slice(r, r + h), 1: slice(r + h, 2 * r + h)}
+        xs = {-1: slice(0, r), 0: slice(r, r + w), 1: slice(r + w, 2 * r + w)}
+        pad[ys[dy], xs[dx]] = piece
+    return tx, ty, pad, h, w
+
+
+def focal_filter_halo(planes: DataFrame, radius: int, stat: str = "mean") -> DataFrame:
+    """Distributed focal filter: each tile ships r-wide strips to its 8 grid
+    neighbors, every tile assembles a (h+2r, w+2r) padded plane (NaN where no
+    neighbor exists = true raster edge), filters, crops. Result is exactly
+    equal to filtering the stitched monolithic raster.
+
+    Cost model at scale: the strip shuffle moves only 2r(h+w) pixels per
+    tile (a few % of the tile) instead of re-shuffling whole tiles.
+    """
+    r = radius
+
+    strips = halo_strips(planes, r)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        tx = int(pdf["tx"].iloc[0])
-        ty = int(pdf["ty"].iloc[0])
-        own = pdf[(pdf.src_tx == tx) & (pdf.src_ty == ty)]
-        if own.empty:
+        got = _assemble_padded(pdf, r)
+        if got is None:
             return pd.DataFrame(columns=["tx", "ty", "data", "h", "w"])
-        center = _decode_plane(own["strip"].iloc[0],
-                               int(own["sh"].iloc[0]), int(own["sw"].iloc[0]))
-        h, w = center.shape
-        pad = np.full((h + 2 * r, w + 2 * r), np.nan)
-        pad[r:r + h, r:r + w] = center
-        for row in pdf.itertuples():
-            dx, dy = int(row.src_tx) - tx, int(row.src_ty) - ty
-            if (dx, dy) == (0, 0):
-                continue
-            piece = _decode_plane(row.strip, int(row.sh), int(row.sw))
-            ys = {  # where the neighbor's strip lands in the padded plane
-                -1: slice(0, r), 0: slice(r, r + h), 1: slice(r + h, 2 * r + h)}
-            xs = {-1: slice(0, r), 0: slice(r, r + w), 1: slice(r + w, 2 * r + w)}
-            pad[ys[dy], xs[dx]] = piece
+        tx, ty, pad, h, w = got
         filtered = focal_stat_np(pad, r, stat)[r:r + h, r:r + w]
         # windows that saw padded-NaN only at true raster edges: focal_stat
         # NaN-skips, matching the reference's edge semantics
@@ -537,6 +557,100 @@ def focal_filter_halo(planes: DataFrame, radius: int, stat: str = "mean") -> Dat
                              "h": [h], "w": [w]})
 
     return strips.groupBy("tx", "ty").applyInPandas(assemble, HALO_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# terrain products: seam-true gradient, aspect octant, slope, hillshade
+# ---------------------------------------------------------------------------
+
+def terrain_np(pad: np.ndarray, dx: float = 1.0, dy: float = 1.0,
+               azimuth_deg: float = 315.0, altitude_deg: float = 45.0):
+    """Terrain kernel over a 1-px-padded plane (NaN beyond true raster
+    edges).  Returns (gx, gy, octant, slope_deg, hillshade) for the
+    unpadded interior.
+
+    Gradient matches np.gradient of the STITCHED raster: central
+    difference wherever both neighbors exist (including across tile
+    seams, supplied by the halo), one-sided at true raster edges — the
+    terrain analogue of the reference's slope input to SLIP
+    (dc_slip.py:70-94), computed seam-true instead of per-chunk.
+
+    octant: direction of steepest DESCENT (-gx, -gy) binned into 8
+    sectors of [k*45deg, (k+1)*45deg) in ARRAY axes (x right, y down;
+    geographic north is -y), resolved by exact sign/magnitude
+    comparisons — no transcendentals, so an integer DEM yields exactly
+    reproducible octants in any engine.  -1 where flat.
+
+    hillshade: the standard analytical formula (zenith = 90-altitude):
+    255 * (cos zen * cos slope + sin zen * sin slope * cos(az - aspect)),
+    clipped at 0, with az measured like the octants (from +x, toward +y
+    in array axes)."""
+    C = pad[1:-1, 1:-1]
+    E, W = pad[1:-1, 2:], pad[1:-1, :-2]
+    S, N = pad[2:, 1:-1], pad[:-2, 1:-1]
+    with np.errstate(invalid="ignore"):
+        gx = np.where(np.isnan(E), C - W,
+                      np.where(np.isnan(W), E - C, (E - W) / 2.0)) / dx
+        gy = np.where(np.isnan(S), C - N,
+                      np.where(np.isnan(N), S - C, (S - N) / 2.0)) / dy
+    slope_rad = np.arctan(np.hypot(gx, gy))
+    slope_deg = np.degrees(slope_rad)
+
+    u, v = -gx, -gy
+    octant = np.full(C.shape, -1, dtype=np.int16)
+    for code, cond in enumerate([
+            (u > 0) & (v >= 0) & (v < u),          # [0, 45)
+            (u > 0) & (v > 0) & (v >= u),          # [45, 90)
+            (u <= 0) & (v > 0) & (-u < v),         # [90, 135)
+            (u < 0) & (v > 0) & (-u >= v),         # [135, 180)
+            (u < 0) & (v <= 0) & (-v < -u),        # [180, 225)
+            (u < 0) & (v < 0) & (-v >= -u),        # [225, 270)
+            (u >= 0) & (v < 0) & (u < -v),         # [270, 315)
+            (u > 0) & (v < 0) & (u >= -v)]):       # [315, 360)
+        octant[cond] = code
+
+    zen = np.radians(90.0 - altitude_deg)
+    az = np.radians(azimuth_deg)
+    aspect_rad = np.arctan2(v, u)                  # descent direction
+    hs = 255.0 * (np.cos(zen) * np.cos(slope_rad)
+                  + np.sin(zen) * np.sin(slope_rad)
+                  * np.cos(az - aspect_rad))
+    hillshade = np.clip(np.where(slope_rad == 0.0,
+                                 255.0 * np.cos(zen), hs), 0.0, 255.0)
+    return gx, gy, octant, slope_deg, hillshade
+
+
+TERRAIN_SCHEMA = ("tx long, ty long, gx binary, gy binary, octant binary, "
+                  "slope binary, hillshade binary, h int, w int")
+
+
+def terrain_products_halo(planes: DataFrame, dx: float = 1.0,
+                          dy: float = 1.0, azimuth_deg: float = 315.0,
+                          altitude_deg: float = 45.0) -> DataFrame:
+    """Distributed seam-true terrain products over a tiled DEM: 1-px halo
+    strip exchange (2(h+w) pixels per tile shuffled, not the tile), then
+    the vectorized terrain_np kernel per tile.  Equal to computing on the
+    stitched monolithic raster (pinned in tests); the gradient/octant
+    integer arithmetic is engine-exact (driver row terrain_octant)."""
+    strips = halo_strips(planes, 1)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _assemble_padded(pdf, 1)
+        if got is None:
+            return pd.DataFrame(columns=["tx", "ty", "gx", "gy", "octant",
+                                         "slope", "hillshade", "h", "w"])
+        tx, ty, pad, h, w = got
+        gx, gy, octant, slope, hs = terrain_np(
+            pad, dx, dy, azimuth_deg, altitude_deg)
+        return pd.DataFrame({
+            "tx": [tx], "ty": [ty],
+            "gx": [_encode_plane(gx)], "gy": [_encode_plane(gy)],
+            "octant": [np.ascontiguousarray(octant, dtype="<i2").tobytes()],
+            "slope": [_encode_plane(slope)],
+            "hillshade": [_encode_plane(hs)],
+            "h": [h], "w": [w]})
+
+    return strips.groupBy("tx", "ty").applyInPandas(assemble, TERRAIN_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

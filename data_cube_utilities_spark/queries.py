@@ -2138,6 +2138,85 @@ FROM grad
 """
 
 
+def q_terrain_octant(spark, sf_dir):
+    """Seam-true terrain products (rasterops.terrain_products_halo): a
+    64x64 integer DEM split 2x2, 1-px halo strip exchange, per-pixel
+    gradient (central across tile seams, one-sided at true edges — the
+    np.gradient of the stitched raster) and the steepest-descent aspect
+    OCTANT resolved by exact sign/magnitude comparisons.  Ships 2*gx,
+    2*gy (exact integers at dx=dy=1), the octant, and the squared
+    gradient magnitude — all integer, so the oracle's global
+    neighbor-join twin hash-matches bit-for-bit.  Unlike compute_slip's
+    per-tile gradient, seam pixels here get true central differences."""
+    import numpy as np
+    import pandas as pd
+    from .operators import rasterops
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    X, Y = xx.astype(np.int64), yy.astype(np.int64)
+    dem = ((X * 13 + Y * 29) % 500 + (X * Y) % 97).astype(np.float64)
+    tiles = {(tx, ty): dem[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+             for ty in range(2) for tx in range(2)}
+    planes = rasterops.plane_df(spark, tiles)
+    out = rasterops.terrain_products_halo(planes, dx=1.0, dy=1.0)
+
+    def unpack(batches):
+        for b in batches:
+            for r in b.itertuples():
+                h, w = int(r.h), int(r.w)
+                gx = np.frombuffer(bytes(r.gx), dtype="<f8").reshape(h, w)
+                gy = np.frombuffer(bytes(r.gy), dtype="<f8").reshape(h, w)
+                oc = np.frombuffer(bytes(r.octant), dtype="<i2").reshape(h, w)
+                ys2, xs2 = np.mgrid[0:h, 0:w]
+                gx2 = np.rint(2 * gx).astype(np.int64)
+                gy2 = np.rint(2 * gy).astype(np.int64)
+                yield pd.DataFrame({
+                    "x": (xs2 + int(r.tx) * 32).ravel(),
+                    "y": (ys2 + int(r.ty) * 32).ravel(),
+                    "gx2": gx2.ravel(), "gy2": gy2.ravel(),
+                    "octant": oc.ravel().astype(np.int64),
+                    "slope_sq4": (gx2 * gx2 + gy2 * gy2).ravel()})
+
+    return out.mapInPandas(
+        unpack, "x long, y long, gx2 long, gy2 long, octant long, "
+                "slope_sq4 long")
+
+
+SQL_TERRAIN_OCTANT = r"""
+WITH g AS (
+  SELECT gx.i AS x, gy.i AS y,
+         CAST((gx.i*13 + gy.i*29) % 500 + (gx.i*gy.i) % 97 AS BIGINT) AS dem
+  FROM generate_series(0, 63) gx(i) CROSS JOIN generate_series(0, 63) gy(i)),
+grad AS (
+  SELECT c.x, c.y,
+    CASE WHEN c.x = 0  THEN 2*(e.dem - c.dem)
+         WHEN c.x = 63 THEN 2*(c.dem - w.dem)
+         ELSE e.dem - w.dem END AS gx2,
+    CASE WHEN c.y = 0  THEN 2*(s.dem - c.dem)
+         WHEN c.y = 63 THEN 2*(c.dem - n.dem)
+         ELSE s.dem - n.dem END AS gy2
+  FROM g c
+  LEFT JOIN g e ON e.x = c.x + 1 AND e.y = c.y
+  LEFT JOIN g w ON w.x = c.x - 1 AND w.y = c.y
+  LEFT JOIN g s ON s.x = c.x AND s.y = c.y + 1
+  LEFT JOIN g n ON n.x = c.x AND n.y = c.y - 1),
+uv AS (SELECT x, y, gx2, gy2, -gx2 AS u, -gy2 AS v FROM grad)
+SELECT x, y, gx2, gy2,
+  CAST(CASE
+    WHEN u = 0 AND v = 0 THEN -1
+    WHEN u > 0  AND v >= 0 AND v < u    THEN 0
+    WHEN u > 0  AND v > 0  AND v >= u   THEN 1
+    WHEN u <= 0 AND v > 0  AND -u < v   THEN 2
+    WHEN u < 0  AND v > 0  AND -u >= v  THEN 3
+    WHEN u < 0  AND v <= 0 AND -v < -u  THEN 4
+    WHEN u < 0  AND v < 0  AND -v >= -u THEN 5
+    WHEN u >= 0 AND v < 0  AND u < -v   THEN 6
+    ELSE 7 END AS BIGINT) AS octant,
+  gx2*gx2 + gy2*gy2 AS slope_sq4
+FROM uv
+"""
+
+
 def q_medoid_mosaic(spark, sf_dir):
     """Medoid composite (create_hdmedians_multiple_band_mosaic medoid mode,
     dc_mosaic.py:556-635 / hdmedians nanmedoid; mosaic.mosaic_geomedian
@@ -2429,6 +2508,7 @@ GROUP_A = {
     "salted_zonal": (q_salted_zonal, SQL_SALTED_ZONAL),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "iceberg_merge": (q_iceberg_merge, SQL_ICEBERG_MERGE),
+    "terrain_octant": (q_terrain_octant, SQL_TERRAIN_OCTANT),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

@@ -192,3 +192,76 @@ def test_compute_slip_full_product(spark):
     assert (slip == exp.astype(np.int16)).all()
     assert out.n_slip == int(exp.sum()) and out.n_slip > 0
     assert slip[5, 5] == 0              # no_data pixel masked out
+
+
+# -- terrain products (r5): seam-true gradient / octant / hillshade ---------
+
+def _terrain_monolithic(dem, **kw):
+    pad = np.full((dem.shape[0] + 2, dem.shape[1] + 2), np.nan)
+    pad[1:-1, 1:-1] = dem
+    return rasterops.terrain_np(pad, **kw)
+
+
+def test_terrain_gradient_matches_np_gradient():
+    rng = np.random.default_rng(7)
+    dem = rng.integers(0, 500, size=(40, 56)).astype(np.float64)
+    gx, gy, _, slope, _ = _terrain_monolithic(dem)
+    ngy, ngx = np.gradient(dem)
+    assert np.array_equal(gx, ngx) and np.array_equal(gy, ngy)
+    assert np.allclose(slope, np.degrees(np.arctan(np.hypot(ngx, ngy))))
+
+
+def test_terrain_tiled_equals_monolithic(spark):
+    yy, xx = np.mgrid[0:64, 0:48]
+    dem = ((xx * 13 + yy * 29) % 500 + (xx * yy) % 97).astype(np.float64)
+    tiles = {(tx, ty): dem[ty * 32:(ty + 1) * 32, tx * 16:(tx + 1) * 16]
+             for ty in range(2) for tx in range(3)}
+    out = rasterops.terrain_products_halo(
+        rasterops.plane_df(spark, tiles)).toPandas()
+    mg = {}
+    for r in out.itertuples():
+        h, w = int(r.h), int(r.w)
+        mg[(r.tx, r.ty)] = (
+            np.frombuffer(bytes(r.gx), dtype="<f8").reshape(h, w),
+            np.frombuffer(bytes(r.gy), dtype="<f8").reshape(h, w),
+            np.frombuffer(bytes(r.octant), dtype="<i2").reshape(h, w),
+            np.frombuffer(bytes(r.hillshade), dtype="<f8").reshape(h, w))
+    egx, egy, eoc, _, ehs = _terrain_monolithic(dem)
+    for (tx, ty), (gx, gy, oc, hs) in mg.items():
+        sl = np.s_[ty * 32:(ty + 1) * 32, tx * 16:(tx + 1) * 16]
+        assert np.array_equal(gx, egx[sl]), (tx, ty)
+        assert np.array_equal(gy, egy[sl])
+        assert np.array_equal(oc, eoc[sl])
+        assert np.allclose(hs, ehs[sl])
+
+
+def test_octant_unit_directions_and_flat():
+    # a 3x3 plane whose center gradient we control via E/W/N/S values
+    def oct_direct(gx, gy):
+        pad = np.full((3, 3), 0.0)
+        pad[1, 2], pad[1, 0] = gx, -gx
+        pad[2, 1], pad[0, 1] = gy, -gy
+        _, _, oc, _, _ = rasterops.terrain_np(pad)
+        return int(oc[0, 0])
+
+    # descent direction u=-gx, v=-gy; sector k covers [45k, 45(k+1))
+    assert oct_direct(-1, 0) == 0      # u=1, v=0   -> 0 deg
+    assert oct_direct(-1, -1) == 1     # 45 deg boundary -> sector 1
+    assert oct_direct(0, -1) == 2      # 90
+    assert oct_direct(1, -2) == 2      # u=-1, v=2 -> ~117 deg, sector 2
+    assert oct_direct(2, -1) == 3      # u=-2, v=1 -> ~153 deg, sector 3
+    assert oct_direct(1, 0) == 4       # 180
+    assert oct_direct(1, 1) == 5       # 225 boundary -> 5
+    assert oct_direct(0, 1) == 6       # 270
+    assert oct_direct(-2, 1) == 7      # ~333 deg
+    assert oct_direct(0, 0) == -1      # flat
+
+
+def test_hillshade_flat_anchor_and_range():
+    dem = np.zeros((8, 8))
+    _, _, _, _, hs = _terrain_monolithic(dem, altitude_deg=45.0)
+    assert np.allclose(hs, 255.0 * np.cos(np.radians(45.0)))
+    rng = np.random.default_rng(3)
+    bumpy = rng.integers(0, 60, size=(16, 16)).astype(np.float64)
+    _, _, _, _, hs2 = _terrain_monolithic(bumpy)
+    assert (hs2 >= 0).all() and (hs2 <= 255).all()
