@@ -193,17 +193,24 @@ def polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
 
 
 def pip_cell_join(points: DataFrame, polygons: DataFrame, res: int,
-                  x_col: str = "x", y_col: str = "y") -> DataFrame:
+                  x_col: str = "x", y_col: str = "y",
+                  broadcast_geom: bool = True) -> DataFrame:
     """Equi-join points to polygon cell covers on cell_id, then exact PIP on
     the collocated candidates (grouped per polygon inside a pandas UDF).
     Shuffles only (point rows x avg cover multiplicity); never |P| x |Q|.
-    """
+
+    broadcast_geom=False switches the geometry re-attach to a shuffle
+    equi-join on poly_id — required when the polygon LAYER itself is too
+    large to broadcast (continental cadastre / OSM-building scale); the
+    candidate set is already cell-pruned, so the shuffle is
+    candidates + one copy of each ring, not |P| x |Q|."""
     pts = points.withColumn(
         "cell_id", cells.encode_col(F.col(y_col), F.col(x_col), res))
     cover = polygon_cells(polygons, res)
     cand = pts.join(cover, "cell_id")  # Catalyst may broadcast the cover
     geom = polygons.select("poly_id", "ring_xs", "ring_ys")
-    cand = cand.join(F.broadcast(geom), "poly_id")
+    cand = cand.join(F.broadcast(geom) if broadcast_geom else geom,
+                     "poly_id")
     out_cols = [f.name for f in points.schema.fields] + ["poly_id"]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields]

@@ -985,6 +985,66 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_join(spark, sf_dir):
+    """Event-time STREAM-STREAM interval join through a REAL Structured
+    Streaming query (streaming.incremental.interval_join): clicks and
+    views readStream the events table as two separate file streams
+    (symlinked dir — see q_dedup_gate's LOCAL-ONLY note), joining per
+    user on views in the hour preceding each click.  Watermarks on both
+    sides plus the two-sided event-time bound let Spark evict buffered
+    join state — per-side state is one watermark horizon, never the
+    stream, which is the 100 TB shape.  Inner matches emit in append
+    mode; the settled output must equal the relational interval join the
+    oracle runs.  Multi-batch arrival parity is pytest-pinned in
+    tests/test_streaming."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import incremental
+
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    d = tempfile.mkdtemp(prefix="streamjoin_src_")
+    os.symlink(src, os.path.join(d, "part-00000.parquet"))
+    schema = spark.read.parquet(src).schema
+
+    def side(kind):
+        # watermarks require TIMESTAMP (ltz); the parquet column is ntz
+        return (spark.readStream.schema(schema).parquet(d)
+                .filter(F.col("event_type") == kind)
+                .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                        "user_id"))
+
+    joined = incremental.interval_join(
+        side("click"), side("view"), "user_id",
+        max_lag="60 minutes", max_lead="0 seconds", watermark="2 hours")
+    out = joined.select(F.col("l.event_id").alias("click_id"),
+                        F.col("r.event_id").alias("view_id"),
+                        F.col("l.user_id").alias("user_id"))
+    name = "streamjoin_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+            .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_STREAM_JOIN = """
+SELECT l.event_id AS click_id, r.event_id AS view_id, l.user_id AS user_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 60 MINUTE AND r.ts <= l.ts
+WHERE l.event_type = 'click' AND r.event_type = 'view'
+"""
+
+
 def q_sliding_window(spark, sf_dir):
     """Event-time SLIDING window (1h length, 30min slide) via the
     streaming.incremental.sliding_window_stats operator (real F.window —
@@ -2509,6 +2569,7 @@ GROUP_A = {
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "iceberg_merge": (q_iceberg_merge, SQL_ICEBERG_MERGE),
     "terrain_octant": (q_terrain_octant, SQL_TERRAIN_OCTANT),
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

@@ -143,3 +143,34 @@ def incremental_first_valid_merge(spark: SparkSession, table_path: str,
         out = df if out is None else incremental_combine_first(
             out, df, keys, bands)
     return out
+
+
+def interval_join(left: DataFrame, right: DataFrame, key_col: str,
+                  left_ts: str = "ts", right_ts: str = "ts",
+                  max_lag: str = "10 minutes", max_lead: str = "0 seconds",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Event-time STREAM-STREAM inner join (the 2.10 family's last
+    branch): left rows pair with right rows sharing `key_col` whose event
+    time lies in [l.ts - max_lag, l.ts + max_lead].
+
+    Streaming semantics: both sides get a watermark and the join
+    condition bounds right's event time relative to left's on BOTH ends,
+    so Spark can evict buffered state once the watermark passes — the
+    state held per side is O(rows inside the watermark horizon), never
+    the whole stream.  Inner-join matches emit as soon as both rows have
+    arrived (append mode); the settled output equals the batch join under
+    any batch slicing (pytest-pinned).
+
+    Works unchanged on batch DataFrames (watermarks only apply to
+    streams), so the same call site serves the backfill and the live
+    pipeline.  Columns come back under `l` / `r` aliases — select with
+    qualified names."""
+    l = (left.withWatermark(left_ts, watermark)
+         if left.isStreaming else left).alias("l")
+    r = (right.withWatermark(right_ts, watermark)
+         if right.isStreaming else right).alias("r")
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = ((F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+            & (rt >= lt - F.expr(f"INTERVAL {max_lag}"))
+            & (rt <= lt + F.expr(f"INTERVAL {max_lead}")))
+    return l.join(r, cond, "inner")

@@ -113,6 +113,14 @@ def test_pip_cell_join_exact(pts, polys, expected):
         assert got == expected, f"res={res}"
 
 
+def test_pip_cell_join_shuffled_geom_matches_broadcast(pts, polys, expected):
+    # the huge-polygon-layer path: geometry re-attached by shuffle
+    # equi-join instead of broadcast — identical row set
+    got = pairs(spatial.pip_cell_join(pts, polys, res=6,
+                                      broadcast_geom=False))
+    assert got == expected
+
+
 def test_pip_sql_twin_duckdb(expected):
     pdf = points_pdf()
     edges = pd.DataFrame(spatial.edges_rows(POLYS),

@@ -321,3 +321,76 @@ def test_streaming_phash_gate_multibatch_keeper_revision(spark, tmp_path):
     m = settled.merge(t, on=["band", "key"], suffixes=("", "_t"))
     assert (m.keeper_id == m.keeper_id_t).all()
     assert (m.n_seen == m.n_seen_t).all()
+
+
+# -- stream-stream interval join (r5) ----------------------------------------
+
+def _join_events(spark, n=400):
+    import pandas as pd
+    base = pd.Timestamp("2024-03-01")
+    pdf = pd.DataFrame({
+        "event_id": range(n),
+        "ts": [base + pd.Timedelta(minutes=3 * i + (i % 7)) for i in range(n)],
+        "user_id": [i % 9 for i in range(n)],
+        # i%2 is coprime to the user cycle i%9, so every user gets both
+        # types and same-user neighbors (27 min apart) alternate types
+        "event_type": ["click" if i % 2 == 0 else "view" for i in range(n)],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def _expected_pairs(spark, df):
+    from data_cube_utilities_spark.streaming import incremental
+    c = df.filter("event_type = 'click'").select("event_id", "ts", "user_id")
+    v = df.filter("event_type = 'view'").select("event_id", "ts", "user_id")
+    j = incremental.interval_join(c, v, "user_id", max_lag="30 minutes")
+    return sorted(map(tuple, j.select(
+        F.col("l.event_id"), F.col("r.event_id")).collect()))
+
+
+def test_interval_join_batch_semantics(spark):
+    df = _join_events(spark)
+    got = _expected_pairs(spark, df)
+    # brute expectation via SQL
+    df.createOrReplaceTempView("je")
+    exp = sorted(map(tuple, spark.sql("""
+        SELECT l.event_id, r.event_id FROM je l JOIN je r
+        ON l.user_id = r.user_id
+        AND r.ts >= l.ts - INTERVAL 30 MINUTES AND r.ts <= l.ts
+        WHERE l.event_type = 'click' AND r.event_type = 'view'
+    """).collect()))
+    assert got == exp and len(got) > 0
+
+
+def test_interval_join_stream_equals_batch_across_batches(spark, tmp_path):
+    from data_cube_utilities_spark.streaming import incremental
+    df = _join_events(spark)
+    d = str(tmp_path / "je_src")
+    # 4 files -> maxFilesPerTrigger=1 forces 4 micro-batches; rows of a
+    # joinable pair can arrive in DIFFERENT batches on different sides
+    df.withColumn("part", F.col("event_id") % 4) \
+      .repartition(4, "part").drop("part") \
+      .write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    def side(kind):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(d)
+                .filter(F.col("event_type") == kind)
+                .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                        "user_id"))
+
+    j = incremental.interval_join(side("click"), side("view"), "user_id",
+                                  max_lag="30 minutes")
+    out = j.select(F.col("l.event_id").alias("a"),
+                   F.col("r.event_id").alias("b"))
+    q = (out.writeStream.format("memory").queryName("ssj_t")
+            .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("ssj_t").collect()))
+    spark.catalog.dropTempView("ssj_t")
+    exp = _expected_pairs(spark, df)
+    assert got == exp and len(got) > 0
