@@ -93,3 +93,49 @@ def kmv_merge(sketches: DataFrame, group_cols: Sequence[str],
     h = (sketches.select(*group_cols, F.explode("hashes").alias("hv"))
                  .distinct())
     return _sketch_from_hashes(h, group_cols, k)
+
+
+def hist_quantile(df: DataFrame, group_cols: Sequence[str], value_col: str,
+                  bin_width: float, qs: Sequence[float] = (0.5,)) -> DataFrame:
+    """Mergeable histogram-quantile estimation: bucket values into
+    fixed-width bins (one map-side-combining groupBy — the histogram is
+    the sketch, mergeable by adding counts), then read each requested
+    quantile as the upper edge of the first bin whose cumulative count
+    reaches ceil(q * n).
+
+    The estimate is deterministic integer arithmetic over the bin grid
+    (error bounded by bin_width), so — unlike approxQuantile's
+    Greenwald-Khanna sketch, whose output depends on partitioning — it is
+    bit-reproducible across engines, partitionings and reruns, and
+    hash-oracle-able.  Error vs cost is the caller's bin_width knob.
+
+    Returns one row per (group, q): n, the quantile bin index and its
+    inclusive upper edge `q_upper = (bin + 1) * bin_width` (the exact
+    quantile lies in (q_upper - bin_width, q_upper]).  NULL values are
+    excluded from n, matching SQL aggregate semantics."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use a lit group)")
+    b = (df.filter(F.col(value_col).isNotNull())
+           .select(*group_cols,
+                   F.floor(F.col(value_col) / F.lit(float(bin_width)))
+                    .cast("long").alias("bin")))
+    hist = b.groupBy(*group_cols, "bin").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy("bin") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)) \
+              .withColumn("n", F.sum("cnt").over(wn))
+    outs = []
+    for q in qs:
+        take = F.ceil(F.lit(float(q)) * F.col("n")).cast("long")
+        first = (cum.filter(F.col("cum") >= take)
+                    .groupBy(*group_cols)
+                    .agg(F.min("bin").alias("qbin"),
+                         F.max("n").alias("n"))
+                    .withColumn("q", F.lit(float(q))))
+        outs.append(first)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "q_upper", (F.col("qbin") + 1) * F.lit(float(bin_width)))

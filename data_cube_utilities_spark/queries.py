@@ -2496,6 +2496,44 @@ def q_kmv_distinct(spark, sf_dir):
                       "n_kept", "kth", "est_distinct", "exact_distinct"))
 
 
+def q_hist_quantile(spark, sf_dir):
+    """Histogram-quantile sketch (sketches.hist_quantile): per-returnflag
+    quartiles of l_extendedprice over a 100-unit bin grid.  The histogram
+    is the mergeable sketch (one map-side-combining groupBy); each
+    quantile is the first bin whose cumulative count reaches ceil(q*n) —
+    deterministic integer arithmetic, unlike approxQuantile's
+    partitioning-dependent Greenwald-Khanna, so DuckDB recomputes it
+    bit-identically.  qs are exact binary fractions (.25/.5/.75) so the
+    ceil(q*n) product cannot straddle an integer boundary differently
+    across engines."""
+    from .operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").cast("double").alias("price"))
+    out = sketches.hist_quantile(li, ["grp"], "price", bin_width=100.0,
+                                 qs=(0.25, 0.5, 0.75))
+    return out.select("grp", "q", "qbin", F.col("n").cast("long").alias("n"))
+
+
+SQL_HIST_QUANTILE = """
+WITH b AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) / 100.0) AS BIGINT) AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+h AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY grp, bin),
+c AS (SELECT grp, bin,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY grp) AS n
+      FROM h),
+qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                 (CAST(0.75 AS DOUBLE)))
+SELECT c.grp, qs.q, min(c.bin) AS qbin, CAST(max(c.n) AS BIGINT) AS n
+FROM c JOIN qs ON c.cum >= CAST(ceil(qs.q * c.n) AS BIGINT)
+GROUP BY c.grp, qs.q
+"""
+
+
 SQL_KMV_DISTINCT = """
 WITH h AS (
   SELECT DISTINCT CAST(l_linenumber AS BIGINT) AS grp,
@@ -2570,6 +2608,7 @@ GROUP_A = {
     "iceberg_merge": (q_iceberg_merge, SQL_ICEBERG_MERGE),
     "terrain_octant": (q_terrain_octant, SQL_TERRAIN_OCTANT),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    "hist_quantile": (q_hist_quantile, SQL_HIST_QUANTILE),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

@@ -73,3 +73,44 @@ def test_null_values_never_enter_the_sketch(spark):
         "grp string, v string")
     sk = sketches.kmv_sketch(df, ["grp"], "v", k=8).collect()
     assert sk[0]["n_kept"] == 2 and sk[0]["est_distinct"] == 2
+
+
+# -- histogram quantiles ------------------------------------------------------
+
+def test_hist_quantile_brackets_true_quantile(spark):
+    import numpy as np
+    vals = [(float(v),) for v in np.random.default_rng(11).integers(0, 10_000, 3000)]
+    df = spark.createDataFrame(vals, "v double").withColumn("g", F.lit("all"))
+    out = sketches.hist_quantile(df, ["g"], "v", bin_width=50.0,
+                                 qs=(0.25, 0.5, 0.75)).collect()
+    arr = np.sort(np.array([v for (v,) in vals]))
+    for r in out:
+        true_q = arr[int(np.ceil(r["q"] * len(arr))) - 1]
+        lo, hi = r["q_upper"] - 50.0, r["q_upper"]
+        assert lo < true_q <= hi, (r["q"], true_q, lo, hi)
+        assert r["n"] == len(arr)
+
+
+def test_hist_quantile_merge_is_count_addition(spark):
+    # the sketch is the histogram: quantiles from the summed per-part
+    # histograms equal quantiles of the whole
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 37 % 997).cast("double").alias("v"))
+    whole = sketches.hist_quantile(df, ["g"], "v", 10.0, qs=(0.5,))
+    parts = [df.filter(F.col("id") % 2 == i) for i in range(2)]
+    merged_hist = None
+    for p in parts:
+        h = (p.select("g", F.floor(F.col("v") / 10.0).cast("long").alias("bin"))
+              .groupBy("g", "bin").agg(F.count("*").alias("cnt")))
+        merged_hist = h if merged_hist is None else merged_hist.unionByName(h)
+    # re-aggregate the merged histogram, then synthesize rows per bin and
+    # rerun the quantile read on the reconstituted multiset
+    re = merged_hist.groupBy("g", "bin").agg(F.sum("cnt").alias("cnt"))
+    recon = re.select("g", F.explode(
+        F.transform(F.sequence(F.lit(1), F.col("cnt")),
+                    lambda _: F.col("bin") * 10.0)).alias("v"))
+    again = sketches.hist_quantile(recon, ["g"], "v", 10.0, qs=(0.5,))
+    a = sorted(map(tuple, whole.select("g", "q", "qbin", "n").collect()))
+    b = sorted(map(tuple, again.select("g", "q", "qbin", "n").collect()))
+    assert a == b
