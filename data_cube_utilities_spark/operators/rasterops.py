@@ -1164,3 +1164,67 @@ def frac_coverage_np(bands: np.ndarray, endmembers: np.ndarray) -> np.ndarray:
     for i in range(bands.shape[0]):
         out[i] = nnls_np(endmembers, bands[i])
     return out * 100.0
+
+
+# ---------------------------------------------------------------------------
+# affine warp / reprojection (nearest neighbor)
+# ---------------------------------------------------------------------------
+
+def warp_affine_np(arr: np.ndarray, coeffs: tuple, out_w: int, out_h: int,
+                   fill=np.nan) -> np.ndarray:
+    """Nearest-neighbor affine warp of a 2-D array by INVERSE mapping:
+    output pixel (oy, ox) samples source
+      sx = floor((a*ox + b*oy + c) / q), sy = floor((d*ox + e*oy + f) / q)
+    with integer coefficients (a, b, c, d, e, f, q), q > 0.  Rational
+    coefficients make rescaling (q = denominator), flips, 90-degree
+    rotations, shears and translations EXACT — there is no float grid
+    math to drift between engines (the reference reprojects through
+    rasterio/GDAL nearest resampling, dea_tools spatial.py; this is that
+    sampling rule with the transform held exact).  Out-of-source pixels
+    take `fill`."""
+    a, b, c, d, e, f, q = (int(v) for v in coeffs)
+    if q <= 0:
+        raise ValueError("q must be a positive integer")
+    oy, ox = np.mgrid[0:out_h, 0:out_w]
+    ox = ox.astype(np.int64)
+    oy = oy.astype(np.int64)
+    sx = (a * ox + b * oy + c) // q        # floor division, exact
+    sy = (d * ox + e * oy + f) // q
+    h, w = arr.shape
+    inside = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+    out = np.full((out_h, out_w), fill, dtype=np.float64)
+    out[inside] = arr[sy[inside], sx[inside]]
+    return out
+
+
+def warp_affine_long(pixels: DataFrame, coeffs: tuple,
+                     out_w: int, out_h: int,
+                     x_col: str = "px", y_col: str = "py",
+                     value_cols: tuple = ("val",)) -> DataFrame:
+    """The same warp over LONG-FORM pixel rows, fully JVM-side: generate
+    the output grid, compute each output pixel's source coordinate with
+    exact integer floor-division arithmetic (whole-stage codegen), then
+    ONE equi-join re-attaches source values (out-of-source outputs keep
+    NULL).  Scale shape: the grid fans out in parallel, the join shuffles
+    on (sx, sy) — broadcastable when the source is a small template,
+    shuffle-join otherwise; never a cross product.
+
+    Pinned equal to warp_affine_np per-pixel in tests; coefficient
+    magnitudes must keep |a*ox + b*oy + c| below 2^52 (the floor(x/q)
+    double-division exactness bound — any real raster is far below)."""
+    a, b, c, d, e, f, q = (int(v) for v in coeffs)
+    if q <= 0:
+        raise ValueError("q must be a positive integer")
+    spark = pixels.sparkSession
+    grid = spark.range(0, out_w * out_h).select(
+        (F.col("id") % out_w).cast("long").alias("ox"),
+        (F.col("id") / out_w).cast("long").alias("oy"))
+    sx = F.floor((a * F.col("ox") + b * F.col("oy") + F.lit(c)) / F.lit(q))
+    sy = F.floor((d * F.col("ox") + e * F.col("oy") + F.lit(f)) / F.lit(q))
+    g = grid.select("ox", "oy", sx.alias("__sx"), sy.alias("__sy"))
+    src = pixels.select(F.col(x_col).cast("long").alias("__sx"),
+                        F.col(y_col).cast("long").alias("__sy"),
+                        *value_cols)
+    return (g.join(src, ["__sx", "__sy"], "left")
+             .select(F.col("ox").alias(x_col), F.col("oy").alias(y_col),
+                     *value_cols))

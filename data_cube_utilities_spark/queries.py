@@ -2277,6 +2277,43 @@ FROM uv
 """
 
 
+def q_warp_affine(spark, sf_dir):
+    """Nearest-neighbor affine reprojection as an exact coordinate remap
+    (rasterops.warp_affine_long): a 64x48 template raster is rescaled
+    x1.5 horizontally (rational coefficient, q=2), flipped vertically,
+    and translated — all with integer floor-division arithmetic, so the
+    oracle recomputes every sampled coordinate bit-identically.  The
+    right edge of the output maps beyond the source and stays NULL (the
+    GDAL nearest-resample out-of-extent rule).  One codegen projection +
+    one equi-join; no Python in the path."""
+    from .operators import rasterops
+
+    src = spark.range(0, 64 * 48).select(
+        (F.col("id") % 64).cast("long").alias("px"),
+        (F.col("id") / 64).cast("long").alias("py"))
+    src = src.withColumn(
+        "val", (F.col("px") * 31 + F.col("py") * 17) % 4096)
+    return rasterops.warp_affine_long(
+        src, coeffs=(3, 0, 1, 0, -2, 94, 2), out_w=45, out_h=48,
+        value_cols=("val",))
+
+
+SQL_WARP_AFFINE = """
+WITH src AS (
+  SELECT i % 64 AS px, i // 64 AS py,
+         ((i % 64) * 31 + (i // 64) * 17) % 4096 AS val
+  FROM generate_series(0, 64*48 - 1) g(i)),
+grid AS (SELECT i % 45 AS ox, i // 45 AS oy
+         FROM generate_series(0, 45*48 - 1) g(i)),
+m AS (SELECT ox, oy,
+             CAST(floor((3*ox + 1) / 2.0) AS BIGINT) AS sx,
+             CAST(floor((-2*oy + 94) / 2.0) AS BIGINT) AS sy
+      FROM grid)
+SELECT m.ox AS px, m.oy AS py, src.val AS val
+FROM m LEFT JOIN src ON src.px = m.sx AND src.py = m.sy
+"""
+
+
 def q_medoid_mosaic(spark, sf_dir):
     """Medoid composite (create_hdmedians_multiple_band_mosaic medoid mode,
     dc_mosaic.py:556-635 / hdmedians nanmedoid; mosaic.mosaic_geomedian
@@ -2609,6 +2646,7 @@ GROUP_A = {
     "terrain_octant": (q_terrain_octant, SQL_TERRAIN_OCTANT),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "hist_quantile": (q_hist_quantile, SQL_HIST_QUANTILE),
+    "warp_affine": (q_warp_affine, SQL_WARP_AFFINE),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

@@ -265,3 +265,42 @@ def test_hillshade_flat_anchor_and_range():
     bumpy = rng.integers(0, 60, size=(16, 16)).astype(np.float64)
     _, _, _, _, hs2 = _terrain_monolithic(bumpy)
     assert (hs2 >= 0).all() and (hs2 <= 255).all()
+
+
+# -- affine warp (r5) ---------------------------------------------------------
+
+def test_warp_affine_np_identity_flip_downscale():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 100, size=(12, 16)).astype(np.float64)
+    h, w = arr.shape
+    ident = rasterops.warp_affine_np(arr, (1, 0, 0, 0, 1, 0, 1), w, h)
+    assert np.array_equal(ident, arr)
+    vflip = rasterops.warp_affine_np(arr, (1, 0, 0, 0, -1, h - 1, 1), w, h)
+    assert np.array_equal(vflip, arr[::-1])
+    down = rasterops.warp_affine_np(arr, (2, 0, 0, 0, 2, 0, 1), w // 2, h // 2)
+    assert np.array_equal(down, arr[::2, ::2])
+    # rational 3/2 rescale: output col j samples source col floor(3j/2)
+    up = rasterops.warp_affine_np(arr, (3, 0, 0, 0, 2, 0, 2), 10, h // 2)
+    exp = arr[np.ix_([2 * i // 2 for i in range(h // 2)],
+                     [3 * j // 2 for j in range(10)])]
+    assert np.array_equal(up, exp)
+
+
+def test_warp_affine_long_matches_np(spark):
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 500, size=(20, 24)).astype(np.float64)
+    h, w = arr.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    src = spark.createDataFrame(
+        list(zip(xx.ravel().tolist(), yy.ravel().tolist(),
+                 arr.ravel().tolist())), "px long, py long, val double")
+    coeffs = (3, 0, 1, 0, -2, 2 * (h - 1), 2)   # x1.5 rescale + vflip
+    out_w, out_h = 18, h
+    got = rasterops.warp_affine_long(src, coeffs, out_w, out_h).toPandas()
+    exp = rasterops.warp_affine_np(arr, coeffs, out_w, out_h)
+    gm = np.full((out_h, out_w), np.nan)
+    gm[got["py"].to_numpy(), got["px"].to_numpy()] = got["val"].to_numpy()
+    assert np.array_equal(np.isnan(gm), np.isnan(exp))
+    m = ~np.isnan(exp)
+    assert np.array_equal(gm[m], exp[m])
+    assert len(got) == out_w * out_h           # nulls kept, no dup rows
