@@ -380,8 +380,14 @@ def test_interval_join_stream_equals_batch_across_batches(spark, tmp_path):
                 .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
                         "user_id"))
 
+    # files arrive in ARBITRARY order (hash-partitioned write), so rows
+    # can be up to the full 20h data span "late" vs the join watermark;
+    # a watermark wider than the span makes nothing evictable — this
+    # test pins cross-batch pairing, test_watermark_evicts_late_rows
+    # pins eviction
     j = incremental.interval_join(side("click"), side("view"), "user_id",
-                                  max_lag="30 minutes")
+                                  max_lag="30 minutes",
+                                  watermark="100 hours")
     out = j.select(F.col("l.event_id").alias("a"),
                    F.col("r.event_id").alias("b"))
     q = (out.writeStream.format("memory").queryName("ssj_t")
