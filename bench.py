@@ -122,6 +122,21 @@ def _busy_cpu_s() -> float:
     return busy / os.sysconf("SC_CLK_TCK")
 
 
+def _host_calibration(seconds: float = 2.0) -> int:
+    """Single-thread spin count per `seconds` — an absolute host-speed
+    anchor recorded per campaign.  The host's effective clock oscillates
+    between phases ~1.6x apart AND throttles under sustained load
+    (BENCH/BASELINE.md); without an anchor, a cross-round wall comparison
+    cannot tell a code regression from a slow host.  History: the r1-r4
+    fast band measured ~35-55M spins/5s on this box; a campaign whose
+    calibration sits far below that should be read per cpu-seconds only."""
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        n += 1
+    return n
+
+
 def entry_flagship(spark):
     """The driver-contract entry() query (sf0.001 WOfS + indices + cell
     agg) — timed here so regressions on the contract path are visible
@@ -170,9 +185,11 @@ def main():
     GAP_S = float(os.environ.get("SPARK_GRAFT_BENCH_GAP", "150"))
     walls: dict[str, list[float]] = {n: [] for n in jobs}
     cpus_used: dict[str, list[float]] = {n: [] for n in jobs}
+    spins: list[int] = []
     for campaign in range(CAMPAIGNS):
         if campaign:
             time.sleep(GAP_S)           # let the clock phase roll over
+        spins.append(_host_calibration())
         for rnd in range(REPS + 1):
             for name, (thunk, extra) in jobs.items():
                 if rnd >= REPS + extra:
@@ -233,6 +250,10 @@ def main():
         "queries": times,
         "cpu_seconds": cpu_times,
         "campaigns": CAMPAIGNS,
+        # absolute host-speed anchor per campaign (spins / 2s, one
+        # thread): lets a cross-round reader separate host phase /
+        # throttle from code change; r1-r4 fast band ~14-22M per 2s
+        "host_spins_2s": spins,
         "cpu_regressions_vs_prior": regressions,
         "serial_stage_flags": serial_flags,
         "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
