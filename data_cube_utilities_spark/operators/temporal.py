@@ -76,6 +76,37 @@ def bfill(df: DataFrame, keys: Sequence[str], value_col: str,
                          F.first(value_col, ignorenulls=True).over(w))
 
 
+def interp_linear(df: DataFrame, keys: Sequence[str], value_col: str,
+                  time_col: str, out_col: str | None = None,
+                  tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Linear gap interpolation along time — the xarray
+    interpolate_na(method='linear') idiom (the reference fills cloud-gap
+    series before temporal analysis; ffill above is its 'pad' mode).
+
+    A NULL value takes prev + (next - prev) * (t - t_prev)/(t_next -
+    t_prev) between its nearest valid neighbors; leading/trailing NULLs
+    (no neighbor on one side) stay NULL, matching interpolate_na's
+    default.  `time_col` must be numeric (cast timestamps to epoch).
+
+    Four window functions over one (keys, time) sort — a single shuffle,
+    no self-join; all arithmetic is plain double, so the DuckDB twin
+    (IGNORE NULLS windows) is bit-identical on integer-derived data."""
+    v, t = F.col(value_col), F.col(time_col)
+    wb = _w(keys, time_col, *tiebreak).rowsBetween(Window.unboundedPreceding, 0)
+    wf = _w(keys, time_col, *tiebreak).rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last(value_col, ignorenulls=True).over(wb)
+    next_v = F.first(value_col, ignorenulls=True).over(wf)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wb)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wf)
+    frac = (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    filled = F.when(v.isNotNull(), v.cast("double")) \
+              .when(prev_v.isNull() | next_v.isNull(), F.lit(None)) \
+              .otherwise(prev_v.cast("double")
+                         + (next_v.cast("double") - prev_v.cast("double"))
+                         * frac)
+    return df.withColumn(out_col or f"{value_col}_interp", filled)
+
+
 def gap_stats(df: DataFrame, keys: Sequence[str], time_col: str,
               tiebreak: Sequence[str] = ()) -> DataFrame:
     """Per-series min/mean/median/max gap between observations, in

@@ -2448,6 +2448,63 @@ FROM expl e LEFT JOIN pix ON r['px'] = pix.px AND r['py'] = pix.py
 """
 
 
+def q_interp_linear(spark, sf_dir):
+    """Linear gap interpolation (temporal.interp_linear — the reference's
+    interpolate_na(method='linear') idiom over cloud-gap series): every
+    third observation is NULLed, then filled from its nearest valid
+    neighbors; leading/trailing gaps stay NULL.  One (key, t) sort
+    window, no self-join; arithmetic order matches the oracle exactly so
+    the doubles hash bit-identically."""
+    from .operators import temporal
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select((F.col("l_suppkey") % 20).alias("k"),
+                  (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                  .alias("t"),
+                  F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 3
+                         == 0, F.lit(None))
+                   .otherwise(F.col("l_quantity").cast("long")).alias("v"))
+    # (k, t) must be unique or tie order inside the window differs across
+    # engines — the testdata repeats (orderkey, linenumber); max() skips
+    # NULLs identically in both engines
+    s = s.groupBy("k", "t").agg(F.max("v").alias("v"))
+    out = temporal.interp_linear(s, ["k"], "v", "t")
+    return out.select("k", "t", "v_interp")
+
+
+SQL_INTERP_LINEAR = """
+WITH s0 AS (
+  SELECT l_suppkey % 20 AS k, l_orderkey * 10 + l_linenumber AS t,
+         CASE WHEN (l_orderkey + l_linenumber) % 3 = 0 THEN NULL
+              ELSE CAST(l_quantity AS BIGINT) END AS v
+  FROM lineitem),
+s AS (SELECT k, t, max(v) AS v FROM s0 GROUP BY k, t),
+w AS (
+  SELECT k, t, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM s)
+SELECT k, t,
+  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+       WHEN pv IS NULL OR nv IS NULL THEN NULL
+       ELSE CAST(pv AS DOUBLE)
+            + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+              * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+  END AS v_interp
+FROM w
+"""
+
+
 def q_salted_zonal(spark, sf_dir):
     """Skew-defused zonal aggregation (north-rule 'salted repartitioning
     for coastline/urban skew'): a deliberately hot cell (~60% of all rows
@@ -2647,6 +2704,7 @@ GROUP_A = {
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "hist_quantile": (q_hist_quantile, SQL_HIST_QUANTILE),
     "warp_affine": (q_warp_affine, SQL_WARP_AFFINE),
+    "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

@@ -272,3 +272,24 @@ def test_tidal_stats_spread_and_offsets(spark):
     assert 0 <= out.spread_m <= 1
     # a flat-ish sine has near-zero trend; p-value must be defined
     assert abs(out.all_slope) < 1e-4 and 0 <= out.all_pval <= 2
+
+
+def test_interp_linear_fills_gaps_edges_stay_null(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    rows = [("a", 1, 10), ("a", 2, None), ("a", 3, None), ("a", 4, 40),
+            ("a", 5, None), ("b", 1, None), ("b", 2, 7), ("b", 3, None),
+            ("b", 4, 1)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = {(r["k"], r["t"]): r["v_interp"]
+           for r in temporal.interp_linear(df, ["k"], "v", "t").collect()}
+    assert out[("a", 2)] == 20.0 and out[("a", 3)] == 30.0   # linear fill
+    assert out[("a", 1)] == 10.0 and out[("a", 4)] == 40.0   # pass-through
+    assert out[("a", 5)] is None and out[("b", 1)] is None   # edges
+    assert out[("b", 3)] == 4.0                              # (7+1)/2
+    # xarray parity: interpolate_na('linear') over the same series
+    import numpy as np
+    s = np.array([10, np.nan, np.nan, 40, np.nan])
+    filled = np.interp(np.arange(5), np.flatnonzero(~np.isnan(s)),
+                       s[~np.isnan(s)])
+    assert filled[1] == 20.0 and filled[2] == 30.0
