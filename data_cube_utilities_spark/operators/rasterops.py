@@ -1228,3 +1228,47 @@ def warp_affine_long(pixels: DataFrame, coeffs: tuple,
     return (g.join(src, ["__sx", "__sy"], "left")
              .select(F.col("ox").alias(x_col), F.col("oy").alias(y_col),
                      *value_cols))
+
+
+# ---------------------------------------------------------------------------
+# vector sink: regions -> GeoJSONSeq (newline-delimited features)
+# ---------------------------------------------------------------------------
+
+def regions_to_geojsonl(regions: DataFrame,
+                        x0: float = 0.0, y0: float = 0.0,
+                        sx: float = 1.0, sy: float = 1.0,
+                        tile_w: int = 0, tile_h: int = 0) -> DataFrame:
+    """Vector export of vectorize_regions output: one GeoJSON Feature per
+    region (Polygon = the region's pixel bbox ring in world coordinates
+    via the affine transform; properties = region id, pixel count,
+    centroid).  Built ENTIRELY JVM-side with to_json over a nested
+    struct — no Python, no driver collect — and emitted as
+    newline-delimited GeoJSON (GeoJSONSeq, RFC 8142), the streaming-
+    friendly variant every GIS reads, written one file per partition by
+    df.write.text.  The reference exports vectors through
+    fiona/shapefile (dea_tools spatial.py xr_vectorize); GeoJSONSeq is
+    the dependency-free, shardable equivalent."""
+    gx = lambda c: (F.lit(x0) + c * F.lit(sx))
+    gy = lambda c: (F.lit(y0) + c * F.lit(sy))
+    wx = F.col("tx") * F.lit(tile_w)
+    wy = F.col("ty") * F.lit(tile_h)
+    x_min, x_max = gx(wx + F.col("min_x")), gx(wx + F.col("max_x") + 1)
+    y_min, y_max = gy(wy + F.col("min_y")), gy(wy + F.col("max_y") + 1)
+    ring = F.array(
+        F.array(x_min, y_min), F.array(x_max, y_min),
+        F.array(x_max, y_max), F.array(x_min, y_max),
+        F.array(x_min, y_min))
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(F.lit("Polygon").alias("type"),
+                 F.array(ring).alias("coordinates")).alias("geometry"),
+        F.struct(F.col("tx"), F.col("ty"), F.col("region"),
+                 F.col("n_px"),
+                 gx(wx + F.col("cx")).alias("cx"),
+                 gy(wy + F.col("cy")).alias("cy")).alias("properties"))
+    return regions.select(F.to_json(feature).alias("value"))
+
+
+def save_geojsonl(regions: DataFrame, path: str, **transform) -> None:
+    """Write regions as sharded GeoJSONSeq text files (one per task)."""
+    regions_to_geojsonl(regions, **transform).write.mode("overwrite").text(path)

@@ -304,3 +304,41 @@ def test_warp_affine_long_matches_np(spark):
     m = ~np.isnan(exp)
     assert np.array_equal(gm[m], exp[m])
     assert len(got) == out_w * out_h           # nulls kept, no dup rows
+
+
+# -- GeoJSONSeq vector sink (r5) ---------------------------------------------
+
+def test_geojsonl_roundtrip(spark, tmp_path):
+    import json
+
+    plane = np.zeros((8, 8))
+    plane[1:3, 1:4] = 1.0          # one 3x2 region
+    plane[6:8, 5:7] = 1.0          # one 2x2 region at the far corner
+    planes = rasterops.plane_df(spark, {(0, 0): plane})
+    regions = rasterops.vectorize_regions(planes, threshold=0.5)
+    out = str(tmp_path / "gj")
+    rasterops.save_geojsonl(regions, out, x0=100.0, y0=-50.0, sx=0.5,
+                            sy=-0.5, tile_w=8, tile_h=8)
+    feats = []
+    for f in sorted((tmp_path / "gj").glob("part-*")):
+        for line in f.read_text().splitlines():
+            feats.append(json.loads(line))
+    assert len(feats) == 2
+    for ft in feats:
+        assert ft["type"] == "Feature"
+        g = ft["geometry"]
+        assert g["type"] == "Polygon"
+        ring = g["coordinates"][0]
+        assert len(ring) == 5 and ring[0] == ring[-1]   # closed ring
+    by_npx = {ft["properties"]["n_px"]: ft for ft in feats}
+    r = by_npx[6]["geometry"]["coordinates"][0]
+    ft = by_npx[6]
+    # region 1 bbox px [1..3]x[1..2] -> world x in [100.5, 102.0],
+    # y in [-50.5, -51.5] (sy negative: north-up raster)
+    xs = sorted({p[0] for p in r}); ys = sorted({p[1] for p in r})
+    assert xs == [100.5, 102.0] and ys == [-51.5, -50.5]
+    assert ft["properties"]["region"] >= 1
+    # readable back by Spark's JSON reader (GeoJSONSeq contract)
+    back = spark.read.json(out)
+    assert back.count() == 2
+    assert set(back.select("properties.n_px").toPandas()["n_px"]) == {4, 6}
