@@ -125,17 +125,14 @@ def hist_quantile(df: DataFrame, group_cols: Sequence[str], value_col: str,
     wn = Window.partitionBy(*group_cols)
     cum = hist.withColumn("cum", F.sum("cnt").over(w)) \
               .withColumn("n", F.sum("cnt").over(wn))
-    outs = []
-    for q in qs:
-        take = F.ceil(F.lit(float(q)) * F.col("n")).cast("long")
-        first = (cum.filter(F.col("cum") >= take)
-                    .groupBy(*group_cols)
-                    .agg(F.min("bin").alias("qbin"),
-                         F.max("n").alias("n"))
-                    .withColumn("q", F.lit(float(q))))
-        outs.append(first)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+    # all quantiles in ONE pass: explode the q list against the cumulated
+    # histogram instead of one scan+window chain per q (plan-audited: the
+    # per-q union form recomputed the whole sketch per quantile)
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    cum = cum.select(*group_cols, "bin", "cum", "n", qcol)
+    take = F.ceil(F.col("q") * F.col("n")).cast("long")
+    out = (cum.filter(F.col("cum") >= take)
+              .groupBy(*group_cols, "q")
+              .agg(F.min("bin").alias("qbin"), F.max("n").alias("n")))
     return out.withColumn(
         "q_upper", (F.col("qbin") + 1) * F.lit(float(bin_width)))
