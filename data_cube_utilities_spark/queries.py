@@ -2571,6 +2571,47 @@ WHERE o_orderkey % 10 <> 7
 """
 
 
+def q_ivm_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance
+    (snapshots.refresh_incremental_agg): orders arrive as an overwrite +
+    two appends; a per-custkey (count, sum-of-cents) view is refreshed
+    after each arrival by aggregating ONLY the delta (read_changes) and
+    merging by addition through one atomic merge_upsert.  The final view
+    must equal the plain GROUP BY over all orders — which is exactly
+    what the oracle computes.  Refresh cost is O(delta + changed keys),
+    never a rescan: the continuous-ingest shape at 100 TB."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable, refresh_incremental_agg
+
+    base = os.path.join(tempfile.gettempdir(),
+                        "geocube_ivm_" +
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(base, ignore_errors=True)
+    src = SnapshotTable(os.path.join(base, "src"))
+    agg = SnapshotTable(os.path.join(base, "agg"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    src.commit(o.filter("o_custkey % 3 = 0"), operation="overwrite")
+    refresh_incremental_agg(src, agg, spark, ["o_custkey"], ["cents"])
+    src.commit(o.filter("o_custkey % 3 = 1"), operation="append")
+    refresh_incremental_agg(src, agg, spark, ["o_custkey"], ["cents"])
+    src.commit(o.filter("o_custkey % 3 = 2"), operation="append")
+    refresh_incremental_agg(src, agg, spark, ["o_custkey"], ["cents"])
+    return agg.read(spark).select("o_custkey", "n_rows", "sum_cents")
+
+
+SQL_IVM_AGG = """
+SELECT o_custkey, count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders GROUP BY o_custkey
+"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per group (operators/sketches.py): the
     k=64 smallest md5-48bit hashes of l_partkey per l_linenumber, the
@@ -2705,6 +2746,7 @@ GROUP_A = {
     "hist_quantile": (q_hist_quantile, SQL_HIST_QUANTILE),
     "warp_affine": (q_warp_affine, SQL_WARP_AFFINE),
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
+    "ivm_agg": (q_ivm_agg, SQL_IVM_AGG),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

@@ -519,3 +519,55 @@ def run_resumable(table: SnapshotTable, steps: list[tuple[str, callable]],
                      lineage={"step": step})
         ran.append(step)
     return ran
+
+
+def refresh_incremental_agg(src: SnapshotTable, agg: SnapshotTable,
+                            spark: SparkSession, keys: Sequence[str],
+                            sum_cols: Sequence[str]) -> int | None:
+    """Incremental materialized-view maintenance: keep `agg` = GROUP BY
+    `keys` with per-key row count + SUM(sum_cols) over `src`, touching
+    only the rows appended since the last refresh.
+
+    The algebra: counts and sums are commutative monoids, so
+    agg(new) = agg(old) merged-by-addition with agg(delta).  The delta
+    comes from src.read_changes (Iceberg incremental append scan), the
+    merge lands through agg.merge_upsert — ONE atomic snapshot whose
+    manifest lineage records the src version consumed, which is also the
+    resume cursor (a crashed refresh reruns idempotently from the last
+    recorded cursor).  Cost per refresh is O(|delta| + |changed keys|),
+    never a rescan of src — the 100 TB continuous-ingest shape.
+
+    Returns the new agg version, or None when src has nothing new.
+    Refuses (ValueError, from read_changes) if src was overwritten or
+    had row-level deletes since the cursor — a non-append change breaks
+    the delta algebra, so the caller must rebuild (drop agg, refresh)."""
+    keys = list(keys)
+    head = src.current_version()
+    if head is None:
+        return None
+    cursor = None
+    if agg.current_version() is not None:
+        cursor = agg.manifest().get("lineage", {}).get("src_version")
+    if cursor == head:
+        return None
+    delta = (src.read(spark) if cursor is None
+             else src.read_changes(spark, cursor, head))
+    d = delta.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols])
+    meas = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+    if cursor is None:
+        agg.commit(d, operation="overwrite",
+                   lineage={"src_version": head, "op": "ivm_full"})
+        return agg.current_version()
+    cur = agg.read(spark)
+    # only keys present in the delta change; merge-by-addition on those
+    merged = (d.alias("d")
+               .join(cur.alias("c"), keys, "left")
+               .select(*[F.col(f"d.{k}").alias(k) for k in keys],
+                       *[(F.col(f"d.{m}")
+                          + F.coalesce(F.col(f"c.{m}"), F.lit(0)))
+                         .alias(m) for m in meas]))
+    return agg.merge_upsert(merged, key_cols=keys,
+                            lineage={"src_version": head,
+                                     "op": "ivm_incremental"})

@@ -266,3 +266,46 @@ def test_expire_keeps_merge_and_delete_dirs_of_live_chain(spark, table):
     assert expired == []    # whole chain needed to rebuild the head
     got = sorted(r["id"] for r in table.read(spark).collect())
     assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_refresh_incremental_agg_equals_full_recompute(spark, tmp_path):
+    from data_cube_utilities_spark.sources.snapshots import (
+        refresh_incremental_agg)
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    agg = SnapshotTable(str(tmp_path / "agg"))
+
+    def chunk(lo, hi):
+        pdf = pd.DataFrame({"k": [i % 5 for i in range(lo, hi)],
+                            "v": list(range(lo, hi))})
+        return spark.createDataFrame(pdf)
+
+    # empty src -> no-op
+    assert refresh_incremental_agg(src, agg, spark, ["k"], ["v"]) is None
+
+    src.commit(chunk(0, 40), operation="overwrite")
+    v1 = refresh_incremental_agg(src, agg, spark, ["k"], ["v"])
+    assert v1 is not None
+    # idempotent: nothing new -> None, version unchanged
+    assert refresh_incremental_agg(src, agg, spark, ["k"], ["v"]) is None
+    assert agg.current_version() == v1
+
+    src.commit(chunk(40, 70), operation="append")
+    src.commit(chunk(70, 100), operation="append")
+    refresh_incremental_agg(src, agg, spark, ["k"], ["v"])
+
+    got = {r["k"]: (r["n_rows"], r["sum_v"])
+           for r in agg.read(spark).collect()}
+    exp = {}
+    for i in range(100):
+        n, s = exp.get(i % 5, (0, 0))
+        exp[i % 5] = (n + 1, s + i)
+    assert got == exp
+    # the cursor in lineage tracks the consumed src version
+    assert agg.manifest()["lineage"]["src_version"] == src.current_version()
+
+    # a row-level delete on src breaks the append-only delta algebra:
+    # the next refresh must refuse, not silently corrupt the view
+    src.delete_where(spark, "v = 3", key_cols=["k", "v"])
+    with pytest.raises(ValueError):
+        refresh_incremental_agg(src, agg, spark, ["k"], ["v"])
