@@ -446,3 +446,57 @@ def _explode_rings(pending: DataFrame, radius: int) -> DataFrame:
                 yield pd.concat(outs)
 
     return pending.mapInPandas(expand, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# spatial autocorrelation: global Moran's I on a regular cell grid
+# ---------------------------------------------------------------------------
+
+def morans_i_grid(cells_df: DataFrame, ix_col: str = "ix",
+                  iy_col: str = "iy", value_col: str = "v") -> DataFrame:
+    """Global Moran's I under rook adjacency on a regular grid — the
+    standard test for spatial clustering of a per-cell statistic (is the
+    water fraction / NDVI / dedup rate spatially clustered, or noise?).
+
+      I = (n / W) * sum_ij w_ij (x_i - xbar)(x_j - xbar)
+                  / sum_i (x_i - xbar)^2
+
+    with w_ij = 1 for the 4 rook neighbors, W = number of directed
+    neighbor pairs.  Multiplying deviations through by n (z_i = n*x_i -
+    sum) keeps every aggregate EXACT integer arithmetic — the n^2 cancels
+    in the ratio — so num/den/W/n are engine-reproducible and the final
+    double is one fixed-order expression.
+
+    Shape at scale: one tiny stats row broadcast back, one equi-join of
+    the grid against its 4 shifted selves on (ix, iy) — co-partitioned,
+    no cross product, no collect.  Returns a single row:
+    (n, w_pairs, num, den, morans_i)."""
+    stats = cells_df.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(value_col).cast("long")).alias("_s"))
+    z = cells_df.crossJoin(F.broadcast(stats)).select(
+        F.col(ix_col).cast("long").alias("ix"),
+        F.col(iy_col).cast("long").alias("iy"),
+        (F.col("_n") * F.col(value_col).cast("long") - F.col("_s"))
+        .alias("z"), "_n")
+    offs = cells_df.sparkSession.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long")
+    nbr = z.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"),
+                   F.col("z").alias("zj"))
+    edges = (z.crossJoin(F.broadcast(offs))
+              .withColumn("jx", F.col("ix") + F.col("dx"))
+              .withColumn("jy", F.col("iy") + F.col("dy"))
+              .join(nbr, ["jx", "jy"]))
+    num_w = edges.agg(F.sum(F.col("z") * F.col("zj")).alias("num"),
+                      F.count("*").alias("w_pairs"))
+    den = z.agg(F.sum(F.col("z") * F.col("z")).alias("den"),
+                F.max("_n").alias("n"))
+    out = den.crossJoin(num_w)
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("w_pairs").cast("long").alias("w_pairs"),
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        ((F.col("n").cast("double") / F.col("w_pairs"))
+         * (F.col("num").cast("double") / F.col("den")))
+        .alias("morans_i"))

@@ -2571,6 +2571,46 @@ WHERE o_orderkey % 10 <> 7
 """
 
 
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation (spatial.morans_i_grid)
+    over a 32x32 cell grid aggregated from lineitem: per-cell statistic
+    v = sum(quantity) mod 1000 (the mod bounds n*v - sum so every
+    intermediate stays far inside int64), rook adjacency, W = directed
+    neighbor pairs.  All aggregates are exact integers; the final I is
+    one fixed-order double expression, so the oracle recomputes the
+    identical bits."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.morans_i_grid(grid, "ix", "iy", "v")
+
+
+SQL_MORANS_I = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+st AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM g),
+z AS (SELECT ix, iy, st.n * v - st.s AS z FROM g, st),
+e AS (
+  SELECT CAST(sum(a.z * b.z) AS BIGINT) AS num, count(*) AS w_pairs
+  FROM z a JOIN z b
+    ON (b.ix = a.ix + 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix - 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix AND b.iy = a.iy + 1)
+    OR (b.ix = a.ix AND b.iy = a.iy - 1)),
+d AS (SELECT CAST(sum(z * z) AS BIGINT) AS den FROM z)
+SELECT st.n, e.w_pairs, e.num, d.den,
+       (CAST(st.n AS DOUBLE) / e.w_pairs)
+         * (CAST(e.num AS DOUBLE) / d.den) AS morans_i
+FROM st, e, d
+"""
+
+
 def q_ivm_agg(spark, sf_dir):
     """Incremental materialized-view maintenance
     (snapshots.refresh_incremental_agg): orders arrive as an overwrite +
@@ -2747,6 +2787,7 @@ GROUP_A = {
     "warp_affine": (q_warp_affine, SQL_WARP_AFFINE),
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "ivm_agg": (q_ivm_agg, SQL_IVM_AGG),
+    "morans_i": (q_morans_i, SQL_MORANS_I),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

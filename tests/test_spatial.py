@@ -227,3 +227,33 @@ def test_knn_cells_sparse_targets_fallback(spark):
     g = {(r.query_id, r["rank"]): r.neighbor_id for _, r in out.iterrows()}
     b = {(r.query_id, r["rank"]): r.neighbor_id for _, r in brute.iterrows()}
     assert g == b
+
+
+def test_morans_i_checkerboard_vs_blocks(spark):
+    """Moran's I sign sanity: a checkerboard is perfectly dispersed
+    (I -> -1), two solid half-planes are clustered (I -> +1)."""
+    rows_cb, rows_bl = [], []
+    for ix in range(8):
+        for iy in range(8):
+            rows_cb.append((ix, iy, (ix + iy) % 2 * 10))
+            rows_bl.append((ix, iy, 10 if ix < 4 else 0))
+    cb = spark.createDataFrame(rows_cb, "ix long, iy long, v long")
+    bl = spark.createDataFrame(rows_bl, "ix long, iy long, v long")
+    i_cb = spatial.morans_i_grid(cb).first()
+    i_bl = spatial.morans_i_grid(bl).first()
+    assert i_cb["morans_i"] == -1.0            # exact for checkerboard
+    assert i_bl["morans_i"] > 0.8              # strongly clustered
+    # rook adjacency pair count on an 8x8 grid: 2 * 2*8*7 directed pairs
+    assert i_cb["w_pairs"] == 2 * 2 * 8 * 7
+    # numpy cross-check for the clustered grid
+    import numpy as np
+    g = np.array([[10 if ix < 4 else 0 for ix in range(8)]
+                  for _ in range(8)], dtype=float)
+    xbar = g.mean()
+    num = sum((g[y, x] - xbar) * (g[ny, nx] - xbar)
+              for y in range(8) for x in range(8)
+              for ny, nx in ((y+1, x), (y-1, x), (y, x+1), (y, x-1))
+              if 0 <= ny < 8 and 0 <= nx < 8)
+    den = ((g - xbar) ** 2).sum()
+    exp = (64 / i_bl["w_pairs"]) * num / den
+    assert abs(i_bl["morans_i"] - exp) < 1e-12
