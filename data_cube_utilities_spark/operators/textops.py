@@ -1743,3 +1743,38 @@ def ivf_pq_index_query(spark, path: str, query_vec: "np.ndarray",
                  .limit(k))
     w = Window.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def tfidf_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 20,
+               id_col: str = "doc_id", text_col: str = "text",
+               scale: int = 1_000_000) -> DataFrame:
+    """Deterministic keyword retrieval: integer-scaled TF-IDF top-k.
+
+    idf_scaled(term) = floor(scale * N / df(term)) — a RATIONAL idf
+    (log-shaped BM25/idf variants need transcendentals whose last ulp
+    differs between engines, so they cannot hash-oracle; the rational
+    form preserves the df ordering that matters for ranking).
+    score(doc) = sum over query terms of tf(term, doc) * idf_scaled —
+    exact int64 throughout; ties break on doc id.
+
+    Shape at scale: tokens are filtered to the query terms BEFORE any
+    shuffle (the explode+filter prunes the corpus to matching postings),
+    tf and df are two small aggregations over that pruned set, N arrives
+    as one broadcast row, and the final ranking is a
+    TakeOrderedAndProject.  This is the searcher's side of an inverted
+    index; building the posting table once and committing it via
+    SnapshotTable turns it into the indexed form."""
+    terms = [str(t) for t in query_terms]
+    toks = docs.select(id_col,
+                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    qt = toks.filter(F.col("tok").isin(terms))
+    n = docs.agg(F.count("*").alias("_n"))
+    tf = qt.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dft = (qt.groupBy("tok")
+             .agg(F.countDistinct(id_col).alias("df"))
+             .crossJoin(F.broadcast(n))
+             .withColumn("idf_s", F.expr(f"({scale}L * _n) div df")))
+    return (tf.join(F.broadcast(dft.select("tok", "idf_s")), "tok")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("tf") * F.col("idf_s")).alias("score"))
+              .orderBy(F.desc("score"), F.asc(id_col)).limit(k))

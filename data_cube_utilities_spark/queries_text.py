@@ -1314,7 +1314,34 @@ FROM final
 """
 
 
+def q_tfidf_search(spark, sf_dir):
+    """Keyword retrieval over the documents table (textops.tfidf_topk):
+    integer-scaled rational TF-IDF, exact int64 scores, ties on doc id.
+    The corpus is pruned to matching postings before any shuffle; N
+    arrives as one broadcast row; ranking is TakeOrderedAndProject."""
+    return textops.tfidf_topk(
+        _t(spark, sf_dir, "documents"),
+        ["join", "window", "skew"], k=20)
+
+
+SQL_TFIDF_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+q AS (SELECT * FROM toks WHERE tok IN ('join', 'window', 'skew')),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf * ((1000000 * n.n_docs) // dfq.df)) AS BIGINT)
+           AS score
+  FROM tf JOIN dfq USING (tok), n GROUP BY 1)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 GROUP_B = {
+    "tfidf_search": (q_tfidf_search, SQL_TFIDF_SEARCH),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),

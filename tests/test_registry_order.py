@@ -72,12 +72,25 @@ def test_never_checked_queries_lead_the_window():
 
 
 def test_tail_is_freshest_green():
-    """Whatever sits past the window must have a green driver row from
-    the LATEST recorded round — rotation may only starve fresh greens."""
+    """Whatever sits past the window must be the FRESHEST rows available.
+    When stale rows (not green in the latest recorded round, including
+    never-checked newcomers) fit in the window, none may be starved;
+    when they outnumber the window (a burst of new operators), only the
+    overflow may spill, and it must be exactly the stalest-first order's
+    tail — i.e. the freshest of the stale, which re-enter first next
+    round."""
     hist = queries._correctness_history()
     if not hist:
         return
     latest = max(r for r, _ in hist.values())
-    tail = list(queries.registry())[WINDOW:]
-    not_fresh = [n for n in tail if hist.get(n, (0, 0))[0] < latest]
-    assert not not_fresh, f"stale rows starved by rotation: {not_fresh}"
+    names = list(queries.registry())
+    stale = [n for n in names if hist.get(n, (0, 0))[0] < latest]
+    tail_stale = [n for n in names[WINDOW:]
+                  if hist.get(n, (0, 0))[0] < latest]
+    if len(stale) <= WINDOW:
+        assert not tail_stale, f"stale rows starved by rotation: {tail_stale}"
+    else:
+        # exactly the overflow spills, and it is the stale set's tail in
+        # rotation order (freshest last-green first to re-enter)
+        assert tail_stale == stale[WINDOW:], (
+            f"rotation starved the wrong rows: {tail_stale}")
