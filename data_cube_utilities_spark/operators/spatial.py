@@ -500,3 +500,39 @@ def morans_i_grid(cells_df: DataFrame, ix_col: str = "ix",
         ((F.col("n").cast("double") / F.col("w_pairs"))
          * (F.col("num").cast("double") / F.col("den")))
         .alias("morans_i"))
+
+
+def semivariogram_grid(cells_df: DataFrame, max_lag: int = 4,
+                       ix_col: str = "ix", iy_col: str = "iy",
+                       value_col: str = "v") -> DataFrame:
+    """Empirical semivariogram on a regular grid — kriging's input curve:
+    gamma(h) = sum over pairs at axis-aligned lag h of (x_i - x_j)^2
+    / (2 * n_pairs(h)), for h = 1..max_lag.
+
+    Exact shape: squared integer differences sum exactly; each
+    (unordered) pair is counted once per axis direction (+h on x, +h on
+    y), so n_pairs is deterministic.  One equi-join of the grid against
+    itself per the broadcast lag table — co-partitioned on the cell key,
+    no cross product.  Returns (lag, n_pairs, sq_sum, gamma) with gamma
+    the one fixed-order double division."""
+    lags = cells_df.sparkSession.createDataFrame(
+        [(h, h, 0) for h in range(1, max_lag + 1)]
+        + [(h, 0, h) for h in range(1, max_lag + 1)],
+        "lag long, dx long, dy long")
+    a = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(value_col).cast("long").alias("va"))
+    b = cells_df.select(F.col(ix_col).cast("long").alias("jx"),
+                        F.col(iy_col).cast("long").alias("jy"),
+                        F.col(value_col).cast("long").alias("vb"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+              .withColumn("jx", F.col("ix") + F.col("dx"))
+              .withColumn("jy", F.col("iy") + F.col("dy"))
+              .join(b, ["jx", "jy"]))
+    d = F.col("va") - F.col("vb")
+    return (pairs.groupBy("lag")
+                 .agg(F.count("*").alias("n_pairs"),
+                      F.sum(d * d).alias("sq_sum"))
+                 .withColumn("gamma",
+                             F.col("sq_sum").cast("double")
+                             / (2.0 * F.col("n_pairs").cast("double"))))

@@ -2611,6 +2611,43 @@ FROM st, e, d
 """
 
 
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram (spatial.semivariogram_grid) over the
+    same 32x32 lineitem cell grid as morans_i: gamma(h) for axis-aligned
+    lags 1..4 — the spatial-dependence curve kriging interpolates from.
+    Squared integer differences sum exactly; gamma is one fixed-order
+    double division, so the oracle reproduces the bits."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.semivariogram_grid(grid, max_lag=4)
+
+
+SQL_SEMIVARIOGRAM = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+lags AS (
+  SELECT h AS lag, h AS dx, 0 AS dy FROM generate_series(1, 4) t(h)
+  UNION ALL
+  SELECT h, 0, h FROM generate_series(1, 4) t(h)),
+p AS (
+  SELECT lags.lag, a.v AS va, b.v AS vb
+  FROM g a CROSS JOIN lags
+  JOIN g b ON b.ix = a.ix + lags.dx AND b.iy = a.iy + lags.dy)
+SELECT lag, count(*) AS n_pairs,
+       CAST(sum((va - vb) * (va - vb)) AS BIGINT) AS sq_sum,
+       CAST(sum((va - vb) * (va - vb)) AS DOUBLE)
+         / (2.0 * CAST(count(*) AS DOUBLE)) AS gamma
+FROM p GROUP BY lag
+"""
+
+
 def q_ivm_agg(spark, sf_dir):
     """Incremental materialized-view maintenance
     (snapshots.refresh_incremental_agg): orders arrive as an overwrite +
@@ -2788,6 +2825,7 @@ GROUP_A = {
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "ivm_agg": (q_ivm_agg, SQL_IVM_AGG),
     "morans_i": (q_morans_i, SQL_MORANS_I),
+    "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "knn": (q_knn, SQL_KNN),

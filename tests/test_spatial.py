@@ -257,3 +257,26 @@ def test_morans_i_checkerboard_vs_blocks(spark):
     den = ((g - xbar) ** 2).sum()
     exp = (64 / i_bl["w_pairs"]) * num / den
     assert abs(i_bl["morans_i"] - exp) < 1e-12
+
+
+def test_semivariogram_flat_and_gradient(spark):
+    """gamma(h) anchors: a constant field has gamma == 0 at every lag; a
+    pure x-gradient field (v = 3*ix) has gamma(h) = (3h)^2 / 2 weighted
+    by the x-pair share of pairs at that lag."""
+    rows_c, rows_g = [], []
+    for ix in range(8):
+        for iy in range(8):
+            rows_c.append((ix, iy, 7))
+            rows_g.append((ix, iy, 3 * ix))
+    const = spark.createDataFrame(rows_c, "ix long, iy long, v long")
+    grad = spark.createDataFrame(rows_g, "ix long, iy long, v long")
+    for r in spatial.semivariogram_grid(const, max_lag=3).collect():
+        assert r["gamma"] == 0.0 and r["sq_sum"] == 0
+    got = {r["lag"]: r for r in
+           spatial.semivariogram_grid(grad, max_lag=3).collect()}
+    for h in (1, 2, 3):
+        n_x = (8 - h) * 8        # pairs along x at lag h
+        n_y = 8 * (8 - h)        # pairs along y (zero difference)
+        assert got[h]["n_pairs"] == n_x + n_y
+        assert got[h]["sq_sum"] == n_x * (3 * h) ** 2
+        assert got[h]["gamma"] == n_x * (3 * h) ** 2 / (2.0 * (n_x + n_y))
