@@ -536,3 +536,63 @@ def semivariogram_grid(cells_df: DataFrame, max_lag: int = 4,
                  .withColumn("gamma",
                              F.col("sq_sum").cast("double")
                              / (2.0 * F.col("n_pairs").cast("double"))))
+
+
+def getis_ord_grid(cells_df: DataFrame, ix_col: str = "ix",
+                   iy_col: str = "iy", value_col: str = "v") -> DataFrame:
+    """Getis-Ord Gi* hotspot statistic per cell — the LOCAL companion to
+    morans_i_grid (which is global): a z-score per cell for "is this
+    cell's neighborhood total higher/lower than chance", the standard
+    hotspot/coldspot map over gridded rasters (flood counts, dedup
+    rates, NDVI).
+
+      Gi* = (L_i - xbar * k_i) / (s * sqrt((n*k_i - k_i^2) / (n - 1)))
+
+    where L_i = sum of v over the cell + its rook neighbors, k_i = that
+    neighborhood's size (3-5 at edges/corners — computed by the join, no
+    padding assumptions), xbar/s the global mean/sd.  Multiplying num
+    and den through by n keeps every aggregate an EXACT int64:
+
+      z_i = (n*L_i - S*k_i) / sqrt((n*SS - S^2) * (n*k_i - k_i^2) / (n-1))
+
+    with S = sum v, SS = sum v^2 — the final double is one fixed-order
+    expression over exact integers, so it hash-reproduces across engines.
+
+    Shape at scale: one tiny global-stats row broadcast back, one
+    equi-join of the grid against its 5 shifted selves (broadcast offset
+    table, co-partitioned on the cell key), one per-cell aggregate.  No
+    cross product, no collect."""
+    stats = cells_df.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(value_col).cast("long")).alias("_s"),
+        F.sum(F.col(value_col).cast("long")
+              * F.col(value_col).cast("long")).alias("_ss"))
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(value_col).cast("long").alias("v"))
+    offs = cells_df.sparkSession.createDataFrame(
+        [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long")
+    nbr = g.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"),
+                   F.col("v").alias("vj"))
+    local = (g.crossJoin(F.broadcast(offs))
+              .withColumn("jx", F.col("ix") + F.col("dx"))
+              .withColumn("jy", F.col("iy") + F.col("dy"))
+              .join(nbr, ["jx", "jy"])
+              .groupBy("ix", "iy")
+              .agg(F.max("v").alias("_v_keep"),
+                   F.sum("vj").alias("local_sum"),
+                   F.count("*").alias("k")))
+    # _v_keep is just the cell's own v carried through (max over the
+    # group of identical values); re-select with stable names
+    num = (F.col("_n") * F.col("local_sum") - F.col("_s") * F.col("k"))
+    a = (F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s"))
+    b = (F.col("_n") * F.col("k") - F.col("k") * F.col("k"))
+    z = (num.cast("double")
+         / F.sqrt(a.cast("double") * b.cast("double")
+                  / (F.col("_n") - 1).cast("double")))
+    return (local.crossJoin(F.broadcast(stats))
+                 .select(F.col("ix"), F.col("iy"),
+                         F.col("_v_keep").cast("long").alias("v"),
+                         F.col("local_sum").cast("long").alias("local_sum"),
+                         F.col("k").cast("long").alias("k"),
+                         z.alias("gi_z")))

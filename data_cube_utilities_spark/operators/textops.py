@@ -1778,3 +1778,124 @@ def tfidf_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 20,
               .groupBy(id_col)
               .agg(F.sum(F.col("tf") * F.col("idf_s")).alias("score"))
               .orderBy(F.desc("score"), F.asc(id_col)).limit(k))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition signals (the "repetitive
+    document" quality-filter family: Rae et al. 2021 table A1): fraction
+    of the doc covered by its most frequent unigram / bigram, and the
+    fraction of trigram occurrences that belong to a trigram appearing
+    more than once.  High values flag boilerplate, keyword stuffing and
+    degenerate generations — a standard pre-training corpus gate.
+
+    Reference parity: the quality-filter family around
+    data_cube_utilities-style doc gates (see quality_features above);
+    this adds the n-gram repetition axis the reference's scalar filters
+    lack but every LLM-corpus pipeline needs.
+
+    Exact arithmetic: every count is an int64; each fraction is ONE
+    division of two exact integers (NULL when the denominator is 0 rows,
+    e.g. a 1-token doc has no bigrams), so the doubles hash-reproduce.
+
+    Shape at scale: one _fanout repartition, then the three gram orders
+    are unioned into a SINGLE long table so the whole family costs one
+    shuffle keyed by (doc, n, gram) + one per-doc conditional aggregate —
+    not three separate explode+shuffle passes.  Map-side partial
+    aggregation collapses the gram counts before the exchange."""
+    tk = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    t = _fanout(df).select(id_col, tk.alias("tk"))
+
+    def grams(n: int):
+        if n == 1:
+            g = F.col("tk")
+        else:
+            idx = F.sequence(F.lit(1), F.size("tk") - (n - 1))
+            g = F.when(
+                F.size("tk") >= n,
+                F.transform(idx, lambda i: F.concat_ws(
+                    " ", *[F.element_at("tk", (i + j).cast("int"))
+                           for j in range(n)]))
+            ).otherwise(F.array().cast("array<string>"))
+        return t.select(id_col, F.lit(n).alias("n"),
+                        F.explode(g).alias("g"))
+
+    long = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    c = long.groupBy(id_col, "n", "g").agg(F.count("*").alias("cnt"))
+    agg = c.groupBy(id_col).agg(
+        F.sum(F.when(F.col("n") == 1, F.col("cnt"))).alias("n_tokens"),
+        F.max(F.when(F.col("n") == 1, F.col("cnt"))).alias("top1_cnt"),
+        F.sum(F.when(F.col("n") == 2, F.col("cnt"))).alias("n_bigrams"),
+        F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("top2_cnt"),
+        F.sum(F.when(F.col("n") == 3, F.col("cnt"))).alias("n_trigrams"),
+        F.sum(F.when((F.col("n") == 3) & (F.col("cnt") >= 2), F.col("cnt"))
+               .otherwise(0)).alias("dup3_occ"))
+    return agg.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("top1_cnt").cast("long").alias("top1_cnt"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("top2_cnt").cast("long").alias("top2_cnt"),
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        F.col("dup3_occ").cast("long").alias("dup3_occ"),
+        (F.col("top1_cnt").cast("double")
+         / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double"))
+        .alias("top1_frac"),
+        (F.col("top2_cnt").cast("double")
+         / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double"))
+        .alias("top2_frac"),
+        (F.col("dup3_occ").cast("double")
+         / F.nullif(F.col("n_trigrams"), F.lit(0)).cast("double"))
+        .alias("dup3_frac"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination — the training-corpus gate that removes
+    documents overlapping an evaluation set (the GPT-3 / PaLM 13-gram
+    procedure, parameterized to n tokens): for every training doc, the
+    fraction of its DISTINCT n-grams that also occur anywhere in the
+    benchmark corpus, plus the count of distinct benchmark docs hit.
+
+    Exact arithmetic: overlap counts are int64; contamination_frac is one
+    division of two exact integers.
+
+    Shape at scale: the benchmark side is the SMALL side by construction
+    (eval suites are thousands of docs vs a 100 TB corpus), so its
+    distinct n-gram set is broadcast — the training corpus is scanned
+    ONCE, its n-gram fan-out runs at _fanout parallelism, and the probe
+    is a map-side broadcast LEFT join (no shuffle of the big side beyond
+    the per-doc aggregate).  `n_bench_docs_hit` needs the benchmark
+    doc ids, so the broadcast table keeps (gram, bench_doc) pairs —
+    still eval-suite-sized."""
+    def distinct_grams(df, dcol):
+        tk = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        idx = F.sequence(F.lit(1), F.size("tk") - (n - 1))
+        g = F.when(
+            F.size("tk") >= n,
+            F.transform(idx, lambda i: F.concat_ws(
+                " ", *[F.element_at("tk", (i + j).cast("int"))
+                       for j in range(n)]))
+        ).otherwise(F.array().cast("array<string>"))
+        return (df.select(F.col(dcol).alias("_id"), tk.alias("tk"))
+                  .select("_id", F.explode(F.array_distinct(g)).alias("g")))
+
+    bench_grams = distinct_grams(benchmark, bench_id_col) \
+        .withColumnRenamed("_id", "bench_doc").distinct()
+    train_grams = distinct_grams(_fanout(docs), id_col)
+    hits = (train_grams
+            .join(F.broadcast(bench_grams), "g", "left")
+            .groupBy("_id")
+            .agg(F.count_distinct("g").alias("n_grams"),
+                 F.count_distinct(F.when(F.col("bench_doc").isNotNull(),
+                                         F.col("g"))).alias("n_contaminated"),
+                 F.count_distinct("bench_doc").alias("n_bench_docs_hit")))
+    return hits.select(
+        F.col("_id").alias(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.col("n_bench_docs_hit").cast("long").alias("n_bench_docs_hit"),
+        (F.col("n_contaminated").cast("double")
+         / F.nullif(F.col("n_grams"), F.lit(0)).cast("double"))
+        .alias("contamination_frac"))

@@ -2611,6 +2611,49 @@ FROM st, e, d
 """
 
 
+def q_getis_ord(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores (spatial.getis_ord_grid) over the
+    same 32x32 lineitem cell grid as morans_i — the per-cell LOCAL
+    companion to the global I.  All aggregates exact int64 (the mod-1000
+    statistic bounds n*L and S*k far inside the range); the z-score is
+    one fixed-order double expression, so the oracle reproduces the
+    bits."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.getis_ord_grid(grid, "ix", "iy", "v")
+
+
+SQL_GETIS_ORD = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+st AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+              CAST(sum(v * v) AS BIGINT) AS ss FROM g),
+loc AS (
+  SELECT a.ix, a.iy, CAST(max(a.v) AS BIGINT) AS v,
+         CAST(sum(b.v) AS BIGINT) AS local_sum, count(*) AS k
+  FROM g a JOIN g b
+    ON (b.ix = a.ix AND b.iy = a.iy)
+    OR (b.ix = a.ix + 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix - 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix AND b.iy = a.iy + 1)
+    OR (b.ix = a.ix AND b.iy = a.iy - 1)
+  GROUP BY a.ix, a.iy)
+SELECT ix, iy, v, local_sum, k,
+       CAST(st.n * local_sum - st.s * k AS DOUBLE)
+         / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)
+                * CAST(st.n * k - k * k AS DOUBLE)
+                / CAST(st.n - 1 AS DOUBLE)) AS gi_z
+FROM loc, st
+"""
+
+
 def q_semivariogram(spark, sf_dir):
     """Empirical semivariogram (spatial.semivariogram_grid) over the
     same 32x32 lineitem cell grid as morans_i: gamma(h) for axis-aligned
@@ -2825,6 +2868,7 @@ GROUP_A = {
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "ivm_agg": (q_ivm_agg, SQL_IVM_AGG),
     "morans_i": (q_morans_i, SQL_MORANS_I),
+    "getis_ord": (q_getis_ord, SQL_GETIS_ORD),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),

@@ -1340,7 +1340,94 @@ SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality gate (textops.repetition_stats):
+    per-doc top-unigram / top-bigram coverage and duplicated-trigram
+    occupancy — exact integer counts, one division per fraction.  The
+    three gram orders union into a single long table so the family costs
+    one shuffle + one conditional aggregate."""
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_FILTER = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(tk) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest([tk[i] || ' ' || tk[i+1]
+                 for i in generate_series(1, greatest(len(tk)-1, 0))]) AS g
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in generate_series(1, greatest(len(tk)-2, 0))]) AS g
+  FROM toks),
+c AS (SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+a AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_tokens,
+         CAST(max(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS top1_cnt,
+         CAST(sum(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS n_bigrams,
+         CAST(max(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS top2_cnt,
+         CAST(sum(CASE WHEN n = 3 THEN cnt END) AS BIGINT) AS n_trigrams,
+         CAST(sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt ELSE 0 END)
+              AS BIGINT) AS dup3_occ
+  FROM c GROUP BY doc_id)
+SELECT doc_id, n_tokens, top1_cnt, n_bigrams, top2_cnt, n_trigrams, dup3_occ,
+       CAST(top1_cnt AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)
+         AS top1_frac,
+       CAST(top2_cnt AS DOUBLE) / CAST(nullif(n_bigrams, 0) AS DOUBLE)
+         AS top2_frac,
+       CAST(dup3_occ AS DOUBLE) / CAST(nullif(n_trigrams, 0) AS DOUBLE)
+         AS dup3_frac
+FROM a
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (textops.decontaminate): the eval set is
+    the deterministic doc_id % 50 == 0 slice; every other doc reports the
+    fraction of its distinct trigrams that occur anywhere in the eval
+    set, plus how many eval docs it hits.  The eval n-gram table is
+    broadcast (the realistic 100 TB shape: eval suites are tiny vs the
+    corpus), so the corpus side never shuffles before its per-doc agg."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return textops.decontaminate(train, bench, n=3)
+
+
+SQL_DECONTAMINATE = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in generate_series(1, greatest(len(tk)-2, 0))]) AS g
+  FROM tk),
+bg AS (SELECT DISTINCT doc_id AS bench_doc, g FROM g WHERE doc_id % 50 = 0),
+tg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+j AS (SELECT tg.doc_id, tg.g, bg.bench_doc FROM tg LEFT JOIN bg USING (g))
+SELECT doc_id,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT CASE WHEN bench_doc IS NOT NULL THEN g END)
+            AS BIGINT) AS n_contaminated,
+       CAST(count(DISTINCT bench_doc) AS BIGINT) AS n_bench_docs_hit,
+       CAST(count(DISTINCT CASE WHEN bench_doc IS NOT NULL THEN g END)
+            AS DOUBLE)
+         / CAST(nullif(count(DISTINCT g), 0) AS DOUBLE)
+         AS contamination_frac
+FROM j GROUP BY doc_id
+"""
+
+
 GROUP_B = {
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "tfidf_search": (q_tfidf_search, SQL_TFIDF_SEARCH),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),

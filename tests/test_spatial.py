@@ -280,3 +280,29 @@ def test_semivariogram_flat_and_gradient(spark):
         assert got[h]["n_pairs"] == n_x + n_y
         assert got[h]["sq_sum"] == n_x * (3 * h) ** 2
         assert got[h]["gamma"] == n_x * (3 * h) ** 2 / (2.0 * (n_x + n_y))
+
+
+def test_getis_ord_grid_matches_numpy(spark):
+    import numpy as np
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = [(ix, iy, (3 * ix + 5 * iy) % 11)
+            for ix in range(6) for iy in range(5)]
+    g = spark.createDataFrame(rows, "ix long, iy long, v long")
+    out = spatial.getis_ord_grid(g).toPandas()
+    assert len(out) == 30
+    vv = {(ix, iy): v for ix, iy, v in rows}
+    n = len(rows)
+    s = sum(v for *_, v in rows)
+    ss = sum(v * v for *_, v in rows)
+    for _, r in out.iterrows():
+        nb = [(r.ix + dx, r.iy + dy)
+              for dx, dy in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]]
+        nb = [p for p in nb if p in vv]
+        assert r.k == len(nb) and r.local_sum == sum(vv[p] for p in nb)
+        assert r.v == vv[(r.ix, r.iy)]
+        z = ((n * r.local_sum - s * r.k)
+             / np.sqrt((n * ss - s * s) * (n * r.k - r.k * r.k) / (n - 1)))
+        assert abs(r.gi_z - z) < 1e-9
+    # interior cells have k=5, corners k=3, edges k=4
+    assert sorted(out.k.unique()) == [3, 4, 5]

@@ -757,3 +757,64 @@ def test_duplicate_spans_counts(spark):
     assert out.loc[3].n_dup_spans == 3 and out.loc[3].n_cross_dup_spans == 0
     # doc 4: shorter than the span -> zero rows, still present
     assert out.loc[4].n_spans == 0 and out.loc[4].n_dup_spans == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    docs = spark.createDataFrame([
+        (1, "a a a b"),            # top1 a=3/4; bigrams: aa aa ab -> top2 2/3;
+                                   # trigrams: aaa aab -> no dup
+        (2, "x y x y x y"),        # 6 toks, top1 3/6; bigrams xy yx xy yx xy
+                                   # top2 3/5; trigrams xyx yxy xyx yxy ->
+                                   # all 4 occurrences duplicated
+        (3, "solo"),               # 1 token: no bigrams/trigrams -> NULL fracs
+        (4, "one two"),            # bigram exists, trigram doesn't
+    ], "doc_id long, text string")
+    out = (textops.repetition_stats(docs)
+           .toPandas().set_index("doc_id").sort_index())
+    r1 = out.loc[1]
+    assert r1.n_tokens == 4 and r1.top1_cnt == 3
+    assert r1.n_bigrams == 3 and r1.top2_cnt == 2
+    assert r1.n_trigrams == 2 and r1.dup3_occ == 0
+    assert abs(r1.top1_frac - 0.75) < 1e-12
+    r2 = out.loc[2]
+    assert r2.n_trigrams == 4 and r2.dup3_occ == 4
+    assert abs(r2.dup3_frac - 1.0) < 1e-12
+    r3 = out.loc[3]
+    assert r3.n_tokens == 1 and pd.isna(r3.top2_frac) and pd.isna(r3.dup3_frac)
+    r4 = out.loc[4]
+    assert r4.n_bigrams == 1 and r4.top2_cnt == 1 and pd.isna(r4.dup3_frac)
+
+
+def test_decontaminate_hand_computed(spark):
+    bench = spark.createDataFrame([
+        (100, "alpha beta gamma delta"),       # grams: abc bcd (n=3)
+    ], "doc_id long, text string")
+    train = spark.createDataFrame([
+        (1, "alpha beta gamma zzz"),           # 2 grams, 1 contaminated
+        (2, "alpha beta gamma delta"),         # 2 grams, both contaminated
+        (3, "x y z w"),                        # 2 grams, clean
+        (4, "a b"),                            # too short: no grams
+    ], "doc_id long, text string")
+    out = (textops.decontaminate(train, bench, n=3)
+           .toPandas().set_index("doc_id").sort_index())
+    assert out.loc[1].n_grams == 2 and out.loc[1].n_contaminated == 1
+    assert out.loc[1].n_bench_docs_hit == 1
+    assert abs(out.loc[1].contamination_frac - 0.5) < 1e-12
+    assert out.loc[2].n_contaminated == 2
+    assert abs(out.loc[2].contamination_frac - 1.0) < 1e-12
+    assert out.loc[3].n_contaminated == 0 and out.loc[3].n_bench_docs_hit == 0
+    # doc 4 has zero grams -> not present (no gram rows), same as the oracle
+    assert 4 not in out.index
+
+
+def test_decontaminate_multi_bench_docs(spark):
+    bench = spark.createDataFrame([
+        (100, "p q r"), (101, "p q r s"),
+    ], "doc_id long, text string")
+    train = spark.createDataFrame([
+        (1, "p q r t"),   # gram 'p q r' hits BOTH bench docs; 'q r t' clean
+    ], "doc_id long, text string")
+    row = textops.decontaminate(train, bench, n=3).toPandas().iloc[0]
+    # multiplicity from the 2 bench matches must not inflate n_grams
+    assert row.n_grams == 2 and row.n_contaminated == 1
+    assert row.n_bench_docs_hit == 2
