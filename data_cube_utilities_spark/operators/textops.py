@@ -1899,3 +1899,45 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
         (F.col("n_contaminated").cast("double")
          / F.nullif(F.col("n_grams"), F.lit(0)).cast("double"))
         .alias("contamination_frac"))
+
+
+SPLIT_NAMES = ("train", "val", "test")
+
+
+def leakage_safe_split(df: DataFrame, fractions=(0.8, 0.1, 0.1),
+                       text_col: str = "text", salt: str = "v1") -> DataFrame:
+    """Deterministic, LEAKAGE-SAFE train/val/test assignment: the split
+    key is md5 of the CONTENT (not the row id), so byte-identical
+    duplicates — the thing every web corpus is full of — always land in
+    the SAME split and can never leak train->test.  Threshold buckets
+    (same scheme as deterministic_sample) make the assignment
+    engine-reproducible and stable under repartitioning/reruns; changing
+    the salt redraws independently.
+
+    Pure map-side arithmetic: no shuffle, no RNG, no collect.  Returns
+    the input plus a `split` column."""
+    f_train, f_val, _ = fractions
+    key = F.concat(F.col(text_col).cast("string"), F.lit("#" + salt))
+    b = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long")
+    t1 = int(f_train * HASH_BUCKETS)
+    t2 = int((f_train + f_val) * HASH_BUCKETS)
+    split = (F.when(b < t1, SPLIT_NAMES[0])
+              .when(b < t2, SPLIT_NAMES[1])
+              .otherwise(SPLIT_NAMES[2]))
+    return df.withColumn("split", split)
+
+
+def split_summary(df: DataFrame, fractions=(0.8, 0.1, 0.1),
+                  text_col: str = "text", stratum_col: str = "lang",
+                  salt: str = "v1") -> DataFrame:
+    """Per-(split, stratum) corpus accounting over a leakage_safe_split:
+    doc count, distinct content count, and total characters — the table
+    a training-mix report is built from.  One partial-aggregating
+    shuffle on (split, stratum)."""
+    s = leakage_safe_split(df, fractions, text_col, salt)
+    return (s.groupBy("split", stratum_col)
+             .agg(F.count("*").alias("n_docs"),
+                  F.count_distinct(F.md5(text_col)).alias("n_distinct_texts"),
+                  F.sum(F.length(text_col)).cast("long").alias("n_chars"))
+             .select("split", stratum_col, "n_docs",
+                     "n_distinct_texts", "n_chars"))

@@ -1425,7 +1425,34 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split accounting
+    (textops.split_summary): content-hash buckets assign splits so
+    exact duplicates can never straddle train/test; the summary is one
+    partial-aggregating shuffle on (split, lang)."""
+    return textops.split_summary(_t(spark, sf_dir, "documents"))
+
+
+SQL_LEAKAGE_SPLIT = f"""
+WITH b AS (
+  SELECT lang, text,
+         CAST(('0x' || substr(md5(text || '#v1'), 1, 6)) AS BIGINT) AS bucket
+  FROM documents),
+s AS (
+  SELECT lang, text,
+         CASE WHEN bucket < {int(0.8 * 16 ** 6)} THEN 'train'
+              WHEN bucket < {int(0.9 * 16 ** 6)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM b)
+SELECT split, lang, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM s GROUP BY split, lang
+"""
+
+
 GROUP_B = {
+    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "tfidf_search": (q_tfidf_search, SQL_TFIDF_SEARCH),

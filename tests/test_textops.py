@@ -818,3 +818,33 @@ def test_decontaminate_multi_bench_docs(spark):
     # multiplicity from the 2 bench matches must not inflate n_grams
     assert row.n_grams == 2 and row.n_contaminated == 1
     assert row.n_bench_docs_hit == 2
+
+
+def test_leakage_safe_split_duplicates_stay_together(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}", "en") for i in range(70)],
+        "doc_id long, text string, lang string")
+    out = textops.leakage_safe_split(docs).toPandas()
+    # identical content -> identical split, regardless of doc_id
+    per_text = out.groupby("text").split.nunique()
+    assert (per_text == 1).all()
+    assert set(out.split.unique()) <= {"train", "val", "test"}
+    # deterministic: rerun gives the same assignment
+    again = textops.leakage_safe_split(docs).toPandas()
+    assert out.sort_values("doc_id").split.tolist() \
+        == again.sort_values("doc_id").split.tolist()
+    # different salt redraws (7 distinct texts -> overwhelmingly likely
+    # at least one moves; pinned by these fixed inputs)
+    redraw = textops.leakage_safe_split(docs, salt="v2").toPandas()
+    assert redraw.sort_values("doc_id").split.tolist() \
+        != out.sort_values("doc_id").split.tolist()
+
+
+def test_split_summary_accounts_everything(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}", ["en", "de"][i % 2]) for i in range(40)],
+        "doc_id long, text string, lang string")
+    out = textops.split_summary(docs).toPandas()
+    assert out.n_docs.sum() == 40
+    assert (out.groupby("lang").n_docs.sum() == 20).all()
+    assert (out.n_distinct_texts <= out.n_docs).all()
