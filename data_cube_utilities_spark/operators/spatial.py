@@ -596,3 +596,106 @@ def getis_ord_grid(cells_df: DataFrame, ix_col: str = "ix",
                          F.col("local_sum").cast("long").alias("local_sum"),
                          F.col("k").cast("long").alias("k"),
                          z.alias("gi_z")))
+
+
+# D8 neighbor table: (dx, dy, code, w) — ESRI direction codes with iy as
+# northing (S = iy-1).  w doubles the squared drop for CARDINAL neighbors:
+# slope^2 = drop^2/dist^2, and scaling every candidate by 2 turns the
+# {1, 2} dist^2 set into the exact-integer rank 2*drop^2 (cardinal) vs
+# drop^2 (diagonal) — same ordering, no doubles.
+D8_OFFSETS = [
+    (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), (-1, -1, 8, 1),
+    (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), (1, 1, 128, 1),
+]
+
+
+def d8_flow_grid(cells_df: DataFrame, ix_col: str = "ix",
+                 iy_col: str = "iy", value_col: str = "v") -> DataFrame:
+    """D8 flow direction — the standard hydrology operator over a DEM
+    grid: each cell drains to its steepest-DESCENT neighbor among the 8
+    (ESRI codes E=1, SE=2, ... NE=128; 0 = pit/flat, nothing lower).
+
+    Exact arithmetic: only POSITIVE drops compete, so the squared-drop
+    rank 2*drop^2 (cardinal) vs drop^2 (diagonal) preserves the
+    drop/dist ordering in pure int64; ties break on the smallest
+    direction code (fixed clockwise-from-east scan), so the winner is
+    deterministic in any engine.
+
+    Shape at scale: one equi-join of the grid against its 8 shifted
+    selves (broadcast offset table, co-partitioned on the cell key) +
+    one per-cell window rank.  No cross product, no collect."""
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(value_col).cast("long").alias("v"))
+    offs = cells_df.sparkSession.createDataFrame(
+        D8_OFFSETS, "dx long, dy long, code long, w long")
+    nbr = g.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"),
+                   F.col("v").alias("vj"))
+    drop = F.col("v") - F.col("vj")
+    cand = (g.crossJoin(F.broadcast(offs))
+             .withColumn("jx", F.col("ix") + F.col("dx"))
+             .withColumn("jy", F.col("iy") + F.col("dy"))
+             .join(nbr, ["jx", "jy"])
+             .filter(drop > 0)
+             .withColumn("rank", drop * drop * F.col("w")))
+    win = Window.partitionBy("ix", "iy").orderBy(
+        F.desc("rank"), F.asc("code"))
+    best = (cand.withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") == 1)
+                .select("ix", "iy", F.col("code").alias("flow_dir"),
+                        F.col("jx").alias("to_ix"),
+                        F.col("jy").alias("to_iy")))
+    return (g.join(best, ["ix", "iy"], "left")
+             .select("ix", "iy", "v",
+                     F.coalesce("flow_dir", F.lit(0)).cast("long")
+                      .alias("flow_dir"),
+                     F.col("to_ix").cast("long").alias("to_ix"),
+                     F.col("to_iy").cast("long").alias("to_iy")))
+
+
+def flow_accumulation_grid(cells_df: DataFrame, ix_col: str = "ix",
+                           iy_col: str = "iy", value_col: str = "v",
+                           max_iters: int = 48) -> DataFrame:
+    """D8 flow accumulation: for every cell, the number of upstream
+    cells whose D8 path drains through it (0 for ridges/sources) — the
+    watershed/catchment primitive built on d8_flow_grid.
+
+    The D8 graph is FUNCTIONAL (one outflow per cell) and ACYCLIC
+    (v strictly decreases along every edge), so the ancestor closure is
+    computed by path-DOUBLING self-joins: after k rounds every path of
+    length <= 2^k is present — O(log max_path_length) shuffles, the
+    distributed-closure shape that survives a continental DEM, vs the
+    O(depth) rounds of step-by-step propagation.  Each round persists,
+    counts (the fixpoint test) and localCheckpoints to truncate lineage;
+    max_iters is a runaway bound (2^48 hops), never hit in practice.
+
+    Not SQL-free-expressible in one query — the DuckDB twin uses a
+    recursive CTE; the Spark side is the scale path."""
+    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col)
+    edges = (flow.filter(F.col("flow_dir") > 0)
+                 .select(F.col("ix").alias("sx"), F.col("iy").alias("sy"),
+                         F.col("to_ix").alias("tx"),
+                         F.col("to_iy").alias("ty")))
+    spark = cells_df.sparkSession
+    pairs = edges.persist()
+    n = pairs.count()
+    for _ in range(max_iters):
+        hop = pairs.select(F.col("sx").alias("hx"), F.col("sy").alias("hy"),
+                           F.col("tx").alias("htx"), F.col("ty").alias("hty"))
+        ext = (pairs.join(hop, (F.col("tx") == F.col("hx"))
+                          & (F.col("ty") == F.col("hy")))
+                    .select("sx", "sy", F.col("htx").alias("tx"),
+                            F.col("hty").alias("ty")))
+        merged = pairs.unionByName(ext).distinct().localCheckpoint()
+        m = merged.count()
+        pairs.unpersist()
+        pairs = merged
+        if m == n:
+            break
+        n = m
+    acc = pairs.groupBy("tx", "ty").agg(F.count("*").alias("n_upstream"))
+    out = (flow.join(acc, (flow.ix == acc.tx) & (flow.iy == acc.ty), "left")
+               .select(flow.ix, flow.iy, flow.v,
+                       F.coalesce("n_upstream", F.lit(0)).cast("long")
+                        .alias("n_upstream")))
+    return out

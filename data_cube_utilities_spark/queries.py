@@ -2654,6 +2654,81 @@ FROM loc, st
 """
 
 
+_D8_SQL_PRELUDE = """
+g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+o(dx, dy, code, w) AS (
+  VALUES (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), (-1, -1, 8, 1),
+         (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), (1, 1, 128, 1)),
+cand AS (
+  SELECT a.ix, a.iy, a.v, b.ix AS jx, b.iy AS jy, o.code,
+         (a.v - b.v) * (a.v - b.v) * o.w AS rnk
+  FROM g a CROSS JOIN o
+  JOIN g b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+  WHERE a.v > b.v),
+best AS (
+  SELECT ix, iy, code, jx, jy FROM (
+    SELECT *, row_number() OVER (PARTITION BY ix, iy
+                                 ORDER BY rnk DESC, code ASC) AS rn
+    FROM cand) WHERE rn = 1)
+"""
+
+
+def q_d8_flow(spark, sf_dir):
+    """D8 flow direction (spatial.d8_flow_grid) over the 32x32 lineitem
+    cell grid: steepest-descent neighbor with the exact-integer
+    2*drop^2-vs-drop^2 rank (cardinal vs diagonal) and smallest-code
+    tiebreak — pure int64, so the oracle reproduces the winner."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.d8_flow_grid(grid, "ix", "iy", "v")
+
+
+SQL_D8_FLOW = f"""
+WITH {_D8_SQL_PRELUDE}
+SELECT g.ix, g.iy, g.v,
+       CAST(coalesce(b.code, 0) AS BIGINT) AS flow_dir,
+       CAST(b.jx AS BIGINT) AS to_ix, CAST(b.jy AS BIGINT) AS to_iy
+FROM g LEFT JOIN best b ON b.ix = g.ix AND b.iy = g.iy
+"""
+
+
+def q_flow_accum(spark, sf_dir):
+    """D8 flow accumulation (spatial.flow_accumulation_grid): per-cell
+    upstream-drainage counts via path-doubling self-joins (O(log depth)
+    shuffles).  The oracle walks the same functional acyclic graph with
+    a recursive CTE — identical counts prove the distributed closure."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.flow_accumulation_grid(grid, "ix", "iy", "v")
+
+
+SQL_FLOW_ACCUM = f"""
+WITH RECURSIVE {_D8_SQL_PRELUDE},
+r AS (
+  SELECT ix AS sx, iy AS sy, jx AS cx, jy AS cy FROM best
+  UNION ALL
+  SELECT r.sx, r.sy, b.jx, b.jy FROM r JOIN best b
+    ON b.ix = r.cx AND b.iy = r.cy
+)
+SELECT g.ix, g.iy, g.v, CAST(count(r.sx) AS BIGINT) AS n_upstream
+FROM g LEFT JOIN r ON r.cx = g.ix AND r.cy = g.iy
+GROUP BY g.ix, g.iy, g.v
+"""
+
+
 def q_semivariogram(spark, sf_dir):
     """Empirical semivariogram (spatial.semivariogram_grid) over the
     same 32x32 lineitem cell grid as morans_i: gamma(h) for axis-aligned
@@ -2869,6 +2944,8 @@ GROUP_A = {
     "ivm_agg": (q_ivm_agg, SQL_IVM_AGG),
     "morans_i": (q_morans_i, SQL_MORANS_I),
     "getis_ord": (q_getis_ord, SQL_GETIS_ORD),
+    "d8_flow": (q_d8_flow, SQL_D8_FLOW),
+    "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),
     "pip_relational": (q_pip_relational, SQL_PIP_RELATIONAL),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),

@@ -306,3 +306,44 @@ def test_getis_ord_grid_matches_numpy(spark):
         assert abs(r.gi_z - z) < 1e-9
     # interior cells have k=5, corners k=3, edges k=4
     assert sorted(out.k.unique()) == [3, 4, 5]
+
+
+def test_d8_flow_and_accumulation_vs_python(spark):
+    import collections
+    from data_cube_utilities_spark.operators import spatial
+
+    # saddle DEM: two basins draining to (0,0) and (5,0)
+    rows = [(ix, iy, min((ix - 0) ** 2, (ix - 5) ** 2) + 2 * iy)
+            for ix in range(6) for iy in range(4)]
+    g = spark.createDataFrame(rows, "ix long, iy long, v long")
+    flow = spatial.d8_flow_grid(g).toPandas()
+    acc = spatial.flow_accumulation_grid(g).toPandas()
+    vv = {(ix, iy): v for ix, iy, v in rows}
+
+    def nxt(c):
+        best = None
+        for dx, dy, code, w in spatial.D8_OFFSETS:
+            p = (c[0] + dx, c[1] + dy)
+            if p in vv and vv[c] > vv[p]:
+                r = (vv[c] - vv[p]) ** 2 * w
+                if best is None or r > best[0] or (r == best[0]
+                                                   and code < best[1]):
+                    best = (r, code, p)
+        return best if best else None
+
+    for _, r in flow.iterrows():
+        b = nxt((r.ix, r.iy))
+        if b is None:
+            assert r.flow_dir == 0 and pd.isna(r.to_ix)
+        else:
+            assert r.flow_dir == b[1] and (r.to_ix, r.to_iy) == b[2]
+    cnt = collections.Counter()
+    for c in vv:
+        b = nxt(c)
+        while b is not None:
+            cnt[b[2]] += 1
+            b = nxt(b[2])
+    for _, r in acc.iterrows():
+        assert r.n_upstream == cnt[(r.ix, r.iy)]
+    # both pits exist and collect everything between them
+    assert (acc.n_upstream == 0).any() and acc.n_upstream.max() >= 6
