@@ -699,3 +699,61 @@ def flow_accumulation_grid(cells_df: DataFrame, ix_col: str = "ix",
                        F.coalesce("n_upstream", F.lit(0)).cast("long")
                         .alias("n_upstream")))
     return out
+
+
+def local_morans_grid(cells_df: DataFrame, ix_col: str = "ix",
+                      iy_col: str = "iy", value_col: str = "v") -> DataFrame:
+    """Local Moran's I (Anselin's LISA) per cell — decomposes the global
+    morans_i_grid statistic into its per-cell contributions and labels
+    each cell's cluster quadrant (HH hot spot, LL cold spot, HL/LH
+    outliers), the standard local-cluster map over gridded statistics.
+
+    With zs_i = n*x_i - S (deviation scaled by n, exact int64) and
+    L_i = sum of zs over the rook neighbors:
+
+      I_i = n * zs_i * L_i / sum(zs^2)
+
+    (the 1/n^3 of the scaled deviations cancels against m2's n^3) —
+    every aggregate is exact int64 (|n*zs*L| <= n^2 * maxv * 4*n*maxv
+    stays far inside the range for mod-bounded statistics), and the
+    final I_i is ONE division, so it hash-reproduces.  quadrant is
+    'HH'/'LL'/'HL'/'LH' by the signs of zs_i and L_i, 'NS' when either
+    is exactly 0.
+
+    Shape at scale: identical to getis_ord_grid — broadcast stats row,
+    one 4-shifted-selves equi-join, one per-cell aggregate."""
+    stats = cells_df.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(value_col).cast("long")).alias("_s"))
+    g = (cells_df.crossJoin(F.broadcast(stats))
+         .select(F.col(ix_col).cast("long").alias("ix"),
+                 F.col(iy_col).cast("long").alias("iy"),
+                 F.col(value_col).cast("long").alias("v"),
+                 (F.col("_n") * F.col(value_col).cast("long") - F.col("_s"))
+                 .alias("zs"), "_n"))
+    den = g.agg(F.sum(F.col("zs") * F.col("zs")).alias("_den"))
+    offs = cells_df.sparkSession.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long")
+    nbr = g.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"),
+                   F.col("zs").alias("zj"))
+    local = (g.crossJoin(F.broadcast(offs))
+              .withColumn("jx", F.col("ix") + F.col("dx"))
+              .withColumn("jy", F.col("iy") + F.col("dy"))
+              .join(nbr, ["jx", "jy"])
+              .groupBy("ix", "iy")
+              .agg(F.max("v").alias("v"), F.max("zs").alias("zs"),
+                   F.max("_n").alias("_n"),
+                   F.sum("zj").alias("lag_zs"), F.count("*").alias("k")))
+    lisa = (F.col("_n") * F.col("zs") * F.col("lag_zs")).cast("double") \
+        / F.col("_den").cast("double")
+    quad = (F.when((F.col("zs") > 0) & (F.col("lag_zs") > 0), "HH")
+             .when((F.col("zs") < 0) & (F.col("lag_zs") < 0), "LL")
+             .when((F.col("zs") > 0) & (F.col("lag_zs") < 0), "HL")
+             .when((F.col("zs") < 0) & (F.col("lag_zs") > 0), "LH")
+             .otherwise("NS"))
+    return (local.crossJoin(F.broadcast(den))
+                 .select("ix", "iy", F.col("v").cast("long").alias("v"),
+                         F.col("zs").cast("long").alias("zs"),
+                         F.col("lag_zs").cast("long").alias("lag_zs"),
+                         F.col("k").cast("long").alias("k"),
+                         lisa.alias("lisa"), quad.alias("quadrant")))

@@ -2654,6 +2654,50 @@ FROM loc, st
 """
 
 
+def q_local_morans(spark, sf_dir):
+    """Local Moran's I / LISA cluster map (spatial.local_morans_grid)
+    over the 32x32 lineitem cell grid: per-cell contributions to the
+    global I plus HH/LL/HL/LH quadrant labels.  Scaled deviations keep
+    every aggregate exact int64; I_i is one division."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.local_morans_grid(grid, "ix", "iy", "v")
+
+
+SQL_LOCAL_MORANS = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+st AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM g),
+z AS (SELECT ix, iy, v, st.n * v - st.s AS zs, st.n AS n FROM g, st),
+d AS (SELECT CAST(sum(zs * zs) AS BIGINT) AS den FROM z),
+loc AS (
+  SELECT a.ix, a.iy, max(a.v) AS v, max(a.zs) AS zs, max(a.n) AS n,
+         CAST(sum(b.zs) AS BIGINT) AS lag_zs, count(*) AS k
+  FROM z a JOIN z b
+    ON (b.ix = a.ix + 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix - 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix AND b.iy = a.iy + 1)
+    OR (b.ix = a.ix AND b.iy = a.iy - 1)
+  GROUP BY a.ix, a.iy)
+SELECT ix, iy, CAST(v AS BIGINT) AS v, CAST(zs AS BIGINT) AS zs,
+       lag_zs, k,
+       CAST(n * zs * lag_zs AS DOUBLE) / CAST(d.den AS DOUBLE) AS lisa,
+       CASE WHEN zs > 0 AND lag_zs > 0 THEN 'HH'
+            WHEN zs < 0 AND lag_zs < 0 THEN 'LL'
+            WHEN zs > 0 AND lag_zs < 0 THEN 'HL'
+            WHEN zs < 0 AND lag_zs > 0 THEN 'LH'
+            ELSE 'NS' END AS quadrant
+FROM loc, d
+"""
+
+
 _D8_SQL_PRELUDE = """
 g AS (
   SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
@@ -2944,6 +2988,7 @@ GROUP_A = {
     "ivm_agg": (q_ivm_agg, SQL_IVM_AGG),
     "morans_i": (q_morans_i, SQL_MORANS_I),
     "getis_ord": (q_getis_ord, SQL_GETIS_ORD),
+    "local_morans": (q_local_morans, SQL_LOCAL_MORANS),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),
