@@ -757,3 +757,56 @@ def local_morans_grid(cells_df: DataFrame, ix_col: str = "ix",
                          F.col("lag_zs").cast("long").alias("lag_zs"),
                          F.col("k").cast("long").alias("k"),
                          lisa.alias("lisa"), quad.alias("quadrant")))
+
+
+def idw_interpolate_grid(points_df: DataFrame, grid_df: DataFrame,
+                         scale: int = 10 ** 9,
+                         px_col: str = "px", py_col: str = "py",
+                         pv_col: str = "pv", ix_col: str = "ix",
+                         iy_col: str = "iy") -> DataFrame:
+    """Inverse-distance-squared interpolation of scattered station
+    points onto a regular grid — the classic gap-filling interpolator
+    (rain gauges -> raster, tide stations -> coastal surface).
+
+    Engine-exact by QUANTIZED weights: w = floor(scale / d2) with
+    d2 = squared integer distance, so both the weighted sum and the
+    weight sum are exact int64 and the estimate is ONE division.  (True
+    1/d^2 doubles would make the result depend on floating-point
+    SUMMATION ORDER across partitions — unreproducible by design; the
+    quantization error is <= maxv * n / scale, documented, and the knob
+    is caller-visible.)  A cell that lands exactly on a station
+    (d2 = 0) takes the min station value there (deterministic among
+    coincident stations).
+
+    Shape at scale: stations are the small side by nature — broadcast
+    them; the grid (arbitrarily large) is scanned once and aggregated
+    map-side per cell, never shuffled wholesale.  For station tables too
+    large to broadcast, pre-bucket both sides on a geocell and
+    equi-join (the kNN dispatch pattern above)."""
+    pts = points_df.select(F.col(px_col).cast("long").alias("px"),
+                           F.col(py_col).cast("long").alias("py"),
+                           F.col(pv_col).cast("long").alias("pv"))
+    g = grid_df.select(F.col(ix_col).cast("long").alias("ix"),
+                       F.col(iy_col).cast("long").alias("iy"))
+    dx = F.col("ix") - F.col("px")
+    dy = F.col("iy") - F.col("py")
+    j = (g.crossJoin(F.broadcast(pts))
+          .withColumn("d2", dx * dx + dy * dy)
+          .withColumn("w", F.expr(f"case when d2 > 0 then {scale}L div d2 "
+                                  "else 0 end")))
+    agg = (j.groupBy("ix", "iy")
+            .agg(F.count("*").alias("n_pts"),
+                 F.sum((F.col("d2") == 0).cast("long")).alias("n_exact"),
+                 F.min(F.when(F.col("d2") == 0, F.col("pv")))
+                  .alias("exact_v"),
+                 F.sum(F.col("w") * F.col("pv")).alias("num"),
+                 F.sum("w").alias("den")))
+    est = (F.when(F.col("n_exact") > 0, F.col("exact_v").cast("double"))
+            .otherwise(F.col("num").cast("double")
+                       / F.col("den").cast("double")))
+    return agg.select("ix", "iy",
+                      F.col("n_pts").cast("long").alias("n_pts"),
+                      F.col("n_exact").cast("long").alias("n_exact"),
+                      F.col("num").cast("long").alias("num"),
+                      F.col("den").cast("long").alias("den"),
+                      est.alias("est"))

@@ -2654,6 +2654,48 @@ FROM loc, st
 """
 
 
+def q_idw_interp(spark, sf_dir):
+    """Inverse-distance-squared interpolation
+    (spatial.idw_interpolate_grid): supplier rows act as scattered
+    stations (deterministic coords/values from s_suppkey), interpolated
+    onto a 32x32 grid.  Quantized integer weights floor(scale/d2) make
+    every aggregate exact int64 — the true-double variant would depend
+    on partition summation order and could never hash-oracle."""
+    from .operators import spatial
+
+    sup = _t(spark, sf_dir, "supplier")
+    pts = sup.select((F.col("s_suppkey") % 32).alias("px"),
+                     ((F.col("s_suppkey") * 7) % 32).alias("py"),
+                     (F.col("s_suppkey") % 500 + 1).alias("pv"))
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("ix"),
+        (F.col("id") / 32).cast("long").alias("iy"))
+    return spatial.idw_interpolate_grid(pts, grid)
+
+
+SQL_IDW_INTERP = """
+WITH pts AS (
+  SELECT s_suppkey % 32 AS px, (s_suppkey * 7) % 32 AS py,
+         s_suppkey % 500 + 1 AS pv
+  FROM supplier),
+grid AS (SELECT i % 32 AS ix, i // 32 AS iy FROM generate_series(0, 1023) t(i)),
+j AS (
+  SELECT ix, iy, pv,
+         (ix - px) * (ix - px) + (iy - py) * (iy - py) AS d2
+  FROM grid CROSS JOIN pts),
+w AS (SELECT *, CASE WHEN d2 > 0 THEN 1000000000 // d2 ELSE 0 END AS w FROM j)
+SELECT ix, iy, count(*) AS n_pts,
+       CAST(sum(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(w * pv) AS BIGINT) AS num,
+       CAST(sum(w) AS BIGINT) AS den,
+       CASE WHEN sum(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) > 0
+            THEN CAST(min(CASE WHEN d2 = 0 THEN pv END) AS DOUBLE)
+            ELSE CAST(sum(w * pv) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+       END AS est
+FROM w GROUP BY ix, iy
+"""
+
+
 def q_local_morans(spark, sf_dir):
     """Local Moran's I / LISA cluster map (spatial.local_morans_grid)
     over the 32x32 lineitem cell grid: per-cell contributions to the
@@ -2989,6 +3031,7 @@ GROUP_A = {
     "morans_i": (q_morans_i, SQL_MORANS_I),
     "getis_ord": (q_getis_ord, SQL_GETIS_ORD),
     "local_morans": (q_local_morans, SQL_LOCAL_MORANS),
+    "idw_interp": (q_idw_interp, SQL_IDW_INTERP),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

@@ -373,3 +373,26 @@ def test_local_morans_grid_decomposes_global_i(spark):
     # the repo's own global operator
     glob = spatial.morans_i_grid(g).toPandas().iloc[0]
     assert abs(out.lisa.sum() - glob.w_pairs * glob.morans_i) < 1e-6
+
+
+def test_idw_interpolation_exact_weights(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    pts = spark.createDataFrame([(2, 2, 100), (7, 7, 400), (2, 2, 50)],
+                                "px long, py long, pv long")
+    grid = spark.range(100).select((F.col("id") % 10).alias("ix"),
+                                   (F.col("id") / 10).cast("long")
+                                   .alias("iy"))
+    out = spatial.idw_interpolate_grid(pts, grid).toPandas()
+    assert len(out) == 100
+    scale = 10 ** 9
+    hit = out[(out.ix == 2) & (out.iy == 2)].iloc[0]
+    assert hit.n_exact == 2 and hit.est == 50.0     # min coincident station
+    r = out[(out.ix == 0) & (out.iy == 0)].iloc[0]
+    w1, w2 = scale // 8, scale // 98
+    assert abs(r.est - (w1 * 150 + w2 * 400) / (2 * w1 + w2)) < 1e-9
+    # monotone pull: cells adjacent to the high station read higher than
+    # cells adjacent to the low pair
+    near_high = out[(out.ix == 7) & (out.iy == 6)].est.iloc[0]
+    near_low = out[(out.ix == 2) & (out.iy == 3)].est.iloc[0]
+    assert near_high > 300 > 150 > near_low
