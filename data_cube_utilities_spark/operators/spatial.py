@@ -810,3 +810,48 @@ def idw_interpolate_grid(points_df: DataFrame, grid_df: DataFrame,
                       F.col("num").cast("long").alias("num"),
                       F.col("den").cast("long").alias("den"),
                       est.alias("est"))
+
+
+def terrain_position_grid(cells_df: DataFrame, ix_col: str = "ix",
+                          iy_col: str = "iy",
+                          value_col: str = "v") -> DataFrame:
+    """Topographic Position Index + Terrain Ruggedness Index per cell
+    over the queen (8-)neighborhood — the standard landform-classing
+    pair (ridge/valley/flat from TPI sign, roughness from TRI).
+
+      TPI_i = v_i - mean(neighbors)   -> exact as k*v - L over k
+      TRI_i = mean(|v_i - v_j|)       -> exact as sum|diff| over k
+
+    Both numerators are exact int64; each index is ONE division by the
+    JOIN-COUNTED neighborhood size k (5/8 at edges/corners — no padding
+    assumption), so the doubles hash-reproduce.
+
+    Shape at scale: one 8-shifted-selves equi-join + per-cell aggregate,
+    same co-partitioned pattern as getis_ord_grid."""
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(value_col).cast("long").alias("v"))
+    offs = cells_df.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         if (dx, dy) != (0, 0)], "dx long, dy long")
+    nbr = g.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"),
+                   F.col("v").alias("vj"))
+    d = F.col("v") - F.col("vj")
+    agg = (g.crossJoin(F.broadcast(offs))
+            .withColumn("jx", F.col("ix") + F.col("dx"))
+            .withColumn("jy", F.col("iy") + F.col("dy"))
+            .join(nbr, ["jx", "jy"])
+            .groupBy("ix", "iy")
+            .agg(F.max("v").alias("v"), F.count("*").alias("k"),
+                 F.sum("vj").alias("nbr_sum"),
+                 F.sum(F.abs(d)).alias("tri_num")))
+    return agg.select(
+        "ix", "iy", F.col("v").cast("long").alias("v"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("k") * F.col("v") - F.col("nbr_sum")).cast("long")
+        .alias("tpi_num"),
+        F.col("tri_num").cast("long").alias("tri_num"),
+        ((F.col("k") * F.col("v") - F.col("nbr_sum")).cast("double")
+         / F.col("k").cast("double")).alias("tpi"),
+        (F.col("tri_num").cast("double") / F.col("k").cast("double"))
+        .alias("tri"))

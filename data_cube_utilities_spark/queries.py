@@ -2654,6 +2654,44 @@ FROM loc, st
 """
 
 
+def q_terrain_position(spark, sf_dir):
+    """TPI + TRI landform indices (spatial.terrain_position_grid) over
+    the 32x32 lineitem cell grid: queen-neighborhood position and
+    ruggedness, exact int64 numerators, one division each by the
+    join-counted k."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.terrain_position_grid(grid, "ix", "iy", "v")
+
+
+SQL_TERRAIN_POSITION = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+o(dx, dy) AS (
+  VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+         (1, -1), (1, 0), (1, 1)),
+loc AS (
+  SELECT a.ix, a.iy, max(a.v) AS v, count(*) AS k,
+         CAST(sum(b.v) AS BIGINT) AS nbr_sum,
+         CAST(sum(abs(a.v - b.v)) AS BIGINT) AS tri_num
+  FROM g a CROSS JOIN o
+  JOIN g b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+  GROUP BY a.ix, a.iy)
+SELECT ix, iy, CAST(v AS BIGINT) AS v, CAST(k AS BIGINT) AS k,
+       CAST(k * v - nbr_sum AS BIGINT) AS tpi_num, tri_num,
+       CAST(k * v - nbr_sum AS DOUBLE) / CAST(k AS DOUBLE) AS tpi,
+       CAST(tri_num AS DOUBLE) / CAST(k AS DOUBLE) AS tri
+FROM loc
+"""
+
+
 def q_idw_interp(spark, sf_dir):
     """Inverse-distance-squared interpolation
     (spatial.idw_interpolate_grid): supplier rows act as scattered
@@ -3032,6 +3070,7 @@ GROUP_A = {
     "getis_ord": (q_getis_ord, SQL_GETIS_ORD),
     "local_morans": (q_local_morans, SQL_LOCAL_MORANS),
     "idw_interp": (q_idw_interp, SQL_IDW_INTERP),
+    "terrain_position": (q_terrain_position, SQL_TERRAIN_POSITION),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

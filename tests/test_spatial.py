@@ -396,3 +396,25 @@ def test_idw_interpolation_exact_weights(spark):
     near_high = out[(out.ix == 7) & (out.iy == 6)].est.iloc[0]
     near_low = out[(out.ix == 2) & (out.iy == 3)].est.iloc[0]
     assert near_high > 300 > 150 > near_low
+
+
+def test_terrain_position_tpi_tri(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = [(ix, iy, ix * 10 + iy) for ix in range(4) for iy in range(4)]
+    g = spark.createDataFrame(rows, "ix long, iy long, v long")
+    out = spatial.terrain_position_grid(g).toPandas()
+    vv = {(ix, iy): v for ix, iy, v in rows}
+    for _, r in out.iterrows():
+        nb = [vv[(r.ix + dx, r.iy + dy)]
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+              if (dx, dy) != (0, 0) and (r.ix + dx, r.iy + dy) in vv]
+        assert r.k == len(nb)
+        assert r.tpi_num == r.k * r.v - sum(nb)
+        assert r.tri_num == sum(abs(r.v - x) for x in nb)
+        assert abs(r.tpi - (r.v - sum(nb) / len(nb))) < 1e-9
+        assert abs(r.tri - sum(abs(r.v - x) for x in nb) / len(nb)) < 1e-9
+    # a monotone ramp has negative TPI at the low corner, positive at the
+    # high corner
+    assert out[(out.ix == 0) & (out.iy == 0)].tpi.iloc[0] < 0
+    assert out[(out.ix == 3) & (out.iy == 3)].tpi.iloc[0] > 0
