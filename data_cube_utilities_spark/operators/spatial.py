@@ -855,3 +855,60 @@ def terrain_position_grid(cells_df: DataFrame, ix_col: str = "ix",
          / F.col("k").cast("double")).alias("tpi"),
         (F.col("tri_num").cast("double") / F.col("k").cast("double"))
         .alias("tri"))
+
+
+def mann_kendall_grid(series_df: DataFrame, ix_col: str = "ix",
+                      iy_col: str = "iy", t_col: str = "t",
+                      x_col: str = "x", z_crit: float = 1.96) -> DataFrame:
+    """Mann-Kendall monotone-trend test per grid cell — the statistic
+    behind EMERGING HOT SPOT analysis (is each cell's time series of
+    counts/means rising or falling, nonparametrically?):
+
+      S = sum over time pairs i<j of sign(x_j - x_i)
+      Var(S) = [m(m-1)(2m+5) - sum_ties t(t-1)(2t+5)] / 18
+      z = (S -/+ 1) / sqrt(Var)   (continuity-corrected; 0 when S=0)
+
+    S, m and both variance terms are exact int64 (signs of integer
+    differences); z is one fixed-order double expression, so the driver
+    hash-oracle reproduces it.  trend = 'increasing' / 'decreasing' at
+    |z| > z_crit, else 'none'.
+
+    Shape at scale: ONE shuffle groups each cell's series into a sorted
+    array; the O(m^2) pair scan runs INSIDE the row via JVM higher-order
+    aggregates (m = series length is calendar-bounded, not data-
+    bounded), and the tie term is a second small aggregate joined back.
+    No per-cell self-join of the fact table, no UDF."""
+    ser = series_df.select(F.col(ix_col).cast("long").alias("ix"),
+                           F.col(iy_col).cast("long").alias("iy"),
+                           F.col(t_col).cast("long").alias("t"),
+                           F.col(x_col).cast("long").alias("x"))
+    arr = (ser.groupBy("ix", "iy")
+              .agg(F.sort_array(F.collect_list(F.struct("t", "x")))
+                   .alias("ser")))
+    s_expr = F.expr("""
+        aggregate(sequence(0, size(ser) - 2), 0L, (acc, i) ->
+          acc + aggregate(sequence(i + 1, size(ser) - 1), 0L, (a2, j) ->
+            a2 + CAST(sign(ser[j].x - ser[i].x) AS LONG)))""")
+    s_tab = arr.select("ix", "iy",
+                       F.size("ser").cast("long").alias("m"),
+                       F.when(F.size("ser") >= 2, s_expr).otherwise(F.lit(0))
+                        .cast("long").alias("s_stat"))
+    ties = (ser.groupBy("ix", "iy", "x").agg(F.count("*").alias("c"))
+               .groupBy("ix", "iy")
+               .agg(F.sum(F.col("c") * (F.col("c") - 1)
+                          * (2 * F.col("c") + 5)).alias("tie_term")))
+    j = s_tab.join(ties, ["ix", "iy"])
+    var_num = (F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+               - F.col("tie_term"))
+    z = (F.when((var_num == 0) | (F.col("s_stat") == 0), F.lit(0.0))
+          .when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double")
+                / F.sqrt(var_num.cast("double") / 18.0))
+          .otherwise((F.col("s_stat") + 1).cast("double")
+                     / F.sqrt(var_num.cast("double") / 18.0)))
+    trend = (F.when(z > z_crit, "increasing")
+              .when(z < -z_crit, "decreasing").otherwise("none"))
+    return j.select("ix", "iy", "m", "s_stat",
+                    F.col("tie_term").cast("long").alias("tie_term"),
+                    var_num.cast("long").alias("var_num"),
+                    z.alias("mk_z"), trend.alias("trend"))

@@ -2654,6 +2654,63 @@ FROM loc, st
 """
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Emerging-hotspot trend layer (spatial.mann_kendall_grid): per
+    user-grid cell, the Mann-Kendall monotone-trend z on the daily
+    event-count series.  S/m/variance terms are exact int64; z is one
+    fixed-order double, so the row hash-oracles.  One shuffle builds
+    the per-cell series array; the O(m^2) pair scan is a JVM
+    higher-order aggregate inside the row."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (ev.groupBy((F.col("user_id") % 8).alias("ix"),
+                      (F.expr("user_id div 8") % 8).alias("iy"),
+                      F.dayofmonth("ts").alias("t"))
+             .agg(F.count("*").alias("x")))
+    return spatial.mann_kendall_grid(ser)
+
+
+SQL_MANN_KENDALL = """
+WITH ser AS (
+  SELECT user_id % 8 AS ix, (user_id // 8) % 8 AS iy,
+         CAST(day(ts) AS BIGINT) AS t, count(*) AS x
+  FROM events GROUP BY 1, 2, 3),
+s AS (
+  SELECT a.ix, a.iy,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM ser a JOIN ser b ON b.ix = a.ix AND b.iy = a.iy AND b.t > a.t
+  GROUP BY 1, 2),
+m AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS m FROM ser GROUP BY 1, 2),
+ties AS (
+  SELECT ix, iy, CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT ix, iy, x, count(*) AS c FROM ser GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+base AS (
+  SELECT m.ix, m.iy, m.m, CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+         ties.tie_term,
+         CAST(m.m * (m.m - 1) * (2 * m.m + 5) - ties.tie_term AS BIGINT)
+           AS var_num
+  FROM m JOIN ties ON ties.ix = m.ix AND ties.iy = m.iy
+  LEFT JOIN s ON s.ix = m.ix AND s.iy = m.iy),
+zed AS (
+  SELECT *,
+         CASE WHEN var_num = 0 OR s_stat = 0 THEN 0.0
+              WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                   / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+              ELSE CAST(s_stat + 1 AS DOUBLE)
+                   / sqrt(CAST(var_num AS DOUBLE) / 18.0) END AS mk_z
+  FROM base)
+SELECT ix, iy, m, s_stat, tie_term, var_num, mk_z,
+       CASE WHEN mk_z > 1.96 THEN 'increasing'
+            WHEN mk_z < -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM zed
+"""
+
+
 def q_terrain_position(spark, sf_dir):
     """TPI + TRI landform indices (spatial.terrain_position_grid) over
     the 32x32 lineitem cell grid: queen-neighborhood position and
@@ -3071,6 +3128,7 @@ GROUP_A = {
     "local_morans": (q_local_morans, SQL_LOCAL_MORANS),
     "idw_interp": (q_idw_interp, SQL_IDW_INTERP),
     "terrain_position": (q_terrain_position, SQL_TERRAIN_POSITION),
+    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

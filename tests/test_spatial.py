@@ -418,3 +418,35 @@ def test_terrain_position_tpi_tri(spark):
     # high corner
     assert out[(out.ix == 0) & (out.iy == 0)].tpi.iloc[0] < 0
     assert out[(out.ix == 3) & (out.iy == 3)].tpi.iloc[0] > 0
+
+
+def test_mann_kendall_grid_known_trends(spark):
+    import itertools
+    import math
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = ([(0, 0, t, t * 2) for t in range(10)]        # strictly rising
+            + [(1, 1, t, 100 - t) for t in range(10)]    # strictly falling
+            + [(2, 2, t, 7) for t in range(10)]          # all tied
+            + [(3, 3, 0, 5)]                             # single obs
+            + [(4, 4, t, [3, 1, 4, 1, 5, 9, 2, 6][t]) for t in range(8)])
+    g = spark.createDataFrame(rows, "ix long, iy long, t long, x long")
+    out = spatial.mann_kendall_grid(g).toPandas().set_index(["ix", "iy"])
+    assert out.loc[(0, 0)].s_stat == 45
+    assert out.loc[(0, 0)].trend == "increasing"
+    assert out.loc[(1, 1)].s_stat == -45
+    assert out.loc[(1, 1)].trend == "decreasing"
+    assert out.loc[(2, 2)].var_num == 0 and out.loc[(2, 2)].mk_z == 0.0
+    assert out.loc[(3, 3)].m == 1 and out.loc[(3, 3)].trend == "none"
+    # mixed series: check S, tie term and z against a python recompute
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i, j in itertools.combinations(range(8), 2))
+    m = 8
+    tie = sum(c * (c - 1) * (2 * c + 5)
+              for c in [xs.count(v) for v in set(xs)])
+    vn = m * (m - 1) * (2 * m + 5) - tie
+    r = out.loc[(4, 4)]
+    assert r.s_stat == s and r.var_num == vn
+    z = (s - 1) / math.sqrt(vn / 18) if s > 0 else (s + 1) / math.sqrt(vn / 18)
+    assert abs(r.mk_z - z) < 1e-9
