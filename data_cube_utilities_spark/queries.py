@@ -2654,6 +2654,46 @@ FROM loc, st
 """
 
 
+def q_regrid_bilinear(spark, sf_dir):
+    """Bilinear regrid 32x32 -> 48x48 (rasterops.regrid_bilinear_long)
+    of the lineitem cell grid: exact rational pixel-center mapping over
+    denominator 96, 4-corner weights recombine at clamped edges; the
+    numerator is exact int64 and the value is one division."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("px"),
+                       (F.col("l_partkey") % 32).alias("py"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("val")))
+    return rasterops.regrid_bilinear_long(grid, 32, 48)
+
+
+SQL_REGRID_BILINEAR = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS px, l_partkey % 32 AS py,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS val
+  FROM lineitem GROUP BY 1, 2),
+t AS (SELECT i % 48 AS tx, i // 48 AS ty FROM generate_series(0, 2303) s(i)),
+kx(kx) AS (VALUES (0), (1)), ky(ky) AS (VALUES (0), (1)),
+fan AS (
+  SELECT tx, ty,
+         least(greatest(((2*tx*32 + 32 - 48 + 96*32) // 96) - 32 + kx, 0),
+               31) AS sx,
+         CASE WHEN kx = 0 THEN 96 - ((2*tx*32 + 32 - 48 + 96*32) % 96)
+              ELSE (2*tx*32 + 32 - 48 + 96*32) % 96 END AS wx,
+         least(greatest(((2*ty*32 + 32 - 48 + 96*32) // 96) - 32 + ky, 0),
+               31) AS sy,
+         CASE WHEN ky = 0 THEN 96 - ((2*ty*32 + 32 - 48 + 96*32) % 96)
+              ELSE (2*ty*32 + 32 - 48 + 96*32) % 96 END AS wy
+  FROM t CROSS JOIN kx CROSS JOIN ky)
+SELECT tx, ty, CAST(sum(wx * wy * val) AS BIGINT) AS value_num,
+       CAST(CAST(sum(wx * wy * val) AS BIGINT) AS DOUBLE) / 9216.0 AS value
+FROM fan JOIN g ON g.px = fan.sx AND g.py = fan.sy
+GROUP BY tx, ty
+"""
+
+
 def q_mann_kendall(spark, sf_dir):
     """Emerging-hotspot trend layer (spatial.mann_kendall_grid): per
     user-grid cell, the Mann-Kendall monotone-trend z on the daily
@@ -3129,6 +3169,7 @@ GROUP_A = {
     "idw_interp": (q_idw_interp, SQL_IDW_INTERP),
     "terrain_position": (q_terrain_position, SQL_TERRAIN_POSITION),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

@@ -342,3 +342,38 @@ def test_geojsonl_roundtrip(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 2
     assert set(back.select("properties.n_px").toPandas()["n_px"]) == {4, 6}
+
+
+def test_regrid_bilinear_matches_numpy(spark):
+    import numpy as np
+    from data_cube_utilities_spark.operators import rasterops
+
+    sn = 4
+    arr = np.arange(16).reshape(4, 4) * 10
+    px = spark.createDataFrame(
+        [(x, y, int(arr[y, x])) for y in range(sn) for x in range(sn)],
+        "px long, py long, val long")
+
+    def ref(tx, ty, tn):
+        sx = (tx + 0.5) * sn / tn - 0.5
+        sy = (ty + 0.5) * sn / tn - 0.5
+        x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+        fx, fy = sx - x0, sy - y0
+
+        def at(x, y):
+            return arr[min(max(y, 0), sn - 1), min(max(x, 0), sn - 1)]
+        return ((1 - fx) * (1 - fy) * at(x0, y0)
+                + fx * (1 - fy) * at(x0 + 1, y0)
+                + (1 - fx) * fy * at(x0, y0 + 1)
+                + fx * fy * at(x0 + 1, y0 + 1))
+
+    for tn in (6, 2, 4):     # upsample, downsample, identity
+        out = rasterops.regrid_bilinear_long(px, sn, tn).toPandas()
+        assert len(out) == tn * tn
+        for _, r in out.iterrows():
+            assert abs(r.value - ref(r.tx, r.ty, tn)) < 1e-9
+            assert r.value_num == round(r.value * (2 * tn) ** 2)
+    # identity regrid reproduces the source exactly
+    ident = (rasterops.regrid_bilinear_long(px, sn, sn)
+             .toPandas().sort_values(["ty", "tx"]))
+    assert (ident.value.to_numpy().reshape(4, 4) == arr).all()
