@@ -1780,10 +1780,13 @@ def tfidf_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 20,
               .orderBy(F.desc("score"), F.asc(id_col)).limit(k))
 
 
-def repetition_stats(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Gopher-style per-document repetition signals (the "repetitive
-    document" quality-filter family: Rae et al. 2021 table A1): fraction
+def repetition_profile(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition PROFILE (the "repetitive
+    document" quality-filter family: Rae et al. 2021 table A1) —
+    extends repetition_stats above (counts-only bigram/trigram signals)
+    with the top-UNIGRAM axis, duplicated-trigram OCCUPANCY, and the
+    hash-stable fractions themselves: fraction
     of the doc covered by its most frequent unigram / bigram, and the
     fraction of trigram occurrences that belong to a trigram appearing
     more than once.  High values flag boilerplate, keyword stuffing and
@@ -1857,6 +1860,9 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
     procedure, parameterized to n tokens): for every training doc, the
     fraction of its DISTINCT n-grams that also occur anywhere in the
     benchmark corpus, plus the count of distinct benchmark docs hit.
+    (contamination_pairs above emits the PAIR list past a shared-gram
+    threshold; this is the per-doc GATE form — fraction + blast radius
+    per training doc, the shape a filter step consumes.)
 
     Exact arithmetic: overlap counts are int64; contamination_frac is one
     division of two exact integers.

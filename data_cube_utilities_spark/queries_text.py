@@ -1341,12 +1341,13 @@ SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
 
 
 def q_repetition_filter(spark, sf_dir):
-    """Gopher-style repetition quality gate (textops.repetition_stats):
-    per-doc top-unigram / top-bigram coverage and duplicated-trigram
-    occupancy — exact integer counts, one division per fraction.  The
-    three gram orders union into a single long table so the family costs
-    one shuffle + one conditional aggregate."""
-    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+    """Gopher-style repetition quality gate (textops.repetition_profile
+    — the fraction-level superset of q_repetition_stats' counts): per-doc
+    top-unigram / top-bigram coverage and duplicated-trigram occupancy —
+    exact integer counts, one division per fraction.  The three gram
+    orders union into a single long table so the family costs one
+    shuffle + one conditional aggregate."""
+    return textops.repetition_profile(_t(spark, sf_dir, "documents"))
 
 
 SQL_REPETITION_FILTER = """

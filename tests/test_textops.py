@@ -759,7 +759,7 @@ def test_duplicate_spans_counts(spark):
     assert out.loc[4].n_spans == 0 and out.loc[4].n_dup_spans == 0
 
 
-def test_repetition_stats_hand_computed(spark):
+def test_repetition_profile_hand_computed(spark):
     docs = spark.createDataFrame([
         (1, "a a a b"),            # top1 a=3/4; bigrams: aa aa ab -> top2 2/3;
                                    # trigrams: aaa aab -> no dup
@@ -769,7 +769,7 @@ def test_repetition_stats_hand_computed(spark):
         (3, "solo"),               # 1 token: no bigrams/trigrams -> NULL fracs
         (4, "one two"),            # bigram exists, trigram doesn't
     ], "doc_id long, text string")
-    out = (textops.repetition_stats(docs)
+    out = (textops.repetition_profile(docs)
            .toPandas().set_index("doc_id").sort_index())
     r1 = out.loc[1]
     assert r1.n_tokens == 4 and r1.top1_cnt == 3
