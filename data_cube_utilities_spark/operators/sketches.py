@@ -136,3 +136,86 @@ def hist_quantile(df: DataFrame, group_cols: Sequence[str], value_col: str,
               .agg(F.min("bin").alias("qbin"), F.max("n").alias("n")))
     return out.withColumn(
         "q_upper", (F.col("qbin") + 1) * F.lit(float(bin_width)))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (frequency estimation / heavy hitters)
+# ---------------------------------------------------------------------------
+
+def cm_bucket_col(value_col: str, row: int, width: int):
+    """Deterministic Count-Min bucket for hash row `row`: md5 of the
+    value salted with the row index, reduced mod width.  Same
+    engine-reproducibility argument as kmv_hash_col — DuckDB twin:
+    CAST('0x' || substr(md5(v || '#cm<row>'), 1, 12) AS BIGINT) % width."""
+    key = F.concat(F.col(value_col).cast("string"), F.lit(f"#cm{row}"))
+    return (F.conv(F.substring(F.md5(key), 1, HEX_CHARS), 16, 10)
+             .cast("long") % width)
+
+
+def cm_sketch(df: DataFrame, value_col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-Min sketch of a column's frequency distribution (Cormode &
+    Muthukrishnan 2005): depth hash rows x width counters; every
+    occurrence of v increments counter (r, h_r(v)).  Point-query
+    estimate = min over rows — never an underestimate, overestimate
+    bounded by collisions (eps ~ e/width of the total mass whp).
+
+    The training-pipeline use: heavy-hitter n-grams / URLs / near-dup
+    keys at 100 TB in ONE pass and depth*width integers of memory,
+    MERGEABLE across shards/days by cell-wise addition (cm_merge) —
+    the frequency companion to the KMV distinct sketch above.
+
+    Deterministic by construction (md5 buckets, exact integer counts):
+    the sketch hash-oracles and a sketch stored today re-derives
+    byte-identically tomorrow, unlike anything seeded from Spark's
+    internal hashing.
+
+    Scale shape: the fan-out is depth rows per input row (a broadcast
+    explode), the only shuffle is the (row, bucket) groupBy — at most
+    depth*width result rows, partial-aggregated map-side."""
+    rows = df.sparkSession.createDataFrame(
+        [(r,) for r in range(depth)], "r long")
+    fan = (df.select(F.col(value_col).cast("string").alias("v"))
+             .filter(F.col("v").isNotNull())
+             .crossJoin(F.broadcast(rows)))
+    # bucket must be computed per (v, r) with the row salt in the key
+    b = (F.conv(F.substring(
+            F.md5(F.concat(F.col("v"), F.lit("#cm"), F.col("r"))),
+            1, HEX_CHARS), 16, 10).cast("long") % width)
+    return (fan.withColumn("b", b)
+               .groupBy("r", "b").agg(F.count("*").alias("cnt"))
+               .select(F.col("r").cast("long"),
+                       F.col("b").cast("long"),
+                       F.col("cnt").cast("long").alias("cnt")))
+
+
+def cm_merge(sketches: DataFrame) -> DataFrame:
+    """Cell-wise addition of Count-Min sketches built with identical
+    geometry — the mergeability that lets per-shard/per-day sketches
+    combine without rescanning raw data."""
+    return (sketches.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+                    .select("r", "b", F.col("cnt").cast("long").alias("cnt")))
+
+
+def cm_estimate(sketch: DataFrame, probes: DataFrame,
+                value_col: str = "v", depth: int = 4,
+                width: int = 256) -> DataFrame:
+    """Point-query frequency estimates for a probe-key table: for each
+    probe, min over the depth counters it hashes into (0 when a counter
+    row is absent — an empty cell).  The probe side is small by nature
+    (the keys you ask about) — broadcast it against the depth*width
+    sketch; or broadcast the SKETCH against a huge probe stream, both
+    map-side."""
+    rows = probes.sparkSession.createDataFrame(
+        [(r,) for r in range(depth)], "r long")
+    fan = (probes.select(F.col(value_col).cast("string").alias("v"))
+                 .distinct()
+                 .crossJoin(F.broadcast(rows)))
+    b = (F.conv(F.substring(
+            F.md5(F.concat(F.col("v"), F.lit("#cm"), F.col("r"))),
+            1, HEX_CHARS), 16, 10).cast("long") % width)
+    keyed = fan.withColumn("b", b)
+    j = keyed.join(F.broadcast(sketch), ["r", "b"], "left")
+    return (j.groupBy("v")
+             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                  .alias("est")))

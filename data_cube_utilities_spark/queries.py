@@ -2654,6 +2654,60 @@ FROM loc, st
 """
 
 
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch frequency estimates (sketches.cm_sketch /
+    cm_estimate): one-pass 4x256 counter sketch over lineitem suppliers,
+    point-queried for the first 20 supplier keys and joined with the
+    true counts — est >= true always (CM never underestimates), and both
+    sides are exact integers from deterministic md5 buckets, so the row
+    hash-oracles."""
+    from .operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    sk = sketches.cm_sketch(li, "l_suppkey")
+    probes = (sup.filter(F.col("s_suppkey") <= 20)
+                 .select(F.col("s_suppkey").alias("v")))
+    est = sketches.cm_estimate(sk, probes)
+    true_cnt = (li.groupBy(F.col("l_suppkey").cast("string").alias("v"))
+                  .agg(F.count("*").alias("true_cnt")))
+    return (est.join(true_cnt, "v", "left")
+               .select("v", F.col("est").cast("long").alias("est"),
+                       F.coalesce("true_cnt", F.lit(0)).cast("long")
+                        .alias("true_cnt")))
+
+
+SQL_CM_HEAVY_HITTERS = """
+WITH fan AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS v, r
+  FROM lineitem CROSS JOIN generate_series(0, 3) t(r)),
+sk AS (
+  SELECT r,
+         CAST(('0x' || substr(md5(v || '#cm' || r), 1, 12)) AS BIGINT)
+           % 256 AS b,
+         count(*) AS cnt
+  FROM fan GROUP BY 1, 2),
+probes AS (
+  SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS v FROM supplier
+  WHERE s_suppkey <= 20),
+pf AS (
+  SELECT v, r,
+         CAST(('0x' || substr(md5(v || '#cm' || r), 1, 12)) AS BIGINT)
+           % 256 AS b
+  FROM probes CROSS JOIN generate_series(0, 3) t(r)),
+est AS (
+  SELECT pf.v, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+  FROM pf LEFT JOIN sk ON sk.r = pf.r AND sk.b = pf.b
+  GROUP BY pf.v),
+tc AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS v, count(*) AS cnt
+  FROM lineitem GROUP BY 1)
+SELECT est.v, est.est,
+       CAST(coalesce(tc.cnt, 0) AS BIGINT) AS true_cnt
+FROM est LEFT JOIN tc ON tc.v = est.v
+"""
+
+
 def q_regrid_bilinear(spark, sf_dir):
     """Bilinear regrid 32x32 -> 48x48 (rasterops.regrid_bilinear_long)
     of the lineitem cell grid: exact rational pixel-center mapping over
@@ -3170,6 +3224,7 @@ GROUP_A = {
     "terrain_position": (q_terrain_position, SQL_TERRAIN_POSITION),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),
+    "cm_heavy_hitters": (q_cm_heavy_hitters, SQL_CM_HEAVY_HITTERS),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

@@ -114,3 +114,35 @@ def test_hist_quantile_merge_is_count_addition(spark):
     a = sorted(map(tuple, whole.select("g", "q", "qbin", "n").collect()))
     b = sorted(map(tuple, again.select("g", "q", "qbin", "n").collect()))
     assert a == b
+
+
+def test_cm_sketch_never_underestimates_and_merges(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]],
+        "key string")
+    sk = sketches.cm_sketch(df, "key", depth=4, width=64)
+    pd_sk = sk.toPandas()
+    # total mass per hash row equals the input size
+    assert (pd_sk.groupby("r").cnt.sum() == 76).all()
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("absent",)], "v string")
+    est = (sketches.cm_estimate(sk, probes, depth=4, width=64)
+           .toPandas().set_index("v").est)
+    truth = {"a": 50, "b": 20, "c": 5, "d": 1, "absent": 0}
+    for k, t in truth.items():
+        assert est[k] >= t          # CM never underestimates
+    # with 4 keys in 64 buckets x 4 rows, collisions are absent: exact
+    assert est["a"] == 50 and est["absent"] == 0
+    # mergeability: sketch(A+B) == merge(sketch(A), sketch(B))
+    d1 = spark.createDataFrame([("a",)] * 30 + [("b",)] * 7, "key string")
+    d2 = spark.createDataFrame([("a",)] * 20 + [("c",)] * 9, "key string")
+    merged = sketches.cm_merge(
+        sketches.cm_sketch(d1, "key", depth=4, width=64).unionByName(
+            sketches.cm_sketch(d2, "key", depth=4, width=64)))
+    whole = sketches.cm_sketch(
+        d1.unionByName(d2), "key", depth=4, width=64)
+    a = merged.toPandas().sort_values(["r", "b"]).reset_index(drop=True)
+    b = whole.toPandas().sort_values(["r", "b"]).reset_index(drop=True)
+    assert a.equals(b)
