@@ -912,3 +912,55 @@ def mann_kendall_grid(series_df: DataFrame, ix_col: str = "ix",
                     F.col("tie_term").cast("long").alias("tie_term"),
                     var_num.cast("long").alias("var_num"),
                     z.alias("mk_z"), trend.alias("trend"))
+
+
+def watershed_basins_grid(cells_df: DataFrame, ix_col: str = "ix",
+                          iy_col: str = "iy", value_col: str = "v",
+                          max_iters: int = 48) -> DataFrame:
+    """Watershed delineation over the D8 graph: every cell is labeled
+    with its terminal PIT (the cell its flow path ends in), partitioning
+    the grid into drainage basins — the catchment companion to
+    flow_accumulation_grid.
+
+    POINTER DOUBLING on the functional D8 graph: each round composes the
+    current pointer table with itself (ptr2(x) = ptr(ptr(x))), so after
+    k rounds every cell points 2^k hops ahead; pits point to themselves,
+    making the composition idempotent at the root.  O(log depth) rounds,
+    each ONE equi-join of an n-row table — the n*depth pair blow-up of
+    the ancestor closure never materializes, which is why this is the
+    scale shape for root-finding while flow_accumulation (which needs
+    path COUNTS, not roots) pays for the pair table.
+
+    Convergence is tested by counting unresolved rows (pointer not yet a
+    pit); the DuckDB twin walks the same paths with a recursive CTE."""
+    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col)
+    ptr = (flow.select(
+        "ix", "iy",
+        F.coalesce("to_ix", F.col("ix")).alias("px"),
+        F.coalesce("to_iy", F.col("iy")).alias("py"),
+        (F.col("flow_dir") == 0).alias("done"))).persist()
+    pits = ptr.select(F.col("ix").alias("px"), F.col("iy").alias("py"),
+                      F.col("done").alias("p_done"))
+    for _ in range(max_iters):
+        unresolved = (ptr.join(pits, ["px", "py"])
+                         .filter(~F.col("p_done")).count())
+        if unresolved == 0:
+            break
+        nxt = ptr.select(F.col("ix").alias("px"), F.col("iy").alias("py"),
+                         F.col("px").alias("qx"), F.col("py").alias("qy"))
+        ptr2 = (ptr.join(nxt, ["px", "py"])
+                   .select("ix", "iy", F.col("qx").alias("px"),
+                           F.col("qy").alias("py"), "done")
+                   .localCheckpoint())
+        ptr.unpersist()
+        ptr = ptr2.persist()
+        pits = ptr.select(F.col("ix").alias("px"), F.col("iy").alias("py"),
+                          F.col("done").alias("p_done"))
+    out = flow.select("ix", "iy", "v").join(
+        ptr.select("ix", "iy", F.col("px").alias("basin_ix"),
+                   F.col("py").alias("basin_iy")), ["ix", "iy"])
+    return out.select("ix", "iy", "v",
+                      F.col("basin_ix").cast("long").alias("basin_ix"),
+                      F.col("basin_iy").cast("long").alias("basin_iy"),
+                      (F.col("basin_ix") * 100000 + F.col("basin_iy"))
+                      .cast("long").alias("basin_id"))

@@ -2654,6 +2654,64 @@ FROM loc, st
 """
 
 
+_D8_SQL_PRELUDE = """
+g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+o(dx, dy, code, w) AS (
+  VALUES (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), (-1, -1, 8, 1),
+         (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), (1, 1, 128, 1)),
+cand AS (
+  SELECT a.ix, a.iy, a.v, b.ix AS jx, b.iy AS jy, o.code,
+         (a.v - b.v) * (a.v - b.v) * o.w AS rnk
+  FROM g a CROSS JOIN o
+  JOIN g b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+  WHERE a.v > b.v),
+best AS (
+  SELECT ix, iy, code, jx, jy FROM (
+    SELECT *, row_number() OVER (PARTITION BY ix, iy
+                                 ORDER BY rnk DESC, code ASC) AS rn
+    FROM cand) WHERE rn = 1)
+"""
+
+
+def q_watershed(spark, sf_dir):
+    """Watershed basins (spatial.watershed_basins_grid): every cell of
+    the 32x32 lineitem grid labeled with its terminal D8 pit via
+    pointer-doubling root-finding (O(log depth) equi-joins of an n-row
+    pointer table — no pair blow-up).  The oracle walks the same paths
+    with a recursive CTE."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.watershed_basins_grid(grid, "ix", "iy", "v")
+
+
+SQL_WATERSHED = f"""
+WITH RECURSIVE {_D8_SQL_PRELUDE},
+walk AS (
+  SELECT g.ix, g.iy, g.v,
+         coalesce(b.jx, g.ix) AS cx, coalesce(b.jy, g.iy) AS cy,
+         (b.ix IS NULL) AS done
+  FROM g LEFT JOIN best b ON b.ix = g.ix AND b.iy = g.iy
+  UNION ALL
+  SELECT w.ix, w.iy, w.v,
+         coalesce(b.jx, w.cx) AS cx, coalesce(b.jy, w.cy) AS cy,
+         (b.ix IS NULL) AS done
+  FROM walk w LEFT JOIN best b ON b.ix = w.cx AND b.iy = w.cy
+  WHERE NOT w.done)
+SELECT ix, iy, CAST(v AS BIGINT) AS v,
+       CAST(cx AS BIGINT) AS basin_ix, CAST(cy AS BIGINT) AS basin_iy,
+       CAST(cx * 100000 + cy AS BIGINT) AS basin_id
+FROM walk WHERE done
+"""
+
+
 def q_cm_heavy_hitters(spark, sf_dir):
     """Count-Min sketch frequency estimates (sketches.cm_sketch /
     cm_estimate): one-pass 4x256 counter sketch over lineitem suppliers,
@@ -2929,26 +2987,6 @@ FROM loc, d
 """
 
 
-_D8_SQL_PRELUDE = """
-g AS (
-  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
-         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
-  FROM lineitem GROUP BY 1, 2),
-o(dx, dy, code, w) AS (
-  VALUES (1, 0, 1, 2), (1, -1, 2, 1), (0, -1, 4, 2), (-1, -1, 8, 1),
-         (-1, 0, 16, 2), (-1, 1, 32, 1), (0, 1, 64, 2), (1, 1, 128, 1)),
-cand AS (
-  SELECT a.ix, a.iy, a.v, b.ix AS jx, b.iy AS jy, o.code,
-         (a.v - b.v) * (a.v - b.v) * o.w AS rnk
-  FROM g a CROSS JOIN o
-  JOIN g b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
-  WHERE a.v > b.v),
-best AS (
-  SELECT ix, iy, code, jx, jy FROM (
-    SELECT *, row_number() OVER (PARTITION BY ix, iy
-                                 ORDER BY rnk DESC, code ASC) AS rn
-    FROM cand) WHERE rn = 1)
-"""
 
 
 def q_d8_flow(spark, sf_dir):
@@ -3225,6 +3263,7 @@ GROUP_A = {
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),
     "cm_heavy_hitters": (q_cm_heavy_hitters, SQL_CM_HEAVY_HITTERS),
+    "watershed": (q_watershed, SQL_WATERSHED),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

@@ -450,3 +450,40 @@ def test_mann_kendall_grid_known_trends(spark):
     assert r.s_stat == s and r.var_num == vn
     z = (s - 1) / math.sqrt(vn / 18) if s > 0 else (s + 1) / math.sqrt(vn / 18)
     assert abs(r.mk_z - z) < 1e-9
+
+
+def test_watershed_basins_two_pits(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = [(ix, iy, min((ix - 0) ** 2, (ix - 5) ** 2) + 2 * iy)
+            for ix in range(6) for iy in range(4)]
+    g = spark.createDataFrame(rows, "ix long, iy long, v long")
+    out = spatial.watershed_basins_grid(g).toPandas()
+    vv = {(ix, iy): v for ix, iy, v in rows}
+
+    def nxt(c):
+        best = None
+        for dx, dy, code, w in spatial.D8_OFFSETS:
+            p = (c[0] + dx, c[1] + dy)
+            if p in vv and vv[c] > vv[p]:
+                r = (vv[c] - vv[p]) ** 2 * w
+                if best is None or r > best[0] or (r == best[0]
+                                                   and code < best[1]):
+                    best = (r, code, p)
+        return best[2] if best else None
+
+    def root(c):
+        while (n := nxt(c)) is not None:
+            c = n
+        return c
+
+    for _, r in out.iterrows():
+        assert (r.basin_ix, r.basin_iy) == root((r.ix, r.iy))
+    # symmetric saddle: exactly two basins of 12 cells each
+    sizes = sorted(out.groupby("basin_id").size().tolist())
+    assert sizes == [12, 12]
+    # each basin's pit is its own basin label
+    for b in out.basin_id.unique():
+        bx, by = divmod(b, 100000)
+        row = out[(out.ix == bx) & (out.iy == by)].iloc[0]
+        assert row.basin_id == b
