@@ -964,3 +964,51 @@ def watershed_basins_grid(cells_df: DataFrame, ix_col: str = "ix",
                       F.col("basin_iy").cast("long").alias("basin_iy"),
                       (F.col("basin_ix") * 100000 + F.col("basin_iy"))
                       .cast("long").alias("basin_id"))
+
+
+def theil_sen_grid(series_df: DataFrame, ix_col: str = "ix",
+                   iy_col: str = "iy", t_col: str = "t",
+                   x_col: str = "x") -> DataFrame:
+    """Theil-Sen slope per grid cell — the robust trend MAGNITUDE that
+    pairs with mann_kendall_grid's trend DIRECTION (the standard
+    emerging-hotspot couple): the median of all pairwise slopes
+    (x_j - x_i) / (t_j - t_i), insensitive to up to ~29% outliers.
+
+    Hash-exact median selection: pair slopes are doubles (one division
+    of exact integers each), but the MEDIAN is chosen by a fully
+    deterministic total order (slope, dx, dt) — identical in any IEEE
+    engine — and the even-count case averages the two middles in one
+    fixed-order expression.  Pairs with dt = 0 (duplicate timestamps)
+    are excluded in both engines.
+
+    Shape at scale: same as mann_kendall_grid — ONE shuffle builds each
+    cell's sorted series; the O(m^2) pair table is built, sorted and
+    median-picked INSIDE the row by JVM higher-order expressions
+    (m is calendar-bounded), no explode, no UDF."""
+    ser = series_df.select(F.col(ix_col).cast("long").alias("ix"),
+                           F.col(iy_col).cast("long").alias("iy"),
+                           F.col(t_col).cast("long").alias("t"),
+                           F.col(x_col).cast("long").alias("x"))
+    arr = (ser.groupBy("ix", "iy")
+              .agg(F.sort_array(F.collect_list(F.struct("t", "x")))
+                   .alias("ser")))
+    pairs = F.expr("""
+        sort_array(filter(flatten(transform(
+          sequence(0, greatest(size(ser) - 2, 0)), i ->
+            transform(sequence(least(i + 1, size(ser) - 1),
+                               size(ser) - 1), j ->
+              struct(CAST(ser[j].x - ser[i].x AS DOUBLE)
+                       / CAST(ser[j].t - ser[i].t AS DOUBLE) AS sl,
+                     CAST(ser[j].x - ser[i].x AS LONG) AS dx,
+                     CAST(ser[j].t - ser[i].t AS LONG) AS dt)))),
+          p -> p.dt > 0))""")
+    with_pairs = (arr.filter(F.size("ser") >= 2)
+                     .select("ix", "iy", pairs.alias("p"))
+                     .withColumn("n", F.size("p"))
+                     .filter(F.col("n") >= 1))
+    lo = F.expr("p[CAST((n - 1) div 2 AS INT)].sl")
+    hi = F.expr("p[CAST(n div 2 AS INT)].sl")
+    med = F.when(F.col("n") % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    return with_pairs.select("ix", "iy",
+                             F.col("n").cast("long").alias("n_pairs"),
+                             med.alias("sen_slope"))

@@ -2766,6 +2766,48 @@ FROM est LEFT JOIN tc ON tc.v = est.v
 """
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope per user-grid cell over the daily
+    event-count series (spatial.theil_sen_grid) — the magnitude
+    companion to q_mann_kendall's direction.  The median pair is chosen
+    by the deterministic (slope, dx, dt) total order so the double
+    hash-oracles; the O(m^2) pair scan runs inside the row."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (ev.groupBy((F.col("user_id") % 8).alias("ix"),
+                      (F.expr("user_id div 8") % 8).alias("iy"),
+                      F.dayofmonth("ts").alias("t"))
+             .agg(F.count("*").alias("x")))
+    return spatial.theil_sen_grid(ser)
+
+
+SQL_THEIL_SEN = """
+WITH ser AS (
+  SELECT user_id % 8 AS ix, (user_id // 8) % 8 AS iy,
+         CAST(day(ts) AS BIGINT) AS t, count(*) AS x
+  FROM events GROUP BY 1, 2, 3),
+p AS (
+  SELECT a.ix, a.iy,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS sl,
+         b.x - a.x AS dx, b.t - a.t AS dt
+  FROM ser a JOIN ser b ON b.ix = a.ix AND b.iy = a.iy AND b.t > a.t),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY ix, iy
+                               ORDER BY sl, dx, dt) AS rn,
+         count(*) OVER (PARTITION BY ix, iy) AS n
+  FROM p),
+m AS (
+  SELECT ix, iy, n,
+         sum(CASE WHEN rn = (n + 1) // 2 THEN sl ELSE 0 END) AS lo,
+         sum(CASE WHEN rn = n // 2 + 1 THEN sl ELSE 0 END) AS hi
+  FROM r GROUP BY ix, iy, n)
+SELECT ix, iy, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n % 2 = 1 THEN lo ELSE (lo + hi) / 2.0 END AS sen_slope
+FROM m
+"""
+
+
 def q_regrid_bilinear(spark, sf_dir):
     """Bilinear regrid 32x32 -> 48x48 (rasterops.regrid_bilinear_long)
     of the lineitem cell grid: exact rational pixel-center mapping over
@@ -3261,6 +3303,7 @@ GROUP_A = {
     "idw_interp": (q_idw_interp, SQL_IDW_INTERP),
     "terrain_position": (q_terrain_position, SQL_TERRAIN_POSITION),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),
     "cm_heavy_hitters": (q_cm_heavy_hitters, SQL_CM_HEAVY_HITTERS),
     "watershed": (q_watershed, SQL_WATERSHED),

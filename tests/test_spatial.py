@@ -487,3 +487,34 @@ def test_watershed_basins_two_pits(spark):
         bx, by = divmod(b, 100000)
         row = out[(out.ix == bx) & (out.iy == by)].iloc[0]
         assert row.basin_id == b
+
+
+def test_theil_sen_grid_robust_median(spark):
+    import itertools
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = ([(0, 0, t, 3 * t + (1 if t == 5 else 0)) for t in range(10)]
+            + [(1, 1, t, 100 - 2 * t) for t in range(6)]
+            + [(2, 2, t, 5) for t in range(4)]
+            + [(3, 3, 0, 1)])
+    g = spark.createDataFrame(rows, "ix long, iy long, t long, x long")
+    out = spatial.theil_sen_grid(g).toPandas().set_index(["ix", "iy"])
+
+    def sen(pts):
+        sls = sorted((xj - xi) / (tj - ti)
+                     for (ti, xi), (tj, xj)
+                     in itertools.combinations(pts, 2) if tj != ti)
+        n = len(sls)
+        return (sls[(n - 1) // 2] if n % 2
+                else (sls[(n - 1) // 2] + sls[n // 2]) / 2)
+
+    # outlier at t=5 does not move the median slope off 3.0 (robustness)
+    assert out.loc[(0, 0)].n_pairs == 45
+    assert abs(out.loc[(0, 0)].sen_slope - 3.0) < 1e-12
+    assert abs(out.loc[(1, 1)].sen_slope - (-2.0)) < 1e-12
+    assert out.loc[(2, 2)].sen_slope == 0.0
+    assert (3, 3) not in out.index        # single obs -> no pairs -> absent
+    for cell, pts in [((0, 0), [(t, 3 * t + (1 if t == 5 else 0))
+                                for t in range(10)]),
+                      ((1, 1), [(t, 100 - 2 * t) for t in range(6)])]:
+        assert abs(out.loc[cell].sen_slope - sen(pts)) < 1e-12
