@@ -38,6 +38,10 @@ HEADLINE = [
     # r5: sequence packing — the manifest-building shape (window prefix
     # sums + broadcast shard bases) a training pipeline runs corpus-wide
     "pack_chunks",
+    # r5 s3: grid-statistics representatives — the co-partitioned
+    # local-stat join shape (Mann-Kendall adds the in-row O(m^2)
+    # higher-order aggregate) and the iterative path-doubling closure
+    "mann_kendall", "flow_accum",
 ]
 
 

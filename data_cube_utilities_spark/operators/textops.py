@@ -1947,3 +1947,41 @@ def split_summary(df: DataFrame, fractions=(0.8, 0.1, 0.1),
                   F.sum(F.length(text_col)).cast("long").alias("n_chars"))
              .select("split", stratum_col, "n_docs",
                      "n_distinct_texts", "n_chars"))
+
+
+def chunk_documents(df: DataFrame, window: int = 32, stride: int = 24,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping-window document chunking — the RAG/embedding-index
+    splitter (fixed token window, fixed stride, trailing partial chunk
+    kept): every doc becomes ceil(max(n - window, 0) / stride) + 1
+    chunks whose token spans tile the doc with (window - stride)-token
+    overlap.  pack_chunks (above) CONCATENATES docs into training rows;
+    this SPLITS docs into retrieval units — the two directions a
+    corpus pipeline needs.
+
+    Emits exact integers (chunk index, 0-based start token, actual
+    chunk length) plus md5 of the chunk text — hash-stable across
+    engines, and keeps the result row narrow for 100 TB corpora where
+    the chunk text itself would re-materialize the corpus.
+
+    Shape at scale: pure map-side — tokenization, window arithmetic and
+    slicing are JVM higher-order expressions inside one projection; the
+    explode multiplies rows by ~n/stride with NO shuffle at all."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    tk = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    t = _fanout(df).select(id_col, tk.alias("tk")) \
+                   .withColumn("n", F.size("tk")) \
+                   .filter(F.col("n") > 0)
+    n_chunks = (F.floor((F.greatest(F.col("n") - window, F.lit(0))
+                         + F.lit(stride - 1)) / stride).cast("long") + 1)
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    e = t.select(id_col, "tk", "n", idx)
+    start = (F.col("chunk_idx") * stride).cast("long")
+    piece = F.slice("tk", (start + 1).cast("int"), window)
+    return e.select(
+        id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tok"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"))

@@ -1452,7 +1452,37 @@ FROM s GROUP BY split, lang
 """
 
 
+def q_rag_chunks(spark, sf_dir):
+    """Overlapping-window chunking (textops.chunk_documents): 32-token
+    windows at stride 24 (8-token overlap), trailing partial kept;
+    emits exact span integers + md5 of each chunk — map-side only, no
+    shuffle.  The splitter dual of pack_chunks' concatenator."""
+    return textops.chunk_documents(_t(spark, sf_dir, "documents"),
+                                   window=32, stride=24)
+
+
+SQL_RAG_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+n AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+e AS (
+  SELECT doc_id, tk, n,
+         unnest(generate_series(0, (greatest(n - 32, 0) + 23) // 24))
+           AS chunk_idx
+  FROM n)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+       CAST(len(tk[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT)
+         AS n_tok,
+       md5(array_to_string(tk[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' '))
+         AS chunk_hash
+FROM e
+"""
+
+
 GROUP_B = {
+    "rag_chunks": (q_rag_chunks, SQL_RAG_CHUNKS),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),

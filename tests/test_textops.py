@@ -848,3 +848,31 @@ def test_split_summary_accounts_everything(spark):
     assert out.n_docs.sum() == 40
     assert (out.groupby("lang").n_docs.sum() == 20).all()
     assert (out.n_distinct_texts <= out.n_docs).all()
+
+
+def test_chunk_documents_tiling_and_hashes(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(80))),
+         (2, "a b c"),
+         (3, " ".join(f"t{i}" for i in range(32))),
+         (4, " ".join(f"u{i}" for i in range(33)))],
+        "doc_id long, text string")
+    out = textops.chunk_documents(docs, window=32, stride=24).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    assert d1.start_tok.tolist() == [0, 24, 48]
+    assert d1.n_tok.tolist() == [32, 32, 32]
+    toks = [f"w{i}" for i in range(80)]
+    exp = hashlib.md5(" ".join(toks[24:56]).encode()).hexdigest()
+    assert d1[d1.chunk_idx == 1].chunk_hash.iloc[0] == exp
+    # short doc: one partial chunk; exact-window doc: one full chunk;
+    # window+1: the trailing partial is kept (coverage reaches the end)
+    assert out[out.doc_id == 2].n_tok.tolist() == [3]
+    assert out[out.doc_id == 3].n_tok.tolist() == [32]
+    d4 = out[out.doc_id == 4].sort_values("chunk_idx")
+    assert d4.start_tok.tolist() == [0, 24] and d4.n_tok.tolist() == [32, 9]
+    # coverage invariant: for every doc, last start + last n_tok == n
+    for did, n in [(1, 80), (2, 3), (3, 32), (4, 33)]:
+        last = out[out.doc_id == did].sort_values("chunk_idx").iloc[-1]
+        assert last.start_tok + last.n_tok == n
