@@ -1985,3 +1985,36 @@ def chunk_documents(df: DataFrame, window: int = 32, stride: int = 24,
         start.alias("start_tok"),
         F.size(piece).cast("long").alias("n_tok"),
         F.md5(F.array_join(piece, " ")).alias("chunk_hash"))
+
+
+def oov_stats(df: DataFrame, vocab_k: int = 50, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus' own
+    top-K token vocabulary — the tokenizer-coverage gate (docs that are
+    mostly OOV under the training vocabulary are wrong-language /
+    wrong-charset / binary junk for that tokenizer).
+
+    The vocabulary is DETERMINISTIC: top vocab_k tokens by corpus
+    frequency with (count desc, token asc) tie-break, so the identical
+    vocab re-derives in any engine.  Exact integers; oov_frac is one
+    division.
+
+    Shape at scale: the vocab is a TakeOrderedAndProject over the token
+    counts (tiny result), broadcast back; the corpus is scanned once
+    more for the per-doc left-anti accounting — two passes, no
+    corpus-sized shuffle beyond the (doc, token) aggregates."""
+    toks = (with_tokens(_fanout(df), text_col)
+            .select(id_col, F.explode("tokens").alias("tok")))
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+                 .orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_k)
+                 .select("tok", F.lit(1).alias("in_vocab")))
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    return (j.groupBy(id_col)
+             .agg(F.count("*").alias("n_tok"),
+                  F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                   .alias("n_oov"))
+             .select(id_col,
+                     F.col("n_tok").cast("long").alias("n_tok"),
+                     F.col("n_oov").cast("long").alias("n_oov"),
+                     (F.col("n_oov").cast("double")
+                      / F.col("n_tok").cast("double")).alias("oov_frac")))

@@ -1481,7 +1481,34 @@ FROM e
 """
 
 
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage gate (textops.oov_stats): per-doc OOV rate
+    against the corpus' own deterministic top-30 vocabulary
+    ((count desc, token asc) tie-break — re-derivable in any engine);
+    vocab broadcast, exact integers, one division."""
+    return textops.oov_stats(_t(spark, sf_dir, "documents"), vocab_k=30)
+
+
+SQL_OOV_RATE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok ASC LIMIT 30)),
+j AS (
+  SELECT t.doc_id, t.tok, v.tok AS vt
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok)
+SELECT doc_id, count(*) AS n_tok,
+       CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS oov_frac
+FROM j GROUP BY doc_id
+"""
+
+
 GROUP_B = {
+    "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "rag_chunks": (q_rag_chunks, SQL_RAG_CHUNKS),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

@@ -876,3 +876,22 @@ def test_chunk_documents_tiling_and_hashes(spark):
     for did, n in [(1, 80), (2, 3), (3, 32), (4, 33)]:
         last = out[out.doc_id == did].sort_values("chunk_idx").iloc[-1]
         assert last.start_tok + last.n_tok == n
+
+
+def test_oov_stats_vocab_boundary(spark):
+    # 'a' x4, 'b' x3, 'c' x2, 'd' x1 -> vocab_k=2 keeps {a, b}
+    docs = spark.createDataFrame([
+        (1, "a a b d"),     # 1 OOV of 4
+        (2, "a b c c"),     # 2 OOV of 4
+        (3, "a b"),         # 0 OOV
+    ], "doc_id long, text string")
+    out = (textops.oov_stats(docs, vocab_k=2)
+           .toPandas().set_index("doc_id").sort_index())
+    assert out.loc[1].n_oov == 1 and abs(out.loc[1].oov_frac - 0.25) < 1e-12
+    assert out.loc[2].n_oov == 2
+    assert out.loc[3].n_oov == 0 and out.loc[3].oov_frac == 0.0
+    # tie-break determinism: with k=3 the c-vs-nothing boundary adds 'c'
+    # (count 2) ahead of 'd' (count 1)
+    out3 = (textops.oov_stats(docs, vocab_k=3)
+            .toPandas().set_index("doc_id"))
+    assert out3.loc[2].n_oov == 0 and out3.loc[1].n_oov == 1
