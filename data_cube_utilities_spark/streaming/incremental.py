@@ -174,3 +174,34 @@ def interval_join(left: DataFrame, right: DataFrame, key_col: str,
             & (rt >= lt - F.expr(f"INTERVAL {max_lag}"))
             & (rt <= lt + F.expr(f"INTERVAL {max_lead}")))
     return l.join(r, cond, "inner")
+
+
+def streaming_cm_sketch(stream: DataFrame, value_col: str,
+                        depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min sketch maintained INCREMENTALLY over a stream — the
+    frequency sketch is a plain keyed count, so it is streaming-native:
+    the (row, bucket) aggregate updates per micro-batch with no custom
+    state operator, and the complete-mode table at any instant equals
+    the batch sketch of everything ingested so far (parity pinned in
+    tests).  Heavy-hitter monitoring over an event firehose in
+    depth*width integers of state, mergeable across independent streams
+    by cell-wise addition (sketches.cm_merge).
+
+    Deterministic md5 buckets (same geometry as sketches.cm_sketch) —
+    a sketch snapshot taken today re-derives byte-identically from the
+    raw archive tomorrow."""
+    from ..operators.sketches import HEX_CHARS
+
+    rows = stream.sparkSession.createDataFrame(
+        [(r,) for r in range(depth)], "r long")
+    fan = (stream.select(F.col(value_col).cast("string").alias("v"))
+                 .filter(F.col("v").isNotNull())
+                 .crossJoin(F.broadcast(rows)))
+    b = (F.conv(F.substring(
+            F.md5(F.concat(F.col("v"), F.lit("#cm"), F.col("r"))),
+            1, HEX_CHARS), 16, 10).cast("long") % width)
+    return (fan.withColumn("b", b)
+               .groupBy("r", "b").agg(F.count("*").alias("cnt"))
+               .select(F.col("r").cast("long"),
+                       F.col("b").cast("long"),
+                       F.col("cnt").cast("long").alias("cnt")))

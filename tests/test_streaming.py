@@ -436,3 +436,37 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     exp = sorted(r["image_id"] for r in imgs.collect())
     assert got == exp                       # exactly once, no loss, no dup
     assert table.current_version() > v_first
+
+
+def test_streaming_cm_sketch_equals_batch(spark, tmp_path):
+    import pandas as pd
+
+    from data_cube_utilities_spark.operators import sketches
+    from data_cube_utilities_spark.streaming import incremental as S
+
+    # write the value stream as 3 separate files -> 1+ micro-batches
+    src = tmp_path / "cmstream"
+    src.mkdir()
+    vals = (["a"] * 40 + ["b"] * 15 + ["c"] * 3)
+    for i in range(3):
+        spark.createDataFrame([(v,) for v in vals[i::3]], "key string") \
+             .coalesce(1).write.mode("overwrite") \
+             .parquet(str(src / f"part{i}"))
+    stream = (spark.readStream.schema("key string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "part*")))
+    agg = S.streaming_cm_sketch(stream, "key", depth=4, width=64)
+    S.run_stream_to_memory(agg, "cmsketch")
+    got = (spark.table("cmsketch").toPandas()
+           .sort_values(["r", "b"]).reset_index(drop=True))
+    batch = (sketches.cm_sketch(
+        spark.createDataFrame([(v,) for v in vals], "key string"),
+        "key", depth=4, width=64)
+        .toPandas().sort_values(["r", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, batch)
+    # the streaming sketch answers point queries identically
+    probes = spark.createDataFrame([("a",), ("zzz",)], "v string")
+    est = (sketches.cm_estimate(spark.table("cmsketch"), probes,
+                                depth=4, width=64)
+           .toPandas().set_index("v").est)
+    assert est["a"] >= 40 and est["zzz"] >= 0
