@@ -1012,3 +1012,72 @@ def theil_sen_grid(series_df: DataFrame, ix_col: str = "ix",
     return with_pairs.select("ix", "iy",
                              F.col("n").cast("long").alias("n_pairs"),
                              med.alias("sen_slope"))
+
+
+def majority_filter_grid(cells_df: DataFrame, ix_col: str = "ix",
+                         iy_col: str = "iy",
+                         value_col: str = "v") -> DataFrame:
+    """Focal MAJORITY (mode) filter over the queen neighborhood incl.
+    self — the standard salt-and-pepper smoother for CLASSIFIED rasters
+    (land-cover, wofs, cluster labels), where mean/median smoothers are
+    meaningless.  Deterministic tie-break: highest count, then SMALLEST
+    class value, so the winner hash-reproduces in any engine.
+
+    Shape at scale: one 9-shifted-selves equi-join, one (cell, class)
+    count, one per-cell window rank — co-partitioned on the cell key
+    throughout, no collect, no UDF."""
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(value_col).cast("long").alias("v"))
+    offs = cells_df.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long")
+    nbr = g.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"),
+                   F.col("v").alias("vj"))
+    counts = (g.crossJoin(F.broadcast(offs))
+               .withColumn("jx", F.col("ix") + F.col("dx"))
+               .withColumn("jy", F.col("iy") + F.col("dy"))
+               .join(nbr, ["jx", "jy"])
+               .groupBy("ix", "iy", "vj")
+               .agg(F.count("*").alias("cnt")))
+    win = Window.partitionBy("ix", "iy").orderBy(F.desc("cnt"), F.asc("vj"))
+    mode = (counts.withColumn("rn", F.row_number().over(win))
+                  .filter(F.col("rn") == 1)
+                  .select("ix", "iy", F.col("vj").alias("mode_v"),
+                          F.col("cnt").alias("mode_cnt")))
+    k = (counts.groupBy("ix", "iy").agg(F.sum("cnt").alias("k")))
+    return (g.join(mode, ["ix", "iy"]).join(k, ["ix", "iy"])
+             .select("ix", "iy", "v",
+                     F.col("mode_v").cast("long").alias("mode_v"),
+                     F.col("mode_cnt").cast("long").alias("mode_cnt"),
+                     F.col("k").cast("long").alias("k"),
+                     (F.col("mode_v") != F.col("v")).cast("int")
+                      .alias("changed")))
+
+
+def transition_matrix_grid(a_df: DataFrame, b_df: DataFrame,
+                           ix_col: str = "ix", iy_col: str = "iy",
+                           value_col: str = "v") -> DataFrame:
+    """Two-epoch class-transition (change-detection) matrix: join epoch
+    A and epoch B classified grids on the cell key and count every
+    (class_from, class_to) pair, with the per-from-class row fraction —
+    the land-cover-change / classification-drift summary table.
+
+    Exact integers; row_frac is one division.  Shape at scale: ONE
+    co-partitioned equi-join on the cell key + a tiny (classes^2)
+    aggregate, partial map-side."""
+    a = a_df.select(F.col(ix_col).alias("ix"), F.col(iy_col).alias("iy"),
+                    F.col(value_col).cast("long").alias("class_from"))
+    b = b_df.select(F.col(ix_col).alias("ix"), F.col(iy_col).alias("iy"),
+                    F.col(value_col).cast("long").alias("class_to"))
+    t = (a.join(b, ["ix", "iy"])
+          .groupBy("class_from", "class_to")
+          .agg(F.count("*").alias("n_cells")))
+    tot = t.groupBy("class_from").agg(F.sum("n_cells").alias("row_total"))
+    return (t.join(tot, "class_from")
+             .select("class_from", "class_to",
+                     F.col("n_cells").cast("long").alias("n_cells"),
+                     F.col("row_total").cast("long").alias("row_total"),
+                     (F.col("n_cells").cast("double")
+                      / F.col("row_total").cast("double"))
+                     .alias("row_frac")))

@@ -2766,6 +2766,92 @@ FROM est LEFT JOIN tc ON tc.v = est.v
 """
 
 
+def q_majority_filter(spark, sf_dir):
+    """Focal majority smoother (spatial.majority_filter_grid) over a
+    4-class quantization of the 32x32 lineitem grid — the classified-
+    raster denoiser; (count desc, class asc) tie-break hash-reproduces
+    the winner."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg(F.floor((F.sum(F.col("l_quantity").cast("long"))
+                            % 1000) / 250).cast("long").alias("v")))
+    return spatial.majority_filter_grid(grid, "ix", "iy", "v")
+
+
+SQL_MAJORITY_FILTER = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         (CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT)) // 250
+           AS v
+  FROM lineitem GROUP BY 1, 2),
+o(dx, dy) AS (
+  VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+         (1, -1), (1, 0), (1, 1)),
+c AS (
+  SELECT a.ix, a.iy, b.v AS vj, count(*) AS cnt
+  FROM g a CROSS JOIN o
+  JOIN g b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+  GROUP BY 1, 2, 3),
+m AS (
+  SELECT ix, iy, vj AS mode_v, cnt AS mode_cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY ix, iy
+                                 ORDER BY cnt DESC, vj ASC) AS rn
+    FROM c) WHERE rn = 1),
+k AS (SELECT ix, iy, CAST(sum(cnt) AS BIGINT) AS k FROM c GROUP BY 1, 2)
+SELECT g.ix, g.iy, g.v, m.mode_v, CAST(m.mode_cnt AS BIGINT) AS mode_cnt,
+       k.k, CAST(m.mode_v <> g.v AS INT) AS changed
+FROM g JOIN m ON m.ix = g.ix AND m.iy = g.iy
+JOIN k ON k.ix = g.ix AND k.iy = g.iy
+"""
+
+
+def q_transition_matrix(spark, sf_dir):
+    """Two-epoch change-detection matrix
+    (spatial.transition_matrix_grid): quantity-class vs price-class
+    transitions on the 32x32 lineitem grid — one co-partitioned cell
+    join + a classes^2 aggregate; row_frac is one division."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                    (F.col("l_partkey") % 32).alias("iy"))
+           .agg(F.floor((F.sum(F.col("l_quantity").cast("long"))
+                         % 1000) / 250).cast("long").alias("v")))
+    b = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                    (F.col("l_partkey") % 32).alias("iy"))
+           .agg(F.floor((F.sum(F.round(F.col("l_extendedprice") * 100)
+                                .cast("long")) % 1000) / 250)
+                 .cast("long").alias("v")))
+    return spatial.transition_matrix_grid(a, b)
+
+
+SQL_TRANSITION_MATRIX = """
+WITH a AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         (CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT)) // 250
+           AS class_from
+  FROM lineitem GROUP BY 1, 2),
+b AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) % 1000
+               AS BIGINT)) // 250 AS class_to
+  FROM lineitem GROUP BY 1, 2),
+t AS (
+  SELECT class_from, class_to, count(*) AS n_cells
+  FROM a JOIN b ON b.ix = a.ix AND b.iy = a.iy
+  GROUP BY 1, 2),
+tot AS (SELECT class_from, CAST(sum(n_cells) AS BIGINT) AS row_total
+        FROM t GROUP BY 1)
+SELECT t.class_from, t.class_to, CAST(t.n_cells AS BIGINT) AS n_cells,
+       tot.row_total,
+       CAST(t.n_cells AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS row_frac
+FROM t JOIN tot ON tot.class_from = t.class_from
+"""
+
+
 def q_theil_sen(spark, sf_dir):
     """Theil-Sen robust slope per user-grid cell over the daily
     event-count series (spatial.theil_sen_grid) — the magnitude
@@ -3304,6 +3390,8 @@ GROUP_A = {
     "terrain_position": (q_terrain_position, SQL_TERRAIN_POSITION),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
+    "majority_filter": (q_majority_filter, SQL_MAJORITY_FILTER),
+    "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),
     "cm_heavy_hitters": (q_cm_heavy_hitters, SQL_CM_HEAVY_HITTERS),
     "watershed": (q_watershed, SQL_WATERSHED),

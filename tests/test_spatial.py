@@ -518,3 +518,36 @@ def test_theil_sen_grid_robust_median(spark):
                                 for t in range(10)]),
                       ((1, 1), [(t, 100 - 2 * t) for t in range(6)])]:
         assert abs(out.loc[cell].sen_slope - sen(pts)) < 1e-12
+
+
+def test_majority_filter_and_transition_matrix(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    # salt-and-pepper: uniform class 1 with a single class-9 speckle
+    rows = [(ix, iy, 9 if (ix, iy) == (2, 2) else 1)
+            for ix in range(5) for iy in range(5)]
+    g = spark.createDataFrame(rows, "ix long, iy long, v long")
+    out = spatial.majority_filter_grid(g).toPandas()
+    spk = out[(out.ix == 2) & (out.iy == 2)].iloc[0]
+    assert spk.mode_v == 1 and spk.changed == 1      # speckle removed
+    assert (out[out.v == 1].mode_v == 1).all()       # background stable
+    assert (out[out.v == 1].changed == 0).all()
+    # tie-break: 2x1 grid of classes {5, 3} -> both cells see one of
+    # each; smaller class wins
+    g2 = spark.createDataFrame([(0, 0, 5), (1, 0, 3)],
+                               "ix long, iy long, v long")
+    out2 = spatial.majority_filter_grid(g2).toPandas()
+    assert (out2.mode_v == 3).all() and (out2.mode_cnt == 1).all()
+
+    # transition matrix: A constant 0; B = 1 on a 10-cell strip
+    a = spark.createDataFrame([(ix, iy, 0) for ix in range(5)
+                               for iy in range(5)],
+                              "ix long, iy long, v long")
+    b = spark.createDataFrame([(ix, iy, 1 if iy == 0 else 0)
+                               for ix in range(5) for iy in range(5)],
+                              "ix long, iy long, v long")
+    t = (spatial.transition_matrix_grid(a, b)
+         .toPandas().set_index(["class_from", "class_to"]))
+    assert t.loc[(0, 1)].n_cells == 5 and t.loc[(0, 0)].n_cells == 20
+    assert abs(t.loc[(0, 1)].row_frac - 0.2) < 1e-12
+    assert (t.row_total == 25).all()
