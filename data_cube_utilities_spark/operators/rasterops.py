@@ -1333,3 +1333,47 @@ def regions_to_geojsonl(regions: DataFrame,
 def save_geojsonl(regions: DataFrame, path: str, **transform) -> None:
     """Write regions as sharded GeoJSONSeq text files (one per task)."""
     regions_to_geojsonl(regions, **transform).write.mode("overwrite").text(path)
+
+
+def hist_equalize_long(pixels: DataFrame, levels: int = 256,
+                       x_col: str = "px", y_col: str = "py",
+                       value_col: str = "val") -> DataFrame:
+    """Global histogram equalization of a long-form raster — the
+    classic contrast stretch: v -> floor((cdf(v) - cdf_min) *
+    (levels - 1) / (n - cdf_min)), flattening the value distribution
+    into `levels` output bins.
+
+    Exact integer arithmetic end to end: histogram counts, the running
+    CDF, and the final floor-division are all int64 (one `div`), so the
+    remap hash-reproduces.  Degenerate constant rasters (n == cdf_min)
+    map to 0.
+
+    Shape at scale: the histogram is one partial-aggregated groupBy on
+    the VALUE (result bounded by the value domain — 2^16 rows for
+    uint16 imagery — not by pixels); the CDF is a window over that tiny
+    table; pixels re-attach through one broadcast join on the value.
+    The raster itself is scanned once and never shuffled."""
+    h = pixels.groupBy(F.col(value_col).alias("v")) \
+              .agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = h.select("v", F.sum("cnt").over(w).alias("cdf"))
+    stats = pixels.agg(F.count("*").alias("_n"),
+                       F.min(value_col).alias("_vmin"))
+    cdf_min = cdf.join(F.broadcast(stats),
+                       cdf.v == F.col("_vmin")) \
+                 .select(F.col("cdf").alias("_cdf_min"), "_n")
+    lut = (cdf.crossJoin(F.broadcast(cdf_min))
+              .withColumn(
+                  "eq_v",
+                  F.when(F.col("_n") == F.col("_cdf_min"), F.lit(0))
+                   .otherwise(F.expr(
+                       f"((cdf - _cdf_min) * {levels - 1}) div "
+                       "(_n - _cdf_min)"))
+                   .cast("long"))
+              .select("v", "eq_v"))
+    return (pixels.join(F.broadcast(lut),
+                        F.col(value_col) == F.col("v"))
+                  .select(F.col(x_col).cast("long").alias("px"),
+                          F.col(y_col).cast("long").alias("py"),
+                          F.col(value_col).cast("long").alias("val"),
+                          "eq_v"))

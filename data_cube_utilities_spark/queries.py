@@ -2766,6 +2766,43 @@ FROM est LEFT JOIN tc ON tc.v = est.v
 """
 
 
+def q_hist_equalize(spark, sf_dir):
+    """Global histogram equalization (rasterops.hist_equalize_long) of
+    the 32x32 lineitem grid: exact-integer CDF remap into 256 levels;
+    the histogram/CDF tables are value-domain-bounded, the raster scans
+    once and re-attaches by one broadcast LUT join."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("px"),
+                       (F.col("l_partkey") % 32).alias("py"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("val")))
+    return rasterops.hist_equalize_long(grid, levels=256)
+
+
+SQL_HIST_EQUALIZE = """
+WITH p AS (
+  SELECT l_orderkey % 32 AS px, l_partkey % 32 AS py,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS val
+  FROM lineitem GROUP BY 1, 2),
+h AS (SELECT val AS v, count(*) AS cnt FROM p GROUP BY 1),
+c AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cdf FROM h),
+st AS (SELECT count(*) AS n, min(val) AS vmin FROM p),
+cm AS (SELECT c.cdf AS cdf_min, st.n FROM c, st WHERE c.v = st.vmin),
+lut AS (
+  SELECT c.v,
+         CASE WHEN cm.n = cm.cdf_min THEN 0
+              ELSE ((c.cdf - cm.cdf_min) * 255) // (cm.n - cm.cdf_min)
+         END AS eq_v
+  FROM c, cm)
+SELECT p.px, p.py, p.val, CAST(lut.eq_v AS BIGINT) AS eq_v
+FROM p JOIN lut ON lut.v = p.val
+"""
+
+
 def q_majority_filter(spark, sf_dir):
     """Focal majority smoother (spatial.majority_filter_grid) over a
     4-class quantization of the 32x32 lineitem grid — the classified-
@@ -3390,6 +3427,7 @@ GROUP_A = {
     "terrain_position": (q_terrain_position, SQL_TERRAIN_POSITION),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
+    "hist_equalize": (q_hist_equalize, SQL_HIST_EQUALIZE),
     "majority_filter": (q_majority_filter, SQL_MAJORITY_FILTER),
     "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),

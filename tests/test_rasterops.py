@@ -377,3 +377,30 @@ def test_regrid_bilinear_matches_numpy(spark):
     ident = (rasterops.regrid_bilinear_long(px, sn, sn)
              .toPandas().sort_values(["ty", "tx"]))
     assert (ident.value.to_numpy().reshape(4, 4) == arr).all()
+
+
+def test_hist_equalize_exact_cdf_remap(spark):
+    import numpy as np
+    from data_cube_utilities_spark.operators import rasterops
+
+    vals = [0] * 50 + [10] * 30 + [200] * 15 + [255] * 5
+    px = spark.createDataFrame(
+        [(i % 10, i // 10, v) for i, v in enumerate(vals)],
+        "px long, py long, val long")
+    out = rasterops.hist_equalize_long(px, levels=256).toPandas()
+    arr = np.array(vals)
+    hist = {v: int((arr == v).sum()) for v in sorted(set(vals))}
+    run, cdf = 0, {}
+    for v in sorted(hist):
+        run += hist[v]
+        cdf[v] = run
+    cmin = cdf[min(hist)]
+    ref = {v: ((cdf[v] - cmin) * 255) // (len(arr) - cmin) for v in hist}
+    for _, r in out.iterrows():
+        assert r.eq_v == ref[r.val]
+    # monotone and full-range: smallest -> 0, largest -> 255
+    assert ref[0] == 0 and ref[255] == 255
+    # constant raster degenerates to 0
+    c = spark.createDataFrame([(0, 0, 7), (1, 0, 7)],
+                              "px long, py long, val long")
+    assert (rasterops.hist_equalize_long(c).toPandas().eq_v == 0).all()
