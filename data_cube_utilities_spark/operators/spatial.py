@@ -1081,3 +1081,105 @@ def transition_matrix_grid(a_df: DataFrame, b_df: DataFrame,
                      (F.col("n_cells").cast("double")
                       / F.col("row_total").cast("double"))
                      .alias("row_frac")))
+
+
+def getis_ord_series(series_df: DataFrame, ix_col: str = "ix",
+                     iy_col: str = "iy", t_col: str = "t",
+                     x_col: str = "x") -> DataFrame:
+    """Per-time-slice Getis-Ord Gi*: getis_ord_grid generalized over a
+    time axis — global stats computed PER SLICE, the rook+self
+    neighbor join keyed (t, ix, iy) so slices never mix.  The building
+    block of emerging_hotspots below.  Returns (t, ix, iy, gi_z)."""
+    ser = series_df.select(F.col(t_col).cast("long").alias("t"),
+                           F.col(ix_col).cast("long").alias("ix"),
+                           F.col(iy_col).cast("long").alias("iy"),
+                           F.col(x_col).cast("long").alias("x"))
+    stats = ser.groupBy("t").agg(
+        F.count("*").alias("_n"),
+        F.sum("x").alias("_s"),
+        F.sum(F.col("x") * F.col("x")).alias("_ss"))
+    offs = series_df.sparkSession.createDataFrame(
+        [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long")
+    nbr = ser.select("t", F.col("ix").alias("jx"),
+                     F.col("iy").alias("jy"), F.col("x").alias("xj"))
+    local = (ser.crossJoin(F.broadcast(offs))
+                .withColumn("jx", F.col("ix") + F.col("dx"))
+                .withColumn("jy", F.col("iy") + F.col("dy"))
+                .join(nbr, ["t", "jx", "jy"])
+                .groupBy("t", "ix", "iy")
+                .agg(F.sum("xj").alias("ls"), F.count("*").alias("k")))
+    j = local.join(F.broadcast(stats), "t")
+    num = (F.col("_n") * F.col("ls") - F.col("_s") * F.col("k"))
+    a = (F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s"))
+    b = (F.col("_n") * F.col("k") - F.col("k") * F.col("k"))
+    z = (num.cast("double")
+         / F.sqrt(a.cast("double") * b.cast("double")
+                  / (F.col("_n") - 1).cast("double")))
+    # degenerate slice (all cells equal, a == 0) or single-cell slice
+    # (b == 0) would yield 0/0 = NaN and poison downstream sign
+    # comparisons: define z = 0 there, mirrored in the SQL twin
+    z_safe = F.when((a > 0) & (b > 0), z).otherwise(F.lit(0.0))
+    return j.select("t", "ix", "iy", z_safe.alias("gi_z"))
+
+
+def emerging_hotspots(series_df: DataFrame, ix_col: str = "ix",
+                      iy_col: str = "iy", t_col: str = "t",
+                      x_col: str = "x", z_crit: float = 1.96) -> DataFrame:
+    """Emerging Hot Spot Analysis — the space-time composition this
+    tier is named for: each time slice gets its own Gi* surface
+    (getis_ord_series), then every cell's Z SERIES is trend-tested with
+    Mann-Kendall, and the (final state, trend) pair labels the cell:
+
+      label = {hot|cold|neutral}_{intensifying|waning|static}
+
+    (simplified deterministic taxonomy of the ESRI category set —
+    'new/consecutive/sporadic' need run-length rules that are
+    arbitrary; state x trend is the reproducible core).
+
+    Hash-exactness: the Gi* doubles are fixed-order expressions, so
+    their pairwise SIGN comparisons (MK S), tie groups, and the final
+    label are engine-identical; mk_z is one fixed-order double.
+
+    Shape at scale: the per-slice Gi* is co-partitioned equi-joins
+    (slices never mix); the trend pass is ONE shuffle to group each
+    cell's z series + in-row O(m^2) higher-order aggregates, m bounded
+    by the calendar."""
+    gz = getis_ord_series(series_df, ix_col, iy_col, t_col, x_col)
+    arr = (gz.groupBy("ix", "iy")
+             .agg(F.sort_array(F.collect_list(F.struct("t", "gi_z")))
+                  .alias("ser")))
+    s_expr = F.expr("""
+        aggregate(sequence(0, size(ser) - 2), 0L, (acc, i) ->
+          acc + aggregate(sequence(i + 1, size(ser) - 1), 0L, (a2, j) ->
+            a2 + CAST(sign(ser[j].gi_z - ser[i].gi_z) AS LONG)))""")
+    tie_expr = F.expr("""
+        aggregate(ser, 0L, (acc, s) ->
+          acc + CAST(
+            (size(filter(ser, p -> p.gi_z = s.gi_z)) - 1)
+            * (2 * size(filter(ser, p -> p.gi_z = s.gi_z)) + 5) AS LONG))""")
+    base = arr.select(
+        "ix", "iy",
+        F.size("ser").cast("long").alias("m"),
+        F.when(F.size("ser") >= 2, s_expr).otherwise(F.lit(0))
+         .cast("long").alias("s_stat"),
+        tie_expr.alias("tie_term"),
+        F.element_at("ser", -1)["gi_z"].alias("last_z"))
+    var_num = (F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+               - F.col("tie_term"))
+    mk_z = (F.when((var_num == 0) | (F.col("s_stat") == 0), F.lit(0.0))
+             .when(F.col("s_stat") > 0,
+                   (F.col("s_stat") - 1).cast("double")
+                   / F.sqrt(var_num.cast("double") / 18.0))
+             .otherwise((F.col("s_stat") + 1).cast("double")
+                        / F.sqrt(var_num.cast("double") / 18.0)))
+    state = (F.when(F.col("last_z") > z_crit, "hot")
+              .when(F.col("last_z") < -z_crit, "cold")
+              .otherwise("neutral"))
+    trend = (F.when(F.col("_mk_z") > z_crit, "intensifying")
+              .when(F.col("_mk_z") < -z_crit, "waning")
+              .otherwise("static"))
+    out = base.withColumn("var_num", var_num.cast("long")) \
+              .withColumn("_mk_z", mk_z)
+    return out.select("ix", "iy", "m", "s_stat", "var_num",
+                      F.col("_mk_z").alias("mk_z"), "last_z",
+                      F.concat(state, F.lit("_"), trend).alias("label"))

@@ -2766,6 +2766,91 @@ FROM est LEFT JOIN tc ON tc.v = est.v
 """
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """Emerging Hot Spot Analysis (spatial.emerging_hotspots): per-day
+    Gi* surfaces over the user-grid event counts, Mann-Kendall trend on
+    every cell's z series, state x trend labels.  The Gi* doubles are
+    fixed-order expressions, so their sign comparisons, tie groups and
+    labels hash-oracle."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (ev.groupBy(F.dayofmonth("ts").alias("t"),
+                      (F.col("user_id") % 8).alias("ix"),
+                      (F.expr("user_id div 8") % 8).alias("iy"))
+             .agg(F.count("*").alias("x")))
+    return spatial.emerging_hotspots(ser)
+
+
+SQL_EMERGING_HOTSPOTS = """
+WITH ser AS (
+  SELECT CAST(day(ts) AS BIGINT) AS t, user_id % 8 AS ix,
+         (user_id // 8) % 8 AS iy, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2, 3),
+st AS (
+  SELECT t, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS ss
+  FROM ser GROUP BY t),
+loc AS (
+  SELECT a.t, a.ix, a.iy, CAST(sum(b.x) AS BIGINT) AS ls, count(*) AS k
+  FROM ser a JOIN ser b ON b.t = a.t AND (
+       (b.ix = a.ix AND b.iy = a.iy)
+    OR (b.ix = a.ix + 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix - 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix AND b.iy = a.iy + 1)
+    OR (b.ix = a.ix AND b.iy = a.iy - 1))
+  GROUP BY 1, 2, 3),
+z AS (
+  SELECT loc.t, loc.ix, loc.iy,
+         CASE WHEN (st.n * st.ss - st.s * st.s) > 0
+                   AND (st.n * loc.k - loc.k * loc.k) > 0
+              THEN CAST(st.n * loc.ls - st.s * loc.k AS DOUBLE)
+                   / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)
+                          * CAST(st.n * loc.k - loc.k * loc.k AS DOUBLE)
+                          / CAST(st.n - 1 AS DOUBLE))
+              ELSE 0.0 END AS gi_z
+  FROM loc JOIN st ON st.t = loc.t),
+s_tab AS (
+  SELECT a.ix, a.iy,
+         CAST(sum(CASE WHEN b.gi_z > a.gi_z THEN 1
+                       WHEN b.gi_z < a.gi_z THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM z a JOIN z b ON b.ix = a.ix AND b.iy = a.iy AND b.t > a.t
+  GROUP BY 1, 2),
+mtab AS (
+  SELECT ix, iy, CAST(count(*) AS BIGINT) AS m,
+         arg_max(gi_z, t) AS last_z
+  FROM z GROUP BY 1, 2),
+ties AS (
+  SELECT ix, iy, CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT ix, iy, gi_z, count(*) AS c FROM z GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+base AS (
+  SELECT mtab.ix, mtab.iy, mtab.m,
+         CAST(coalesce(s_tab.s_stat, 0) AS BIGINT) AS s_stat,
+         CAST(mtab.m * (mtab.m - 1) * (2 * mtab.m + 5) - ties.tie_term
+              AS BIGINT) AS var_num,
+         mtab.last_z
+  FROM mtab JOIN ties ON ties.ix = mtab.ix AND ties.iy = mtab.iy
+  LEFT JOIN s_tab ON s_tab.ix = mtab.ix AND s_tab.iy = mtab.iy),
+zed AS (
+  SELECT *,
+         CASE WHEN var_num = 0 OR s_stat = 0 THEN 0.0
+              WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                   / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+              ELSE CAST(s_stat + 1 AS DOUBLE)
+                   / sqrt(CAST(var_num AS DOUBLE) / 18.0) END AS mk_z
+  FROM base)
+SELECT ix, iy, m, s_stat, var_num, mk_z, last_z,
+       (CASE WHEN last_z > 1.96 THEN 'hot'
+             WHEN last_z < -1.96 THEN 'cold' ELSE 'neutral' END
+        || '_' ||
+        CASE WHEN mk_z > 1.96 THEN 'intensifying'
+             WHEN mk_z < -1.96 THEN 'waning' ELSE 'static' END) AS label
+FROM zed
+"""
+
+
 def q_hist_equalize(spark, sf_dir):
     """Global histogram equalization (rasterops.hist_equalize_long) of
     the 32x32 lineitem grid: exact-integer CDF remap into 256 levels;
@@ -3428,6 +3513,7 @@ GROUP_A = {
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
     "hist_equalize": (q_hist_equalize, SQL_HIST_EQUALIZE),
+    "emerging_hotspots": (q_emerging_hotspots, SQL_EMERGING_HOTSPOTS),
     "majority_filter": (q_majority_filter, SQL_MAJORITY_FILTER),
     "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),

@@ -551,3 +551,34 @@ def test_majority_filter_and_transition_matrix(spark):
     assert t.loc[(0, 1)].n_cells == 5 and t.loc[(0, 0)].n_cells == 20
     assert abs(t.loc[(0, 1)].row_frac - 0.2) < 1e-12
     assert (t.row_total == 25).all()
+
+
+def test_emerging_hotspots_detects_growing_center(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = []
+    for t in range(8):
+        for ix in range(4):
+            for iy in range(4):
+                base = 5
+                if abs(ix - 1) + abs(iy - 1) <= 1:
+                    base += t * 3          # neighborhood ramps up
+                rows.append((t, ix, iy, base))
+    g = spark.createDataFrame(rows, "t long, ix long, iy long, x long")
+    gz = spatial.getis_ord_series(g).toPandas()
+    assert len(gz) == 16 * 8 and gz.gi_z.notna().all()
+    out = spatial.emerging_hotspots(g).toPandas().set_index(["ix", "iy"])
+    assert out.loc[(1, 1)].label == "hot_intensifying"
+    assert out.loc[(3, 3)].label in ("neutral_static", "cold_static",
+                                     "neutral_waning", "cold_waning")
+    # python cross-check of the MK S on the center cell's z series
+    zc = gz[(gz.ix == 1) & (gz.iy == 1)].sort_values("t").gi_z.tolist()
+    s = sum((zc[j] > zc[i]) - (zc[j] < zc[i])
+            for i in range(8) for j in range(i + 1, 8))
+    assert out.loc[(1, 1)].s_stat == s
+    # degenerate all-equal slice yields z = 0, not NaN
+    flat = spark.createDataFrame(
+        [(0, ix, iy, 7) for ix in range(3) for iy in range(3)],
+        "t long, ix long, iy long, x long")
+    fz = spatial.getis_ord_series(flat).toPandas()
+    assert (fz.gi_z == 0.0).all()
