@@ -319,3 +319,47 @@ def zorder_sql(lat_expr: str, lon_expr: str, bits: int = 16) -> str:
         return e
 
     return f"({spread(ix)} | ({spread(iy)} << 1))"
+
+
+# ---------------------------------------------------------------------------
+# web-map quadkey interop (Bing/XYZ tile naming)
+# ---------------------------------------------------------------------------
+
+def quadkey_col(ix_col: str, iy_col: str, z: int):
+    """Bing-style quadkey string for a (z, x, y) web-map tile: digit i
+    (most significant first) = 2*bit_i(y) + bit_i(x) — the naming every
+    slippy-map stack exchanges tiles under.  Pure bit arithmetic inside
+    whole-stage codegen; the DuckDB twin concatenates the identical
+    digit expressions (quadkey_sql).  The defining property — a tile's
+    parent is its quadkey PREFIX — makes the string a joinable
+    hierarchy: substr(qk, 1, z-1) = quadkey of (x div 2, y div 2) at
+    z-1 (pinned in tests and the driver oracle)."""
+    if z <= 0:
+        raise ValueError("z must be positive")
+    digits = [
+        ((F.shiftright(F.col(iy_col).cast("long"), i) % 2) * 2
+         + (F.shiftright(F.col(ix_col).cast("long"), i) % 2)).cast("string")
+        for i in range(z - 1, -1, -1)]
+    return F.concat(*digits)
+
+
+def quadkey_decode_cols(qk_col: str, z: int):
+    """Inverse of quadkey_col: (x, y) Columns recovered from the digit
+    string — substring arithmetic only, codegen-friendly."""
+    xs, ys = None, None
+    for i in range(z):
+        d = F.substring(F.col(qk_col), i + 1, 1).cast("long")
+        xbit = (d % 2) * (2 ** (z - 1 - i))
+        ybit = (d / 2).cast("long") * (2 ** (z - 1 - i))
+        xs = xbit if xs is None else xs + xbit
+        ys = ybit if ys is None else ys + ybit
+    return xs.cast("long"), ys.cast("long")
+
+
+def quadkey_sql(ix_expr: str, iy_expr: str, z: int) -> str:
+    """ANSI-SQL twin of quadkey_col for the DuckDB oracle."""
+    parts = [
+        f"CAST((({iy_expr}) >> {i}) % 2 * 2 + (({ix_expr}) >> {i}) % 2 "
+        "AS VARCHAR)"
+        for i in range(z - 1, -1, -1)]
+    return " || ".join(parts)

@@ -2766,6 +2766,43 @@ FROM est LEFT JOIN tc ON tc.v = est.v
 """
 
 
+def q_quadkey_tiles(spark, sf_dir):
+    """Web-map quadkey interop (cells.quadkey_col / decode): the 32x32
+    lineitem grid as z=5 tiles — encode, decode back, and the
+    parent-prefix hierarchy property, all bit arithmetic in codegen;
+    the oracle rebuilds the identical digit strings."""
+    from . import cells
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg(F.count("*").alias("n_rows")))
+    qk = grid.withColumn("quadkey", cells.quadkey_col("ix", "iy", 5))
+    dx, dy = cells.quadkey_decode_cols("quadkey", 5)
+    return qk.select(
+        "ix", "iy", F.col("n_rows").cast("long").alias("n_rows"),
+        "quadkey", dx.alias("dec_x"), dy.alias("dec_y"),
+        F.substring("quadkey", 1, 4).alias("parent_key"))
+
+
+def _quadkey_sql_expr() -> str:
+    from . import cells
+    return cells.quadkey_sql("ix", "iy", 5)
+
+
+SQL_QUADKEY_TILES = f"""
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY 1, 2)
+SELECT ix, iy, CAST(n_rows AS BIGINT) AS n_rows,
+       {_quadkey_sql_expr()} AS quadkey,
+       ix AS dec_x, iy AS dec_y,
+       substr({_quadkey_sql_expr()}, 1, 4) AS parent_key
+FROM g
+"""
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging Hot Spot Analysis (spatial.emerging_hotspots): per-day
     Gi* surfaces over the user-grid event counts, Mann-Kendall trend on
@@ -3514,6 +3551,7 @@ GROUP_A = {
     "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
     "hist_equalize": (q_hist_equalize, SQL_HIST_EQUALIZE),
     "emerging_hotspots": (q_emerging_hotspots, SQL_EMERGING_HOTSPOTS),
+    "quadkey_tiles": (q_quadkey_tiles, SQL_QUADKEY_TILES),
     "majority_filter": (q_majority_filter, SQL_MAJORITY_FILTER),
     "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),

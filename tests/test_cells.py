@@ -214,3 +214,28 @@ def test_zorder_layout_tightens_file_bboxes(spark, tmp_path):
     assert z_area < plain_area / 4
     # and the rows themselves are unchanged
     assert spark.read.parquet(zpath).count() == 20000
+
+
+def test_quadkey_roundtrip_and_parent_prefix(spark):
+    from data_cube_utilities_spark import cells as C
+    from pyspark.sql import functions as F
+
+    g = spark.range(64).select((F.col("id") % 8).alias("ix"),
+                               (F.col("id") / 8).cast("long").alias("iy"))
+    qk = g.withColumn("qk", C.quadkey_col("ix", "iy", 3))
+    dx, dy = C.quadkey_decode_cols("qk", 3)
+    out = qk.select("ix", "iy", "qk", dx.alias("dx"), dy.alias("dy")) \
+            .toPandas()
+    assert (out.dx == out.ix).all() and (out.dy == out.iy).all()
+    assert out.qk.str.len().eq(3).all() and out.qk.nunique() == 64
+    # Bing reference values: (x=3, y=5, z=3) -> '213'
+    r = out[(out.ix == 3) & (out.iy == 5)].iloc[0]
+    assert r.qk == "213"
+    # parent-prefix property vs an independently computed z=2 key
+    par = (g.withColumn("qk3", C.quadkey_col("ix", "iy", 3))
+            .withColumn("px", (F.col("ix") / 2).cast("long"))
+            .withColumn("py", (F.col("iy") / 2).cast("long"))
+            .withColumn("qk2", C.quadkey_col("px", "py", 2))
+            .select(F.substring("qk3", 1, 2).alias("pref"), "qk2")
+            .toPandas())
+    assert (par.pref == par.qk2).all()
