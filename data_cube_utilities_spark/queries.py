@@ -2766,6 +2766,47 @@ FROM est LEFT JOIN tc ON tc.v = est.v
 """
 
 
+def q_window_analytics(spark, sf_dir):
+    """The full ranking-window family in one deterministic pass over
+    documents partitioned by lang, ordered by the UNIQUE (n_chars,
+    doc_id) key: rank, dense_rank, percent_rank, cume_dist, ntile(4),
+    lag/lead with defaults, first_value and nth_value(3).  Exact
+    rationals (percent_rank/cume_dist are single divisions of counts)
+    over a total order — every value hash-oracles."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("n_chars", 1, -1).over(w).cast("long").alias("prev_chars"),
+        F.lead("n_chars", 1, -1).over(w).cast("long").alias("next_chars"),
+        F.first_value(F.col("doc_id")).over(w).cast("long")
+         .alias("smallest_doc"),
+        F.nth_value(F.col("doc_id"), 3).over(w).cast("long")
+         .alias("third_doc"))
+
+
+SQL_WINDOW_ANALYTICS = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(coalesce(lag(n_chars, 1) OVER w, -1) AS BIGINT) AS prev_chars,
+       CAST(coalesce(lead(n_chars, 1) OVER w, -1) AS BIGINT) AS next_chars,
+       CAST(first_value(doc_id) OVER w AS BIGINT) AS smallest_doc,
+       CAST(nth_value(doc_id, 3) OVER w AS BIGINT) AS third_doc
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""
+
+
 def q_quadkey_tiles(spark, sf_dir):
     """Web-map quadkey interop (cells.quadkey_col / decode): the 32x32
     lineitem grid as z=5 tiles — encode, decode back, and the
@@ -3552,6 +3593,7 @@ GROUP_A = {
     "hist_equalize": (q_hist_equalize, SQL_HIST_EQUALIZE),
     "emerging_hotspots": (q_emerging_hotspots, SQL_EMERGING_HOTSPOTS),
     "quadkey_tiles": (q_quadkey_tiles, SQL_QUADKEY_TILES),
+    "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "majority_filter": (q_majority_filter, SQL_MAJORITY_FILTER),
     "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),
