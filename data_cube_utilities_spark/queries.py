@@ -2766,6 +2766,38 @@ FROM est LEFT JOIN tc ON tc.v = est.v
 """
 
 
+def q_overview_pyramid(spark, sf_dir):
+    """Overview pyramid (rasterops.build_overviews_long): levels 1-3
+    (2x2 .. 8x8 blocks) of the 32x32 lineitem grid with exact
+    re-aggregable block stats (sum/count/min/max; mean derives)."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("px"),
+                       (F.col("l_partkey") % 32).alias("py"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("val")))
+    return rasterops.build_overviews_long(grid)
+
+
+SQL_OVERVIEW_PYRAMID = """
+WITH p AS (
+  SELECT l_orderkey % 32 AS px, l_partkey % 32 AS py,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS val
+  FROM lineitem GROUP BY 1, 2),
+lv(level, f) AS (VALUES (1, 2), (2, 4), (3, 8))
+SELECT CAST(level AS BIGINT) AS level,
+       px // f AS bx, py // f AS by,
+       count(*) AS n_px,
+       CAST(sum(val) AS BIGINT) AS v_sum,
+       CAST(min(val) AS BIGINT) AS v_min,
+       CAST(max(val) AS BIGINT) AS v_max,
+       CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS v_mean
+FROM p CROSS JOIN lv
+GROUP BY 1, 2, 3
+"""
+
+
 def q_window_analytics(spark, sf_dir):
     """The full ranking-window family in one deterministic pass over
     documents partitioned by lang, ordered by the UNIQUE (n_chars,
@@ -3594,6 +3626,7 @@ GROUP_A = {
     "emerging_hotspots": (q_emerging_hotspots, SQL_EMERGING_HOTSPOTS),
     "quadkey_tiles": (q_quadkey_tiles, SQL_QUADKEY_TILES),
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
+    "overview_pyramid": (q_overview_pyramid, SQL_OVERVIEW_PYRAMID),
     "majority_filter": (q_majority_filter, SQL_MAJORITY_FILTER),
     "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),

@@ -404,3 +404,24 @@ def test_hist_equalize_exact_cdf_remap(spark):
     c = spark.createDataFrame([(0, 0, 7), (1, 0, 7)],
                               "px long, py long, val long")
     assert (rasterops.hist_equalize_long(c).toPandas().eq_v == 0).all()
+
+
+def test_build_overviews_reaggregable(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    px = spark.createDataFrame(
+        [(x, y, x * 16 + y) for x in range(16) for y in range(16)],
+        "px long, py long, val long")
+    out = rasterops.build_overviews_long(px, levels=(1, 2)).toPandas()
+    l1 = out[out.level == 1]
+    l2 = out[out.level == 2]
+    assert len(l1) == 64 and len(l2) == 16
+    assert (l1.n_px == 4).all() and (l2.n_px == 16).all()
+    # conservation: every level sums to the base total
+    base_sum = sum(x * 16 + y for x in range(16) for y in range(16))
+    assert l1.v_sum.sum() == base_sum == l2.v_sum.sum()
+    # level-2 block (0,0) re-aggregates its four level-1 children
+    kids = l1[(l1.bx < 2) & (l1.by < 2)]
+    top = l2[(l2.bx == 0) & (l2.by == 0)].iloc[0]
+    assert top.v_sum == kids.v_sum.sum()
+    assert top.v_min == kids.v_min.min() and top.v_max == kids.v_max.max()
