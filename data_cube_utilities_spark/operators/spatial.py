@@ -1183,3 +1183,51 @@ def emerging_hotspots(series_df: DataFrame, ix_col: str = "ix",
     return out.select("ix", "iy", "m", "s_stat", "var_num",
                       F.col("_mk_z").alias("mk_z"), "last_z",
                       F.concat(state, F.lit("_"), trend).alias("label"))
+
+
+def hotspot_run_stats(series_df: DataFrame, ix_col: str = "ix",
+                      iy_col: str = "iy", t_col: str = "t",
+                      x_col: str = "x", z_crit: float = 1.96) -> DataFrame:
+    """Run-length statistics of each cell's HOT state over time — the
+    ingredient that upgrades emerging_hotspots' state x trend labels to
+    the full published taxonomy (new / consecutive / sporadic hotspots
+    are all run-length predicates): per cell, the number of hot
+    observations, the trailing consecutive-hot streak (is it hot RIGHT
+    NOW and since when), and the longest streak ever.
+
+    Runs are counted over the OBSERVED slice sequence (rank order), so
+    a cell absent from some slices has well-defined semantics in both
+    engines.  All outputs are exact integers derived from the same
+    fixed-order Gi* doubles as emerging_hotspots — hash-oracled.
+
+    Shape at scale: getis_ord_series' co-partitioned joins + ONE
+    shuffle to gather each cell's series; both streak folds run inside
+    the row as higher-order aggregates."""
+    gz = getis_ord_series(series_df, ix_col, iy_col, t_col, x_col)
+    arr = (gz.groupBy("ix", "iy")
+             .agg(F.sort_array(F.collect_list(F.struct("t", "gi_z")))
+                  .alias("ser")))
+    hots = f"transform(ser, s -> IF(s.gi_z > {z_crit!r}D, 1L, 0L))"
+    n_hot = F.expr(f"aggregate({hots}, 0L, (a, x) -> a + x)")
+    trailing = F.expr(f"""
+        aggregate(reverse({hots}),
+                  named_struct('run', 0L, 'stop', false),
+                  (a, x) -> IF(a.stop OR x = 0L,
+                               named_struct('run', a.run, 'stop', true),
+                               named_struct('run', a.run + 1L,
+                                            'stop', false))).run""")
+    longest = F.expr(f"""
+        aggregate({hots},
+                  named_struct('cur', 0L, 'best', 0L),
+                  (a, x) -> IF(x = 1L,
+                               named_struct('cur', a.cur + 1L,
+                                            'best', greatest(a.best,
+                                                             a.cur + 1L)),
+                               named_struct('cur', 0L,
+                                            'best', a.best))).best""")
+    return arr.select(
+        "ix", "iy",
+        F.size("ser").cast("long").alias("m"),
+        n_hot.cast("long").alias("n_hot"),
+        trailing.cast("long").alias("trailing_streak"),
+        longest.cast("long").alias("longest_streak"))

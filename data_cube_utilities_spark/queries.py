@@ -2766,6 +2766,89 @@ FROM est LEFT JOIN tc ON tc.v = est.v
 """
 
 
+_GISTAR_Z_SQL = """
+ser AS (
+  SELECT CAST(day(ts) AS BIGINT) AS t, user_id % 8 AS ix,
+         (user_id // 8) % 8 AS iy, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2, 3),
+st AS (
+  SELECT t, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS ss
+  FROM ser GROUP BY t),
+loc AS (
+  SELECT a.t, a.ix, a.iy, CAST(sum(b.x) AS BIGINT) AS ls, count(*) AS k
+  FROM ser a JOIN ser b ON b.t = a.t AND (
+       (b.ix = a.ix AND b.iy = a.iy)
+    OR (b.ix = a.ix + 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix - 1 AND b.iy = a.iy)
+    OR (b.ix = a.ix AND b.iy = a.iy + 1)
+    OR (b.ix = a.ix AND b.iy = a.iy - 1))
+  GROUP BY 1, 2, 3),
+z AS (
+  SELECT loc.t, loc.ix, loc.iy,
+         CASE WHEN (st.n * st.ss - st.s * st.s) > 0
+                   AND (st.n * loc.k - loc.k * loc.k) > 0
+              THEN CAST(st.n * loc.ls - st.s * loc.k AS DOUBLE)
+                   / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)
+                          * CAST(st.n * loc.k - loc.k * loc.k AS DOUBLE)
+                          / CAST(st.n - 1 AS DOUBLE))
+              ELSE 0.0 END AS gi_z
+  FROM loc JOIN st ON st.t = loc.t)
+"""
+
+
+def q_hotspot_runs(spark, sf_dir):
+    """Hot-run statistics (spatial.hotspot_run_stats): per cell, hot
+    observation count, trailing consecutive-hot streak and longest
+    streak over the observed Gi* series — exact integers from the same
+    fixed-order z doubles as emerging_hotspots.  The oracle rebuilds
+    the runs with the islands-and-gaps window trick."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (ev.groupBy(F.dayofmonth("ts").alias("t"),
+                      (F.col("user_id") % 8).alias("ix"),
+                      (F.expr("user_id div 8") % 8).alias("iy"))
+             .agg(F.count("*").alias("x")))
+    return spatial.hotspot_run_stats(ser)
+
+
+SQL_HOTSPOT_RUNS = f"""
+WITH {_GISTAR_Z_SQL},
+f AS (
+  SELECT ix, iy, t, CASE WHEN gi_z > 1.96 THEN 1 ELSE 0 END AS hot,
+         row_number() OVER (PARTITION BY ix, iy ORDER BY t) AS idx
+  FROM z),
+mx AS (
+  SELECT ix, iy, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(hot) AS BIGINT) AS n_hot
+  FROM f GROUP BY 1, 2),
+grp AS (
+  SELECT *, idx - row_number() OVER (PARTITION BY ix, iy, hot
+                                     ORDER BY idx) AS g
+  FROM f),
+runs AS (
+  SELECT ix, iy, hot, g, count(*) AS len, max(idx) AS idx_max
+  FROM grp GROUP BY 1, 2, 3, 4),
+longest AS (
+  SELECT ix, iy,
+         CAST(coalesce(max(CASE WHEN hot = 1 THEN len END), 0) AS BIGINT)
+           AS longest_streak
+  FROM runs GROUP BY 1, 2),
+trail AS (
+  SELECT r.ix, r.iy,
+         CAST(coalesce(max(CASE WHEN r.hot = 1 AND r.idx_max = mx.m
+                                THEN r.len END), 0) AS BIGINT)
+           AS trailing_streak
+  FROM runs r JOIN mx ON mx.ix = r.ix AND mx.iy = r.iy
+  GROUP BY 1, 2)
+SELECT mx.ix, mx.iy, mx.m, mx.n_hot, trail.trailing_streak,
+       longest.longest_streak
+FROM mx JOIN trail ON trail.ix = mx.ix AND trail.iy = mx.iy
+JOIN longest ON longest.ix = mx.ix AND longest.iy = mx.iy
+"""
+
+
 def q_overview_pyramid(spark, sf_dir):
     """Overview pyramid (rasterops.build_overviews_long): levels 1-3
     (2x2 .. 8x8 blocks) of the 32x32 lineitem grid with exact
@@ -3627,6 +3710,7 @@ GROUP_A = {
     "quadkey_tiles": (q_quadkey_tiles, SQL_QUADKEY_TILES),
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
     "overview_pyramid": (q_overview_pyramid, SQL_OVERVIEW_PYRAMID),
+    "hotspot_runs": (q_hotspot_runs, SQL_HOTSPOT_RUNS),
     "majority_filter": (q_majority_filter, SQL_MAJORITY_FILTER),
     "transition_matrix": (q_transition_matrix, SQL_TRANSITION_MATRIX),
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),

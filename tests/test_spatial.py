@@ -582,3 +582,32 @@ def test_emerging_hotspots_detects_growing_center(spark):
         "t long, ix long, iy long, x long")
     fz = spatial.getis_ord_series(flat).toPandas()
     assert (fz.gi_z == 0.0).all()
+
+
+def test_hotspot_run_stats_streaks(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = []
+    for t in range(8):
+        for ix in range(4):
+            for iy in range(4):
+                x = 5
+                if abs(ix - 1) + abs(iy - 1) <= 1 and t in (2, 3, 4, 6, 7):
+                    x = 40
+                rows.append((t, ix, iy, x))
+    g = spark.createDataFrame(rows, "t long, ix long, iy long, x long")
+    out = spatial.hotspot_run_stats(g).toPandas().set_index(["ix", "iy"])
+    r = out.loc[(1, 1)]
+    # hot on observed days {2,3,4} and {6,7}: longest 3, trailing 2
+    assert r.m == 8 and r.n_hot == 5
+    assert r.longest_streak == 3 and r.trailing_streak == 2
+    far = out.loc[(3, 3)]
+    assert far.n_hot == 0 == far.trailing_streak == far.longest_streak
+    # an interior always-hot cell has trailing == longest == m
+    g2 = spark.createDataFrame(
+        [(t, ix, iy, 1000 if (ix, iy) == (2, 2) else 1)
+         for t in range(5) for ix in range(5) for iy in range(5)],
+        "t long, ix long, iy long, x long")
+    r2 = (spatial.hotspot_run_stats(g2).toPandas()
+          .set_index(["ix", "iy"]).loc[(2, 2)])
+    assert r2.n_hot == r2.trailing_streak == r2.longest_streak == 5
