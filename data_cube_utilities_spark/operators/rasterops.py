@@ -1419,3 +1419,54 @@ def build_overviews_long(pixels: DataFrame, levels=(1, 2, 3),
         F.col("v_max").cast("long").alias("v_max"),
         (F.col("v_sum").cast("double") / F.col("n_px").cast("double"))
         .alias("v_mean"))
+
+
+def glcm_features_long(pixels: DataFrame, levels: int = 16,
+                       dx: int = 1, dy: int = 0,
+                       img_col: str = "img", x_col: str = "px",
+                       y_col: str = "py",
+                       value_col: str = "val") -> DataFrame:
+    """Gray-level co-occurrence (GLCM) texture features per image — the
+    Haralick remote-sensing classics over a long-form pixel table.  For
+    each image, pixel values are quantized to `levels` gray bins and
+    co-occurrence is counted at offset (dx, dy); the returned features
+    are the UNNORMALIZED exact-integer forms (normalize by n_pairs
+    downstream if probabilities are wanted — division is the only
+    inexact step, so it is left to the caller):
+
+      n_pairs        total co-occurring pairs
+      contrast       sum c(a,b) * (a-b)^2    (local variation)
+      dissimilarity  sum c(a,b) * |a-b|
+      energy_num     sum c(a,b)^2            (ASM numerator; uniformity)
+      homog_2num     sum of the EXACT rational homogeneity
+                     c/(1+(a-b)^2) scaled by lcm-free trick: we emit
+                     sum c * (levels^2) div (1+(a-b)^2) — integer
+                     floor form, engine-reproducible
+      n_cooc         distinct (a, b) bins hit
+
+    Shape at scale: quantization is one projection; the neighbor pair
+    is ONE equi-join of the pixel table against its (dx,dy)-shifted
+    self co-keyed on (img, x, y); counts aggregate partial+final on
+    (img, a, b) — a result bounded by levels^2 per image, not pixels —
+    and the feature fold is a second tiny aggregate.  No UDF, no
+    window, two shuffles total."""
+    q = F.expr(f"(CAST({value_col} AS BIGINT) * {levels}) div 256")
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.least(q, F.lit(levels - 1)).alias("a"))
+    nbr = p.select("img", (F.col("x") - dx).alias("x"),
+                   (F.col("y") - dy).alias("y"), F.col("a").alias("b"))
+    cooc = (p.join(nbr, ["img", "x", "y"])
+             .groupBy("img", "a", "b").agg(F.count("*").alias("c")))
+    diff2 = (F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))
+    scale = levels * levels
+    return (cooc.groupBy("img").agg(
+        F.sum("c").cast("long").alias("n_pairs"),
+        F.sum(F.col("c") * diff2).cast("long").alias("contrast"),
+        F.sum(F.col("c") * F.abs(F.col("a") - F.col("b")))
+         .cast("long").alias("dissimilarity"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("energy_num"),
+        F.sum(F.expr(f"c * {scale} div (1 + (a-b)*(a-b))"))
+         .cast("long").alias("homog_2num"),
+        F.count("*").cast("long").alias("n_cooc")))

@@ -653,6 +653,36 @@ def d8_flow_grid(cells_df: DataFrame, ix_col: str = "ix",
                      F.col("to_iy").cast("long").alias("to_iy")))
 
 
+def _d8_pair_closure(flow: DataFrame, max_iters: int = 48) -> DataFrame:
+    """Strict-ancestor pair closure (sx,sy) -> (tx,ty) of the D8 graph
+    by path-DOUBLING self-joins: after k rounds every path of length
+    <= 2^k is present — O(log max_path_length) shuffles on the
+    functional acyclic drain graph.  Each round persists, counts (the
+    fixpoint test) and localCheckpoints to truncate lineage.  Shared by
+    flow_accumulation_grid and stream_order_shreve_grid."""
+    edges = (flow.filter(F.col("flow_dir") > 0)
+                 .select(F.col("ix").alias("sx"), F.col("iy").alias("sy"),
+                         F.col("to_ix").alias("tx"),
+                         F.col("to_iy").alias("ty")))
+    pairs = edges.persist()
+    n = pairs.count()
+    for _ in range(max_iters):
+        hop = pairs.select(F.col("sx").alias("hx"), F.col("sy").alias("hy"),
+                           F.col("tx").alias("htx"), F.col("ty").alias("hty"))
+        ext = (pairs.join(hop, (F.col("tx") == F.col("hx"))
+                          & (F.col("ty") == F.col("hy")))
+                    .select("sx", "sy", F.col("htx").alias("tx"),
+                            F.col("hty").alias("ty")))
+        merged = pairs.unionByName(ext).distinct().localCheckpoint()
+        m = merged.count()
+        pairs.unpersist()
+        pairs = merged
+        if m == n:
+            break
+        n = m
+    return pairs
+
+
 def flow_accumulation_grid(cells_df: DataFrame, ix_col: str = "ix",
                            iy_col: str = "iy", value_col: str = "v",
                            max_iters: int = 48) -> DataFrame:
@@ -672,27 +702,7 @@ def flow_accumulation_grid(cells_df: DataFrame, ix_col: str = "ix",
     Not SQL-free-expressible in one query — the DuckDB twin uses a
     recursive CTE; the Spark side is the scale path."""
     flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col)
-    edges = (flow.filter(F.col("flow_dir") > 0)
-                 .select(F.col("ix").alias("sx"), F.col("iy").alias("sy"),
-                         F.col("to_ix").alias("tx"),
-                         F.col("to_iy").alias("ty")))
-    spark = cells_df.sparkSession
-    pairs = edges.persist()
-    n = pairs.count()
-    for _ in range(max_iters):
-        hop = pairs.select(F.col("sx").alias("hx"), F.col("sy").alias("hy"),
-                           F.col("tx").alias("htx"), F.col("ty").alias("hty"))
-        ext = (pairs.join(hop, (F.col("tx") == F.col("hx"))
-                          & (F.col("ty") == F.col("hy")))
-                    .select("sx", "sy", F.col("htx").alias("tx"),
-                            F.col("hty").alias("ty")))
-        merged = pairs.unionByName(ext).distinct().localCheckpoint()
-        m = merged.count()
-        pairs.unpersist()
-        pairs = merged
-        if m == n:
-            break
-        n = m
+    pairs = _d8_pair_closure(flow, max_iters)
     acc = pairs.groupBy("tx", "ty").agg(F.count("*").alias("n_upstream"))
     out = (flow.join(acc, (flow.ix == acc.tx) & (flow.iy == acc.ty), "left")
                .select(flow.ix, flow.iy, flow.v,
@@ -1231,3 +1241,173 @@ def hotspot_run_stats(series_df: DataFrame, ix_col: str = "ix",
         n_hot.cast("long").alias("n_hot"),
         trailing.cast("long").alias("trailing_streak"),
         longest.cast("long").alias("longest_streak"))
+
+
+def flow_path_length_grid(cells_df: DataFrame, ix_col: str = "ix",
+                          iy_col: str = "iy", value_col: str = "v",
+                          max_iters: int = 48) -> DataFrame:
+    """Flow-path LENGTH per cell — the number of D8 hops from the cell
+    to its terminal pit (0 for pits), i.e. the hydrologic distance
+    surface that pairs with watershed_basins_grid's labels.
+
+    Same pointer-doubling loop as the basin labeler, but the pointer
+    table carries an accumulated hop count that ADDS under composition
+    (d(x -> ptr2(x)) = d(x -> ptr(x)) + d(ptr(x) -> ptr2(x))), so the
+    exact path length of 2^k-step walks is available after k rounds —
+    O(log depth) n-row equi-joins, no pair table.  The DuckDB twin
+    step-walks the same graph with a recursive CTE counter."""
+    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col)
+    ptr = (flow.select(
+        "ix", "iy",
+        F.coalesce("to_ix", F.col("ix")).alias("px"),
+        F.coalesce("to_iy", F.col("iy")).alias("py"),
+        (F.col("flow_dir") > 0).cast("long").alias("d"),
+        (F.col("flow_dir") == 0).alias("done"))).persist()
+    for _ in range(max_iters):
+        tgt = ptr.select(F.col("ix").alias("px"), F.col("iy").alias("py"),
+                         F.col("px").alias("qx"), F.col("py").alias("qy"),
+                         F.col("d").alias("d2"),
+                         F.col("done").alias("p_done"))
+        joined = ptr.join(tgt, ["px", "py"]).persist()
+        unresolved = joined.filter(~F.col("p_done")).count()
+        ptr2 = (joined.select("ix", "iy",
+                              F.col("qx").alias("px"),
+                              F.col("qy").alias("py"),
+                              (F.col("d") + F.col("d2")).alias("d"),
+                              "done")
+                      .localCheckpoint())
+        joined.unpersist()
+        ptr.unpersist()
+        ptr = ptr2.persist()
+        if unresolved == 0:
+            break
+    out = flow.select("ix", "iy", "v").join(
+        ptr.select("ix", "iy", F.col("d").alias("path_len")), ["ix", "iy"])
+    return out.select("ix", "iy", "v",
+                      F.col("path_len").cast("long").alias("path_len"))
+
+
+def stream_order_shreve_grid(cells_df: DataFrame, ix_col: str = "ix",
+                             iy_col: str = "iy", value_col: str = "v",
+                             max_iters: int = 48) -> DataFrame:
+    """Shreve stream magnitude per cell: the number of SOURCE cells
+    (cells with no D8 inflow) whose drain path passes through the cell,
+    counting the cell itself when it is a source — the link-magnitude
+    ordering hydrologists pair with flow accumulation (reference scope:
+    the dc_water/watershed analysis family).
+
+    Shreve magnitude is ADDITIVE at confluences (unlike Strahler), so
+    it falls out of the same path-doubling ancestor closure as
+    flow_accumulation_grid restricted to source rows: O(log depth)
+    shuffles, no step-by-step propagation.  Sources are found with one
+    anti-join (no cell drains into them).  All-integer output."""
+    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col).persist()
+    inflow = (flow.filter(F.col("flow_dir") > 0)
+                  .select(F.col("to_ix").alias("ix"),
+                          F.col("to_iy").alias("iy")).distinct())
+    sources = (flow.select("ix", "iy")
+                   .join(inflow, ["ix", "iy"], "left_anti"))
+    pairs = _d8_pair_closure(flow, max_iters)
+    up = (pairs.join(sources.withColumnRenamed("ix", "sx")
+                            .withColumnRenamed("iy", "sy"), ["sx", "sy"])
+               .groupBy("tx", "ty").agg(F.count("*").alias("n_src")))
+    out = (flow.join(up, (flow.ix == up.tx) & (flow.iy == up.ty), "left")
+               .join(sources.withColumn("is_src", F.lit(1)), ["ix", "iy"],
+                     "left")
+               .select(flow.ix, flow.iy, flow.v,
+                       (F.coalesce("n_src", F.lit(0))
+                        + F.coalesce("is_src", F.lit(0))).cast("long")
+                       .alias("shreve")))
+    out = out.localCheckpoint()
+    flow.unpersist()
+    return out
+
+
+def distance_transform_grid(cells_df: DataFrame, ix_col: str = "ix",
+                            iy_col: str = "iy",
+                            feature_col: str = "is_feat") -> DataFrame:
+    """Exact Euclidean distance transform over a dense grid: for every
+    cell, the SQUARED distance to the nearest feature cell (0 on
+    features, NULL when the grid has no features) — the proximity
+    raster behind buffering, coastal-distance and cost-surface seeding
+    (reference scope: dc_coastal_change's shoreline-distance idiom).
+
+    Separable two-pass form, everything exact int64:
+      pass 1 (per COLUMN):  two ordered window scans (last feature row
+        above / first below) give G(x,y) = min_y' (y-y')^2 over feature
+        rows of column x — no UDF, two sorts within the column key;
+      pass 2 (per ROW):  D(x,y) = min_x' [ G(x',y) + (x-x')^2 ] — the
+        row's G vector is gathered once with collect_list and the
+        min-plus fold runs INSIDE the row as a JVM higher-order
+        aggregate (the repo's Mann-Kendall in-row pair-scan shape):
+        O(W^2) work per row but zero Python and one shuffle on iy.
+        (The Felzenszwalb lower-envelope O(W) kernel drops in here as
+        an Arrow UDF if W^2 ever binds; grid width is the small axis
+        of a tiled deployment, so the fold wins on simplicity.)
+    Distances stay squared: sqrt is irrational, squared ints hash
+    identically in every engine."""
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(feature_col).cast("boolean").alias("f"))
+    wup = (Window.partitionBy("ix").orderBy("iy")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    wdn = (Window.partitionBy("ix").orderBy(F.desc("iy"))
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    feat_iy = F.when(F.col("f"), F.col("iy"))
+    up = F.max(feat_iy).over(wup)
+    dn = F.min(feat_iy).over(wdn)
+    gcol = (g.withColumn("gy", F.least(
+                (F.col("iy") - up) * (F.col("iy") - up),
+                (F.col("iy") - dn) * (F.col("iy") - dn))))
+    rows = (gcol.filter(F.col("gy").isNotNull())
+                .groupBy("iy")
+                .agg(F.collect_list(F.struct("ix", "gy")).alias("gv")))
+    pair = g.join(rows, ["iy"], "left")
+    d2 = F.aggregate(
+        "gv", F.lit(None).cast("long"),
+        lambda acc, e: F.least(
+            F.coalesce(acc, F.lit(2 ** 62)),
+            e["gy"] + (e["ix"] - F.col("ix")) * (e["ix"] - F.col("ix"))))
+    return pair.select("ix", "iy", d2.cast("long").alias("d2"))
+
+
+def ripley_k_counts(points_df: DataFrame, radii: "Sequence[int]",
+                    x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Ripley's K pair counts for a point pattern: for each radius r in
+    `radii`, the number of ORDERED point pairs (i != j) with squared
+    Euclidean distance <= r^2 — the numerator of K(r) = area/n^2 *
+    sum_r; left exact-integer so any edge-correction/normalization can
+    be applied downstream without re-scanning pairs.  The spatial-
+    statistics completion of the repo's Moran/Gi*/semivariogram family
+    (clustered vs dispersed at each scale).  The i != j guard is
+    LOCATION-based: callers collapse coincident points upstream
+    (distinct or weighted) — same convention as the semivariogram.
+
+    Scale shape: NO cross join.  Points bucket into square cells of
+    side max(radii); each point joins only its 3x3 neighbor buckets
+    (broadcast 9-offset table), so pair work is bounded by local
+    density times 9 buckets — the knn_cells/semivariogram shape.  One
+    shuffle on the bucket key, one aggregate."""
+    rmax = int(max(radii))
+    p = points_df.select(F.col(x_col).cast("long").alias("x"),
+                         F.col(y_col).cast("long").alias("y"))
+    b = p.select("x", "y", (F.floor(F.col("x") / rmax)).alias("bx"),
+                 (F.floor(F.col("y") / rmax)).alias("by"))
+    offs = points_df.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long")
+    probe = (b.crossJoin(F.broadcast(offs))
+              .select("x", "y", (F.col("bx") + F.col("dx")).alias("bx"),
+                      (F.col("by") + F.col("dy")).alias("by")))
+    other = b.select(F.col("x").alias("ox"), F.col("y").alias("oy"),
+                     "bx", "by")
+    dd = ((F.col("x") - F.col("ox")) * (F.col("x") - F.col("ox"))
+          + (F.col("y") - F.col("oy")) * (F.col("y") - F.col("oy")))
+    pairs = (probe.join(other, ["bx", "by"])
+                  .filter(((F.col("x") != F.col("ox"))
+                           | (F.col("y") != F.col("oy")))
+                          & (dd <= rmax * rmax))
+                  .select(dd.alias("d2")))
+    agg = [F.sum((F.col("d2") <= r * r).cast("long")).alias(f"k_{r}")
+           for r in sorted(set(int(r) for r in radii))]
+    return pairs.agg(*agg)

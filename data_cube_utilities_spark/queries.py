@@ -2712,6 +2712,177 @@ FROM walk WHERE done
 """
 
 
+def q_flow_path_length(spark, sf_dir):
+    """Flow-path length surface (spatial.flow_path_length_grid): hops
+    from every cell of the 32x32 lineitem grid to its terminal pit,
+    via distance-accumulating pointer doubling (lengths ADD under
+    composition, so 2^k-step walks resolve in k rounds).  Oracle:
+    recursive-CTE step walk."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.flow_path_length_grid(grid, "ix", "iy", "v")
+
+
+SQL_FLOW_PATH_LENGTH = f"""
+WITH RECURSIVE {_D8_SQL_PRELUDE},
+walk AS (
+  SELECT g.ix, g.iy, g.v,
+         coalesce(b.jx, g.ix) AS cx, coalesce(b.jy, g.iy) AS cy,
+         CAST(b.ix IS NOT NULL AS BIGINT) AS d, (b.ix IS NULL) AS done
+  FROM g LEFT JOIN best b ON b.ix = g.ix AND b.iy = g.iy
+  UNION ALL
+  SELECT w.ix, w.iy, w.v,
+         coalesce(b.jx, w.cx) AS cx, coalesce(b.jy, w.cy) AS cy,
+         w.d + CAST(b.ix IS NOT NULL AS BIGINT) AS d, (b.ix IS NULL) AS done
+  FROM walk w LEFT JOIN best b ON b.ix = w.cx AND b.iy = w.cy
+  WHERE NOT w.done)
+SELECT ix, iy, CAST(v AS BIGINT) AS v, CAST(d AS BIGINT) AS path_len
+FROM walk WHERE done
+"""
+
+
+def q_stream_order(spark, sf_dir):
+    """Shreve stream magnitude (spatial.stream_order_shreve_grid): per
+    cell of the 32x32 lineitem DEM, the number of no-inflow SOURCE
+    cells draining through it (itself included when a source) — the
+    additive-at-confluences stream ordering, computed from the same
+    path-doubling ancestor closure as flow accumulation restricted to
+    source rows.  Oracle: recursive-CTE walk from each source emitting
+    every visited cell, then count per cell."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    return spatial.stream_order_shreve_grid(grid, "ix", "iy", "v")
+
+
+SQL_STREAM_ORDER = f"""
+WITH RECURSIVE {_D8_SQL_PRELUDE},
+src AS (
+  SELECT g.ix, g.iy FROM g
+  LEFT JOIN (SELECT DISTINCT jx, jy FROM best) t
+    ON t.jx = g.ix AND t.jy = g.iy
+  WHERE t.jx IS NULL),
+walk AS (
+  SELECT s.ix AS sx, s.iy AS sy, s.ix AS cx, s.iy AS cy FROM src s
+  UNION ALL
+  SELECT w.sx, w.sy, b.jx AS cx, b.jy AS cy
+  FROM walk w JOIN best b ON b.ix = w.cx AND b.iy = w.cy)
+SELECT g.ix, g.iy, CAST(g.v AS BIGINT) AS v,
+       CAST(coalesce(m.mag, 0) AS BIGINT) AS shreve
+FROM g LEFT JOIN (SELECT cx, cy, count(*) AS mag
+                  FROM walk GROUP BY 1, 2) m
+  ON m.cx = g.ix AND m.cy = g.iy
+"""
+
+
+def q_distance_transform(spark, sf_dir):
+    """Exact squared Euclidean distance transform
+    (spatial.distance_transform_grid): distance of every 32x32 grid
+    cell to the nearest feature cell (v % 7 == 0) via the separable
+    two-pass column-window + in-row min-plus fold.  Oracle: brute
+    min over the feature set (LEFT JOIN ON TRUE keeps featureless
+    grids NULL on both sides)."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    g = grid.withColumn("is_feat", F.col("v") % 7 == 0)
+    return spatial.distance_transform_grid(g, "ix", "iy", "is_feat")
+
+
+SQL_DISTANCE_TRANSFORM = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+f AS (SELECT ix, iy FROM g WHERE v % 7 = 0)
+SELECT a.ix, a.iy,
+       CAST(min((a.ix - f.ix) * (a.ix - f.ix)
+                + (a.iy - f.iy) * (a.iy - f.iy)) AS BIGINT) AS d2
+FROM g a LEFT JOIN f ON TRUE
+GROUP BY a.ix, a.iy
+"""
+
+
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K pair counts (spatial.ripley_k_counts): ordered pairs
+    of distinct customer point locations within squared radius r^2 for
+    r in (1,2,4,8) — exact-integer K(r) numerators via the 3x3
+    bucket-join (no cross product).  Oracle: brute self-join counts."""
+    from .operators import spatial
+
+    c = _t(spark, sf_dir, "customer")
+    pts = (c.select((F.col("c_custkey") % 97).alias("x"),
+                    ((F.col("c_custkey") * 31) % 89).alias("y"))
+            .distinct())
+    return spatial.ripley_k_counts(pts, (1, 2, 4, 8))
+
+
+SQL_RIPLEY_K = """
+WITH p AS (
+  SELECT DISTINCT c_custkey % 97 AS x, (c_custkey * 31) % 89 AS y
+  FROM customer),
+d AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM p a JOIN p b ON NOT (a.x = b.x AND a.y = b.y))
+SELECT CAST(sum(CASE WHEN d2 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS k_1,
+       CAST(sum(CASE WHEN d2 <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS k_2,
+       CAST(sum(CASE WHEN d2 <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS k_4,
+       CAST(sum(CASE WHEN d2 <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS k_8
+FROM d WHERE d2 <= 64
+"""
+
+
+def q_glcm_texture(spark, sf_dir):
+    """GLCM texture features (rasterops.glcm_features_long): per-image
+    gray-level co-occurrence at offset (1,0) over four 32x32 tiles
+    derived from lineitem — unnormalized exact-integer Haralick forms
+    (contrast, dissimilarity, energy numerator, floor-scaled
+    homogeneity).  Oracle: the same shifted-self join + aggregates in
+    SQL (DuckDB // == Spark div on non-negative ints)."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    px = (li.groupBy((F.col("l_suppkey") % 4).alias("img"),
+                     (F.col("l_orderkey") % 32).alias("px"),
+                     (F.col("l_partkey") % 32).alias("py"))
+            .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                 .alias("val")))
+    return rasterops.glcm_features_long(px, levels=16, dx=1, dy=0)
+
+
+SQL_GLCM_TEXTURE = """
+WITH px AS (
+  SELECT l_suppkey % 4 AS img, l_orderkey % 32 AS x, l_partkey % 32 AS y,
+         (CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) * 16) // 256 AS a
+  FROM lineitem GROUP BY 1, 2, 3),
+cooc AS (
+  SELECT p.img, p.a, n.a AS b, count(*) AS c
+  FROM px p JOIN px n ON n.img = p.img AND n.x = p.x + 1 AND n.y = p.y
+  GROUP BY 1, 2, 3)
+SELECT img,
+       CAST(sum(c) AS BIGINT) AS n_pairs,
+       CAST(sum(c * (a - b) * (a - b)) AS BIGINT) AS contrast,
+       CAST(sum(c * abs(a - b)) AS BIGINT) AS dissimilarity,
+       CAST(sum(c * c) AS BIGINT) AS energy_num,
+       CAST(sum((c * 256) // (1 + (a - b) * (a - b))) AS BIGINT) AS homog_2num,
+       CAST(count(*) AS BIGINT) AS n_cooc
+FROM cooc GROUP BY img
+"""
+
+
 def q_cm_heavy_hitters(spark, sf_dir):
     """Count-Min sketch frequency estimates (sketches.cm_sketch /
     cm_estimate): one-pass 4x256 counter sketch over lineitem suppliers,
@@ -3716,6 +3887,11 @@ GROUP_A = {
     "regrid_bilinear": (q_regrid_bilinear, SQL_REGRID_BILINEAR),
     "cm_heavy_hitters": (q_cm_heavy_hitters, SQL_CM_HEAVY_HITTERS),
     "watershed": (q_watershed, SQL_WATERSHED),
+    "flow_path_length": (q_flow_path_length, SQL_FLOW_PATH_LENGTH),
+    "stream_order": (q_stream_order, SQL_STREAM_ORDER),
+    "distance_transform": (q_distance_transform, SQL_DISTANCE_TRANSFORM),
+    "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
+    "glcm_texture": (q_glcm_texture, SQL_GLCM_TEXTURE),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

@@ -425,3 +425,44 @@ def test_build_overviews_reaggregable(spark):
     top = l2[(l2.bx == 0) & (l2.by == 0)].iloc[0]
     assert top.v_sum == kids.v_sum.sum()
     assert top.v_min == kids.v_min.min() and top.v_max == kids.v_max.max()
+
+
+def test_glcm_features_numpy_parity(spark):
+    import numpy as np
+    from collections import Counter
+    from data_cube_utilities_spark.operators import rasterops
+
+    rng = [(img, x, y, (x * 37 + y * 11 + img * 101) % 256)
+           for img in range(2) for x in range(8) for y in range(6)]
+    df = spark.createDataFrame(rng, "img long, px long, py long, val long")
+    out = (rasterops.glcm_features_long(df, levels=16, dx=1, dy=0)
+           .toPandas().set_index("img"))
+    levels, scale = 16, 256
+    for img in range(2):
+        px = {(x, y): (v * levels) // 256 for i, x, y, v in rng
+              if i == img}
+        cooc = Counter((px[(x, y)], px[(x + 1, y)])
+                       for (x, y) in px if (x + 1, y) in px)
+        row = out.loc[img]
+        assert row.n_pairs == sum(cooc.values())
+        assert row.contrast == sum(c * (a - b) ** 2
+                                   for (a, b), c in cooc.items())
+        assert row.dissimilarity == sum(c * abs(a - b)
+                                        for (a, b), c in cooc.items())
+        assert row.energy_num == sum(c * c for c in cooc.values())
+        assert row.homog_2num == sum((c * scale) // (1 + (a - b) ** 2)
+                                     for (a, b), c in cooc.items())
+        assert row.n_cooc == len(cooc)
+
+
+def test_glcm_uniform_image_has_zero_contrast(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = spark.createDataFrame(
+        [(0, x, y, 100) for x in range(4) for y in range(4)],
+        "img long, px long, py long, val long")
+    row = (rasterops.glcm_features_long(df, levels=16)
+           .toPandas().iloc[0])
+    assert row.contrast == 0 and row.dissimilarity == 0
+    assert row.n_cooc == 1 and row.n_pairs == 12  # 3 x 4 horizontal pairs
+    assert row.energy_num == 144

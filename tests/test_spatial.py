@@ -611,3 +611,116 @@ def test_hotspot_run_stats_streaks(spark):
     r2 = (spatial.hotspot_run_stats(g2).toPandas()
           .set_index(["ix", "iy"]).loc[(2, 2)])
     assert r2.n_hot == r2.trailing_streak == r2.longest_streak == 5
+
+
+def test_flow_path_length_matches_walker(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = [(ix, iy, ix + iy) for ix in range(6) for iy in range(6)]
+    g = spark.createDataFrame(rows, "ix long, iy long, v long")
+    out = spatial.flow_path_length_grid(g).toPandas()
+    vv = {(ix, iy): v for ix, iy, v in rows}
+
+    def nxt(c):
+        best = None
+        for dx, dy, code, w in spatial.D8_OFFSETS:
+            p = (c[0] + dx, c[1] + dy)
+            if p in vv and vv[c] > vv[p]:
+                r = (vv[c] - vv[p]) ** 2 * w
+                if best is None or r > best[0] or (r == best[0]
+                                                   and code < best[1]):
+                    best = (r, code, p)
+        return best[2] if best else None
+
+    for _, r in out.iterrows():
+        c, steps = (r.ix, r.iy), 0
+        while (n := nxt(c)) is not None:
+            c, steps = n, steps + 1
+        assert r.path_len == steps
+    # diagonal ramp: the far corner is exactly 5 diagonal hops from the pit
+    assert out[(out.ix == 5) & (out.iy == 5)].path_len.iloc[0] == 5
+    assert out[(out.ix == 0) & (out.iy == 0)].path_len.iloc[0] == 0
+
+
+def test_stream_order_shreve_matches_walker(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = [(ix, iy, (ix * ix * 13 + iy * iy * 7 + ix * iy * 3) % 50)
+            for ix in range(6) for iy in range(6)]
+    g = spark.createDataFrame(rows, "ix long, iy long, v long")
+    out = (spatial.stream_order_shreve_grid(g).toPandas()
+           .set_index(["ix", "iy"]))
+    vv = {(ix, iy): v for ix, iy, v in rows}
+
+    def nxt(c):
+        best = None
+        for dx, dy, code, w in spatial.D8_OFFSETS:
+            p = (c[0] + dx, c[1] + dy)
+            if p in vv and vv[c] > vv[p]:
+                r = (vv[c] - vv[p]) ** 2 * w
+                if best is None or r > best[0] or (r == best[0]
+                                                   and code < best[1]):
+                    best = (r, code, p)
+        return best[2] if best else None
+
+    inflow = set()
+    for c in vv:
+        if (n := nxt(c)) is not None:
+            inflow.add(n)
+    sources = [c for c in vv if c not in inflow]
+    mag = {c: 0 for c in vv}
+    for s in sources:
+        c = s
+        mag[c] += 1
+        while (n := nxt(c)) is not None:
+            c = n
+            mag[c] += 1
+    for c, m in mag.items():
+        assert out.loc[c].shreve == m, c
+    # every source has magnitude exactly 1 only if nothing above it
+    assert all(out.loc[s].shreve >= 1 for s in sources)
+
+
+def test_distance_transform_brute_parity(spark):
+    import numpy as np
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = [(ix, iy, (ix * 7 + iy * 11) % 13 == 0)
+            for ix in range(9) for iy in range(9)]
+    feats = [(ix, iy) for ix, iy, f in rows if f]
+    assert feats  # the pattern places features
+    g = spark.createDataFrame(rows, "ix long, iy long, is_feat boolean")
+    out = spatial.distance_transform_grid(g).toPandas()
+    for _, r in out.iterrows():
+        want = min((r.ix - fx) ** 2 + (r.iy - fy) ** 2
+                   for fx, fy in feats)
+        assert r.d2 == want, (r.ix, r.iy)
+    # feature cells are at distance 0
+    assert all(out.set_index(["ix", "iy"]).loc[f].d2 == 0 for f in feats)
+
+
+def test_distance_transform_no_features_is_null(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    g = spark.createDataFrame(
+        [(ix, iy, False) for ix in range(3) for iy in range(3)],
+        "ix long, iy long, is_feat boolean")
+    out = spatial.distance_transform_grid(g).toPandas()
+    assert out.d2.isna().all()
+
+
+def test_ripley_k_counts_brute_parity(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    pts = sorted({((i * i * 17 + 3) % 23, (i * 13 + 7) % 19)
+                  for i in range(60)})
+    g = spark.createDataFrame(pts, "x long, y long")
+    radii = (1, 2, 4, 8)
+    out = spatial.ripley_k_counts(g, radii).toPandas().iloc[0]
+    for r in radii:
+        want = sum(1 for a in pts for b in pts
+                   if a != b and (a[0] - b[0]) ** 2
+                   + (a[1] - b[1]) ** 2 <= r * r)
+        assert out[f"k_{r}"] == want, r
+    # ordered pairs: counts are even (each unordered pair twice)
+    assert out.k_8 % 2 == 0 and out.k_8 > out.k_1
