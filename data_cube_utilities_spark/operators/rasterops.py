@@ -1470,3 +1470,125 @@ def glcm_features_long(pixels: DataFrame, levels: int = 16,
         F.sum(F.expr(f"c * {scale} div (1 + (a-b)*(a-b))"))
          .cast("long").alias("homog_2num"),
         F.count("*").cast("long").alias("n_cooc")))
+
+
+def integral_image_long(pixels: DataFrame, img_col: str = "img",
+                        x_col: str = "px", y_col: str = "py",
+                        value_col: str = "val") -> DataFrame:
+    """Summed-area table (integral image) per image over a long-form
+    pixel table: sat(x,y) = sum of val over all x' <= x, y' <= y — the
+    O(1)-box-filter primitive (Viola-Jones, mean filters, block stats).
+
+    Two cumulative windows, exact int64: a running sum along x inside
+    each (img, y) row, then a running sum of THOSE along y inside each
+    (img, x) column — the separable prefix-sum identity.  Shape at
+    scale: two sorts partitioned by (img, row) / (img, column); no UDF,
+    no join, the raster shuffles twice on keys that shrink with tiling
+    (a tiled deployment computes per-tile SATs + per-tile block sums
+    with the same operator and composes)."""
+    w1 = (Window.partitionBy("img", "y").orderBy("x")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    w2 = (Window.partitionBy("img", "x").orderBy("y")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    r = p.withColumn("rsum", F.sum("v").over(w1))
+    return (r.withColumn("sat", F.sum("rsum").over(w2))
+             .select("img", "x", "y", "v",
+                     F.col("sat").cast("long").alias("sat")))
+
+
+def box_sum_sat(sat: DataFrame, radius: int) -> DataFrame:
+    """Box-filter SUM from a summed-area table (integral_image_long
+    output): for every pixel, the sum of v over the (2r+1)^2 window
+    clipped to the image (zero outside — the standard padding), via the
+    4-corner SAT identity  A - B - C + D  with corners CLAMPED to the
+    image extent (a clamped max-corner equals the full row/column
+    prefix, so clipping is exact, not approximate).
+
+    Shape at scale: per-image extents are one tiny aggregate broadcast
+    back; the 4 corner lookups are equi-joins of the pixel table
+    against the SAT on (img, x, y) — self-joins on the primary key, no
+    window over pixels, no UDF."""
+    ext = (sat.groupBy("img").agg(F.max("x").alias("mx"),
+                                  F.max("y").alias("my")))
+    base = (sat.join(F.broadcast(ext), "img")
+               .select("img", "x", "y", "v",
+                       F.least(F.col("x") + radius, F.col("mx")).alias("x2"),
+                       F.least(F.col("y") + radius, F.col("my")).alias("y2"),
+                       (F.col("x") - radius - 1).alias("x1"),
+                       (F.col("y") - radius - 1).alias("y1")))
+    s = sat.select("img", F.col("x").alias("sx"), F.col("y").alias("sy"),
+                   F.col("sat").alias("s"))
+    out = base
+    for cx, cy, name in (("x2", "y2", "sA"), ("x1", "y2", "sB"),
+                         ("x2", "y1", "sC"), ("x1", "y1", "sD")):
+        srn = s.select(F.col("img").alias("_i"), "sx", "sy", "s")
+        out = (out.join(srn, (out.img == srn._i) & (F.col(cx) == srn.sx)
+                        & (F.col(cy) == srn.sy), "left")
+                  .drop("_i", "sx", "sy").withColumnRenamed("s", name))
+    z = F.lit(0)
+    box = (F.coalesce("sA", z) - F.coalesce("sB", z)
+           - F.coalesce("sC", z) + F.coalesce("sD", z))
+    return out.select("img", "x", "y", "v",
+                      box.cast("long").alias("box_sum"))
+
+
+def region_geometry_long(cells: DataFrame, x_col: str = "x",
+                         y_col: str = "y",
+                         y_span: int = 1 << 20) -> DataFrame:
+    """Shape metrics for 4-connected regions of a long-form foreground
+    cell set: per region — pixel count, bbox, exact coordinate sums
+    (centroid numerators) and PERIMETER (count of cell edges facing
+    background or off-grid; compactness = perimeter^2 / n_px derives
+    downstream).  The geometry completion of vectorize_regions: that
+    operator merges stats across tiles, this one adds the boundary
+    metric the reference's polygonize consumers read off shapely.
+
+    Spark-first shape: adjacency edges are ONE equi-join of the cell
+    set against its 4 shifted selves; labels come from the distributed
+    min-label/pointer-jump closure (_cc_labels_df — O(log diameter)
+    bounded shuffles); the perimeter is 4*n_px - deg summed per region
+    (deg = foreground-neighbor count from the same edge table), so no
+    second neighborhood pass.  All exact int64.  y_span bounds the
+    y-extent for the packed cell id (cells assert y < y_span)."""
+    g = (cells.select(F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"))
+              .distinct()
+              .withColumn("id", F.col("x") * y_span + F.col("y"))
+              .persist())
+    nbr = g.select(F.col("x").alias("nx"), F.col("y").alias("ny"),
+                   F.col("id").alias("nid"))
+    offs = cells.sparkSession.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long")
+    adj = (g.crossJoin(F.broadcast(offs))
+            .join(nbr, (F.col("x") + F.col("dx") == F.col("nx"))
+                  & (F.col("y") + F.col("dy") == F.col("ny")))
+            .select(F.col("id").alias("u"), F.col("nid").alias("v"))
+            .persist())
+    deg = (adj.groupBy("u").agg(F.count("*").alias("deg"))
+              .select(F.col("u").alias("deg_id"), "deg"))
+    lab = (_cc_labels_df(adj.filter(F.col("u") < F.col("v")))
+           .select(F.col("u").alias("lab_id"), "lab"))
+    cell_lab = (g.join(lab, g.id == F.col("lab_id"), "left")
+                 .join(deg, g.id == F.col("deg_id"), "left")
+                 .select("x", "y",
+                         F.coalesce("lab", "id").alias("lab"),
+                         F.coalesce("deg", F.lit(0)).alias("deg")))
+    out = (cell_lab.groupBy("lab")
+           .agg(F.count("*").cast("long").alias("n_px"),
+                F.min("x").cast("long").alias("min_x"),
+                F.min("y").cast("long").alias("min_y"),
+                F.max("x").cast("long").alias("max_x"),
+                F.max("y").cast("long").alias("max_y"),
+                F.sum("x").cast("long").alias("sum_x"),
+                F.sum("y").cast("long").alias("sum_y"),
+                (F.lit(4) * F.count("*") - F.sum("deg")).cast("long")
+                .alias("perimeter"))
+           .drop("lab"))
+    out = out.localCheckpoint()
+    g.unpersist()
+    adj.unpersist()
+    return out

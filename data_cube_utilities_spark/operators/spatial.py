@@ -1411,3 +1411,67 @@ def ripley_k_counts(points_df: DataFrame, radii: "Sequence[int]",
     agg = [F.sum((F.col("d2") <= r * r).cast("long")).alias(f"k_{r}")
            for r in sorted(set(int(r) for r in radii))]
     return pairs.agg(*agg)
+
+
+def knox_pair_counts(points_df: DataFrame, r_space: int, r_time: int,
+                     x_col: str = "x", y_col: str = "y",
+                     t_col: str = "t") -> DataFrame:
+    """Knox space-time interaction statistic over an event point set:
+    counts of ORDERED event pairs that are close in SPACE (squared
+    Euclidean distance <= r_space^2), close in TIME (|dt| <= r_time),
+    and close in BOTH — the 'both' count is the Knox X whose excess over
+    n_s * n_t / n_pairs signals space-time clustering (disease
+    surveillance / change-event forensics; the space-time companion of
+    ripley_k_counts).  All counts exact int64; the i != j guard is
+    location-time based, so callers collapse exact duplicates upstream.
+
+    Scale shape: NO cross join anywhere.  Space-close pairs come from
+    the 3x3 max-radius bucket join (knn_cells shape); the both-count is
+    a FILTER on those pairs (both-close implies space-close, so no
+    second spatial pass); time-close pairs come from an independent
+    1-D time-bucket join probing 3 windows.  Two bounded shuffles.
+    The time join's per-bucket mass is n*r_time/T_span — every
+    time-close pair IS part of the answer, so that cardinality is the
+    statistic's own size, not overhead; at extreme mass, salt the time
+    buckets with a spatial digit before the join."""
+    p = points_df.select(F.col(x_col).cast("long").alias("x"),
+                         F.col(y_col).cast("long").alias("y"),
+                         F.col(t_col).cast("long").alias("t"))
+    neq = ((F.col("x") != F.col("ox")) | (F.col("y") != F.col("oy"))
+           | (F.col("t") != F.col("ot")))
+    d2 = ((F.col("x") - F.col("ox")) * (F.col("x") - F.col("ox"))
+          + (F.col("y") - F.col("oy")) * (F.col("y") - F.col("oy")))
+    dt = F.abs(F.col("t") - F.col("ot"))
+    spark = points_df.sparkSession
+
+    sb = p.select("x", "y", "t", F.floor(F.col("x") / r_space).alias("bx"),
+                  F.floor(F.col("y") / r_space).alias("by"))
+    offs9 = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long")
+    probe = (sb.crossJoin(F.broadcast(offs9))
+               .select("x", "y", "t", (F.col("bx") + F.col("dx")).alias("bx"),
+                       (F.col("by") + F.col("dy")).alias("by")))
+    other = sb.select(F.col("x").alias("ox"), F.col("y").alias("oy"),
+                      F.col("t").alias("ot"), "bx", "by")
+    sp = (probe.join(other, ["bx", "by"])
+               .filter(neq & (d2 <= r_space * r_space))
+               .select(dt.alias("adt")))
+    space_agg = sp.agg(
+        F.count("*").cast("long").alias("pairs_space"),
+        F.sum((F.col("adt") <= r_time).cast("long")).alias("pairs_both"))
+
+    tb = p.select("x", "y", "t", F.floor(F.col("t") / r_time).alias("bt"))
+    offs3 = spark.createDataFrame([(-1,), (0,), (1,)], "dt long")
+    tprobe = (tb.crossJoin(F.broadcast(offs3))
+                .select("x", "y", "t", (F.col("bt") + F.col("dt")).alias("bt")))
+    tother = tb.select(F.col("x").alias("ox"), F.col("y").alias("oy"),
+                       F.col("t").alias("ot"), "bt")
+    time_agg = (tprobe.join(tother, ["bt"])
+                      .filter(neq & (dt <= r_time))
+                      .agg(F.count("*").cast("long").alias("pairs_time")))
+
+    n = p.agg(F.count("*").cast("long").alias("n_points"))
+    return (n.crossJoin(space_agg).crossJoin(time_agg)
+             .select("n_points", "pairs_space", "pairs_time",
+                     F.col("pairs_both").cast("long").alias("pairs_both")))

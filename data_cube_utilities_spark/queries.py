@@ -2883,6 +2883,152 @@ FROM cooc GROUP BY img
 """
 
 
+def q_knox(spark, sf_dir):
+    """Knox space-time interaction (spatial.knox_pair_counts): ordered
+    event pairs close in space (d^2 <= 16), in time (|dt| <= 6h) and in
+    both, over points derived from events (user grid position x hourly
+    timestamp, sampled 1-in-5, exact duplicates collapsed).  Spark uses
+    the 3x3 spatial bucket join + 3-window time join; the oracle is the
+    brute self-join."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    pts = (ev.filter(F.col("event_id") % 5 == 0)
+             .select((F.col("user_id") % 29).alias("x"),
+                     ((F.col("user_id") * 7) % 31).alias("y"),
+                     F.floor(F.unix_timestamp("ts") / 3600)
+                      .cast("long").alias("t"))
+             .distinct())
+    return spatial.knox_pair_counts(pts, r_space=4, r_time=6)
+
+
+SQL_KNOX = """
+WITH p AS (
+  SELECT DISTINCT user_id % 29 AS x, (user_id * 7) % 31 AS y,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS t
+  FROM events WHERE event_id % 5 = 0),
+d AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         abs(a.t - b.t) AS dt
+  FROM p a JOIN p b
+    ON NOT (a.x = b.x AND a.y = b.y AND a.t = b.t))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_points,
+       CAST(sum(CASE WHEN d2 <= 16 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pairs_space,
+       CAST(sum(CASE WHEN dt <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pairs_time,
+       CAST(sum(CASE WHEN d2 <= 16 AND dt <= 6 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pairs_both
+FROM d
+"""
+
+
+_PX_SQL = """
+px AS (
+  SELECT l_suppkey % 4 AS img, l_orderkey % 32 AS x, l_partkey % 32 AS y,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2, 3)
+"""
+
+
+def _px_grid(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy((F.col("l_suppkey") % 4).alias("img"),
+                       (F.col("l_orderkey") % 32).alias("px"),
+                       (F.col("l_partkey") % 32).alias("py"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                   .alias("val")))
+
+
+def q_integral_image(spark, sf_dir):
+    """Summed-area table (rasterops.integral_image_long): per-image 2-D
+    prefix sums over four 32x32 lineitem tiles — two cumulative windows
+    (along x inside each row, then along y inside each column), exact
+    int64.  Oracle: the same nested window sums in SQL."""
+    from .operators import rasterops
+
+    return rasterops.integral_image_long(_px_grid(spark, sf_dir))
+
+
+SQL_INTEGRAL_IMAGE = f"""
+WITH {_PX_SQL},
+r AS (
+  SELECT img, x, y, v,
+         sum(v) OVER (PARTITION BY img, y ORDER BY x) AS rsum
+  FROM px)
+SELECT img, x, y, CAST(v AS BIGINT) AS v,
+       CAST(sum(rsum) OVER (PARTITION BY img, x ORDER BY y) AS BIGINT)
+         AS sat
+FROM r
+"""
+
+
+def q_box_filter_sum(spark, sf_dir):
+    """5x5 box-filter sum through the SAT 4-corner identity
+    (rasterops.box_sum_sat over integral_image_long, corners clamped to
+    the image extent = exact zero-padding semantics).  Oracle: brute
+    25-offset neighborhood sum."""
+    from .operators import rasterops
+
+    sat = rasterops.integral_image_long(_px_grid(spark, sf_dir))
+    return rasterops.box_sum_sat(sat, radius=2)
+
+
+SQL_BOX_FILTER_SUM = f"""
+WITH {_PX_SQL}
+SELECT a.img, a.x, a.y, CAST(a.v AS BIGINT) AS v,
+       CAST(sum(b.v) AS BIGINT) AS box_sum
+FROM px a JOIN px b
+  ON b.img = a.img AND b.x BETWEEN a.x - 2 AND a.x + 2
+ AND b.y BETWEEN a.y - 2 AND a.y + 2
+GROUP BY a.img, a.x, a.y, a.v
+"""
+
+
+def q_region_geometry(spark, sf_dir):
+    """Region shape metrics (rasterops.region_geometry_long): 4-connected
+    components of the deterministic 64x64 mask (same surface as
+    vectorize_regions) with pixel count, bbox, exact centroid sums and
+    PERIMETER (4*n_px - foreground-degree sum), labels from the
+    distributed min-label/pointer-jump closure.  Oracle: recursive-CTE
+    transitive closure + the same aggregates, degree from the edge
+    table."""
+    from .operators import rasterops
+
+    ids = spark.range(64 * 64)
+    cells = (ids.select((F.col("id") % 64).alias("x"),
+                        (F.col("id") / 64).cast("long").alias("y"))
+                .filter((F.col("x") * F.col("x") * 31
+                         + F.col("y") * F.col("y") * 17
+                         + F.col("x") * F.col("y") * 7) % 1000 > 830))
+    return rasterops.region_geometry_long(cells)
+
+
+SQL_REGION_GEOMETRY = r"""
+WITH RECURSIVE fg AS (
+  SELECT gx.i AS x, gy.i AS y, gy.i * 64 + gx.i AS id
+  FROM generate_series(0, 63) gx(i) CROSS JOIN generate_series(0, 63) gy(i)
+  WHERE (gx.i*gx.i*31 + gy.i*gy.i*17 + gx.i*gy.i*7) % 1000 > 830),
+e AS (
+  SELECT a.id AS s, b.id AS t
+  FROM fg a JOIN fg b ON (abs(a.x - b.x) + abs(a.y - b.y)) = 1),
+deg AS (SELECT s AS id, count(*) AS d FROM e GROUP BY s),
+reach AS (
+  SELECT id AS id, id AS lab FROM fg
+  UNION
+  SELECT e.s AS id, r.lab FROM reach r JOIN e ON e.t = r.id),
+comp AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+SELECT CAST(count(*) AS BIGINT) AS n_px,
+       CAST(min(f.x) AS BIGINT) AS min_x, CAST(min(f.y) AS BIGINT) AS min_y,
+       CAST(max(f.x) AS BIGINT) AS max_x, CAST(max(f.y) AS BIGINT) AS max_y,
+       CAST(sum(f.x) AS BIGINT) AS sum_x, CAST(sum(f.y) AS BIGINT) AS sum_y,
+       CAST(4 * count(*) - sum(coalesce(deg.d, 0)) AS BIGINT) AS perimeter
+FROM comp JOIN fg f ON f.id = comp.id
+LEFT JOIN deg ON deg.id = f.id
+GROUP BY comp.lab
+"""
+
+
 def q_cm_heavy_hitters(spark, sf_dir):
     """Count-Min sketch frequency estimates (sketches.cm_sketch /
     cm_estimate): one-pass 4x256 counter sketch over lineitem suppliers,
@@ -3892,6 +4038,10 @@ GROUP_A = {
     "distance_transform": (q_distance_transform, SQL_DISTANCE_TRANSFORM),
     "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
     "glcm_texture": (q_glcm_texture, SQL_GLCM_TEXTURE),
+    "knox": (q_knox, SQL_KNOX),
+    "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
+    "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),
+    "region_geometry": (q_region_geometry, SQL_REGION_GEOMETRY),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

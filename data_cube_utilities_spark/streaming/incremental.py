@@ -205,3 +205,59 @@ def streaming_cm_sketch(stream: DataFrame, value_col: str,
                .select(F.col("r").cast("long"),
                        F.col("b").cast("long"),
                        F.col("cnt").cast("long").alias("cnt")))
+
+
+def space_time_pair_stream(events: DataFrame, r_space: int,
+                           max_lag: str = "6 hours",
+                           id_col: str = "event_id",
+                           x_col: str = "x", y_col: str = "y",
+                           ts_col: str = "ts",
+                           watermark: str = "12 hours") -> DataFrame:
+    """Streaming Knox surveillance: the STREAM-STREAM SELF-join emitting
+    every ordered pair of events close in space (squared Euclidean
+    distance <= r_space^2) AND time (|dt| <= max_lag) as soon as both
+    events have arrived — the live companion of
+    spatial.knox_pair_counts (disease-cluster / change-event alarms).
+
+    Spark-first shape: the probe side expands to its 3x3 max-radius
+    spatial buckets with ONE explode over a literal 9-offset array (no
+    stream-static join needed); the match side keeps its single bucket,
+    so the join is a bucket EQUI-join plus the event-time range — never
+    a cross join.  Both sides carry watermarks and the condition bounds
+    the match side's event time on BOTH ends, so state is evicted at
+    the horizon: O(events inside the watermark window), never the
+    stream.  Output: (a_id, b_id, d2, dt_sec).  Works unchanged on a
+    batch DataFrame (the parity twin in the tests)."""
+    base = events.select(F.col(id_col).alias("id"),
+                         F.col(x_col).cast("long").alias("x"),
+                         F.col(y_col).cast("long").alias("y"),
+                         F.col(ts_col).cast("timestamp").alias("ts"))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    probe = (base.withColumn("o", F.explode(offs))
+                 .select("id", "x", "y", "ts",
+                         (F.floor(F.col("x") / r_space)
+                          + F.col("o.dx")).alias("bx"),
+                         (F.floor(F.col("y") / r_space)
+                          + F.col("o.dy")).alias("by")))
+    match = base.select(F.col("id").alias("mid"), F.col("x").alias("mx"),
+                        F.col("y").alias("my"), F.col("ts").alias("mts"),
+                        F.floor(F.col("x") / r_space).alias("bx"),
+                        F.floor(F.col("y") / r_space).alias("by"))
+    if events.isStreaming:
+        probe = probe.withWatermark("ts", watermark)
+        match = match.withWatermark("mts", watermark)
+    lag = F.expr(f"INTERVAL {max_lag}")
+    d2 = ((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+          + (F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
+    cond = ((probe.bx == match.bx) & (probe.by == match.by)
+            & (F.col("mts") >= F.col("ts") - lag)
+            & (F.col("mts") <= F.col("ts") + lag)
+            & (F.col("id") != F.col("mid"))
+            & (d2 <= r_space * r_space))
+    return (probe.join(match, cond, "inner")
+                 .select(F.col("id").alias("a_id"),
+                         F.col("mid").alias("b_id"),
+                         d2.cast("long").alias("d2"),
+                         (F.unix_timestamp("mts") - F.unix_timestamp("ts"))
+                         .cast("long").alias("dt_sec")))

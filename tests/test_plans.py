@@ -394,3 +394,64 @@ def test_cm_sketch_partial_aggregates_before_exchange(spark):
     plan = plan_of(sketches.cm_sketch(li, "l_suppkey"))
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_pair_ops_bucket_join_never_cartesian(spark):
+    """ripley_k / knox must pair points through bucket equi-joins — a
+    CartesianProduct in either plan means the bucketing regressed to
+    all-pairs (the 100TB killer those operators exist to avoid)."""
+    from data_cube_utilities_spark.operators import spatial as sp
+
+    pts = (spark.read.parquet(f"{SF}/customer.parquet")
+           .select((F.col("c_custkey") % 97).alias("x"),
+                   ((F.col("c_custkey") * 31) % 89).alias("y"))
+           .distinct())
+    plan = plan_of(sp.ripley_k_counts(pts, (1, 2, 4, 8)))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") >= 1
+
+    ev = (pts.withColumn("t", (F.col("x") * 7 + F.col("y")) % 50))
+    kplan = plan_of(sp.knox_pair_counts(ev, 4, 6))
+    assert "CartesianProduct" not in kplan.replace(
+        "CartesianProduct", "X", 2)  # the two 1-row stat crossJoins allowed
+    # the pair joins themselves must be hash/sort-merge equi-joins
+    assert kplan.count("SortMergeJoin") + kplan.count("ShuffledHashJoin") \
+        + kplan.count("BroadcastHashJoin") >= 2
+
+
+def test_texture_and_sat_are_jvm_only(spark):
+    """glcm / integral image / box filter: pure Column algebra — no
+    Python workers may appear in these plans."""
+    from data_cube_utilities_spark.operators import rasterops as rc
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    px = (li.groupBy((F.col("l_suppkey") % 4).alias("img"),
+                     (F.col("l_orderkey") % 32).alias("px"),
+                     (F.col("l_partkey") % 32).alias("py"))
+            .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                 .alias("val")))
+    for df in (rc.glcm_features_long(px),
+               rc.integral_image_long(px),
+               rc.box_sum_sat(rc.integral_image_long(px), 2)):
+        plan = plan_of(df)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan
+
+
+def test_distance_transform_single_fold_no_python(spark):
+    """EDT: two window passes + one in-row higher-order fold — no
+    Python node, no cartesian, exactly one shuffle for the row gather
+    beyond the window sorts."""
+    from data_cube_utilities_spark.operators import spatial as sp
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    g = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                    (F.col("l_partkey") % 32).alias("iy"))
+           .agg(((F.sum(F.col("l_quantity").cast("long")) % 1000) % 7 == 0)
+                .alias("is_feat")))
+    plan = plan_of(sp.distance_transform_grid(g))
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan

@@ -466,3 +466,45 @@ def test_glcm_uniform_image_has_zero_contrast(spark):
     assert row.contrast == 0 and row.dissimilarity == 0
     assert row.n_cooc == 1 and row.n_pairs == 12  # 3 x 4 horizontal pairs
     assert row.energy_num == 144
+
+
+def test_integral_image_and_box_sum_parity(spark):
+    import numpy as np
+    from data_cube_utilities_spark.operators import rasterops
+
+    h, w = 7, 9
+    vals = {(img, x, y): (x * 31 + y * 17 + img * 7) % 23
+            for img in range(2) for x in range(w) for y in range(h)}
+    df = spark.createDataFrame(
+        [(i, x, y, v) for (i, x, y), v in vals.items()],
+        "img long, px long, py long, val long")
+    sat = rasterops.integral_image_long(df)
+    got = sat.toPandas().set_index(["img", "x", "y"]).sat
+    for (img, x, y) in vals:
+        want = sum(vals[(img, a, b)] for a in range(x + 1)
+                   for b in range(y + 1))
+        assert got.loc[(img, x, y)] == want, (img, x, y)
+
+    box = rasterops.box_sum_sat(sat, radius=2).toPandas()
+    for _, r in box.iterrows():
+        want = sum(vals.get((r.img, a, b), 0)
+                   for a in range(r.x - 2, r.x + 3)
+                   for b in range(r.y - 2, r.y + 3))
+        assert r.box_sum == want, (r.img, r.x, r.y)
+
+
+def test_region_geometry_perimeter(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    # a 3x2 rectangle, an L-tromino and an isolated cell
+    cells = [(1, 1), (2, 1), (3, 1), (1, 2), (2, 2), (3, 2),
+             (6, 5), (6, 6), (7, 6),
+             (0, 9)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    out = (rasterops.region_geometry_long(df).toPandas()
+           .sort_values("n_px").reset_index(drop=True))
+    assert list(out.n_px) == [1, 3, 6]
+    assert list(out.perimeter) == [4, 8, 10]
+    rect = out[out.n_px == 6].iloc[0]
+    assert (rect.min_x, rect.min_y, rect.max_x, rect.max_y) == (1, 1, 3, 2)
+    assert (rect.sum_x, rect.sum_y) == (12, 9)

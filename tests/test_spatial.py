@@ -724,3 +724,28 @@ def test_ripley_k_counts_brute_parity(spark):
         assert out[f"k_{r}"] == want, r
     # ordered pairs: counts are even (each unordered pair twice)
     assert out.k_8 % 2 == 0 and out.k_8 > out.k_1
+
+
+def test_knox_pair_counts_brute_parity(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    pts = sorted({((i * 7) % 13, (i * 5) % 11, (i * i) % 40)
+                  for i in range(70)})
+    df = spark.createDataFrame(pts, "x long, y long, t long")
+    rs, rt = 3, 5
+    got = spatial.knox_pair_counts(df, rs, rt).toPandas().iloc[0]
+    ps = pt = pb = 0
+    for a in pts:
+        for b in pts:
+            if a == b:
+                continue
+            sc = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 <= rs * rs
+            tc = abs(a[2] - b[2]) <= rt
+            ps += sc
+            pt += tc
+            pb += sc and tc
+    assert got.n_points == len(pts)
+    assert got.pairs_space == ps
+    assert got.pairs_time == pt
+    assert got.pairs_both == pb
+    assert got.pairs_both <= min(got.pairs_space, got.pairs_time)

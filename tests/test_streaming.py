@@ -470,3 +470,58 @@ def test_streaming_cm_sketch_equals_batch(spark, tmp_path):
                                 depth=4, width=64)
            .toPandas().set_index("v").est)
     assert est["a"] >= 40 and est["zzz"] >= 0
+
+
+def _st_events(spark):
+    rows = [(i, (i * 7) % 13, (i * 5) % 11,
+             f"2024-01-01 {i % 24:02d}:{(i * 17) % 60:02d}:00")
+            for i in range(80)]
+    return spark.createDataFrame(
+        rows, "event_id long, x long, y long, ts string") \
+        .select("event_id", "x", "y", F.col("ts").cast("timestamp").alias("ts"))
+
+
+def test_space_time_pairs_batch_semantics(spark):
+    from data_cube_utilities_spark.streaming import incremental
+
+    df = _st_events(spark)
+    got = sorted(map(tuple, incremental.space_time_pair_stream(
+        df, r_space=3, max_lag="2 hours")
+        .select("a_id", "b_id").collect()))
+    df.createOrReplaceTempView("ste")
+    exp = sorted(map(tuple, spark.sql("""
+        SELECT a.event_id, b.event_id FROM ste a JOIN ste b
+        ON a.event_id != b.event_id
+        AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 9
+        AND b.ts BETWEEN a.ts - INTERVAL 2 HOURS
+                     AND a.ts + INTERVAL 2 HOURS
+    """).collect()))
+    assert got == exp and len(got) > 0
+
+
+def test_space_time_pairs_stream_equals_batch(spark, tmp_path):
+    from data_cube_utilities_spark.streaming import incremental
+
+    df = _st_events(spark)
+    d = str(tmp_path / "ste_src")
+    df.withColumn("part", F.col("event_id") % 4) \
+      .repartition(4, "part").drop("part") \
+      .write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    # watermark wider than the data span: nothing evictable, so the
+    # settled pair set must equal the batch twin even though the two
+    # rows of a pair can arrive in different micro-batches
+    j = incremental.space_time_pair_stream(stream, r_space=3,
+                                           max_lag="2 hours",
+                                           watermark="100 hours")
+    q = (j.writeStream.format("memory").queryName("st_pairs")
+          .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.sql("SELECT a_id, b_id FROM st_pairs").collect()))
+    exp = sorted(map(tuple, incremental.space_time_pair_stream(
+        df, r_space=3, max_lag="2 hours")
+        .select("a_id", "b_id").collect()))
+    assert got == exp and len(got) > 0
