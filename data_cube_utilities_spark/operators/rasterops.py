@@ -1592,3 +1592,174 @@ def region_geometry_long(cells: DataFrame, x_col: str = "x",
     g.unpersist()
     adj.unpersist()
     return out
+
+
+def _morph_offsets(spark, radius: int, shape: str):
+    """Structuring-element offsets: 'square' = Chebyshev ball (the
+    (2r+1)^2 box), 'cross' = Manhattan ball (von Neumann diamond)."""
+    if shape == "square":
+        offs = [(dx, dy) for dx in range(-radius, radius + 1)
+                for dy in range(-radius, radius + 1)]
+    elif shape == "cross":
+        offs = [(dx, dy) for dx in range(-radius, radius + 1)
+                for dy in range(-radius, radius + 1)
+                if abs(dx) + abs(dy) <= radius]
+    else:
+        raise ValueError(f"unknown structuring element {shape!r}")
+    return spark.createDataFrame(offs, "dx long, dy long"), len(offs)
+
+
+def dilate_cells(cells_df: DataFrame, radius: int = 1,
+                 shape: str = "square", x_col: str = "x",
+                 y_col: str = "y") -> DataFrame:
+    """Morphological DILATION of a long-form foreground cell set: every
+    cell within the structuring element of a foreground cell (grow by
+    r).  The sparse dual of dilate_np (same Chebyshev semantics at
+    shape='square'); operates on cell SETS so only foreground rows ever
+    exist — no dense raster materializes.
+
+    Shape at scale: one broadcast explode (|SE| small constant) + one
+    distinct — a single shuffle on the output cells, no join."""
+    offs, _ = _morph_offsets(cells_df.sparkSession, radius, shape)
+    return (cells_df.select(F.col(x_col).cast("long").alias("x"),
+                            F.col(y_col).cast("long").alias("y"))
+            .crossJoin(F.broadcast(offs))
+            .select((F.col("x") + F.col("dx")).alias("x"),
+                    (F.col("y") + F.col("dy")).alias("y"))
+            .distinct())
+
+
+def erode_cells(cells_df: DataFrame, radius: int = 1,
+                shape: str = "square", x_col: str = "x",
+                y_col: str = "y") -> DataFrame:
+    """Morphological EROSION: a cell survives iff EVERY cell of the
+    structuring element around it is foreground (zero-padded outside
+    any cell ever written, so a shrinking border is the standard
+    semantics).  survive <=> present-neighbor count == |SE|.
+
+    Shape at scale: broadcast explode to the |SE| probes, ONE equi-join
+    back against the cell set on the probed coordinate, count per
+    anchor — never a dense grid, never a cartesian."""
+    g = (cells_df.select(F.col(x_col).cast("long").alias("x"),
+                         F.col(y_col).cast("long").alias("y"))
+         .distinct())
+    offs, n_se = _morph_offsets(cells_df.sparkSession, radius, shape)
+    probe = (g.crossJoin(F.broadcast(offs))
+              .select("x", "y", (F.col("x") + F.col("dx")).alias("nx"),
+                      (F.col("y") + F.col("dy")).alias("ny")))
+    nbr = g.select(F.col("x").alias("nx"), F.col("y").alias("ny"))
+    return (probe.join(nbr, ["nx", "ny"])
+                 .groupBy("x", "y").agg(F.count("*").alias("_n"))
+                 .filter(F.col("_n") == n_se)
+                 .select("x", "y"))
+
+
+def open_cells(cells_df: DataFrame, radius: int = 1,
+               shape: str = "square", **cols) -> DataFrame:
+    """Morphological OPENING (erode then dilate): removes foreground
+    specks thinner than the structuring element while preserving the
+    bulk shape — the despeckle every classified raster ships through
+    (lone_object_filter's morphology-algebra sibling)."""
+    return dilate_cells(erode_cells(cells_df, radius, shape, **cols),
+                        radius, shape)
+
+
+def close_cells(cells_df: DataFrame, radius: int = 1,
+                shape: str = "square", **cols) -> DataFrame:
+    """Morphological CLOSING (dilate then erode): fills background
+    holes/channels thinner than the structuring element."""
+    return erode_cells(dilate_cells(cells_df, radius, shape, **cols),
+                       radius, shape)
+
+
+def otsu_threshold_long(pixels: DataFrame, img_col: str = "img",
+                        value_col: str = "val") -> DataFrame:
+    """Otsu's optimal binarization threshold per image, computed from
+    the gray histogram entirely in exact int64: between-class variance
+    at threshold t is  (S0*N - S*W0)^2 / (W0*(N-W0))  up to the 1/N^2
+    constant (W0/S0 = cumulative count / value-weighted sum at <= t;
+    N/S = totals), and the engine maximizes the INTEGER quotient
+    (a*a) div (W0*W1) with ties broken toward the smaller threshold —
+    deterministic under any partitioning and reproducible in any
+    engine, unlike float histograms.  The quotient is bounded by
+    W0*W1*L^2 <= N^2 L^2 / 4: int64-safe through ~300-megapixel
+    8-bit images; beyond that lift a*a to decimal(38,0) (HUGEINT on
+    the oracle side) — same expression, wider lattice.
+
+    Shape at scale: histogram groupBy (the only full shuffle, combiner
+    below the exchange), then windows over the tiny per-image histogram
+    (<= L rows per image).  Candidate thresholds are the values present
+    in the image; between absent values the objective is constant, so
+    the maximum is unchanged."""
+    h = (pixels.groupBy(F.col(img_col).alias("img"),
+                        F.col(value_col).cast("long").alias("v"))
+               .agg(F.count("*").cast("long").alias("c")))
+    cum = (Window.partitionBy("img").orderBy("v")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    tot = (Window.partitionBy("img")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+    t = (h.withColumn("w0", F.sum("c").over(cum))
+          .withColumn("s0", F.sum(F.col("v") * F.col("c")).over(cum))
+          .withColumn("n", F.sum("c").over(tot))
+          .withColumn("s", F.sum(F.col("v") * F.col("c")).over(tot)))
+    t = t.withColumn(
+        "score",
+        F.expr("CASE WHEN w0 > 0 AND n - w0 > 0 THEN "
+               "((s0 * n - s * w0) * (s0 * n - s * w0))"
+               " div (w0 * (n - w0)) END").cast("long"))
+    pick = Window.partitionBy("img").orderBy(
+        F.col("score").desc_nulls_last(), F.col("v").asc())
+    return (t.withColumn("_rn", F.row_number().over(pick))
+             .filter(F.col("_rn") == 1)
+             .select("img", F.col("v").alias("threshold"),
+                     F.col("score").cast("long").alias("score")))
+
+
+def image_moments_long(pixels: DataFrame, img_col: str = "img",
+                       x_col: str = "px", y_col: str = "py",
+                       value_col: str = "val") -> DataFrame:
+    """Raw image moments m_pq = sum x^p y^q v for p+q <= 3 plus the
+    m00-scaled SECOND central moments (mu20*m00 = m20*m00 - m10^2 etc.)
+    — the shape descriptors (centroid, orientation, eccentricity)
+    behind every region-property pipeline, all exact int64 so results
+    hash identically on any engine.  Orientation derives downstream as
+    0.5*atan2(2*mu11m, mu20m - mu02m) — kept OUT of the exact surface
+    because libm atan2 is not cross-engine bit-stable.
+
+    Shape at scale: one groupBy(img) with ten integer sums — a single
+    shuffle with map-side partial aggregation; int64-safe for 8-bit
+    images up to ~4k x 4k (third moments grow as n * max_coord^3 * L;
+    beyond that cast the third-order terms to decimal(38,0))."""
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    v = F.col(value_col).cast("long")
+    m = (pixels.groupBy(F.col(img_col).alias("img")).agg(
+        F.sum(v).alias("m00"),
+        F.sum(x * v).alias("m10"), F.sum(y * v).alias("m01"),
+        F.sum(x * x * v).alias("m20"), F.sum(x * y * v).alias("m11"),
+        F.sum(y * y * v).alias("m02"),
+        F.sum(x * x * x * v).alias("m30"),
+        F.sum(x * x * y * v).alias("m21"),
+        F.sum(x * y * y * v).alias("m12"),
+        F.sum(y * y * y * v).alias("m03")))
+    return m.select(
+        "img", *[F.col(c).cast("long").alias(c) for c in
+                 ("m00", "m10", "m01", "m20", "m11", "m02",
+                  "m30", "m21", "m12", "m03")],
+        (F.col("m20") * F.col("m00") - F.col("m10") * F.col("m10"))
+        .cast("long").alias("mu20m"),
+        (F.col("m11") * F.col("m00") - F.col("m10") * F.col("m01"))
+        .cast("long").alias("mu11m"),
+        (F.col("m02") * F.col("m00") - F.col("m01") * F.col("m01"))
+        .cast("long").alias("mu02m"))
+
+
+def moment_orientation(moments: DataFrame) -> DataFrame:
+    """Convenience: principal-axis angle (radians, 6dp) from
+    image_moments_long output.  Separate from the exact surface —
+    atan2's last ulp is libm-dependent."""
+    return moments.select(
+        "img",
+        F.round(F.atan2(2.0 * F.col("mu11m"),
+                        (F.col("mu20m") - F.col("mu02m"))
+                        .cast("double")) / 2.0, 6).alias("theta"))

@@ -2985,6 +2985,110 @@ GROUP BY a.img, a.x, a.y, a.v
 """
 
 
+def q_morphology_open(spark, sf_dir):
+    """Morphological opening (rasterops.open_cells = dilate(erode)):
+    despeckle of the deterministic 64x64 foreground mask with the 3x3
+    square structuring element — erosion as the |SE|-count equi-join,
+    dilation as the broadcast-offset explode+distinct.  Oracle: the
+    same algebra as a HAVING count(*)=9 neighborhood join then a
+    generate_series dilation."""
+    from .operators import rasterops
+
+    ids = spark.range(64 * 64)
+    cells = (ids.select((F.col("id") % 64).alias("x"),
+                        (F.col("id") / 64).cast("long").alias("y"))
+                .filter((F.col("x") * F.col("x") * 31
+                         + F.col("y") * F.col("y") * 17
+                         + F.col("x") * F.col("y") * 7) % 1000 > 550))
+    return rasterops.open_cells(cells, radius=1, shape="square")
+
+
+SQL_MORPHOLOGY_OPEN = r"""
+WITH fg AS (
+  SELECT gx.i AS x, gy.i AS y
+  FROM generate_series(0, 63) gx(i) CROSS JOIN generate_series(0, 63) gy(i)
+  WHERE (gx.i*gx.i*31 + gy.i*gy.i*17 + gx.i*gy.i*7) % 1000 > 550),
+er AS (
+  SELECT a.x, a.y FROM fg a JOIN fg b
+    ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+  GROUP BY a.x, a.y HAVING count(*) = 9)
+SELECT DISTINCT CAST(e.x + dx.i AS BIGINT) AS x,
+                CAST(e.y + dy.i AS BIGINT) AS y
+FROM er e CROSS JOIN generate_series(-1, 1) dx(i)
+          CROSS JOIN generate_series(-1, 1) dy(i)
+"""
+
+
+def q_otsu_threshold(spark, sf_dir):
+    """Otsu binarization threshold per image
+    (rasterops.otsu_threshold_long): exact-integer between-class
+    variance maximization over the per-image histogram, ties to the
+    smaller threshold.  Oracle: identical cumulative-window algebra;
+    DuckDB's // equals Spark's div on the non-negative operands."""
+    from .operators import rasterops
+
+    return rasterops.otsu_threshold_long(_px_grid(spark, sf_dir))
+
+
+SQL_OTSU_THRESHOLD = f"""
+WITH {_PX_SQL},
+h AS (SELECT img, v, CAST(count(*) AS BIGINT) AS c FROM px GROUP BY 1, 2),
+t AS (
+  SELECT img, v,
+         sum(c) OVER (PARTITION BY img ORDER BY v) AS w0,
+         sum(v * c) OVER (PARTITION BY img ORDER BY v) AS s0,
+         sum(c) OVER (PARTITION BY img) AS n,
+         sum(v * c) OVER (PARTITION BY img) AS s
+  FROM h),
+sc AS (
+  SELECT img, v,
+         CASE WHEN w0 > 0 AND n - w0 > 0 THEN
+           ((s0 * n - s * w0) * (s0 * n - s * w0)) // (w0 * (n - w0))
+         END AS score,
+         row_number() OVER (
+           PARTITION BY img
+           ORDER BY (CASE WHEN w0 > 0 AND n - w0 > 0 THEN
+             ((s0 * n - s * w0) * (s0 * n - s * w0)) // (w0 * (n - w0))
+           END) DESC NULLS LAST, v ASC) AS rn
+  FROM t)
+SELECT img, v AS threshold, CAST(score AS BIGINT) AS score
+FROM sc WHERE rn = 1
+"""
+
+
+def q_image_moments(spark, sf_dir):
+    """Raw + m00-scaled central image moments
+    (rasterops.image_moments_long): the ten p+q<=3 integer moment sums
+    and the three second-order central combinations per image — shape
+    descriptors exact to the bit.  Oracle: the same sums in SQL."""
+    from .operators import rasterops
+
+    return rasterops.image_moments_long(_px_grid(spark, sf_dir))
+
+
+SQL_IMAGE_MOMENTS = f"""
+WITH {_PX_SQL},
+m AS (
+  SELECT img,
+         CAST(sum(v) AS BIGINT) AS m00,
+         CAST(sum(x * v) AS BIGINT) AS m10,
+         CAST(sum(y * v) AS BIGINT) AS m01,
+         CAST(sum(x * x * v) AS BIGINT) AS m20,
+         CAST(sum(x * y * v) AS BIGINT) AS m11,
+         CAST(sum(y * y * v) AS BIGINT) AS m02,
+         CAST(sum(x * x * x * v) AS BIGINT) AS m30,
+         CAST(sum(x * x * y * v) AS BIGINT) AS m21,
+         CAST(sum(x * y * y * v) AS BIGINT) AS m12,
+         CAST(sum(y * y * y * v) AS BIGINT) AS m03
+  FROM px GROUP BY img)
+SELECT img, m00, m10, m01, m20, m11, m02, m30, m21, m12, m03,
+       CAST(m20 * m00 - m10 * m10 AS BIGINT) AS mu20m,
+       CAST(m11 * m00 - m10 * m01 AS BIGINT) AS mu11m,
+       CAST(m02 * m00 - m01 * m01 AS BIGINT) AS mu02m
+FROM m
+"""
+
+
 def q_region_geometry(spark, sf_dir):
     """Region shape metrics (rasterops.region_geometry_long): 4-connected
     components of the deterministic 64x64 mask (same surface as
@@ -4042,6 +4146,9 @@ GROUP_A = {
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),
     "region_geometry": (q_region_geometry, SQL_REGION_GEOMETRY),
+    "morphology_open": (q_morphology_open, SQL_MORPHOLOGY_OPEN),
+    "otsu_threshold": (q_otsu_threshold, SQL_OTSU_THRESHOLD),
+    "image_moments": (q_image_moments, SQL_IMAGE_MOMENTS),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

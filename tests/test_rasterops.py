@@ -508,3 +508,96 @@ def test_region_geometry_perimeter(spark):
     rect = out[out.n_px == 6].iloc[0]
     assert (rect.min_x, rect.min_y, rect.max_x, rect.max_y) == (1, 1, 3, 2)
     assert (rect.sum_x, rect.sum_y) == (12, 9)
+
+
+def test_morphology_erode_dilate_open_close(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    fg = {(x, y) for x in range(2, 7) for y in range(2, 6)}  # 5x4 block
+    fg |= {(10, 10)}                                         # speck
+    fg -= {(4, 4)}                                           # hole
+    df = spark.createDataFrame(sorted(fg), "x long, y long")
+
+    def brute_erode(cells, r):
+        return {(x, y) for (x, y) in cells
+                if all((x + dx, y + dy) in cells
+                       for dx in range(-r, r + 1)
+                       for dy in range(-r, r + 1))}
+
+    def brute_dilate(cells, r):
+        return {(x + dx, y + dy) for (x, y) in cells
+                for dx in range(-r, r + 1) for dy in range(-r, r + 1)}
+
+    got_e = {(r.x, r.y) for r in rasterops.erode_cells(df).collect()}
+    assert got_e == brute_erode(fg, 1)
+    got_d = {(r.x, r.y) for r in rasterops.dilate_cells(df).collect()}
+    assert got_d == brute_dilate(fg, 1)
+    got_o = {(r.x, r.y) for r in rasterops.open_cells(df).collect()}
+    assert got_o == brute_dilate(brute_erode(fg, 1), 1)
+    assert (10, 10) not in got_o          # speck removed
+    got_c = {(r.x, r.y) for r in rasterops.close_cells(df).collect()}
+    assert got_c == brute_erode(brute_dilate(fg, 1), 1)
+    assert (4, 4) in got_c                # hole filled
+    # cross SE is strictly smaller than square SE on erosion
+    got_ec = {(r.x, r.y)
+              for r in rasterops.erode_cells(df, shape="cross").collect()}
+    assert got_e <= got_ec
+
+
+def test_otsu_threshold_brute_parity(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    vals = [(0, x, y, (x * 13 + y * 29 + (x * y) % 7) % 97)
+            for x in range(16) for y in range(16)]
+    # img 1: clean bimodal — threshold must split the modes
+    vals += [(1, x, y, 20 if (x + y) % 3 else 200)
+             for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(vals, "img long, px long, py long, val long")
+    got = {r.img: r.threshold
+           for r in rasterops.otsu_threshold_long(df).collect()}
+
+    import collections
+    for img in (0, 1):
+        hist = collections.Counter(v for (i, _, _, v) in vals if i == img)
+        n = sum(hist.values())
+        s = sum(v * c for v, c in hist.items())
+        best, best_score = None, -1
+        for t in sorted(hist):
+            w0 = sum(c for v, c in hist.items() if v <= t)
+            s0 = sum(v * c for v, c in hist.items() if v <= t)
+            if w0 == 0 or w0 == n:
+                continue
+            a = s0 * n - s * w0
+            sc = (a * a) // (w0 * (n - w0))
+            if sc > best_score:
+                best, best_score = t, sc
+        assert got[img] == best, img
+    assert 20 <= got[1] < 200
+
+
+def test_image_moments_numpy_parity(spark):
+    import numpy as np
+    from data_cube_utilities_spark.operators import rasterops
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(12, 9))  # [y, x]
+    rows = [(0, x, y, int(img[y, x]))
+            for y in range(12) for x in range(9)]
+    df = spark.createDataFrame(rows, "img long, px long, py long, val long")
+    got = rasterops.image_moments_long(df).collect()[0]
+    ys, xs = np.mgrid[0:12, 0:9]
+    v = img.astype(np.int64)
+    for p, q, name in [(0, 0, "m00"), (1, 0, "m10"), (0, 1, "m01"),
+                       (2, 0, "m20"), (1, 1, "m11"), (0, 2, "m02"),
+                       (3, 0, "m30"), (2, 1, "m21"), (1, 2, "m12"),
+                       (0, 3, "m03")]:
+        want = int((xs ** p * ys ** q * v).sum())
+        assert got[name] == want, name
+    assert got.mu20m == got.m20 * got.m00 - got.m10 ** 2
+
+    # orientation: a 45-degree line has theta = pi/4
+    line = [(1, i, i, 100) for i in range(10)]
+    ldf = spark.createDataFrame(line, "img long, px long, py long, val long")
+    th = rasterops.moment_orientation(
+        rasterops.image_moments_long(ldf)).collect()[0].theta
+    assert abs(th - np.pi / 4) < 1e-6
