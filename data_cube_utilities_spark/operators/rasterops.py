@@ -1763,3 +1763,190 @@ def moment_orientation(moments: DataFrame) -> DataFrame:
         F.round(F.atan2(2.0 * F.col("mu11m"),
                         (F.col("mu20m") - F.col("mu02m"))
                         .cast("double")) / 2.0, 6).alias("theta"))
+
+
+def _sat_build(p: DataFrame, chans: "Sequence[str]") -> DataFrame:
+    """Multi-channel summed-area table: cumulative sums of every channel
+    in the SAME two window passes (one sort along x per (img, y) row,
+    one along y per (img, x) column) — k channels cost no extra shuffle
+    over one.  Input must carry img, x, y + the channel columns.
+    DENSE-GRID CONTRACT: downstream corner lookups treat a missing
+    (x, y) row as sum 0, which is only exact when every coordinate of
+    the image rectangle has a row (densify with a grid left-join
+    upstream if the source is sparse)."""
+    w1 = (Window.partitionBy("img", "y").orderBy("x")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    w2 = (Window.partitionBy("img", "x").orderBy("y")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    r = p
+    for c in chans:
+        r = r.withColumn(f"_r_{c}", F.sum(c).over(w1))
+    for c in chans:
+        r = r.withColumn(f"sat_{c}", F.sum(f"_r_{c}").over(w2))
+    return r.drop(*[f"_r_{c}" for c in chans])
+
+
+def _corner_combine(base: DataFrame, sat: DataFrame,
+                    chans: "Sequence[str]") -> DataFrame:
+    """4-corner SAT identity A - B - C + D for every channel at once:
+    base carries (img, x1, y1, x2, y2) rectangle corners (x1/y1 may be
+    negative = empty prefix); each corner is ONE left equi-join against
+    the SAT on its primary key.  Adds w_<chan> rectangle sums."""
+    s = sat.select("img", F.col("x").alias("sx"), F.col("y").alias("sy"),
+                   *[F.col(f"sat_{c}").alias(f"s_{c}") for c in chans])
+    out = base
+    for cx, cy, tag in (("x2", "y2", "A"), ("x1", "y2", "B"),
+                        ("x2", "y1", "C"), ("x1", "y1", "D")):
+        srn = s.select(F.col("img").alias("_i"), "sx", "sy",
+                       *[F.col(f"s_{c}").alias(f"{tag}_{c}")
+                         for c in chans])
+        out = (out.join(srn, (out.img == srn._i)
+                        & (F.col(cx) == srn.sx) & (F.col(cy) == srn.sy),
+                        "left")
+                  .drop("_i", "sx", "sy"))
+    z = F.lit(0)
+    for c in chans:
+        out = out.withColumn(
+            f"w_{c}",
+            (F.coalesce(f"A_{c}", z) - F.coalesce(f"B_{c}", z)
+             - F.coalesce(f"C_{c}", z) + F.coalesce(f"D_{c}", z))
+            .cast("long"))
+    return out.drop(*[f"{t}_{c}" for t in "ABCD" for c in chans])
+
+
+def template_match_ncc(pixels: DataFrame, template: "np.ndarray",
+                       img_col: str = "img", x_col: str = "px",
+                       y_col: str = "py",
+                       value_col: str = "val") -> DataFrame:
+    """Zero-normalized cross-correlation template matching: for every
+    valid anchor (template fully inside the image), the NCC score
+    between the k = th*tw window and the template — object localization
+    over the image table.  template is a small [ty, tx] integer array.
+
+    All ingredients exact int64: the cross term sum(P*T) comes from ONE
+    broadcast join of the pixel table against the template cells
+    grouped back by anchor (the convolution fan-out, |T| small
+    constant); window sum/sum-of-squares come from the shared
+    multi-channel SAT (two window passes) + 4 corner equi-joins; the
+    only floats are the final  num / sqrt(den)  — IEEE division and
+    correctly-rounded sqrt of exact integers, rounded to 6dp: bit-equal
+    on any engine.  num = k*cross - S_w*S_T;
+    den = (k*Q_w - S_w^2) * (k*Q_T - S_T^2); flat windows (den = 0)
+    yield NULL ncc.  Dense-grid contract as _sat_build."""
+    template = np.asarray(template, dtype=np.int64)
+    th, tw = template.shape
+    k = int(th * tw)
+    s_t = int(template.sum())
+    q_t = int((template ** 2).sum())
+    den_t = k * q_t - s_t * s_t
+    spark = pixels.sparkSession
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    p = p.withColumn("v2", F.col("v") * F.col("v"))
+    sat = _sat_build(p, ["v", "v2"]).persist()
+
+    tpl = spark.createDataFrame(
+        [(int(tx), int(ty), int(template[ty, tx]))
+         for ty in range(th) for tx in range(tw) if template[ty, tx]],
+        "tx long, ty long, tv long")
+    cross = (p.crossJoin(F.broadcast(tpl))
+              .select("img", (F.col("x") - F.col("tx")).alias("cx"),
+                      (F.col("y") - F.col("ty")).alias("cy"),
+                      (F.col("v") * F.col("tv")).alias("pv"))
+              .groupBy("img", "cx", "cy")
+              .agg(F.sum("pv").cast("long").alias("xcorr")))
+
+    ext = sat.groupBy("img").agg(F.max("x").alias("mx"),
+                                 F.max("y").alias("my"))
+    base = (sat.select("img", "x", "y")
+               .join(F.broadcast(ext), "img")
+               .filter((F.col("x") + tw - 1 <= F.col("mx"))
+                       & (F.col("y") + th - 1 <= F.col("my")))
+               .select("img", "x", "y",
+                       (F.col("x") - 1).alias("x1"),
+                       (F.col("y") - 1).alias("y1"),
+                       (F.col("x") + tw - 1).alias("x2"),
+                       (F.col("y") + th - 1).alias("y2")))
+    w = _corner_combine(base, sat, ["v", "v2"]).drop("x1", "y1", "x2", "y2")
+    out = (w.join(cross, (w.img == cross.img) & (w.x == cross.cx)
+                  & (w.y == cross.cy), "left")
+            .drop(cross.img).drop("cx", "cy")
+            .withColumn("xcorr", F.coalesce("xcorr", F.lit(0))))
+    num = F.lit(k) * F.col("xcorr") - F.col("w_v") * F.lit(s_t)
+    den = ((F.lit(k) * F.col("w_v2") - F.col("w_v") * F.col("w_v"))
+           * F.lit(den_t))
+    out = (out.select("img", "x", "y",
+                      F.col("xcorr").cast("long").alias("xcorr"),
+                      num.cast("long").alias("num"),
+                      den.cast("long").alias("den"),
+                      F.when(den > 0,
+                             F.round(num / F.sqrt(den.cast("double")), 6))
+                       .alias("ncc")))
+    out = out.localCheckpoint()
+    sat.unpersist()
+    return out
+
+
+def ssim_long(pairs: DataFrame, radius: int = 2,
+              c1: int = 7, c2: int = 59, img_col: str = "img",
+              x_col: str = "px", y_col: str = "py",
+              a_col: str = "va", b_col: str = "vb") -> DataFrame:
+    """Per-pixel SSIM between two aligned images held as columns of one
+    long-form table: local means/variances/covariance over the
+    (2r+1)^2 clipped window via ONE multi-channel SAT (six channels —
+    a, b, a^2, b^2, ab, 1 — share the two window passes) + 4 corner
+    equi-joins; window stats stay exact int64 and SSIM itself is the
+    one float step (num/den of exact int64 products, rounded 6dp —
+    IEEE-deterministic on any engine).
+
+    Integer regularizers c1, c2 stand in for the fractional
+    (0.01*255)^2 / (0.03*255)^2 of Wang et al. — fractions would leave
+    the integer lattice (same reproducibility-by-design trade as the
+    quantized-IDW weights).  Windows CLIP at the image border (n = true
+    cell count from the ones channel), standard 'same' semantics.
+    num = (2*Sa*Sb + c1*n^2) * (2*(n*Sab - Sa*Sb) + c2*n^2),
+    den = (Sa^2 + Sb^2 + c1*n^2)
+          * ((n*Qa - Sa^2) + (n*Qb - Sb^2) + c2*n^2);
+    int64-safe for 8-bit values through radius ~7.  Mean-SSIM per image
+    derives downstream as avg(ssim) — callers needing a HASHABLE
+    aggregate sum the exact num/den columns instead."""
+    p = pairs.select(F.col(img_col).alias("img"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"),
+                     F.col(a_col).cast("long").alias("a"),
+                     F.col(b_col).cast("long").alias("b"))
+    p = (p.withColumn("aa", F.col("a") * F.col("a"))
+          .withColumn("bb", F.col("b") * F.col("b"))
+          .withColumn("ab", F.col("a") * F.col("b"))
+          .withColumn("one", F.lit(1)))
+    chans = ["a", "b", "aa", "bb", "ab", "one"]
+    sat = _sat_build(p, chans).persist()
+    ext = sat.groupBy("img").agg(F.max("x").alias("mx"),
+                                 F.max("y").alias("my"))
+    base = (sat.select("img", "x", "y")
+               .join(F.broadcast(ext), "img")
+               .select("img", "x", "y",
+                       (F.col("x") - radius - 1).alias("x1"),
+                       (F.col("y") - radius - 1).alias("y1"),
+                       F.least(F.col("x") + radius, F.col("mx"))
+                        .alias("x2"),
+                       F.least(F.col("y") + radius, F.col("my"))
+                        .alias("y2")))
+    w = _corner_combine(base, sat, chans).drop("x1", "y1", "x2", "y2")
+    n = F.col("w_one")
+    sa, sb = F.col("w_a"), F.col("w_b")
+    qa, qb, sab = F.col("w_aa"), F.col("w_bb"), F.col("w_ab")
+    num = ((2 * sa * sb + c1 * n * n)
+           * (2 * (n * sab - sa * sb) + c2 * n * n))
+    den = ((sa * sa + sb * sb + c1 * n * n)
+           * ((n * qa - sa * sa) + (n * qb - sb * sb) + c2 * n * n))
+    out = (w.select("img", "x", "y", n.cast("long").alias("n_win"),
+                    num.cast("long").alias("num"),
+                    den.cast("long").alias("den"),
+                    F.round(num.cast("double") / den.cast("double"), 6)
+                     .alias("ssim")))
+    out = out.localCheckpoint()
+    sat.unpersist()
+    return out

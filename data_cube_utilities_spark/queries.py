@@ -2925,19 +2925,38 @@ FROM d
 
 _PX_SQL = """
 px AS (
-  SELECT l_suppkey % 4 AS img, l_orderkey % 32 AS x, l_partkey % 32 AS y,
-         CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) AS v
-  FROM lineitem GROUP BY 1, 2, 3)
+  SELECT g.img, g.x, g.y, COALESCE(a.v, 0) AS v
+  FROM (SELECT i.i % 4 AS img, (i.i // 4) % 32 AS x, i.i // 128 AS y
+        FROM generate_series(0, 4095) i(i)) g
+  LEFT JOIN (
+    SELECT l_suppkey % 4 AS img, l_orderkey % 32 AS x, l_partkey % 32 AS y,
+           CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) AS v
+    FROM lineitem GROUP BY 1, 2, 3) a
+    ON a.img = g.img AND a.x = g.x AND a.y = g.y)
 """
 
 
 def _px_grid(spark, sf_dir):
+    """Four DENSE 32x32 images derived from lineitem: the full grid is
+    generated and LEFT-joined against the aggregate so every (img, x, y)
+    cell exists (absent aggregate cells read 0).  Density is a contract:
+    the SAT-corner operators (integral image, box/rect sums, SSIM,
+    template match) look corners up by exact coordinate and treat a
+    missing row as sum 0, which is only correct when every coordinate
+    row exists."""
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy((F.col("l_suppkey") % 4).alias("img"),
-                       (F.col("l_orderkey") % 32).alias("px"),
-                       (F.col("l_partkey") % 32).alias("py"))
-              .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
-                   .alias("val")))
+    agg = (li.groupBy((F.col("l_suppkey") % 4).alias("img"),
+                      (F.col("l_orderkey") % 32).alias("px"),
+                      (F.col("l_partkey") % 32).alias("py"))
+             .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                  .alias("_v")))
+    grid = spark.range(4 * 32 * 32).select(
+        (F.col("id") % 4).alias("img"),
+        ((F.col("id") / 4).cast("long") % 32).alias("px"),
+        (F.col("id") / 128).cast("long").alias("py"))
+    return (grid.join(agg, ["img", "px", "py"], "left")
+                .select("img", "px", "py",
+                        F.coalesce("_v", F.lit(0)).alias("val")))
 
 
 def q_integral_image(spark, sf_dir):
@@ -3087,6 +3106,91 @@ SELECT img, m00, m10, m01, m20, m11, m02, m30, m21, m12, m03,
        CAST(m02 * m00 - m01 * m01 AS BIGINT) AS mu02m
 FROM m
 """
+
+
+
+
+def q_template_match(spark, sf_dir):
+    """NCC template matching (rasterops.template_match_ncc): the 3x3
+    template tv = (ty*3 + tx) % 5 + 1 scanned over the four dense
+    images — cross term from one broadcast join, window sums from the
+    shared SAT, NCC = num/sqrt(den) of exact ints rounded 6dp.
+    Oracle: the brute 9-cell neighborhood join with the same algebra."""
+    import numpy as np
+
+    from .operators import rasterops
+
+    tpl = np.array([[(ty * 3 + tx) % 5 + 1 for tx in range(3)]
+                    for ty in range(3)], dtype=np.int64)
+    return rasterops.template_match_ncc(_px_grid(spark, sf_dir), tpl)
+
+
+SQL_TEMPLATE_MATCH = f"""
+WITH {_PX_SQL},
+tpl AS (
+  SELECT tx.i AS tx, ty.i AS ty, (ty.i * 3 + tx.i) % 5 + 1 AS tv
+  FROM generate_series(0, 2) tx(i) CROSS JOIN generate_series(0, 2) ty(i)),
+ts AS (SELECT sum(tv) AS s_t, 9 * sum(tv * tv) - sum(tv) * sum(tv) AS d_t
+       FROM tpl),
+j AS (
+  SELECT a.img, a.x, a.y,
+         sum(b.v * t.tv) AS crs, sum(b.v) AS s_w, sum(b.v * b.v) AS q_w
+  FROM px a CROSS JOIN tpl t
+  JOIN px b ON b.img = a.img AND b.x = a.x + t.tx AND b.y = a.y + t.ty
+  WHERE a.x <= 29 AND a.y <= 29
+  GROUP BY 1, 2, 3),
+f AS (
+  SELECT img, x, y, CAST(crs AS BIGINT) AS xcorr,
+         CAST(9 * crs - s_w * (SELECT s_t FROM ts) AS BIGINT) AS num,
+         CAST((9 * q_w - s_w * s_w) * (SELECT d_t FROM ts) AS BIGINT)
+           AS den
+  FROM j)
+SELECT img, x, y, xcorr, num, den,
+       CASE WHEN den > 0
+            THEN round(num / sqrt(CAST(den AS DOUBLE)), 6) END AS ncc
+FROM f
+"""
+
+
+def q_ssim(spark, sf_dir):
+    """Per-pixel SSIM (rasterops.ssim_long, radius 2, integer c1/c2)
+    between each dense image and its deterministic distortion
+    vb = (v + (x + y) % 7) % 256 — six SAT channels in two window
+    passes, exact int64 num/den, one rounded float division.
+    Oracle: the brute 5x5 clipped-window join with the same algebra."""
+    from .operators import rasterops
+
+    pairs = (_px_grid(spark, sf_dir)
+             .select("img", "px", "py", F.col("val").alias("va"),
+                     ((F.col("val") + (F.col("px") + F.col("py")) % 7)
+                      % 256).alias("vb")))
+    return rasterops.ssim_long(pairs, radius=2)
+
+
+SQL_SSIM = f"""
+WITH {_PX_SQL},
+pr AS (SELECT img, x, y, v AS a, (v + (x + y) % 7) % 256 AS b FROM px),
+w AS (
+  SELECT p.img, p.x, p.y,
+         count(*) AS n, sum(q.a) AS sa, sum(q.b) AS sb,
+         sum(q.a * q.a) AS qa, sum(q.b * q.b) AS qb, sum(q.a * q.b) AS sab
+  FROM pr p JOIN pr q
+    ON q.img = p.img AND q.x BETWEEN p.x - 2 AND p.x + 2
+   AND q.y BETWEEN p.y - 2 AND p.y + 2
+  GROUP BY 1, 2, 3),
+f AS (
+  SELECT img, x, y, CAST(n AS BIGINT) AS n_win,
+         CAST((2 * sa * sb + 7 * n * n)
+              * (2 * (n * sab - sa * sb) + 59 * n * n) AS BIGINT) AS num,
+         CAST((sa * sa + sb * sb + 7 * n * n)
+              * ((n * qa - sa * sa) + (n * qb - sb * sb) + 59 * n * n)
+              AS BIGINT) AS den
+  FROM w)
+SELECT img, x, y, n_win, num, den,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ssim
+FROM f
+"""
+
 
 
 def q_region_geometry(spark, sf_dir):
@@ -4149,6 +4253,8 @@ GROUP_A = {
     "morphology_open": (q_morphology_open, SQL_MORPHOLOGY_OPEN),
     "otsu_threshold": (q_otsu_threshold, SQL_OTSU_THRESHOLD),
     "image_moments": (q_image_moments, SQL_IMAGE_MOMENTS),
+    "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
+    "ssim": (q_ssim, SQL_SSIM),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

@@ -431,13 +431,32 @@ def test_texture_and_sat_are_jvm_only(spark):
                      (F.col("l_partkey") % 32).alias("py"))
             .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
                  .alias("val")))
+    import numpy as np
+    tpl = np.array([[1, 2], [3, 4]], dtype=np.int64)
+    pairs = px.withColumn("vb", (F.col("val") + 3) % 256) \
+              .withColumnRenamed("val", "va")
     for df in (rc.glcm_features_long(px),
                rc.integral_image_long(px),
-               rc.box_sum_sat(rc.integral_image_long(px), 2)):
+               rc.box_sum_sat(rc.integral_image_long(px), 2),
+               rc.otsu_threshold_long(px, value_col="val"),
+               rc.image_moments_long(px)):
         plan = plan_of(df)
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                      "FlatMapGroupsInPandas"):
             assert node not in plan
+    # template match / ssim localCheckpoint eagerly; assert on the
+    # pre-checkpoint shape via the operators' building blocks instead
+    p2 = px.select("img", F.col("px").alias("x"), F.col("py").alias("y"),
+                   F.col("val").alias("v"))
+    p2 = p2.withColumn("v2", F.col("v") * F.col("v"))
+    sat = rc._sat_build(p2, ["v", "v2"])
+    base = sat.select("img", "x", "y",
+                      (F.col("x") - 1).alias("x1"), (F.col("y") - 1).alias("y1"),
+                      (F.col("x") + 1).alias("x2"), (F.col("y") + 1).alias("y2"))
+    plan = plan_of(rc._corner_combine(base, sat, ["v", "v2"]))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_distance_transform_single_fold_no_python(spark):

@@ -601,3 +601,72 @@ def test_image_moments_numpy_parity(spark):
     th = rasterops.moment_orientation(
         rasterops.image_moments_long(ldf)).collect()[0].theta
     assert abs(th - np.pi / 4) < 1e-6
+
+
+def test_template_match_ncc_brute_parity_and_plant(spark):
+    import math
+
+    import numpy as np
+    from data_cube_utilities_spark.operators import rasterops
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 50, size=(10, 12)).astype(np.int64)  # [y, x]
+    tpl = np.array([[1, 9, 2], [8, 3, 7], [4, 6, 5]], dtype=np.int64)
+    img[4:7, 5:8] = tpl * 5 + 3          # planted affine copy: ncc = 1
+    rows = [(0, x, y, int(img[y, x]))
+            for y in range(10) for x in range(12)]
+    df = spark.createDataFrame(rows, "img long, px long, py long, val long")
+    got = (rasterops.template_match_ncc(df, tpl).toPandas()
+           .set_index(["x", "y"]).sort_index())
+
+    k, s_t = 9, int(tpl.sum())
+    d_t = k * int((tpl ** 2).sum()) - s_t * s_t
+    for (x, y), r in got.iterrows():
+        win = img[y:y + 3, x:x + 3]
+        crs = int((win * tpl).sum())
+        s_w, q_w = int(win.sum()), int((win ** 2).sum())
+        num = k * crs - s_w * s_t
+        den = (k * q_w - s_w * s_w) * d_t
+        assert r.xcorr == crs and r.num == num and r.den == den, (x, y)
+        if den > 0:
+            assert r.ncc == round(num / math.sqrt(den), 6), (x, y)
+    assert got.loc[(5, 4)].ncc == 1.0     # the plant (affine-invariant)
+    assert len(got) == 10 * 8             # valid anchors only
+
+
+def test_ssim_identity_and_brute_parity(spark):
+    import numpy as np
+    from data_cube_utilities_spark.operators import rasterops
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, size=(8, 9)).astype(np.int64)
+    b = np.clip(a + rng.randint(-30, 31, size=a.shape), 0, 255)
+    rows = [(0, x, y, int(a[y, x]), int(a[y, x]))      # identical pair
+            for y in range(8) for x in range(9)]
+    rows += [(1, x, y, int(a[y, x]), int(b[y, x]))     # distorted pair
+             for y in range(8) for x in range(9)]
+    df = spark.createDataFrame(
+        rows, "img long, px long, py long, va long, vb long")
+    out = rasterops.ssim_long(df, radius=2).toPandas()
+
+    ident = out[out.img == 0]
+    assert (ident.ssim == 1.0).all() and (ident.num == ident.den).all()
+
+    dist = out[out.img == 1].set_index(["x", "y"])
+    c1, c2 = 7, 59
+    for (x, y), r in dist.iterrows():
+        x0, x1 = max(x - 2, 0), min(x + 2, 8)
+        y0, y1 = max(y - 2, 0), min(y + 2, 7)
+        wa = a[y0:y1 + 1, x0:x1 + 1]
+        wb = b[y0:y1 + 1, x0:x1 + 1]
+        n = wa.size
+        sa, sb = int(wa.sum()), int(wb.sum())
+        qa, qb = int((wa ** 2).sum()), int((wb ** 2).sum())
+        sab = int((wa * wb).sum())
+        num = (2 * sa * sb + c1 * n * n) \
+            * (2 * (n * sab - sa * sb) + c2 * n * n)
+        den = (sa * sa + sb * sb + c1 * n * n) \
+            * ((n * qa - sa * sa) + (n * qb - sb * sb) + c2 * n * n)
+        assert r.n_win == n and r.num == num and r.den == den, (x, y)
+        assert r.ssim == round(num / den, 6), (x, y)
+    assert dist.ssim.max() < 1.0
