@@ -363,3 +363,65 @@ def quadkey_sql(ix_expr: str, iy_expr: str, z: int) -> str:
         "AS VARCHAR)"
         for i in range(z - 1, -1, -1)]
     return " || ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (locality-preserving space-filling key)
+# ---------------------------------------------------------------------------
+
+def hilbert_level_exprs(order: int, x_expr: str, y_expr: str):
+    """The per-level transform steps of the iterative xy->d Hilbert walk
+    (Hamilton's standard formulation), as (name, sql_expr) pairs — ONE
+    source of truth consumed both by the Spark Column chain
+    (hilbert_with_key) and by the DuckDB oracle twin (hilbert_sql), so
+    the two can never drift.  Each level reads the previous level's
+    hx/hy/hd, classifies the quadrant ((3*rx) XOR ry spelled as a
+    portable CASE), then reflects+transposes the frame.  Everything is
+    int64 CASE/bit algebra — whole-stage codegen on the Spark side."""
+    if not 1 <= order <= 31:
+        raise ValueError("order must be in [1, 31]")
+    steps = [("hx0", f"CAST({x_expr} AS BIGINT)"),
+             ("hy0", f"CAST({y_expr} AS BIGINT)"),
+             ("hd0", "CAST(0 AS BIGINT)")]
+    for k, s in enumerate(1 << p for p in reversed(range(order))):
+        steps += [
+            (f"rx{k}", f"CASE WHEN (hx{k} & {s}) > 0 THEN 1 ELSE 0 END"),
+            (f"ry{k}", f"CASE WHEN (hy{k} & {s}) > 0 THEN 1 ELSE 0 END"),
+            (f"hd{k + 1}",
+             f"hd{k} + {s * s} * (CASE WHEN rx{k} = 0 THEN ry{k} "
+             f"ELSE 3 - ry{k} END)"),
+            (f"tx{k}", f"CASE WHEN ry{k} = 0 AND rx{k} = 1 "
+                       f"THEN {s - 1} - hx{k} ELSE hx{k} END"),
+            (f"ty{k}", f"CASE WHEN ry{k} = 0 AND rx{k} = 1 "
+                       f"THEN {s - 1} - hy{k} ELSE hy{k} END"),
+            (f"hx{k + 1}", f"CASE WHEN ry{k} = 0 THEN ty{k} ELSE tx{k} END"),
+            (f"hy{k + 1}", f"CASE WHEN ry{k} = 0 THEN tx{k} ELSE ty{k} END"),
+        ]
+    return steps, f"hd{order}"
+
+
+def hilbert_with_key(df, order: int, x_col: str = "x", y_col: str = "y",
+                     out_col: str = "hkey"):
+    """Append the Hilbert-curve index of (x, y) on the 2^order grid.
+    Unlike the Z-order key (zorder_col), consecutive Hilbert keys are
+    ALWAYS 4-neighbors — so sorting/range-bucketing by hkey gives
+    strictly better spatial locality for range scans and partition
+    pruning (no Z-shape jumps across the map).  Use as the sort/bucket
+    key when writing tiled imagery so co-located tiles land in the
+    same file/row-group."""
+    steps, final = hilbert_level_exprs(order, x_col, y_col)
+    out = df
+    for name, expr in steps:
+        out = out.withColumn(name, F.expr(expr))
+    return (out.withColumn(out_col, F.col(final))
+               .drop(*[n for n, _ in steps]))
+
+
+def hilbert_sql(order: int, x_expr: str, y_expr: str,
+                from_sql: str, carry_cols: str) -> str:
+    """DuckDB oracle twin of hilbert_with_key: the same generated step
+    expressions as one flat SELECT (lateral column aliases)."""
+    steps, final = hilbert_level_exprs(order, x_expr, y_expr)
+    aliases = ",\n       ".join(f"{e} AS {n}" for n, e in steps)
+    return (f"SELECT {carry_cols},\n       {aliases},\n"
+            f"       {final} AS hkey\nFROM {from_sql}")

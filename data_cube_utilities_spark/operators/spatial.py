@@ -1475,3 +1475,151 @@ def knox_pair_counts(points_df: DataFrame, r_space: int, r_time: int,
     return (n.crossJoin(space_agg).crossJoin(time_agg)
              .select("n_points", "pairs_space", "pairs_time",
                      F.col("pairs_both").cast("long").alias("pairs_both")))
+
+
+def cost_distance_grid(cells_df: DataFrame, ix_col: str = "ix",
+                       iy_col: str = "iy", cost_col: str = "cost",
+                       source_col: str = "is_source",
+                       max_rounds: int = 64,
+                       to_fixpoint: bool = True) -> DataFrame:
+    """Accumulated-cost distance over a cost raster (the cost-surface
+    companion of distance_transform_grid): acc(source) = 0 and
+    acc(v) = min over 4-neighbors u of acc(u) + cost(v) — entering a
+    cell pays that cell's integer cost.  Exact int64 throughout, so
+    results hash identically on any engine.  Unreached cells are
+    omitted (the relational convention for +inf).
+
+    Spark-first shape: Bellman-Ford relaxation — each round joins the
+    frontier to its 4 neighbors (broadcast offset explode + equi-join
+    on the grid key) and min-folds into the running table; lineage is
+    truncated by localCheckpoint every few rounds.  Round count is the
+    hop count of the longest optimal path, NOT the cell count — bounded
+    by the grid diameter, and each round is one bounded shuffle (the
+    watershed/pointer-doubling family's shape).  With
+    to_fixpoint=False, stops after EXACTLY max_rounds relaxations =
+    min cost over paths of <= max_rounds hops — the hop-bounded
+    configuration whose unrolled-SQL twin is a true hash oracle (the
+    ivf_ann_exact trick); full runs converge-check each round."""
+    spark = cells_df.sparkSession
+    g = (cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                         F.col(iy_col).cast("long").alias("iy"),
+                         F.col(cost_col).cast("long").alias("cost"),
+                         F.col(source_col).cast("boolean").alias("src"))
+         .persist())
+    offs = spark.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long")
+    nbr = g.select(F.col("ix").alias("nx"), F.col("iy").alias("ny"),
+                   "cost")
+    dist = (g.filter("src")
+             .select("ix", "iy", F.lit(0).cast("long").alias("d"))
+             .localCheckpoint())
+    for rnd in range(max_rounds):
+        cand = (dist.crossJoin(F.broadcast(offs))
+                    .select((F.col("ix") + F.col("dx")).alias("nx"),
+                            (F.col("iy") + F.col("dy")).alias("ny"), "d")
+                    .join(nbr, ["nx", "ny"])
+                    .select(F.col("nx").alias("ix"),
+                            F.col("ny").alias("iy"),
+                            (F.col("d") + F.col("cost")).alias("d")))
+        new = (dist.unionByName(cand)
+                   .groupBy("ix", "iy").agg(F.min("d").alias("d"))
+                   .localCheckpoint())
+        if to_fixpoint:
+            improved = (new.join(dist.withColumnRenamed("d", "od"),
+                                 ["ix", "iy"], "left")
+                           .filter(F.col("od").isNull()
+                                   | (F.col("d") < F.col("od")))
+                           .limit(1).count())
+            dist = new
+            if improved == 0:
+                break
+        else:
+            dist = new
+    g.unpersist()
+    return dist.select("ix", "iy", F.col("d").cast("long").alias("acc"))
+
+
+def viewshed_grid(cells_df: DataFrame, observer: "tuple[int, int]",
+                  observer_height: int = 0, ix_col: str = "ix",
+                  iy_col: str = "iy", elev_col: str = "elev",
+                  max_k: int = 4096) -> DataFrame:
+    """DEM viewshed: which grid cells are visible from the observer?
+    A target is visible iff no intermediate sample along the sight
+    line rises above the observer->target sightline.  Samples step the
+    DOMINANT axis one cell at a time (K = chebyshev distance), the
+    minor coordinate is the exact rational o + k*d/K with elevation
+    LINEARLY interpolated between the two straddling cells — and every
+    comparison is cross-multiplied by K, so the whole test is exact
+    int64 with NO rounding/float call anywhere:
+      blocked(k) <=> e_lo*(K - rem) + e_hi*rem > (e_obs + h)*K
+                      + (e_tgt - e_obs - h)*k,  rem = k*d_minor mod K.
+    Missing interpolation cells count as blocking (conservative off-DEM
+    rule).  DENSE-GRID expectation as the SAT family.
+
+    Shape at scale: ray samples come from ONE explode of
+    sequence(1, K-1) per target (fan-out = cells x chebyshev radius,
+    the R3 viewshed's intrinsic size) followed by two elevation
+    equi-joins and a per-target count — no cartesian, no Python.  At
+    continental scale, run per-tile with an observer-radius bound
+    (max_k caps the explode)."""
+    ox, oy = int(observer[0]), int(observer[1])
+    g = (cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                         F.col(iy_col).cast("long").alias("iy"),
+                         F.col(elev_col).cast("long").alias("elev"))
+         .persist())
+    eo = (g.filter((F.col("ix") == ox) & (F.col("iy") == oy))
+           .select((F.col("elev") + observer_height).alias("e_obs")))
+    t = (g.crossJoin(F.broadcast(eo))
+          .withColumn("dx", F.col("ix") - ox)
+          .withColumn("dy", F.col("iy") - oy)
+          .withColumn("kk", F.greatest(F.abs("dx"), F.abs("dy"))))
+    far = t.filter(F.col("kk") >= 2).filter(F.col("kk") <= max_k)
+    sgn = lambda c: (F.when(F.col(c) > 0, 1)
+                      .when(F.col(c) < 0, -1).otherwise(0))
+    s = (far.select("ix", "iy", "elev", "e_obs", "dx", "dy", "kk",
+                    F.explode(F.sequence(F.lit(1),
+                                         F.col("kk") - 1)).alias("k")))
+    xdom = F.abs(F.col("dx")) >= F.abs(F.col("dy"))
+    num = F.when(xdom, F.col("k") * F.col("dy")) \
+           .otherwise(F.col("k") * F.col("dx"))
+    s = s.withColumn("num", num.cast("long"))
+    rem = ((F.col("num") % F.col("kk")) + F.col("kk")) % F.col("kk")
+    s = s.withColumn("rem", rem.cast("long"))
+    # exact: kk divides num - rem, so integer div loses nothing
+    mlo = F.expr("(num - rem) div kk")
+    s = (s
+          .withColumn("maj_x", F.when(xdom, ox + F.col("k") * sgn("dx")))
+          .withColumn("maj_y", F.when(~xdom, oy + F.col("k") * sgn("dy")))
+          .withColumn("lo_x", F.when(xdom, F.col("maj_x"))
+                               .otherwise((ox + mlo).cast("long")))
+          .withColumn("lo_y", F.when(xdom, (oy + mlo).cast("long"))
+                               .otherwise(F.col("maj_y")))
+          .withColumn("hi_x", F.when(xdom, F.col("lo_x"))
+                               .otherwise(F.col("lo_x") + 1))
+          .withColumn("hi_y", F.when(xdom, F.col("lo_y") + 1)
+                               .otherwise(F.col("lo_y"))))
+    elo = g.select(F.col("ix").alias("lo_x"), F.col("iy").alias("lo_y"),
+                   F.col("elev").alias("e_lo"))
+    ehi = g.select(F.col("ix").alias("hi_x"), F.col("iy").alias("hi_y"),
+                   F.col("elev").alias("e_hi"))
+    s = (s.join(elo, ["lo_x", "lo_y"], "left")
+          .join(ehi, ["hi_x", "hi_y"], "left"))
+    ray_e = (F.coalesce("e_lo", F.lit(1 << 40)) * (F.col("kk") - F.col("rem"))
+             + F.when(F.col("rem") > 0,
+                      F.coalesce("e_hi", F.lit(1 << 40)) * F.col("rem"))
+                .otherwise(F.lit(0)))
+    sight = (F.col("e_obs") * F.col("kk")
+             + (F.col("elev") - F.col("e_obs")) * F.col("k"))
+    blocked = (s.withColumn("blk", (ray_e > sight).cast("long"))
+                .groupBy("ix", "iy")
+                .agg(F.sum("blk").cast("long").alias("n_block")))
+    out = (t.select("ix", "iy", "kk")
+            .join(blocked, ["ix", "iy"], "left")
+            .select("ix", "iy",
+                    F.coalesce("n_block", F.lit(0)).cast("long")
+                     .alias("n_block"))
+            .withColumn("visible", F.col("n_block") == 0)
+            .drop("kk"))
+    out = out.localCheckpoint()
+    g.unpersist()
+    return out

@@ -3193,6 +3193,145 @@ FROM f
 
 
 
+def q_cost_distance(spark, sf_dir):
+    """Hop-bounded accumulated-cost distance
+    (spatial.cost_distance_grid, to_fixpoint=False, 8 rounds): min cost
+    over <=8-hop paths from the source cells across the 16x16 cost
+    raster; missing aggregate cells are impassable.  The oracle is the
+    EXACT unrolled Bellman-Ford twin — 8 generated relaxation CTEs —
+    so the hash checks the whole relaxation algebra (full runs
+    converge to fixpoint; the hop-bounded config is the oracle-able
+    projection, the ivf_ann_exact pattern)."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = (li.groupBy((F.col("l_orderkey") % 16).alias("ix"),
+                    (F.col("l_partkey") % 16).alias("iy"))
+           .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                .alias("v"))
+           .select("ix", "iy", (F.col("v") % 9 + 1).alias("cost"),
+                   (F.col("v") % 31 == 0).alias("is_source")))
+    return spatial.cost_distance_grid(g, max_rounds=8, to_fixpoint=False)
+
+
+def _bf_sql(rounds: int) -> str:
+    """Unrolled Bellman-Ford oracle: one relaxation CTE per round —
+    the literal SQL twin of cost_distance_grid's join-min loop."""
+    parts = ["""g AS (
+  SELECT ix, iy, v % 9 + 1 AS cost, v % 31 = 0 AS src FROM (
+    SELECT l_orderkey % 16 AS ix, l_partkey % 16 AS iy,
+           CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+    FROM lineitem GROUP BY 1, 2) b)""",
+             "d0 AS (SELECT ix, iy, CAST(0 AS BIGINT) AS d FROM g WHERE src)"]
+    for k in range(1, rounds + 1):
+        parts.append(f"""d{k} AS (
+  SELECT ix, iy, min(d) AS d FROM (
+    SELECT ix, iy, d FROM d{k - 1}
+    UNION ALL
+    SELECT g.ix, g.iy, p.d + g.cost AS d
+    FROM d{k - 1} p JOIN g ON abs(g.ix - p.ix) + abs(g.iy - p.iy) = 1) u
+  GROUP BY 1, 2)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT ix, iy, CAST(d AS BIGINT) AS acc FROM d{rounds}")
+
+
+SQL_COST_DISTANCE = _bf_sql(8)
+
+
+
+def q_viewshed(spark, sf_dir):
+    """DEM viewshed (spatial.viewshed_grid): visibility of every cell of
+    the dense 32x32 image-0 elevation surface from observer (16, 16) at
+    height 20 — dominant-axis ray sampling with exact rational
+    interpolation, every comparison cross-multiplied to int64 (no
+    float, no rounding call).  Oracle: the same algebra over a
+    generate_series step table."""
+    from .operators import spatial
+
+    dem = (_px_grid(spark, sf_dir).filter(F.col("img") == 0)
+           .select(F.col("px").alias("ix"), F.col("py").alias("iy"),
+                   F.col("val").alias("elev")))
+    return spatial.viewshed_grid(dem, (16, 16), observer_height=20)
+
+
+SQL_VIEWSHED = f"""
+WITH {_PX_SQL},
+g AS (SELECT x AS ix, y AS iy, v AS elev FROM px WHERE img = 0),
+eo AS (SELECT elev + 20 AS e_obs FROM g WHERE ix = 16 AND iy = 16),
+t AS (
+  SELECT g.ix, g.iy, g.elev, eo.e_obs, g.ix - 16 AS dx, g.iy - 16 AS dy,
+         greatest(abs(g.ix - 16), abs(g.iy - 16)) AS kk
+  FROM g, eo),
+s AS (
+  SELECT t.*, k.i AS k,
+         CASE WHEN abs(dx) >= abs(dy) THEN k.i * dy ELSE k.i * dx END AS num
+  FROM t CROSS JOIN generate_series(1, 31) k(i)
+  WHERE t.kk >= 2 AND k.i <= t.kk - 1),
+s2 AS (
+  SELECT *, ((num % kk) + kk) % kk AS rem,
+         (num - (((num % kk) + kk) % kk)) // kk AS mlo,
+         CASE WHEN dx > 0 THEN 1 WHEN dx < 0 THEN -1 ELSE 0 END AS sx,
+         CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 ELSE 0 END AS sy
+  FROM s),
+s3 AS (
+  SELECT ix, iy, elev, e_obs, kk, k, rem,
+         CASE WHEN abs(dx) >= abs(dy) THEN 16 + k * sx
+              ELSE 16 + mlo END AS lo_x,
+         CASE WHEN abs(dx) >= abs(dy) THEN 16 + mlo
+              ELSE 16 + k * sy END AS lo_y,
+         CASE WHEN abs(dx) >= abs(dy) THEN 16 + k * sx
+              ELSE 16 + mlo + 1 END AS hi_x,
+         CASE WHEN abs(dx) >= abs(dy) THEN 16 + mlo + 1
+              ELSE 16 + k * sy END AS hi_y
+  FROM s2),
+blk AS (
+  SELECT s3.ix, s3.iy,
+         sum(CASE WHEN
+               COALESCE(lo.elev, 1099511627776) * (kk - rem)
+               + CASE WHEN rem > 0
+                      THEN COALESCE(hi.elev, 1099511627776) * rem
+                      ELSE 0 END
+               > e_obs * kk + (s3.elev - e_obs) * k
+             THEN 1 ELSE 0 END) AS n_block
+  FROM s3
+  LEFT JOIN g lo ON lo.ix = s3.lo_x AND lo.iy = s3.lo_y
+  LEFT JOIN g hi ON hi.ix = s3.hi_x AND hi.iy = s3.hi_y
+  GROUP BY 1, 2)
+SELECT t.ix, t.iy, CAST(COALESCE(blk.n_block, 0) AS BIGINT) AS n_block,
+       COALESCE(blk.n_block, 0) = 0 AS visible
+FROM t LEFT JOIN blk ON blk.ix = t.ix AND blk.iy = t.iy
+"""
+
+
+
+def q_hilbert_keys(spark, sf_dir):
+    """Hilbert space-filling keys (cells.hilbert_with_key, order 5) for
+    every cell of the dense 32x32 grid — the locality-preserving
+    sort/bucket key for tiled imagery (consecutive keys are always
+    4-neighbors, unlike Z-order's jumps).  Oracle: the SAME generated
+    per-level step expressions flattened into one DuckDB SELECT
+    (cells.hilbert_sql) — twin emitters from one step table."""
+    from . import cells as _cells
+
+    g = (_px_grid(spark, sf_dir).filter(F.col("img") == 0)
+         .select(F.col("px").alias("x"), F.col("py").alias("y")))
+    return _cells.hilbert_with_key(g, order=5)
+
+
+def _hilbert_oracle_sql() -> str:
+    from . import cells as _cells
+
+    inner = ("(SELECT i.i % 32 AS x, i.i // 32 AS y "
+             "FROM generate_series(0, 1023) i(i)) g")
+    body = _cells.hilbert_sql(5, "g.x", "g.y", inner,
+                              "g.x AS x, g.y AS y")
+    return f"SELECT x, y, hkey FROM ({body}) h"
+
+
+SQL_HILBERT_KEYS = _hilbert_oracle_sql()
+
+
+
 def q_region_geometry(spark, sf_dir):
     """Region shape metrics (rasterops.region_geometry_long): 4-connected
     components of the deterministic 64x64 mask (same surface as
@@ -4255,6 +4394,9 @@ GROUP_A = {
     "image_moments": (q_image_moments, SQL_IMAGE_MOMENTS),
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "ssim": (q_ssim, SQL_SSIM),
+    "cost_distance": (q_cost_distance, SQL_COST_DISTANCE),
+    "viewshed": (q_viewshed, SQL_VIEWSHED),
+    "hilbert_keys": (q_hilbert_keys, SQL_HILBERT_KEYS),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

@@ -239,3 +239,43 @@ def test_quadkey_roundtrip_and_parent_prefix(spark):
             .select(F.substring("qk3", 1, 2).alias("pref"), "qk2")
             .toPandas())
     assert (par.pref == par.qk2).all()
+
+
+def test_hilbert_key_properties(spark):
+    from pyspark.sql import functions as F
+
+    from data_cube_utilities_spark import cells as C
+
+    g = spark.range(256).select((F.col("id") % 16).alias("x"),
+                                (F.col("id") / 16).cast("long").alias("y"))
+    out = C.hilbert_with_key(g, order=4).toPandas()
+    assert sorted(out.hkey) == list(range(256))          # bijection
+    # THE Hilbert property: consecutive keys are 4-neighbors
+    s = out.sort_values("hkey").reset_index(drop=True)
+    dx = s.x.diff().abs()[1:]
+    dy = s.y.diff().abs()[1:]
+    assert ((dx + dy) == 1).all()
+    # hierarchical nesting: hkey//4 at order o == hkey of (x//2, y//2)
+    # at order o-1 (each 2x2 block is visited contiguously)
+    par = C.hilbert_with_key(
+        g.select((F.col("x") / 2).cast("long").alias("x"),
+                 (F.col("y") / 2).cast("long").alias("y")),
+        order=3, out_col="pkey").toPandas()
+    child = C.hilbert_with_key(g, order=4).toPandas()
+    merged = child.assign(px=child.x // 2, py=child.y // 2).merge(
+        par.drop_duplicates(), left_on=["px", "py"], right_on=["x", "y"])
+    assert (merged.hkey // 4 == merged.pkey).all()
+    # locality: a box range-query touches FEWER contiguous key runs
+    # under Hilbert than under Z-order (the reason to bucket by hkey)
+    import numpy as np
+    hk = {(r.x, r.y): r.hkey for r in out.itertuples()}
+    zx = {(x, y): int(C.zorder_np(np.array([x]), np.array([y]), 4)[0])
+          for x in range(16) for y in range(16)}
+    def frags(keys, bx, by, w=4):
+        ks = sorted(keys[(x, y)]
+                    for x in range(bx, bx + w) for y in range(by, by + w))
+        return 1 + sum(1 for i in range(1, len(ks))
+                       if ks[i] != ks[i - 1] + 1)
+    fh = sum(frags(hk, bx, by) for bx in range(13) for by in range(13))
+    fz = sum(frags(zx, bx, by) for bx in range(13) for by in range(13))
+    assert fh < fz

@@ -749,3 +749,111 @@ def test_knox_pair_counts_brute_parity(spark):
     assert got.pairs_time == pt
     assert got.pairs_both == pb
     assert got.pairs_both <= min(got.pairs_space, got.pairs_time)
+
+
+def test_cost_distance_fixpoint_matches_dijkstra(spark):
+    import heapq
+
+    from data_cube_utilities_spark.operators import spatial
+
+    cells = {}
+    for ix in range(9):
+        for iy in range(9):
+            if (ix * 5 + iy * 3) % 11 == 7:
+                continue                        # holes = impassable
+            cells[(ix, iy)] = (ix * 13 + iy * 29) % 9 + 1
+    sources = [(0, 0), (8, 8)]
+    rows = [(ix, iy, c, (ix, iy) in sources)
+            for (ix, iy), c in sorted(cells.items())]
+    df = spark.createDataFrame(
+        rows, "ix long, iy long, cost long, is_source boolean")
+    got = {(r.ix, r.iy): r.acc
+           for r in spatial.cost_distance_grid(df).collect()}
+
+    # Dijkstra: acc(src) = 0, step pays the destination cell's cost
+    dist = {s: 0 for s in sources if s in cells}
+    heap = [(0, s) for s in dist]
+    heapq.heapify(heap)
+    while heap:
+        d, (x, y) = heapq.heappop(heap)
+        if d > dist.get((x, y), 1 << 60):
+            continue
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            n = (x + dx, y + dy)
+            if n not in cells:
+                continue
+            nd = d + cells[n]
+            if nd < dist.get(n, 1 << 60):
+                dist[n] = nd
+                heapq.heappush(heap, (nd, n))
+    assert got == dist
+    # hop-bounded run is an upper bound and only tightens with rounds
+    h2 = {(r.ix, r.iy): r.acc for r in spatial.cost_distance_grid(
+        df, max_rounds=2, to_fixpoint=False).collect()}
+    h4 = {(r.ix, r.iy): r.acc for r in spatial.cost_distance_grid(
+        df, max_rounds=4, to_fixpoint=False).collect()}
+    assert set(h2) <= set(h4) <= set(dist)
+    for k, v in h4.items():
+        assert v >= dist[k]
+        if k in h2:
+            assert h2[k] >= v
+
+
+def _brute_viewshed(elev, ox, oy, h):
+    eo = elev[(ox, oy)] + h
+    out = {}
+    for (tx, ty), et in elev.items():
+        dx, dy = tx - ox, ty - oy
+        kk = max(abs(dx), abs(dy))
+        nb = 0
+        for k in range(1, kk):
+            num = k * dy if abs(dx) >= abs(dy) else k * dx
+            rem = num % kk
+            mlo = (num - rem) // kk
+            if abs(dx) >= abs(dy):
+                lo = (ox + k * (1 if dx > 0 else -1), oy + mlo)
+                hi = (lo[0], lo[1] + 1)
+            else:
+                lo = (ox + mlo, oy + k * (1 if dy > 0 else -1))
+                hi = (lo[0] + 1, lo[1])
+            big = 1 << 40
+            ray = elev.get(lo, big) * (kk - rem) \
+                + (elev.get(hi, big) * rem if rem > 0 else 0)
+            if ray > eo * kk + (et - eo) * k:
+                nb += 1
+        out[(tx, ty)] = nb
+    return out
+
+
+def test_viewshed_brute_parity_and_wall(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    elev = {(x, y): (x * 17 + y * 31 + (x * y) % 13) % 50
+            for x in range(12) for y in range(12)}
+    df = spark.createDataFrame(
+        [(x, y, e) for (x, y), e in sorted(elev.items())],
+        "ix long, iy long, elev long")
+    got = {(r.ix, r.iy): r.n_block
+           for r in spatial.viewshed_grid(df, (5, 5), 8).collect()}
+    assert got == _brute_viewshed(elev, 5, 5, 8)
+
+    # flat plain: everything visible; a wall hides the cells behind it
+    flat = {(x, y): 0 for x in range(9) for y in range(9)}
+    fdf = spark.createDataFrame(
+        [(x, y, e) for (x, y), e in sorted(flat.items())],
+        "ix long, iy long, elev long")
+    vis = {(r.ix, r.iy) for r in
+           spatial.viewshed_grid(fdf, (4, 4), 1).collect() if r.visible}
+    assert len(vis) == 81
+    wall = dict(flat)
+    for y in range(9):
+        wall[(6, y)] = 100
+    wdf = spark.createDataFrame(
+        [(x, y, e) for (x, y), e in sorted(wall.items())],
+        "ix long, iy long, elev long")
+    wvis = {(r.ix, r.iy) for r in
+            spatial.viewshed_grid(wdf, (4, 4), 1).collect() if r.visible}
+    assert all((7, y) not in wvis and (8, y) not in wvis
+               for y in range(3, 6))          # shadow behind the wall
+    assert all((x, y) in wvis for x in range(6) for y in range(9))
+    assert all((6, y) in wvis for y in range(9))   # the wall crest itself
