@@ -1950,3 +1950,52 @@ def ssim_long(pairs: DataFrame, radius: int = 2,
     out = out.localCheckpoint()
     sat.unpersist()
     return out
+
+
+def histogram_match_long(src: DataFrame, ref: DataFrame,
+                         img_col: str = "img", x_col: str = "px",
+                         y_col: str = "py",
+                         value_col: str = "val") -> DataFrame:
+    """Histogram matching (specification): remap each source pixel so
+    the per-image value distribution matches the reference image keyed
+    by the same img value (align pairs upstream by renaming img).  The
+    classic radiometric-normalization step before mosaicking scenes
+    from different acquisitions (the reference's normalize-then-
+    composite idiom), exact on the integer lattice:
+      match(v) = min u with cdf_ref(u) * n_src >= cdf_src(v) * n_ref
+    — the quantile mapping with every comparison cross-multiplied, so
+    no float quantiles and identical results on any engine.  The max
+    reference value always qualifies, so the mapping is total.
+
+    Shape at scale: two tiny per-image histogram+window passes, one
+    bounded theta-join between the two histograms (<= L rows per image
+    each), then ONE equi-join mapping the pixel table — the only big
+    shuffle is the final map join on (img, v)."""
+    def cdf(df):
+        h = (df.groupBy(F.col(img_col).alias("img"),
+                        F.col(value_col).cast("long").alias("v"))
+               .agg(F.count("*").cast("long").alias("c")))
+        cum = (Window.partitionBy("img").orderBy("v")
+                     .rowsBetween(Window.unboundedPreceding, 0))
+        tot = (Window.partitionBy("img")
+                     .rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))
+        return (h.withColumn("cdf", F.sum("c").over(cum))
+                 .withColumn("n", F.sum("c").over(tot))
+                 .drop("c"))
+    cs = cdf(src)
+    cr = (cdf(ref).select(F.col("img").alias("_ri"),
+                          F.col("v").alias("u"),
+                          F.col("cdf").alias("rcdf"),
+                          F.col("n").alias("rn")))
+    mapping = (cs.join(cr, (cs.img == cr._ri)
+                       & (F.col("rcdf") * F.col("n")
+                          >= F.col("cdf") * F.col("rn")))
+                 .groupBy("img", "v")
+                 .agg(F.min("u").cast("long").alias("matched")))
+    p = src.select(F.col(img_col).alias("img"),
+                   F.col(x_col).cast("long").alias("x"),
+                   F.col(y_col).cast("long").alias("y"),
+                   F.col(value_col).cast("long").alias("v"))
+    return p.join(mapping, ["img", "v"]).select("img", "x", "y", "v",
+                                                "matched")

@@ -1623,3 +1623,122 @@ def viewshed_grid(cells_df: DataFrame, observer: "tuple[int, int]",
     out = out.localCheckpoint()
     g.unpersist()
     return out
+
+
+def polygon_metrics(vertices: DataFrame, poly_col: str = "poly_id",
+                    seq_col: str = "seq", x_col: str = "x",
+                    y_col: str = "y") -> DataFrame:
+    """Shoelace geometry over a long-form polygon VERTEX table (one row
+    per ring vertex, seq = ring order, ring implicitly closed): per
+    polygon — 2*signed_area, the 6*area-scaled centroid numerators, the
+    sum of squared edge lengths and the vertex/bbox summary, all exact
+    int64 (integer-grid coordinates; scaled forms instead of divided
+    floats so results hash identically on any engine):
+      area2  = sum(x_i*y_j - x_j*y_i),      j = i+1 cyclic
+      cx6a   = sum((x_i + x_j) * cross_i),  cy6a likewise
+      centroid = (cx6a / (3*area2), cy6a / (3*area2)) downstream.
+    Positive area2 = counter-clockwise ring — the winding test is free.
+
+    Shape at scale: ONE lead() window per polygon (tiny partitions) with
+    the wrap edge closed by first_value — no join, no UDF; one shuffle
+    on poly_id.  The vector-side complement of region_geometry_long
+    (raster perimeter/bbox) and the metric feed for polygonize
+    consumers (reference: vectorize/xr_vectorize's shapely .area/.length
+    reads)."""
+    w = Window.partitionBy("pid").orderBy("seq")
+    tot = (Window.partitionBy("pid")
+                 .orderBy("seq")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+    v = vertices.select(F.col(poly_col).alias("pid"),
+                        F.col(seq_col).cast("long").alias("seq"),
+                        F.col(x_col).cast("long").alias("x"),
+                        F.col(y_col).cast("long").alias("y"))
+    e = (v.withColumn("nx", F.coalesce(F.lead("x").over(w),
+                                       F.first("x").over(tot)))
+          .withColumn("ny", F.coalesce(F.lead("y").over(w),
+                                       F.first("y").over(tot))))
+    cross = F.col("x") * F.col("ny") - F.col("nx") * F.col("y")
+    d2 = ((F.col("nx") - F.col("x")) * (F.col("nx") - F.col("x"))
+          + (F.col("ny") - F.col("y")) * (F.col("ny") - F.col("y")))
+    return (e.groupBy("pid").agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.sum(cross).cast("long").alias("area2"),
+        F.sum((F.col("x") + F.col("nx")) * cross).cast("long")
+         .alias("cx6a"),
+        F.sum((F.col("y") + F.col("ny")) * cross).cast("long")
+         .alias("cy6a"),
+        F.sum(d2).cast("long").alias("perim2_sum"),
+        F.min("x").cast("long").alias("min_x"),
+        F.min("y").cast("long").alias("min_y"),
+        F.max("x").cast("long").alias("max_x"),
+        F.max("y").cast("long").alias("max_y")))
+
+
+def od_matrix(points: DataFrame, user_col: str = "user_id",
+              order_col: str = "ts", cell_col: str = "cell",
+              tiebreak_col: str | None = None,
+              include_self: bool = False) -> DataFrame:
+    """Origin-destination flow matrix over a trajectory point table:
+    per entity, order the pings and count each consecutive cell->cell
+    transition — the aggregate every mobility / movement-analytics
+    pipeline starts from.  include_self keeps dwell transitions
+    (from == to).  Pass tiebreak_col for a total order when order_col
+    can tie (determinism is on the caller).
+
+    Shape at scale: ONE lag() window partitioned by entity (trajectory
+    partitions are naturally small) + one groupBy on the (from, to)
+    pair — two bounded shuffles, no join, no UDF."""
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy("uid").orderBy(*order)
+    p = points.select(F.col(user_col).alias("uid"),
+                      *[F.col(c) for c in
+                        dict.fromkeys([order_col] +
+                                      ([tiebreak_col] if tiebreak_col
+                                       else []))],
+                      F.col(cell_col).alias("to_cell"))
+    t = (p.withColumn("from_cell", F.lag("to_cell").over(w))
+          .filter(F.col("from_cell").isNotNull()))
+    if not include_self:
+        t = t.filter(F.col("from_cell") != F.col("to_cell"))
+    return (t.groupBy("from_cell", "to_cell")
+             .agg(F.count("*").cast("long").alias("n_trips"),
+                  F.countDistinct("uid").cast("long").alias("n_users")))
+
+
+def stay_points(points: DataFrame, min_pings: int = 2,
+                user_col: str = "user_id", ts_col: str = "ts",
+                cell_col: str = "cell",
+                tiebreak_col: str | None = None) -> DataFrame:
+    """Stay-point detection: maximal runs of consecutive SAME-cell pings
+    per entity (gaps-and-islands: run = row_number difference of the
+    global and per-cell orderings), keeping runs of >= min_pings —
+    where the entity stopped, for how long, with how many pings.  Exact
+    output: (uid, cell, enter_ts, exit_ts, n_pings, dwell_sec).
+
+    Shape at scale: two window ranks over the same (uid, ts) sort (one
+    partition pass — Spark reuses the sort), one groupBy on the run
+    key.  No join, no UDF."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    wa = Window.partitionBy("uid").orderBy(*order)
+    wc = Window.partitionBy("uid", "cell").orderBy(*order)
+    p = points.select(F.col(user_col).alias("uid"),
+                      F.col(ts_col).alias("ts"),
+                      *([F.col(tiebreak_col)] if tiebreak_col else []),
+                      F.col(cell_col).alias("cell"))
+    r = (p.withColumn("_ra", F.row_number().over(wa))
+          .withColumn("_rc", F.row_number().over(wc))
+          .withColumn("_run", F.col("_ra") - F.col("_rc")))
+    return (r.groupBy("uid", "cell", "_run")
+             .agg(F.min("ts").alias("enter_ts"),
+                  F.max("ts").alias("exit_ts"),
+                  F.count("*").cast("long").alias("n_pings"))
+             .filter(F.col("n_pings") >= min_pings)
+             .withColumn("dwell_sec",
+                         (F.unix_timestamp("exit_ts")
+                          - F.unix_timestamp("enter_ts")).cast("long"))
+             .drop("_run"))

@@ -3332,6 +3332,147 @@ SQL_HILBERT_KEYS = _hilbert_oracle_sql()
 
 
 
+def q_polygon_metrics(spark, sf_dir):
+    """Shoelace polygon metrics (spatial.polygon_metrics): signed
+    2*area, 6a-scaled centroid numerators, squared-edge-length sum and
+    bbox for ten generated integer rings (closed polylines; shoelace is
+    well-defined with or without self-intersection) — one lead() window
+    per polygon, wrap edge via first_value.  Oracle: the same cyclic
+    edge algebra with the successor looked up by modular seq."""
+    from .operators import spatial
+
+    ids = spark.range(10 * 12)
+    verts = ids.select(
+        (F.col("id") / 12).cast("long").alias("poly_id"),
+        (F.col("id") % 12).alias("seq"),
+        ((F.col("id") / 12).cast("long") * 7 + (F.col("id") % 12) * 13)
+        .cast("long").__mod__(40).alias("x"),
+        ((F.col("id") / 12).cast("long") * 11 + (F.col("id") % 12) * 5)
+        .cast("long").__mod__(40).alias("y"))
+    return spatial.polygon_metrics(verts).withColumnRenamed("pid",
+                                                            "poly_id")
+
+
+SQL_POLYGON_METRICS = """
+WITH v AS (
+  SELECT i.i // 12 AS poly_id, i.i % 12 AS seq,
+         ((i.i // 12) * 7 + (i.i % 12) * 13) % 40 AS x,
+         ((i.i // 12) * 11 + (i.i % 12) * 5) % 40 AS y
+  FROM generate_series(0, 119) i(i)),
+e AS (
+  SELECT a.poly_id, a.x, a.y, b.x AS nx, b.y AS ny,
+         a.x * b.y - b.x * a.y AS cr
+  FROM v a JOIN v b
+    ON b.poly_id = a.poly_id AND b.seq = (a.seq + 1) % 12)
+SELECT poly_id,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(cr) AS BIGINT) AS area2,
+       CAST(sum((x + nx) * cr) AS BIGINT) AS cx6a,
+       CAST(sum((y + ny) * cr) AS BIGINT) AS cy6a,
+       CAST(sum((nx - x) * (nx - x) + (ny - y) * (ny - y)) AS BIGINT)
+         AS perim2_sum,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(min(y) AS BIGINT) AS min_y,
+       CAST(max(x) AS BIGINT) AS max_x, CAST(max(y) AS BIGINT) AS max_y
+FROM e GROUP BY poly_id
+"""
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flows (spatial.od_matrix): consecutive
+    cell-to-cell transitions per user over the events trajectory
+    (cell = event_id % 9, ordered by ts with event_id tie-break),
+    self-transitions dropped; trips + distinct movers per OD pair.
+    Oracle: the same lag window in SQL."""
+    from .operators import spatial
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "ts", "event_id",
+                  (F.col("event_id") % 9).alias("cell")))
+    return spatial.od_matrix(ev, tiebreak_col="event_id")
+
+
+SQL_OD_MATRIX = """
+WITH p AS (
+  SELECT user_id, ts, event_id, event_id % 9 AS cell FROM events),
+t AS (
+  SELECT user_id, cell AS to_cell,
+         lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_cell
+  FROM p)
+SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t WHERE from_cell IS NOT NULL AND from_cell != to_cell
+GROUP BY 1, 2
+"""
+
+
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (spatial.stay_points): maximal same-cell
+    runs (gaps-and-islands) per user over the events trajectory
+    (cell = event_id % 3), runs of >= 2 pings with enter/exit/dwell.
+    Oracle: the identical double row_number run keying."""
+    from .operators import spatial
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "ts", "event_id",
+                  (F.col("event_id") % 3).alias("cell")))
+    return spatial.stay_points(ev, min_pings=2, tiebreak_col="event_id")
+
+
+SQL_STAY_POINTS = """
+WITH p AS (
+  SELECT user_id AS uid, ts, event_id, event_id % 3 AS cell FROM events),
+r AS (
+  SELECT uid, ts, cell,
+         row_number() OVER (PARTITION BY uid ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY uid, cell
+                              ORDER BY ts, event_id) AS run
+  FROM p)
+SELECT uid, cell, min(ts) AS enter_ts, max(ts) AS exit_ts,
+       CAST(count(*) AS BIGINT) AS n_pings,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+         AS dwell_sec
+FROM r GROUP BY uid, cell, run
+HAVING count(*) >= 2
+"""
+
+
+def q_histogram_match(spark, sf_dir):
+    """Histogram specification (rasterops.histogram_match_long): image
+    k's values remapped onto the distribution of image (k+1) mod 4 via
+    the exact cross-multiplied quantile mapping
+    match(v) = min u with cdf_ref(u)*n_src >= cdf_src(v)*n_ref.
+    Oracle: the same two cumulative windows + min-filtered theta-join."""
+    from .operators import rasterops
+
+    src = _px_grid(spark, sf_dir)
+    ref = (src.select(((F.col("img") + 3) % 4).alias("img"),
+                      "px", "py", "val"))
+    return rasterops.histogram_match_long(src, ref)
+
+
+SQL_HISTOGRAM_MATCH = f"""
+WITH {_PX_SQL},
+hs AS (
+  SELECT img, v, sum(count(*)) OVER (PARTITION BY img ORDER BY v) AS cdf,
+         sum(count(*)) OVER (PARTITION BY img) AS n
+  FROM px GROUP BY img, v),
+hr AS (
+  SELECT (img + 3) % 4 AS img, v,
+         sum(count(*)) OVER (PARTITION BY (img + 3) % 4 ORDER BY v)
+           AS rcdf,
+         sum(count(*)) OVER (PARTITION BY (img + 3) % 4) AS rn
+  FROM px GROUP BY (img + 3) % 4, v),
+m AS (
+  SELECT hs.img, hs.v, CAST(min(hr.v) AS BIGINT) AS matched
+  FROM hs JOIN hr ON hr.img = hs.img AND hr.rcdf * hs.n >= hs.cdf * hr.rn
+  GROUP BY hs.img, hs.v)
+SELECT px.img, px.x, px.y, px.v, m.matched
+FROM px JOIN m ON m.img = px.img AND m.v = px.v
+"""
+
+
+
 def q_region_geometry(spark, sf_dir):
     """Region shape metrics (rasterops.region_geometry_long): 4-connected
     components of the deterministic 64x64 mask (same surface as
@@ -4397,6 +4538,10 @@ GROUP_A = {
     "cost_distance": (q_cost_distance, SQL_COST_DISTANCE),
     "viewshed": (q_viewshed, SQL_VIEWSHED),
     "hilbert_keys": (q_hilbert_keys, SQL_HILBERT_KEYS),
+    "polygon_metrics": (q_polygon_metrics, SQL_POLYGON_METRICS),
+    "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
+    "stay_points": (q_stay_points, SQL_STAY_POINTS),
+    "histogram_match": (q_histogram_match, SQL_HISTOGRAM_MATCH),
     "d8_flow": (q_d8_flow, SQL_D8_FLOW),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),

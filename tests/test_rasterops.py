@@ -670,3 +670,27 @@ def test_ssim_identity_and_brute_parity(spark):
         assert r.n_win == n and r.num == num and r.den == den, (x, y)
         assert r.ssim == round(num / den, 6), (x, y)
     assert dist.ssim.max() < 1.0
+
+
+def test_histogram_match_identity_and_mapping(spark):
+    import numpy as np
+    from data_cube_utilities_spark.operators import rasterops
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 40, size=(8, 8))
+    rows = [(0, x, y, int(a[y, x])) for y in range(8) for x in range(8)]
+    df = spark.createDataFrame(rows, "img long, px long, py long, val long")
+
+    # matching an image against itself is the identity map
+    ident = rasterops.histogram_match_long(df, df).toPandas()
+    assert (ident.matched == ident.v).all()
+
+    # against a shifted reference: mapping is monotone and lands on
+    # values the reference actually contains
+    ref = df.withColumn("val", F.col("val") + 100)
+    out = rasterops.histogram_match_long(df, ref).toPandas()
+    assert set(out.matched) <= set(int(v) + 100 for v in a.ravel())
+    m = out[["v", "matched"]].drop_duplicates().sort_values("v")
+    assert m.matched.is_monotonic_increasing
+    # same-shape histograms: the shift is recovered exactly
+    assert (out.matched == out.v + 100).all()

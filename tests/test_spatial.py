@@ -857,3 +857,54 @@ def test_viewshed_brute_parity_and_wall(spark):
                for y in range(3, 6))          # shadow behind the wall
     assert all((x, y) in wvis for x in range(6) for y in range(9))
     assert all((6, y) in wvis for y in range(9))   # the wall crest itself
+
+
+def test_polygon_metrics_known_shapes(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    # CCW 2x2 square at origin, CW unit triangle
+    rows = [(0, 0, 0, 0), (0, 1, 2, 0), (0, 2, 2, 2), (0, 3, 0, 2),
+            (1, 0, 0, 0), (1, 1, 0, 3), (1, 2, 3, 0)]
+    df = spark.createDataFrame(rows, "poly_id long, seq long, x long, y long")
+    out = {r.pid: r for r in spatial.polygon_metrics(df).collect()}
+    sq = out[0]
+    assert sq.area2 == 8 and sq.n_vertices == 4          # area 4, CCW
+    assert sq.cx6a == 3 * sq.area2 * 1 and sq.cy6a == 3 * sq.area2 * 1
+    assert sq.perim2_sum == 4 * 4 and (sq.min_x, sq.max_y) == (0, 2)
+    tri = out[1]
+    assert tri.area2 == -9                               # area 4.5, CW
+    assert tri.perim2_sum == 9 + 18 + 9
+
+
+def test_od_matrix_and_stay_points_hand_trajectory(spark):
+    import datetime as dt
+
+    from data_cube_utilities_spark.operators import spatial
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: A A B B B A ; user 2: C C
+    pings = [(1, t0 + dt.timedelta(minutes=m), i, c)
+             for i, (m, c) in enumerate(
+                 [(0, "A"), (5, "A"), (10, "B"), (15, "B"),
+                  (20, "B"), (25, "A")])]
+    pings += [(2, t0, 100, "C"), (2, t0 + dt.timedelta(minutes=1), 101, "C")]
+    df = spark.createDataFrame(
+        pings, "user_id long, ts timestamp, event_id long, cell string")
+
+    od = {(r.from_cell, r.to_cell): (r.n_trips, r.n_users)
+          for r in spatial.od_matrix(df, tiebreak_col="event_id").collect()}
+    assert od == {("A", "B"): (1, 1), ("B", "A"): (1, 1)}
+    od_self = {(r.from_cell, r.to_cell): r.n_trips
+               for r in spatial.od_matrix(df, tiebreak_col="event_id",
+                                          include_self=True).collect()}
+    assert od_self[("A", "A")] == 1 and od_self[("B", "B")] == 2 \
+        and od_self[("C", "C")] == 1
+
+    sp = sorted(((r.uid, r.cell, r.n_pings, r.dwell_sec)
+                 for r in spatial.stay_points(
+                     df, min_pings=2, tiebreak_col="event_id").collect()))
+    assert sp == [(1, "A", 2, 300), (1, "B", 3, 600), (2, "C", 2, 60)]
+    # the trailing singleton A-run is below min_pings
+    all_runs = spatial.stay_points(df, min_pings=1,
+                                   tiebreak_col="event_id").count()
+    assert all_runs == 4
