@@ -425,3 +425,122 @@ def hilbert_sql(order: int, x_expr: str, y_expr: str,
     aliases = ",\n       ".join(f"{e} AS {n}" for n, e in steps)
     return (f"SELECT {carry_cols},\n       {aliases},\n"
             f"       {final} AS hkey\nFROM {from_sql}")
+
+
+# ---------------------------------------------------------------------------
+# geohash interop (base32 lat/lon cell naming)
+# ---------------------------------------------------------------------------
+# Classic geohash: 5*precision bits over the (lon, lat) plane, longitude
+# first, strictly alternating; 5-bit groups named with the standard
+# base32 alphabet (no a/i/l/o).  Prefix truncation = coarser cell, so
+# geohash strings join hierarchically exactly like quadkeys — the third
+# interop naming next to quadkey_col (web tiles) and encode_col (engine
+# cells).  Reference shape: dc_utilities' epsg/latlon cell naming idiom.
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_quant(precision: int):
+    """(lon_bits, lat_bits) for a precision-char geohash."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    bits = 5 * precision
+    return bits - bits // 2, bits // 2  # lon takes the extra odd bit
+
+
+def geohash_np(lat, lon, precision: int = 8) -> np.ndarray:
+    """numpy reference: vectorized geohash of (lat, lon) arrays."""
+    lon_bits, lat_bits = _geohash_quant(precision)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * (1 << lon_bits)),
+                 0, (1 << lon_bits) - 1).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << lat_bits)),
+                 0, (1 << lat_bits) - 1).astype(np.int64)
+    n = 5 * precision
+    inter = np.zeros_like(ix)
+    # MSB-first alternation: even stream positions take the next
+    # longitude bit (from its MSB down), odd take the next latitude bit.
+    for j in range(n):
+        src, k = (ix, lon_bits - 1 - j // 2) if j % 2 == 0 \
+            else (iy, lat_bits - 1 - j // 2)
+        inter |= ((src >> k) & 1) << (n - 1 - j)
+    out = np.empty(ix.shape, dtype=object)
+    flat_i, flat_o = inter.ravel(), out.ravel()
+    for j in range(flat_i.size):
+        v = int(flat_i[j])
+        flat_o[j] = "".join(
+            GEOHASH_BASE32[(v >> (5 * (precision - 1 - c))) & 31]
+            for c in range(precision))
+    _ = n
+    return out
+
+
+def geohash_decode_bounds_np(gh: str):
+    """Decode a geohash string to its (lat_min, lat_max, lon_min,
+    lon_max) cell bounds — the round-trip check for geohash_np."""
+    v = 0
+    for ch in gh:
+        v = (v << 5) | GEOHASH_BASE32.index(ch)
+    lon_bits, lat_bits = _geohash_quant(len(gh))
+    n = 5 * len(gh)
+    ix = iy = 0
+    for j in range(n):
+        bit = (v >> (n - 1 - j)) & 1
+        if j % 2 == 0:
+            ix |= bit << (lon_bits - 1 - j // 2)
+        else:
+            iy |= bit << (lat_bits - 1 - j // 2)
+    lon_w = 360.0 / (1 << lon_bits)
+    lat_w = 180.0 / (1 << lat_bits)
+    return (-90.0 + iy * lat_w, -90.0 + (iy + 1) * lat_w,
+            -180.0 + ix * lon_w, -180.0 + (ix + 1) * lon_w)
+
+
+def geohash_col(lat: Column, lon: Column, precision: int = 8) -> Column:
+    """Column twin of geohash_np — pure bit/CASE codegen plus one
+    concat of element_at lookups into the literal base32 alphabet; no
+    UDF.  Same quantization style as zorder_col/_quant_col."""
+    lon_bits, lat_bits = _geohash_quant(precision)
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(1 << lon_bits)) \
+          .cast("long")
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit((1 << lon_bits) - 1))
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(1 << lat_bits)) \
+          .cast("long")
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit((1 << lat_bits) - 1))
+    n = 5 * precision
+    inter = F.lit(0).cast("long")
+    for j in range(n):
+        src, k = (ix, lon_bits - 1 - j // 2) if j % 2 == 0 \
+            else (iy, lat_bits - 1 - j // 2)
+        inter = inter.bitwiseOR(
+            F.shiftleft(F.shiftright(src, k).bitwiseAND(F.lit(1)),
+                        n - 1 - j))
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    chars = [F.element_at(
+                alpha,
+                (F.shiftright(inter, 5 * (precision - 1 - c))
+                  .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"))
+             for c in range(precision)]
+    return F.concat(*chars).alias("geohash")
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 8) -> str:
+    """DuckDB oracle twin — identical quantization, interleave and
+    base32 lookup arithmetic as geohash_col."""
+    lon_bits, lat_bits = _geohash_quant(precision)
+    ix = (f"least(greatest(CAST(floor((({lon_expr}) + 180.0)/360.0 * "
+          f"{1 << lon_bits}) AS BIGINT), 0), {(1 << lon_bits) - 1})")
+    iy = (f"least(greatest(CAST(floor((({lat_expr}) + 90.0)/180.0 * "
+          f"{1 << lat_bits}) AS BIGINT), 0), {(1 << lat_bits) - 1})")
+    n = 5 * precision
+    parts = []
+    for j in range(n):
+        src, k = (ix, lon_bits - 1 - j // 2) if j % 2 == 0 \
+            else (iy, lat_bits - 1 - j // 2)
+        parts.append(f"((({src} >> {k}) & 1) << {n - 1 - j})")
+    inter = "(" + " | ".join(parts) + ")"
+    chars = [(f"substr('{GEOHASH_BASE32}', "
+              f"CAST((({inter} >> {5 * (precision - 1 - c)}) & 31) "
+              f"AS INTEGER) + 1, 1)") for c in range(precision)]
+    return "(" + " || ".join(chars) + ")"

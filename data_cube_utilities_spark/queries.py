@@ -1459,6 +1459,29 @@ SELECT s_suppkey, {cells.zorder_sql('y', 'x', 16)} AS zkey FROM pts
 """
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash base32 naming (cells.geohash_col, precision 7) of the
+    supplier point cloud plus the precision-3 prefix — the hierarchical
+    string cell key (prefix = parent cell, like quadkey digits) used to
+    name/bucket uploads and to range-prune scans by string prefix.
+    Pure bit/CASE codegen + literal-alphabet lookups, no UDF; pinned to
+    the canonical test vectors (u4pruydqqvj) in tests.  Oracle: the
+    same generated interleave/substr arithmetic (cells.geohash_sql)."""
+    s = _t(spark, sf_dir, "supplier").withColumn("x", F.expr(SUP_X)) \
+                                     .withColumn("y", F.expr(SUP_Y))
+    gh = cells.geohash_col(F.col("y"), F.col("x"), 7)
+    return s.select("s_suppkey", gh.alias("geohash")) \
+            .withColumn("gh3", F.substring("geohash", 1, 3))
+
+
+SQL_GEOHASH = f"""
+WITH pts AS (SELECT s_suppkey, {SUP_X} AS x, {SUP_Y} AS y FROM supplier)
+SELECT s_suppkey, {cells.geohash_sql('y', 'x', 7)} AS geohash,
+       substr({cells.geohash_sql('y', 'x', 7)}, 1, 3) AS gh3
+FROM pts
+"""
+
+
 def q_lag_linregress(spark, sf_dir):
     """lag_linregress_3D moments (dea temporal.py:811-881): the four
     SQL-expressible outputs — cov/cor/slope/intercept of value against
@@ -4574,6 +4597,7 @@ GROUP_A = {
     "mostcommon_crs": (q_mostcommon_crs, SQL_MOSTCOMMON_CRS),
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "zorder": (q_zorder, SQL_ZORDER),
+    "geohash": (q_geohash, SQL_GEOHASH),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),

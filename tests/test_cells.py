@@ -279,3 +279,43 @@ def test_hilbert_key_properties(spark):
     fh = sum(frags(hk, bx, by) for bx in range(13) for by in range(13))
     fz = sum(frags(zx, bx, by) for bx in range(13) for by in range(13))
     assert fh < fz
+
+
+def test_geohash_canonical_vectors():
+    # published reference vectors (geohash.org canonical examples)
+    assert cells.geohash_np([57.64911], [10.40744], 11)[0] == "u4pruydqqvj"
+    assert cells.geohash_np([48.8583], [2.2945], 6)[0].startswith("u09t")
+    assert cells.geohash_np([0.0], [0.0], 1)[0] == "s"
+    # prefix truncation = parent cell
+    full = cells.geohash_np([57.64911], [10.40744], 9)[0]
+    for p in (1, 3, 5, 7):
+        assert cells.geohash_np([57.64911], [10.40744], p)[0] == full[:p]
+
+
+def test_geohash_decode_bounds_roundtrip():
+    rng = np.random.RandomState(5)
+    lat = rng.uniform(-89.9, 89.9, 100)
+    lon = rng.uniform(-179.9, 179.9, 100)
+    for p in (3, 6, 9):
+        ghs = cells.geohash_np(lat, lon, p)
+        for a, o, g in zip(lat, lon, ghs):
+            lo, hi, wlo, whi = cells.geohash_decode_bounds_np(g)
+            assert lo <= a <= hi and wlo <= o <= whi
+
+
+def test_geohash_col_matches_numpy(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame({
+        "lat": rng.uniform(-90, 90, 300),
+        "lon": rng.uniform(-180, 180, 300)})
+    for p in (1, 4, 7, 12):
+        got = (spark.createDataFrame(pdf)
+               .select(cells.geohash_col(F.col("lat"), F.col("lon"), p)
+                       .alias("gh"))
+               .toPandas()["gh"].to_numpy())
+        want = cells.geohash_np(pdf["lat"].to_numpy(),
+                                pdf["lon"].to_numpy(), p)
+        assert (got == want).all()
