@@ -1742,3 +1742,94 @@ def stay_points(points: DataFrame, min_pings: int = 2,
                          (F.unix_timestamp("exit_ts")
                           - F.unix_timestamp("enter_ts")).cast("long"))
              .drop("_run"))
+
+
+# ---------------------------------------------------------------------------
+# density clustering (DBSCAN) over integer point clouds
+# ---------------------------------------------------------------------------
+
+def dbscan_points(points: DataFrame, eps: int, min_pts: int,
+                  id_col: str = "pid", x_col: str = "x", y_col: str = "y",
+                  max_iters: int = 32) -> DataFrame:
+    """DBSCAN over an integer point cloud — the density clusterer for
+    acquisition footprints / hotspot discovery (the unsupervised
+    companion to the kNN / Getis-Ord family; reference fan-out shape:
+    dc_clustering.py's per-scene cluster labeling).
+
+    Semantics (classic DBSCAN, deterministic variant):
+      * neighbor = squared Euclidean distance <= eps^2 (self included);
+      * core point = >= min_pts neighbors;
+      * clusters = connected components of the core-core neighbor
+        graph, labeled by the MINIMUM core id in the component (so
+        labels are reproducible under any execution order — no
+        first-scan nondeterminism);
+      * border point (non-core with a core neighbor) joins the cluster
+        of the smallest label among its core neighbors; everything
+        else is noise (cluster = -1).
+
+    Scale shape: candidate pairs come from a GRID-BUCKET equi-join
+    (cell = eps, 3x3 neighborhood exploded on one side — never
+    all-pairs); components resolve by min-label propagation PLUS
+    pointer jumping (label <- label(label)) per round, so chains
+    collapse in O(log diameter) n-row joins, the watershed pointer-
+    doubling shape.  Integer coordinates keep every comparison exact —
+    the DuckDB oracle walks the same edges with a recursive CTE."""
+    p = points.select(F.col(id_col).cast("long").alias("pid"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"))
+    bx = F.floor(F.col("x") / eps)
+    by = F.floor(F.col("y") / eps)
+    a = p.select("pid", "x", "y", bx.alias("bx"), by.alias("by"))
+    probe = (a.select("pid", "x", "y",
+                      F.explode(F.array(*[
+                          F.struct((F.col("bx") + dx).alias("nbx"),
+                                   (F.col("by") + dy).alias("nby"))
+                          for dx in (-1, 0, 1) for dy in (-1, 0, 1)]))
+                      .alias("o"))
+              .select("pid", "x", "y", F.col("o.nbx").alias("bx"),
+                      F.col("o.nby").alias("by")))
+    b = a.select(F.col("pid").alias("qid"), F.col("x").alias("qx"),
+                 F.col("y").alias("qy"), "bx", "by")
+    d2 = ((F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+          + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")))
+    pairs = (probe.join(b, ["bx", "by"])
+                  .filter(d2 <= F.lit(eps * eps))
+                  .select("pid", "qid").persist())
+    counts = pairs.groupBy("pid").agg(F.count("*").alias("n_nbr"))
+    core = counts.filter(F.col("n_nbr") >= min_pts).select("pid")
+    edges = (pairs.join(core.withColumnRenamed("pid", "qid"), "qid")
+                  .join(core, "pid").select("pid", "qid"))
+    lbl = core.select("pid", F.col("pid").alias("lbl")).persist()
+    for _ in range(max_iters):
+        nb_min = (edges.join(lbl.withColumnRenamed("pid", "qid")
+                                .withColumnRenamed("lbl", "qlbl"), "qid")
+                       .groupBy("pid").agg(F.min("qlbl").alias("nb_lbl")))
+        stepped = (lbl.join(nb_min, "pid", "left")
+                      .select("pid", F.least(
+                          "lbl", F.coalesce("nb_lbl", "lbl")).alias("lbl")))
+        # pointer jump: label <- label's label (labels are core pids)
+        jump = stepped.select(F.col("pid").alias("lbl"),
+                              F.col("lbl").alias("jlbl"))
+        nxt = (stepped.join(jump, "lbl")
+                      .select("pid", F.col("jlbl").alias("lbl"))
+                      .localCheckpoint())
+        changed = (nxt.withColumnRenamed("lbl", "nlbl").join(lbl, "pid")
+                      .filter(F.col("nlbl") != F.col("lbl")).count())
+        lbl.unpersist()
+        lbl = nxt.persist()
+        if changed == 0:
+            break
+    border = (pairs.join(core, "pid", "left_anti")
+                   .join(lbl.withColumnRenamed("pid", "qid")
+                            .withColumnRenamed("lbl", "qlbl"), "qid")
+                   .groupBy("pid").agg(F.min("qlbl").alias("blbl")))
+    out = (p.join(lbl, "pid", "left")
+            .join(border, "pid", "left")
+            .select("pid", "x", "y",
+                    F.col("lbl").isNotNull().alias("is_core"),
+                    F.coalesce("lbl", "blbl", F.lit(-1)).cast("long")
+                     .alias("cluster")))
+    res = out.localCheckpoint()
+    pairs.unpersist()
+    lbl.unpersist()
+    return res

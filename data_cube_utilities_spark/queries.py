@@ -3496,6 +3496,74 @@ FROM px JOIN m ON m.img = px.img AND m.v = px.v
 
 
 
+def q_dbscan(spark, sf_dir):
+    """DBSCAN density clustering (spatial.dbscan_points, eps=5,
+    min_pts=5) over a deterministic 2,400-point cloud: 12 planted
+    lattice clusters (radius-14 modular offsets around spread centers)
+    with every 7th point redirected to uniform noise — cores, min-id
+    cluster labels, border attachment and noise all exact-integer.
+    Candidates come from the eps-grid bucket join (never all-pairs);
+    components from min-label propagation + pointer jumping.  Oracle:
+    the same bucket join + a recursive-CTE closure."""
+    from .operators import spatial
+
+    i = F.col("id")
+    c = i % 12
+    clx = (F.lit(20) + (c * 83) % 320) + ((i * 1103515245 + 12345) % 29
+                                          - F.lit(14))
+    cly = (F.lit(15) + (c * 67) % 210) + ((i * 69069 + 7) % 29
+                                          - F.lit(14))
+    pts = spark.range(2400).select(
+        i.alias("pid"),
+        F.when(i % 7 == 3, (i * 9301 + 49297) % 360)
+         .otherwise(clx).cast("long").alias("x"),
+        F.when(i % 7 == 3, (i * 7919 + 12345) % 240)
+         .otherwise(cly).cast("long").alias("y"))
+    return spatial.dbscan_points(pts, eps=5, min_pts=5)
+
+
+SQL_DBSCAN = """
+WITH RECURSIVE pts AS (
+  SELECT i.i AS pid,
+         CAST(CASE WHEN i.i % 7 = 3 THEN (i.i*9301 + 49297) % 360
+              ELSE 20 + ((i.i % 12)*83) % 320
+                   + ((i.i*1103515245 + 12345) % 29 - 14) END AS BIGINT)
+           AS x,
+         CAST(CASE WHEN i.i % 7 = 3 THEN (i.i*7919 + 12345) % 240
+              ELSE 15 + ((i.i % 12)*67) % 210
+                   + ((i.i*69069 + 7) % 29 - 14) END AS BIGINT) AS y
+  FROM generate_series(0, 2399) i(i)),
+probe AS (
+  SELECT p.pid, p.x, p.y, p.x // 5 + o.ox AS bx, p.y // 5 + o.oy AS by
+  FROM pts p CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                (0,1),(1,-1),(1,0),(1,1)) o(ox, oy)),
+cand AS (
+  SELECT a.pid AS pa, b.pid AS pb
+  FROM probe a JOIN (SELECT pid, x, y, x // 5 AS bx, y // 5 AS by
+                     FROM pts) b
+    ON a.bx = b.bx AND a.by = b.by
+  WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 25),
+cnt AS (SELECT pa AS pid, count(*) AS n FROM cand GROUP BY pa),
+core AS (SELECT pid FROM cnt WHERE n >= 5),
+edges AS (
+  SELECT pa, pb FROM cand
+  WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)),
+reach(pid, lbl) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT e.pa, r.lbl FROM reach r JOIN edges e ON e.pb = r.pid),
+lbls AS (SELECT pid, min(lbl) AS lbl FROM reach GROUP BY pid),
+border AS (
+  SELECT c.pa AS pid, min(l.lbl) AS blbl
+  FROM cand c JOIN lbls l ON l.pid = c.pb
+  WHERE c.pa NOT IN (SELECT pid FROM core) GROUP BY c.pa)
+SELECT p.pid, p.x, p.y, (l.pid IS NOT NULL) AS is_core,
+       CAST(coalesce(l.lbl, b.blbl, -1) AS BIGINT) AS cluster
+FROM pts p LEFT JOIN lbls l ON l.pid = p.pid
+           LEFT JOIN border b ON b.pid = p.pid
+"""
+
+
 def q_region_geometry(spark, sf_dir):
     """Region shape metrics (rasterops.region_geometry_long): 4-connected
     components of the deterministic 64x64 mask (same surface as
@@ -4598,6 +4666,7 @@ GROUP_A = {
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "zorder": (q_zorder, SQL_ZORDER),
     "geohash": (q_geohash, SQL_GEOHASH),
+    "dbscan": (q_dbscan, SQL_DBSCAN),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),

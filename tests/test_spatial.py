@@ -908,3 +908,53 @@ def test_od_matrix_and_stay_points_hand_trajectory(spark):
     all_runs = spatial.stay_points(df, min_pings=1,
                                    tiebreak_col="event_id").count()
     assert all_runs == 4
+
+
+def test_dbscan_planted_clusters_and_noise(spark):
+    # two tight 3x3 blobs far apart + two isolated noise points
+    rows = []
+    for bx, base in ((0, 0), (100, 1000)):
+        for dx in range(3):
+            for dy in range(3):
+                rows.append((base + dx * 3 + dy, bx + dx, dy))
+    rows += [(5000, 50, 50), (5001, 53, 57)]
+    df = spark.createDataFrame(rows, "pid long, x long, y long")
+    out = spatial.dbscan_points(df, eps=2, min_pts=4).toPandas() \
+        .set_index("pid").sort_index()
+    # blob members are cores of a single min-id-labeled cluster
+    assert (out.loc[0:8, "cluster"] == 0).all()
+    assert out.loc[0:8, "is_core"].all()
+    assert (out.loc[1000:1008, "cluster"] == 1000).all()
+    # noise points: not core, cluster -1
+    assert (out.loc[[5000, 5001], "cluster"] == -1).all()
+    assert not out.loc[[5000, 5001], "is_core"].any()
+
+
+def test_dbscan_border_point_attaches_to_min_core_label(spark):
+    # dense core column at x=0..0,y=0..4 (5 pts, eps=1, min_pts=3 ->
+    # middle ones core) plus a single border point at (1, 2): within
+    # eps of cores but only 2 neighbors itself
+    rows = [(i, 0, i) for i in range(5)] + [(99, 1, 2)]
+    df = spark.createDataFrame(rows, "pid long, x long, y long")
+    out = spatial.dbscan_points(df, eps=1, min_pts=3).toPandas() \
+        .set_index("pid")
+    assert out.loc[2, "is_core"]          # 3 neighbors incl self
+    assert not out.loc[99, "is_core"]     # 2 neighbors + self = 3? no: (1,2)
+    # border: attached to the cluster labeled by the minimum core pid
+    core_ids = out.index[out["is_core"]]
+    assert out.loc[99, "cluster"] == out.loc[core_ids.min(), "cluster"]
+
+
+def test_dbscan_chain_converges_single_component(spark):
+    # a 40-long chain of spacing 1: every interior point core at
+    # eps=1/min_pts=3; pointer jumping must collapse the chain to one
+    # label well inside max_iters
+    rows = [(i, i, 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "pid long, x long, y long")
+    out = spatial.dbscan_points(df, eps=1, min_pts=3).toPandas() \
+        .set_index("pid").sort_index()
+    # endpoints have only 2 neighbors -> border; min core id is 1, and
+    # every point (borders included) lands in that single cluster
+    assert not out.loc[0, "is_core"] and not out.loc[39, "is_core"]
+    assert out.loc[1:38, "is_core"].all()
+    assert set(out["cluster"]) == {1}
