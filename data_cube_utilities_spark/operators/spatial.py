@@ -1833,3 +1833,92 @@ def dbscan_points(points: DataFrame, eps: int, min_pts: int,
     pairs.unpersist()
     lbl.unpersist()
     return res
+
+
+# ---------------------------------------------------------------------------
+# convex hull per group (two-stage salted monotone chain)
+# ---------------------------------------------------------------------------
+
+def _hull_chain_np(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain with STRICT turns (collinear points on the
+    boundary are dropped): returns indices of hull vertices in CCW
+    order (y-up convention), starting from the lexicographically
+    smallest point.  numpy sort + Python stack over the sorted run —
+    the per-group candidate sets this sees are hull-sized, not
+    input-sized."""
+    order = np.lexsort((ys, xs))
+    px, py = xs[order], ys[order]
+
+    def half(idx):
+        st = []
+        for j in idx:
+            while len(st) >= 2:
+                ax, ay = px[st[-2]], py[st[-2]]
+                bx, by = px[st[-1]], py[st[-1]]
+                if (bx - ax) * (py[j] - ay) - (by - ay) * (px[j] - ax) <= 0:
+                    st.pop()
+                else:
+                    break
+            st.append(j)
+        return st
+
+    n = len(px)
+    if n <= 2:
+        return order[list(range(n))]
+    lower = half(range(n))
+    upper = half(range(n - 1, -1, -1))
+    return order[np.array(lower[:-1] + upper[:-1], dtype=np.int64)]
+
+
+def convex_hull_edges(points: DataFrame, group_col: str = "gid",
+                      x_col: str = "x", y_col: str = "y",
+                      n_salt: int = 16) -> DataFrame:
+    """Per-group convex hull, emitted as DIRECTED CCW edges
+    (gid, ax, ay, bx, by) — the footprint/extent summarizer for scene
+    groups (reference shape: get_product_extents' bounding geometry,
+    upgraded from bbox to true hull).
+
+    TWO-STAGE SALTED REDUCTION (hull(S) = hull(hull(S_1) u ... u
+    hull(S_k))): stage 1 computes a partial hull per (group, salt)
+    partition with an Arrow-batched monotone chain, shrinking each
+    group to O(k * hull_size) candidates; stage 2 chains the candidates
+    per group.  A 10^9-point group therefore never gathers — only its
+    partial hulls do.  STRICT turns: boundary-collinear points are not
+    vertices, so with inputs in general position the edge set equals
+    the all-points-strictly-left SQL characterization (the oracle)."""
+    sel = [F.col(group_col).alias("gid"),
+           F.col(x_col).cast("long").alias("x"),
+           F.col(y_col).cast("long").alias("y")]
+    p = points.select(*sel)
+    salted = p.withColumn(
+        "_salt", (F.xxhash64("x", "y") % n_salt + n_salt) % n_salt)
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        keep = _hull_chain_np(xs, ys)
+        return pd.DataFrame({
+            "gid": np.repeat(pdf["gid"].iloc[0], len(keep)),
+            "x": xs[keep], "y": ys[keep]})
+
+    part = (salted.groupBy("gid", "_salt")
+                  .applyInPandas(chain, "gid long, x long, y long"))
+
+    def chain_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        keep = _hull_chain_np(xs, ys)
+        if len(keep) < 3:   # degenerate group: no strict hull edges
+            z = np.array([], dtype=np.int64)
+            return pd.DataFrame(
+                {"gid": z, "ax": z, "ay": z, "bx": z, "by": z})
+        hx, hy = xs[keep], ys[keep]
+        nxt = np.roll(np.arange(len(keep)), -1)
+        return pd.DataFrame({
+            "gid": np.repeat(pdf["gid"].iloc[0], len(keep)),
+            "ax": hx, "ay": hy, "bx": hx[nxt], "by": hy[nxt]})
+
+    return (part.groupBy("gid")
+                .applyInPandas(chain_edges,
+                               "gid long, ax long, ay long, "
+                               "bx long, by long"))

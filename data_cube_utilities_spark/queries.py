@@ -3564,6 +3564,42 @@ FROM pts p LEFT JOIN lbls l ON l.pid = p.pid
 """
 
 
+def q_convex_hull(spark, sf_dir):
+    """Per-group convex hull edges (spatial.convex_hull_edges): 8 groups
+    of 60 quadratic-residue points (verified free of duplicates and
+    collinear triples, so the strict-turn hull is unambiguous), reduced
+    by the two-stage salted monotone chain — partial hull per
+    (group, salt), then hull of the partial hulls.  Oracle: the
+    all-other-points-strictly-left edge characterization (O(n^3) per
+    group, exact at driver scale; the Spark path never materializes
+    pairs)."""
+    from .operators import spatial
+
+    i = F.col("id")
+    pts = spark.range(480).select(
+        (i % 8).alias("gid"),
+        ((i * i * 31 + i * 17) % 1021).alias("x"),
+        ((i * i * 57 + i * 23) % 1019).alias("y"))
+    return spatial.convex_hull_edges(pts)
+
+
+SQL_CONVEX_HULL = """
+WITH pts AS (
+  SELECT i.i AS pid, i.i % 8 AS gid,
+         (i.i*i.i*31 + i.i*17) % 1021 AS x,
+         (i.i*i.i*57 + i.i*23) % 1019 AS y
+  FROM generate_series(0, 479) i(i))
+SELECT CAST(a.gid AS BIGINT) AS gid,
+       CAST(a.x AS BIGINT) AS ax, CAST(a.y AS BIGINT) AS ay,
+       CAST(b.x AS BIGINT) AS bx, CAST(b.y AS BIGINT) AS by
+FROM pts a JOIN pts b ON a.gid = b.gid AND a.pid <> b.pid
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts c
+  WHERE c.gid = a.gid AND c.pid <> a.pid AND c.pid <> b.pid
+    AND (b.x - a.x)*(c.y - a.y) - (b.y - a.y)*(c.x - a.x) <= 0)
+"""
+
+
 def q_region_geometry(spark, sf_dir):
     """Region shape metrics (rasterops.region_geometry_long): 4-connected
     components of the deterministic 64x64 mask (same surface as
@@ -4667,6 +4703,7 @@ GROUP_A = {
     "zorder": (q_zorder, SQL_ZORDER),
     "geohash": (q_geohash, SQL_GEOHASH),
     "dbscan": (q_dbscan, SQL_DBSCAN),
+    "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),

@@ -958,3 +958,37 @@ def test_dbscan_chain_converges_single_component(spark):
     assert not out.loc[0, "is_core"] and not out.loc[39, "is_core"]
     assert out.loc[1:38, "is_core"].all()
     assert set(out["cluster"]) == {1}
+
+
+def test_convex_hull_square_with_interior(spark):
+    # unit square corners + interior + boundary-collinear midpoint:
+    # strict turns keep only the 4 corners, CCW directed edges
+    rows = [(0, 0, 0), (1, 10, 0), (2, 10, 10), (3, 0, 10),
+            (4, 5, 5), (5, 5, 0)]  # (5,0) lies ON the bottom edge
+    df = spark.createDataFrame([(0, *r[1:]) for r in rows],
+                               "gid long, x long, y long")
+    out = spatial.convex_hull_edges(df, n_salt=4).toPandas()
+    got = {tuple(r) for r in out[["ax", "ay", "bx", "by"]].to_numpy()}
+    assert got == {(0, 0, 10, 0), (10, 0, 10, 10),
+                   (10, 10, 0, 10), (0, 10, 0, 0)}
+
+
+def test_convex_hull_two_stage_matches_single_stage(spark):
+    import pandas as pd
+    rng = np.random.RandomState(17)
+    pdf = pd.DataFrame({
+        "gid": rng.randint(0, 4, 600),
+        "x": rng.randint(0, 10_000, 600).astype("int64"),
+        "y": rng.randint(0, 10_000, 600).astype("int64")})
+    df = spark.createDataFrame(pdf)
+    a = spatial.convex_hull_edges(df, n_salt=1).toPandas()
+    b = spatial.convex_hull_edges(df, n_salt=16).toPandas()
+    key = ["gid", "ax", "ay", "bx", "by"]
+    assert sorted(map(tuple, a[key].to_numpy().tolist())) \
+        == sorted(map(tuple, b[key].to_numpy().tolist()))
+
+
+def test_convex_hull_degenerate_collinear_group_empty(spark):
+    df = spark.createDataFrame([(0, i, 2 * i) for i in range(10)],
+                               "gid long, x long, y long")
+    assert spatial.convex_hull_edges(df).count() == 0
