@@ -1922,3 +1922,58 @@ def convex_hull_edges(points: DataFrame, group_col: str = "gid",
                 .applyInPandas(chain_edges,
                                "gid long, ax long, ay long, "
                                "bx long, by long"))
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto front (2-criteria dominance)
+# ---------------------------------------------------------------------------
+
+def _skyline_mask_np(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2D skyline: row p survives iff no q has
+    (q.lo <= p.lo AND q.hi >= p.hi) with strict inequality somewhere.
+    Exact O(n log n) sweep: sort by lo, take the running max of hi over
+    strictly-cheaper prefixes and the max within the same-lo group —
+    ties (duplicate points) are both kept, matching SQL NOT EXISTS
+    strict-dominance semantics."""
+    lo = np.asarray(lo, dtype=np.float64)
+    hi = np.asarray(hi, dtype=np.float64)
+    order = np.argsort(lo, kind="stable")
+    slo, shi = lo[order], hi[order]
+    # group boundaries of equal lo values
+    new_grp = np.empty(len(slo), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = slo[1:] != slo[:-1]
+    gid = np.cumsum(new_grp) - 1
+    n_grp = gid[-1] + 1 if len(gid) else 0
+    grp_max = np.full(n_grp, -np.inf)
+    np.maximum.at(grp_max, gid, shi)
+    prev_cummax = np.full(n_grp, -np.inf)
+    if n_grp > 1:
+        prev_cummax[1:] = np.maximum.accumulate(grp_max)[:-1]
+    dominated = (prev_cummax[gid] >= shi) | (grp_max[gid] > shi)
+    keep = np.empty(len(lo), dtype=bool)
+    keep[order] = ~dominated
+    return keep
+
+
+def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
+    """Pareto front under (minimize col, maximize col) strict dominance —
+    the multi-criteria selector (cheapest-vs-largest part, clearest-vs-
+    newest scene).  TWO-STAGE: a per-partition exact sweep via
+    mapInPandas shrinks each partition to its local skyline (a point
+    undominated globally is undominated locally, so no survivor is
+    lost), then the union of local skylines — O(partitions x skyline
+    size), typically tiny — reduces on a single partition with the same
+    sweep.  Neither stage materializes a pair join; the oracle is the
+    O(n^2) NOT EXISTS form."""
+    cols = df.columns
+
+    def sweep(it):
+        for pdf in it:
+            if len(pdf):
+                yield pdf[_skyline_mask_np(pdf[minimize].to_numpy(),
+                                           pdf[maximize].to_numpy())]
+
+    schema = df.schema
+    local = df.mapInPandas(sweep, schema)
+    return local.coalesce(1).mapInPandas(sweep, schema).select(*cols)

@@ -3600,6 +3600,31 @@ WHERE NOT EXISTS (
 """
 
 
+def q_skyline(spark, sf_dir):
+    """Pareto front of the part catalog (spatial.skyline_2d): parts
+    where no other part is both cheaper (p_retailprice) and larger
+    (p_size) with strict improvement somewhere — the multi-criteria
+    selector, reduced by per-partition exact sweeps + a candidates-only
+    final pass (never a pair join).  Oracle: the NOT EXISTS strict-
+    dominance definition."""
+    from .operators import spatial
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size",
+                                         "p_retailprice")
+    return spatial.skyline_2d(p, minimize="p_retailprice",
+                              maximize="p_size")
+
+
+SQL_SKYLINE = """
+SELECT p_partkey, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
 def q_region_geometry(spark, sf_dir):
     """Region shape metrics (rasterops.region_geometry_long): 4-connected
     components of the deterministic 64x64 mask (same surface as
@@ -4704,6 +4729,7 @@ GROUP_A = {
     "geohash": (q_geohash, SQL_GEOHASH),
     "dbscan": (q_dbscan, SQL_DBSCAN),
     "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
+    "skyline": (q_skyline, SQL_SKYLINE),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),

@@ -992,3 +992,22 @@ def test_convex_hull_degenerate_collinear_group_empty(spark):
     df = spark.createDataFrame([(0, i, 2 * i) for i in range(10)],
                                "gid long, x long, y long")
     assert spatial.convex_hull_edges(df).count() == 0
+
+
+def test_skyline_two_stage_matches_brute(spark):
+    rng = np.random.RandomState(23)
+    pdf = pd.DataFrame({
+        "id": np.arange(500, dtype=np.int64),
+        "cost": rng.randint(0, 40, 500).astype("int64"),
+        "gain": rng.randint(0, 40, 500).astype("int64")})
+    out = spatial.skyline_2d(spark.createDataFrame(pdf).repartition(7),
+                             minimize="cost", maximize="gain").toPandas()
+    keep = set()
+    for p in pdf.itertuples():
+        dom = ((pdf.cost <= p.cost) & (pdf.gain >= p.gain)
+               & ((pdf.cost < p.cost) | (pdf.gain > p.gain))).any()
+        if not dom:
+            keep.add(p.id)
+    assert set(out["id"]) == keep
+    # duplicates of an undominated point all survive
+    assert len(out) == int(pdf.id.isin(keep).sum())
