@@ -3625,6 +3625,52 @@ WHERE NOT EXISTS (
 """
 
 
+def q_harris_corners(spark, sf_dir):
+    """Harris-Stephens corner response + non-max-suppressed corner flag
+    (rasterops.harris_corners_long, k = 1/20 cleared to integers) over
+    the four dense 32x32 lineitem images — Sobel gradients, 3x3
+    structure tensor, r = 20*det - tr^2, strict 8-neighbor local max.
+    Every stage is an explode-offsets fold with HAVING count = window,
+    so the valid region shrinks one ring per stage with no border
+    convention.  Oracle: the same three grouped folds in SQL."""
+    from .operators import rasterops
+
+    return rasterops.harris_corners_long(_px_grid(spark, sf_dir))
+
+
+SQL_HARRIS_CORNERS = f"""
+WITH {_PX_SQL},
+o9(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                      (1,-1),(1,0),(1,1)),
+o8(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                      (1,-1),(1,0),(1,1)),
+g AS (
+  SELECT p.img, p.x - o.dx AS x, p.y - o.dy AS y,
+         sum(o.dx * (2 - abs(o.dy)) * p.v) AS gx,
+         sum(o.dy * (2 - abs(o.dx)) * p.v) AS gy
+  FROM px p CROSS JOIN o9 o
+  GROUP BY 1, 2, 3 HAVING count(*) = 9),
+s AS (
+  SELECT g.img, g.x - o.dx AS x, g.y - o.dy AS y,
+         sum(g.gx*g.gx) AS sxx, sum(g.gy*g.gy) AS syy,
+         sum(g.gx*g.gy) AS sxy
+  FROM g CROSS JOIN o9 o
+  GROUP BY 1, 2, 3 HAVING count(*) = 9),
+r AS (
+  SELECT img, x, y,
+         20*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS r20
+  FROM s),
+m AS (
+  SELECT r.img, r.x - o.dx AS x, r.y - o.dy AS y, max(r.r20) AS nmx
+  FROM r CROSS JOIN o8 o
+  GROUP BY 1, 2, 3 HAVING count(*) = 8)
+SELECT r.img, CAST(r.x AS BIGINT) AS x, CAST(r.y AS BIGINT) AS y,
+       CAST(r.r20 AS BIGINT) AS r20,
+       (r.r20 > 0 AND r.r20 > m.nmx) AS is_corner
+FROM r JOIN m ON m.img = r.img AND m.x = r.x AND m.y = r.y
+"""
+
+
 def q_region_geometry(spark, sf_dir):
     """Region shape metrics (rasterops.region_geometry_long): 4-connected
     components of the deterministic 64x64 mask (same surface as
@@ -4730,6 +4776,7 @@ GROUP_A = {
     "dbscan": (q_dbscan, SQL_DBSCAN),
     "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
     "skyline": (q_skyline, SQL_SKYLINE),
+    "harris_corners": (q_harris_corners, SQL_HARRIS_CORNERS),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),

@@ -694,3 +694,33 @@ def test_histogram_match_identity_and_mapping(spark):
     assert m.matched.is_monotonic_increasing
     # same-shape histograms: the shift is recovered exactly
     assert (out.matched == out.v + 100).all()
+
+
+def test_harris_detects_square_corners(spark):
+    from data_cube_utilities_spark.operators import rasterops as R
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # 24x24 black field with a bright 10x10 square at [7..16]^2
+    n = 24
+    img = np.zeros((n, n), dtype=np.int64)
+    img[7:17, 7:17] = 200
+    pdf = pd.DataFrame({
+        "img": 0,
+        "px": np.tile(np.arange(n), n),
+        "py": np.repeat(np.arange(n), n),
+        "val": img[np.repeat(np.arange(n), n), np.tile(np.arange(n), n)]})
+    out = (R.harris_corners_long(spark.createDataFrame(pdf))
+           .toPandas().set_index(["x", "y"]).sort_index())
+    corners = set(out.index[out["is_corner"]])
+    # one detection adjacent to each of the four square corners
+    for cx, cy in [(7, 7), (7, 16), (16, 7), (16, 16)]:
+        assert any(abs(x - cx) <= 1 and abs(y - cy) <= 1
+                   for x, y in corners), (cx, cy, corners)
+    # flat interior and straight edges are NOT corners
+    assert (10, 10) not in corners        # deep inside the square
+    assert (12, 7) not in corners         # mid-edge
+    assert (3, 3) not in corners          # flat background
+    # edge midpoints have NEGATIVE response (edge, not corner)
+    assert out.loc[(12, 7), "r20"] < 0
