@@ -2005,6 +2005,29 @@ def histogram_match_long(src: DataFrame, ref: DataFrame,
 # Harris corner response (exact-integer structure tensor)
 # ---------------------------------------------------------------------------
 
+
+def _fold_offsets(src: DataFrame, aggs: list, window: list,
+                  full: int) -> DataFrame:
+    """Shared neighborhood-fold shape: explode the window offsets on the
+    SOURCE side, shuffle once on the destination (img, x, y), aggregate;
+    HAVING count = window size keeps only full-neighborhood centers.
+    Aggs must include F.count("*").alias("_c")."""
+    shifted = src.select(
+        "img",
+        F.explode(F.array(*[
+            F.struct((F.col("x") - dx).alias("cx"),
+                     (F.col("y") - dy).alias("cy"),
+                     F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in window])).alias("o"),
+        *[F.col(c) for c in src.columns if c not in ("img", "x", "y")])
+    flat = shifted.select(
+        "img", F.col("o.cx").alias("x"), F.col("o.cy").alias("y"),
+        F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy"),
+        *[c for c in src.columns if c not in ("img", "x", "y")])
+    return (flat.groupBy("img", "x", "y").agg(*aggs)
+                .filter(F.col("_c") == full).drop("_c"))
+
+
 def harris_corners_long(pixels: DataFrame, k_num: int = 1, k_den: int = 20,
                         threshold: int = 0, img_col: str = "img",
                         x_col: str = "px", y_col: str = "py",
@@ -2033,24 +2056,7 @@ def harris_corners_long(pixels: DataFrame, k_num: int = 1, k_den: int = 20,
                       F.col(x_col).cast("long").alias("x"),
                       F.col(y_col).cast("long").alias("y"),
                       F.col(value_col).cast("long").alias("v"))
-
-    def fold(src: DataFrame, aggs: list, window: list,
-             full: int) -> DataFrame:
-        shifted = src.select(
-            "img",
-            F.explode(F.array(*[
-                F.struct((F.col("x") - dx).alias("cx"),
-                         (F.col("y") - dy).alias("cy"),
-                         F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx, dy in window])).alias("o"),
-            *[F.col(c) for c in src.columns if c not in ("img", "x", "y")])
-        flat = shifted.select(
-            "img", F.col("o.cx").alias("x"), F.col("o.cy").alias("y"),
-            F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy"),
-            *[c for c in src.columns if c not in ("img", "x", "y")])
-        return (flat.groupBy("img", "x", "y").agg(*aggs)
-                    .filter(F.col("_c") == full).drop("_c"))
-
+    fold = _fold_offsets
     w9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     sobel = fold(p, [
         F.sum(F.col("dx") * (2 - F.abs(F.col("dy"))) * F.col("v"))
@@ -2075,3 +2081,71 @@ def harris_corners_long(pixels: DataFrame, k_num: int = 1, k_den: int = 20,
                 .select("img", "x", "y", F.col("r").alias("r20"),
                         ((F.col("r") > threshold)
                          & (F.col("r") > F.col("nmx"))).alias("is_corner")))
+
+
+# ---------------------------------------------------------------------------
+# Hough line transform (quantized-integer polar accumulator)
+# ---------------------------------------------------------------------------
+
+def hough_trig_table(n_theta: int = 16, scale: int = 1024):
+    """The shared quantized trig table: (t, round(cos(pi*t/n)*scale),
+    round(sin(pi*t/n)*scale)) for t in [0, n_theta) — ONE source of
+    truth emitted both as Spark literal structs and as the oracle's
+    VALUES list, so the two engines accumulate identical votes."""
+    import math
+    return [(t, round(math.cos(math.pi * t / n_theta) * scale),
+             round(math.sin(math.pi * t / n_theta) * scale))
+            for t in range(n_theta)]
+
+
+def hough_lines_long(pixels: DataFrame, mag_thresh: int = 400,
+                     n_theta: int = 16, scale: int = 1024,
+                     rho_div: int = 2048, rho_offset: int = 65536,
+                     min_votes: int = 2, img_col: str = "img",
+                     x_col: str = "px", y_col: str = "py",
+                     value_col: str = "val") -> DataFrame:
+    """Hough line transform over a long-form pixel table, exact-integer:
+    Sobel edge pixels (|gx|+|gy| > mag_thresh) vote into a quantized
+    (theta, rho) accumulator; returns the accumulator cells with >=
+    min_votes — each one a detected line (theta index, rho bin, votes).
+
+    Integer geometry: rho*scale = x*round(cos*scale) + y*round(sin*scale),
+    shifted by rho_offset (> scale*max_coord) before the bin division so
+    the quotient is nonnegative — floor (DuckDB //) and truncate (Spark
+    div) agree on nonnegative values, dodging the negative-division
+    convention split.  Shape at scale: one gradient fold (shuffle on
+    pixel key), one explode by n_theta, one aggregate on (img, t, bin)
+    whose result is bounded by the accumulator size, not pixels.
+    Oracle: identical algebra with the same generated trig VALUES."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    w9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    grad = _fold_offsets(p, [
+        F.sum(F.col("dx") * (2 - F.abs(F.col("dy"))) * F.col("v"))
+         .cast("long").alias("gx"),
+        F.sum(F.col("dy") * (2 - F.abs(F.col("dx"))) * F.col("v"))
+         .cast("long").alias("gy"),
+        F.count("*").alias("_c")], w9, 9)
+    edges = grad.filter(F.abs(F.col("gx")) + F.abs(F.col("gy"))
+                        > mag_thresh)
+    trig = hough_trig_table(n_theta, scale)
+    votes = edges.select(
+        "img", "x", "y",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     F.expr(f"(x*{c} + y*{s} + {rho_offset}) "
+                            f"div {rho_div}").alias("rho_bin"))
+            for t, c, s in trig])).alias("o"))
+    acc = (votes.groupBy("img", F.col("o.t").alias("t"),
+                         F.col("o.rho_bin").alias("rho_bin"))
+                .agg(F.count("*").cast("long").alias("votes")))
+    return acc.filter(F.col("votes") >= min_votes)
+
+
+def hough_trig_values_sql(n_theta: int = 16, scale: int = 1024) -> str:
+    """The trig table as a SQL VALUES list: trig(t, c, s)."""
+    rows = ", ".join(f"({t},{c},{s})"
+                     for t, c, s in hough_trig_table(n_theta, scale))
+    return f"(VALUES {rows})"

@@ -3671,6 +3671,44 @@ FROM r JOIN m ON m.img = r.img AND m.x = r.x AND m.y = r.y
 """
 
 
+def q_hough_lines(spark, sf_dir):
+    """Hough line accumulator (rasterops.hough_lines_long): Sobel edge
+    pixels of the four 32x32 lineitem images vote into a 16-angle
+    quantized-integer (theta, rho) accumulator (trig rounded at scale
+    1024, rho shifted positive before binning so floor and truncate
+    division agree); cells with >= 3 votes are the detected lines.
+    Oracle: identical algebra over the same generated trig VALUES
+    table."""
+    from .operators import rasterops
+
+    return rasterops.hough_lines_long(_px_grid(spark, sf_dir),
+                                      mag_thresh=500, min_votes=3)
+
+
+def _sql_hough_lines() -> str:
+    from .operators import rasterops
+
+    return f"""
+WITH {_PX_SQL},
+o9(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                      (1,-1),(1,0),(1,1)),
+trig(t, c, s) AS {rasterops.hough_trig_values_sql(16, 1024)},
+g AS (
+  SELECT p.img, p.x - o.dx AS x, p.y - o.dy AS y,
+         sum(o.dx * (2 - abs(o.dy)) * p.v) AS gx,
+         sum(o.dy * (2 - abs(o.dx)) * p.v) AS gy
+  FROM px p CROSS JOIN o9 o
+  GROUP BY 1, 2, 3 HAVING count(*) = 9),
+e AS (SELECT img, x, y FROM g WHERE abs(gx) + abs(gy) > 500),
+v AS (
+  SELECT e.img, tg.t, (e.x*tg.c + e.y*tg.s + 65536) // 2048 AS rho_bin
+  FROM e CROSS JOIN trig tg)
+SELECT img, CAST(t AS BIGINT) AS t, CAST(rho_bin AS BIGINT) AS rho_bin,
+       CAST(count(*) AS BIGINT) AS votes
+FROM v GROUP BY img, t, rho_bin HAVING count(*) >= 3
+"""
+
+
 def q_region_geometry(spark, sf_dir):
     """Region shape metrics (rasterops.region_geometry_long): 4-connected
     components of the deterministic 64x64 mask (same surface as
@@ -4777,6 +4815,7 @@ GROUP_A = {
     "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
     "skyline": (q_skyline, SQL_SKYLINE),
     "harris_corners": (q_harris_corners, SQL_HARRIS_CORNERS),
+    "hough_lines": (q_hough_lines, _sql_hough_lines()),
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),

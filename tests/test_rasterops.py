@@ -724,3 +724,34 @@ def test_harris_detects_square_corners(spark):
     assert (3, 3) not in corners          # flat background
     # edge midpoints have NEGATIVE response (edge, not corner)
     assert out.loc[(12, 7), "r20"] < 0
+
+
+def test_hough_finds_planted_lines(spark):
+    from data_cube_utilities_spark.operators import rasterops as R
+    import numpy as np
+    import pandas as pd
+
+    # 28x28: a bright horizontal stripe at y=10 and vertical at x=20
+    n = 28
+    img = np.zeros((n, n), dtype=np.int64)
+    img[10, :] = 250   # row y=10
+    img[:, 20] = 250   # column x=20
+    ys, xs = np.nonzero(np.ones((n, n)))
+    pdf = pd.DataFrame({"img": 0, "px": xs, "py": ys,
+                        "val": img[ys, xs]})
+    out = R.hough_lines_long(spark.createDataFrame(pdf),
+                             mag_thresh=400, min_votes=8).toPandas()
+    # vertical line x=20: theta=0 (cos=1024, sin=0) bin of x*1024
+    # edges sit at x in {19, 21}; accumulator hit with ~n votes
+    t0 = out[out.t == 0]
+    assert (t0.votes >= 20).any()
+    # horizontal line y=10: theta=8 (cos=0, sin=1024)
+    t8 = out[out.t == 8]
+    assert (t8.votes >= 20).any()
+    # the two dominant cells are exactly the planted rho bins
+    best = out.sort_values("votes", ascending=False).head(4)
+    bins = {(r.t, r.rho_bin) for r in best.itertuples()}
+    assert any(t == 0 and rb in ((19*1024+65536)//2048, (21*1024+65536)//2048)
+               for t, rb in bins)
+    assert any(t == 8 and rb in ((9*1024+65536)//2048, (11*1024+65536)//2048)
+               for t, rb in bins)
