@@ -219,3 +219,72 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame,
     return (j.groupBy("v")
              .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                   .alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership sketch / semi-join prefilter)
+# ---------------------------------------------------------------------------
+
+def bloom_build(df: DataFrame, value_col: str, n_hash: int = 4,
+                n_bits: int = 4096) -> DataFrame:
+    """Bloom filter over a column's distinct values, as a (word, bits)
+    table of 32-bit words — the membership companion to the KMV
+    (distinct) and Count-Min (frequency) sketches above, and the
+    classic shuffle-free SEMI-JOIN PREFILTER: build on the small side's
+    keys, broadcast the <= n_bits/32-row word table, and drop the big
+    side's non-members map-side before any join (false positives only
+    re-admit rows the real join discards — never wrong, just less
+    pruning).
+
+    Deterministic md5 bit positions (the cm_bucket_col idiom, salt
+    '#bf<row>'), 32-bit words so every shifted value stays positive in
+    int64 in both engines; merge = bit_or by word (bloom_merge).  Only
+    shuffle: the DISTINCT + the word groupBy, bounded by n_bits/32
+    result rows."""
+    rows = df.sparkSession.createDataFrame(
+        [(r,) for r in range(n_hash)], "r long")
+    fan = (df.select(F.col(value_col).cast("string").alias("v"))
+             .filter(F.col("v").isNotNull()).distinct()
+             .crossJoin(F.broadcast(rows)))
+    p = (F.conv(F.substring(
+            F.md5(F.concat(F.col("v"), F.lit("#bf"), F.col("r"))),
+            1, HEX_CHARS), 16, 10).cast("long") % n_bits)
+    word = fan.withColumn("p", p).select(
+        (F.col("p") / 32).cast("long").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+         .alias("m"))
+    return (word.groupBy("w").agg(F.bit_or("m").alias("bits"))
+                .select(F.col("w").cast("long"),
+                        F.col("bits").cast("long").alias("bits")))
+
+
+def bloom_merge(sketches: DataFrame) -> DataFrame:
+    """OR-combine Bloom word tables built with identical geometry."""
+    return (sketches.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+                    .select("w", F.col("bits").cast("long").alias("bits")))
+
+
+def bloom_probe(sketch: DataFrame, probes: DataFrame,
+                value_col: str = "v", n_hash: int = 4,
+                n_bits: int = 4096) -> DataFrame:
+    """Membership probe: for each distinct probe value, TRUE iff all
+    n_hash bit positions are set (the standard no-false-negative /
+    bounded-false-positive contract).  The word table broadcasts; the
+    probe side streams map-side — no shuffle beyond the probe's own
+    distinct."""
+    rows = probes.sparkSession.createDataFrame(
+        [(r,) for r in range(n_hash)], "r long")
+    fan = (probes.select(F.col(value_col).cast("string").alias("v"))
+                 .filter(F.col("v").isNotNull()).distinct()
+                 .crossJoin(F.broadcast(rows)))
+    p = (F.conv(F.substring(
+            F.md5(F.concat(F.col("v"), F.lit("#bf"), F.col("r"))),
+            1, HEX_CHARS), 16, 10).cast("long") % n_bits)
+    keyed = fan.withColumn("p", p).select(
+        "v", (F.col("p") / 32).cast("long").alias("w"),
+        (F.col("p") % 32).cast("int").alias("b"))
+    j = keyed.join(F.broadcast(sketch), ["w"], "left")
+    hit = F.when(F.col("bits").isNull(), F.lit(0)).otherwise(
+        F.expr("CAST((bits >> b) & 1 AS INT)"))
+    return (j.groupBy("v")
+             .agg((F.min(hit) == 1).alias("might_contain")))

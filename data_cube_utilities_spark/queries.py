@@ -4604,6 +4604,62 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_bloom_semi(spark, sf_dir):
+    """Bloom-filter semi-join prefilter (sketches.bloom_build/probe):
+    a 4-hash/4096-bit filter over the distinct o_custkey set, probed
+    with every customer key — per-customer membership verdict plus the
+    ground truth, so each row documents the no-false-negative contract
+    and the (deterministic) false positives.  The word table is 128
+    rows — broadcast; probes never shuffle.  Oracle: DuckDB recomputes
+    the identical md5 bit positions, words and probes."""
+    from .operators import sketches
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    bloom = sketches.bloom_build(o, "o_custkey")
+    verdict = sketches.bloom_probe(bloom, c.select(
+        F.col("c_custkey").alias("v")))
+    truth = (c.join(o.select(F.col("o_custkey").alias("c_custkey"))
+                     .distinct(), "c_custkey", "left_semi")
+              .select(F.col("c_custkey").cast("string").alias("v"),
+                      F.lit(True).alias("has_orders")))
+    return (verdict.join(truth, "v", "left")
+                   .select(F.col("v").cast("long").alias("c_custkey"),
+                           "might_contain",
+                           F.coalesce("has_orders", F.lit(False))
+                            .alias("has_orders")))
+
+
+SQL_BLOOM_SEMI = """
+WITH hashes(r) AS (VALUES (0), (1), (2), (3)),
+vals AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+pos AS (
+  SELECT v, CAST('0x' || substr(md5(v || '#bf' || r), 1, 12) AS BIGINT)
+            % 4096 AS p
+  FROM vals CROSS JOIN hashes),
+words AS (
+  SELECT p // 32 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1),
+probes AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v FROM customer),
+ppos AS (
+  SELECT v, CAST('0x' || substr(md5(v || '#bf' || r), 1, 12) AS BIGINT)
+            % 4096 AS p
+  FROM probes CROSS JOIN hashes),
+verdict AS (
+  SELECT ppos.v,
+         min(CASE WHEN words.bits IS NULL THEN 0
+                  ELSE CAST((words.bits >> CAST(ppos.p % 32 AS INTEGER))
+                            & 1 AS INTEGER) END) = 1 AS might_contain
+  FROM ppos LEFT JOIN words ON words.w = ppos.p // 32
+  GROUP BY ppos.v)
+SELECT CAST(verdict.v AS BIGINT) AS c_custkey, verdict.might_contain,
+       (t.v IS NOT NULL) AS has_orders
+FROM verdict LEFT JOIN (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+                        FROM orders) t ON t.v = verdict.v
+"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per group (operators/sketches.py): the
     k=64 smallest md5-48bit hashes of l_partkey per l_linenumber, the
@@ -4732,6 +4788,7 @@ GROUP_A = {
     "cell_assignment": (q_cell_assignment, SQL_CELL_ASSIGNMENT),
     "salted_zonal": (q_salted_zonal, SQL_SALTED_ZONAL),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "bloom_semi": (q_bloom_semi, SQL_BLOOM_SEMI),
     "iceberg_merge": (q_iceberg_merge, SQL_ICEBERG_MERGE),
     "terrain_octant": (q_terrain_octant, SQL_TERRAIN_OCTANT),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),

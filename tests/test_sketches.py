@@ -146,3 +146,28 @@ def test_cm_sketch_never_underestimates_and_merges(spark):
     a = merged.toPandas().sort_values(["r", "b"]).reset_index(drop=True)
     b = whole.toPandas().sort_values(["r", "b"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark.operators import sketches
+
+    a = spark.range(0, 300).select(F.col("id").alias("v"))
+    b = spark.range(300, 600).select(F.col("id").alias("v"))
+    both = spark.range(0, 600).select(F.col("id").alias("v"))
+    # merged per-shard filters == filter of the union
+    m = sketches.bloom_merge(
+        sketches.bloom_build(a, "v").unionByName(
+            sketches.bloom_build(b, "v")))
+    whole = sketches.bloom_build(both, "v")
+    assert sorted(map(tuple, m.collect())) \
+        == sorted(map(tuple, whole.collect()))
+    # every member is found (no false negatives)
+    probe = sketches.bloom_probe(whole, both).toPandas()
+    assert probe["might_contain"].all()
+    # non-members: mostly rejected at this load factor (FPs allowed,
+    # but a filter that admits everything is broken)
+    out = sketches.bloom_probe(
+        whole, spark.range(10_000, 11_000).select(
+            F.col("id").alias("v"))).toPandas()
+    assert (~out["might_contain"]).sum() > 700
