@@ -288,3 +288,84 @@ def bloom_probe(sketch: DataFrame, probes: DataFrame,
         F.expr("CAST((bits >> b) & 1 AS INT)"))
     return (j.groupBy("v")
              .agg((F.min(hit) == 1).alias("might_contain")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (deterministic-register variant)
+# ---------------------------------------------------------------------------
+
+# The module docstring's complaint about HLL applies to Spark's
+# approx_count_distinct (opaque internal hash => unreproducible).  Built
+# over the SAME deterministic md5 idiom as KMV, HyperLogLog itself is
+# perfectly reproducible: register j = max over values of
+# (leading zeros of a 40-bit hash stream) + 1, estimator = integer-only
+# (alpha_16bit * m^2 * 2^(W-16)) DIV S with S = sum 2^(W - M_j) —
+# alpha's 2^16 denominator folded into the 2^W numerator so the
+# constant 46454 * 64^2 * 2^24 ~ 3.2e15 stays inside int64 and the
+# divide is BIGINT DIV, not a double.  Spark and DuckDB then agree
+# bit-for-bit — a hash-oracled HLL, which approx_count_distinct can
+# never be.  Fixed-size state (m registers) vs KMV's k hashes: the
+# right sketch when billions of groups each need a cardinality.
+HLL_W = 40                       # rho-stream width in bits
+HLL_ALPHA_NUM = 46454            # round(0.70887 * 2^16): alpha_64 = 0.709
+HLL_ALPHA_DEN = 65536
+
+
+def hll_sketch(df: DataFrame, group_cols: Sequence[str], value_col: str,
+               p: int = 6) -> DataFrame:
+    """Per-group HLL registers: (group..., bucket, register).
+
+    bucket = md5(v + '#hb') % 2^p; the rho stream is an independent
+    md5(v + '#hr') 40-bit word w, register = 40 if w == 0 else
+    41 - length(bin(w)) (leading zeros + 1 — `bin` drops leading zeros
+    identically in Spark and DuckDB).  Only wide op: the (group, bucket)
+    max-aggregate, which combines map-side; shuffle volume is bounded by
+    groups * 2^p, never by row count.  Buckets no value hashed into are
+    absent (the estimator treats them as register 0)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use a lit group)")
+    m = 2 ** p
+    v = F.col(value_col).cast("string")
+    bucket = (F.conv(F.substring(F.md5(F.concat(v, F.lit("#hb"))),
+                                 1, HEX_CHARS), 16, 10).cast("long") % m)
+    w = F.conv(F.substring(F.md5(F.concat(v, F.lit("#hr"))),
+                           1, HLL_W // 4), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_W)) \
+           .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(w)))
+    return (df.filter(v.isNotNull())
+              .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+              .groupBy(*group_cols, "bucket")
+              .agg(F.max("rho").alias("register")))
+
+
+def hll_merge(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Union semantics: registers combine by per-bucket max."""
+    return (sketches.groupBy(*group_cols, "bucket")
+                    .agg(F.max("register").alias("register")))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: Sequence[str],
+                 p: int = 6) -> DataFrame:
+    """Integer-exact raw-HLL estimate per group.
+
+    S = sum over all m buckets of 2^(W - M_j); absent buckets (M_j = 0)
+    contribute 2^W each, added as (m - buckets_hit) * 2^W without
+    densifying.  est = (ALPHA_NUM * m^2 * 2^(W-16)) DIV S — pure int64
+    arithmetic (numerator ~3.2e15 < 2^63 for p <= 6; guarded), so any
+    engine reproduces it exactly.  (No small-range linear-counting
+    correction: this is the raw estimator, documented as such; pair
+    with the exact count in a driver row to show quality.)"""
+    m = 2 ** p
+    numer = HLL_ALPHA_NUM * m * m * (2 ** (HLL_W - 16))
+    if numer >= 2 ** 63:
+        raise ValueError(f"p={p} overflows the int64 estimator numerator")
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({HLL_W} - register AS INT))")).alias("s_hit"),
+        F.count("*").alias("n_hit"))
+    s = (F.col("s_hit")
+         + (F.lit(m) - F.col("n_hit")) * F.lit(2 ** HLL_W)).cast("long")
+    return (agg.select(*group_cols, s.alias("s_total"),
+                       F.col("n_hit").cast("long").alias("n_hit"))
+               .withColumn("est_distinct",
+                           F.expr(f"CAST({numer} AS BIGINT) DIV s_total")))

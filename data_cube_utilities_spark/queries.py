@@ -4746,6 +4746,63 @@ FROM s JOIN x ON s.grp = x.grp
 """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch per group (sketches.hll_sketch /
+    hll_estimate): 64 deterministic md5 registers over l_partkey per
+    l_linenumber, the integer-only raw estimator, and the true distinct
+    count alongside.  Completes the sketch family (KMV = distinct set,
+    CM = frequency, Bloom = membership, HLL = fixed-size cardinality);
+    unlike approx_count_distinct's opaque HLL this one hash-oracles:
+    DuckDB rebuilds the identical registers (`bin()` drops leading zeros
+    identically) and the identical BIGINT-DIV estimate.  s_total pins
+    all 64 registers collectively in one integer."""
+    from .operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = sketches.hll_sketch(li, ["l_linenumber"], "l_partkey", p=6)
+    est = sketches.hll_estimate(sk, ["l_linenumber"], p=6)
+    exact = li.groupBy("l_linenumber").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct"))
+    return (est.join(exact, "l_linenumber")
+               .select(F.col("l_linenumber").cast("long").alias("grp"),
+                       "s_total", "n_hit", "est_distinct",
+                       "exact_distinct"))
+
+
+SQL_HLL_DISTINCT = """
+WITH h AS (
+  SELECT l_linenumber AS grp,
+         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '#hb'),
+                             1, 12) AS BIGINT) % 64 AS bucket,
+         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '#hr'),
+                             1, 10) AS BIGINT) AS w
+  FROM lineitem WHERE l_partkey IS NOT NULL),
+reg AS (
+  SELECT grp, bucket,
+         max(CASE WHEN w = 0 THEN 40
+                  ELSE 41 - length(bin(w)) END) AS register
+  FROM h GROUP BY 1, 2),
+agg AS (
+  SELECT grp,
+         CAST(sum(CAST(1 AS BIGINT)
+                  << CAST(40 - register AS INTEGER)) AS BIGINT) AS s_hit,
+         count(*) AS n_hit
+  FROM reg GROUP BY 1),
+x AS (SELECT l_linenumber AS grp,
+             count(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY 1)
+SELECT agg.grp,
+       CAST(s_hit + (64 - n_hit) * (CAST(1 AS BIGINT) << 40) AS BIGINT)
+         AS s_total,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(3192294572294144 //
+            (s_hit + (64 - n_hit) * (CAST(1 AS BIGINT) << 40)) AS BIGINT)
+         AS est_distinct,
+       x.exact_distinct
+FROM agg JOIN x ON agg.grp = x.grp
+"""
+
+
 SQL_SALTED_ZONAL = """
 WITH b AS (
   SELECT CASE WHEN l_orderkey % 100 < 60 THEN 0
@@ -4789,6 +4846,7 @@ GROUP_A = {
     "salted_zonal": (q_salted_zonal, SQL_SALTED_ZONAL),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "bloom_semi": (q_bloom_semi, SQL_BLOOM_SEMI),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "iceberg_merge": (q_iceberg_merge, SQL_ICEBERG_MERGE),
     "terrain_octant": (q_terrain_octant, SQL_TERRAIN_OCTANT),
     "stream_join": (q_stream_join, SQL_STREAM_JOIN),

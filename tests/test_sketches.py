@@ -171,3 +171,31 @@ def test_bloom_no_false_negatives_and_merge(spark):
         whole, spark.range(10_000, 11_000).select(
             F.col("id").alias("v"))).toPandas()
     assert (~out["might_contain"]).sum() > 700
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark.operators import sketches
+
+    a = spark.range(0, 2000).select(F.lit("g").alias("g"),
+                                    F.col("id").alias("v"))
+    b = spark.range(1000, 4000).select(F.lit("g").alias("g"),
+                                       F.col("id").alias("v"))
+    both = spark.range(0, 4000).select(F.lit("g").alias("g"),
+                                       F.col("id").alias("v"))
+    # merged per-shard sketches == sketch of the union (overlap absorbed)
+    m = sketches.hll_merge(
+        sketches.hll_sketch(a, ["g"], "v").unionByName(
+            sketches.hll_sketch(b, ["g"], "v")), ["g"])
+    whole = sketches.hll_sketch(both, ["g"], "v")
+    assert sorted(map(tuple, m.collect())) \
+        == sorted(map(tuple, whole.collect()))
+    # raw estimator within the ~13% (1.04/sqrt(64)) band at n/m ~ 62
+    est = sketches.hll_estimate(whole, ["g"]).collect()[0]
+    assert abs(est.est_distinct - 4000) / 4000 < 0.3
+    # estimator is pure int64: recompute in Python and match exactly
+    regs = {r.bucket: r.register for r in whole.collect()}
+    s = sum(1 << (40 - v) for v in regs.values()) \
+        + (64 - len(regs)) * (1 << 40)
+    assert est.s_total == s
+    assert est.est_distinct == (46454 * 64 * 64 * (1 << 24)) // s
