@@ -2149,3 +2149,65 @@ def hough_trig_values_sql(n_theta: int = 16, scale: int = 1024) -> str:
     rows = ", ".join(f"({t},{c},{s})"
                      for t, c, s in hough_trig_table(n_theta, scale))
     return f"(VALUES {rows})"
+
+
+# ---------------------------------------------------------------------------
+# Local Binary Patterns (rotation-order-fixed 8-bit texture codes)
+# ---------------------------------------------------------------------------
+
+# Clockwise from the top-left neighbor; the bit order is part of the
+# operator contract (codes are only comparable under one fixed order).
+LBP_OFFSETS = [(-1, -1, 1), (0, -1, 2), (1, -1, 4), (1, 0, 8),
+               (1, 1, 16), (0, 1, 32), (-1, 1, 64), (-1, 0, 128)]
+
+
+def lbp_histogram_long(pixels: DataFrame, img_col: str = "img",
+                       x_col: str = "px", y_col: str = "py",
+                       value_col: str = "val") -> DataFrame:
+    """Per-image Local Binary Pattern histogram over a long-form pixel
+    table (Ojala et al., PAMI 2002 — the texture companion to GLCM's
+    co-occurrence features: LBP codes micro-structure, GLCM codes
+    gray-level statistics).
+
+    code(center) = sum of weight(dx,dy) for the 8 neighbors with
+    v_neighbor >= v_center (ties set the bit, the standard >=
+    convention); only full-8-neighborhood centers emit a code, so no
+    border convention leaks in.  is_uniform flags codes whose circular
+    bit sequence has <= 2 transitions (bit_count(code XOR rotl8(code))
+    — the ~58 'uniform' patterns that carry most texture energy and
+    the standard dimensionality reduction at scale: histogram buckets
+    drop 256 -> 59 by folding non-uniform codes together downstream).
+
+    Shape: one offset-explode (x8) + one shuffle onto the center key +
+    one equi-join to fetch the center value + the histogram groupBy —
+    all exact integer comparisons, no UDF.  Oracle: the same join over
+    a VALUES offset table in SQL."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    shifted = p.select(
+        "img",
+        F.explode(F.array(*[
+            F.struct((F.col("x") - dx).alias("cx"),
+                     (F.col("y") - dy).alias("cy"),
+                     F.lit(w).alias("w"))
+            for dx, dy, w in LBP_OFFSETS])).alias("o"),
+        F.col("v").alias("nv"))
+    flat = shifted.select("img", F.col("o.cx").alias("x"),
+                          F.col("o.cy").alias("y"),
+                          F.col("o.w").alias("w"), "nv")
+    codes = (flat.join(p, ["img", "x", "y"])
+                 .groupBy("img", "x", "y", "v")
+                 .agg(F.sum(F.when(F.col("nv") >= F.col("v"),
+                                   F.col("w")).otherwise(0))
+                       .cast("long").alias("code"),
+                      F.count("*").alias("_c"))
+                 .filter(F.col("_c") == 8))
+    rotl = ((F.col("code") * 2) % 256
+            + F.floor(F.col("code") / 128)).cast("long")
+    return (codes.groupBy("img", "code")
+                 .agg(F.count("*").cast("long").alias("n"))
+                 .withColumn(
+                     "is_uniform",
+                     F.bit_count(F.col("code").bitwiseXOR(rotl)) <= 2))

@@ -2906,6 +2906,45 @@ FROM cooc GROUP BY img
 """
 
 
+def q_lbp_texture(spark, sf_dir):
+    """Local Binary Pattern histogram (rasterops.lbp_histogram_long):
+    8-bit neighbor-comparison codes per pixel over the same four 32x32
+    lineitem-derived tiles as glcm_texture, aggregated to a per-image
+    code histogram with the uniform-pattern flag.  All exact integer
+    comparisons; oracle recomputes codes via a VALUES offset table and
+    the same rotl8/bit_count uniformity test."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    px = (li.groupBy((F.col("l_suppkey") % 4).alias("img"),
+                     (F.col("l_orderkey") % 32).alias("px"),
+                     (F.col("l_partkey") % 32).alias("py"))
+            .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                 .alias("val")))
+    return rasterops.lbp_histogram_long(px)
+
+
+SQL_LBP_TEXTURE = """
+WITH px AS (
+  SELECT l_suppkey % 4 AS img, l_orderkey % 32 AS x, l_partkey % 32 AS y,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2, 3),
+offs(dx, dy, w) AS (VALUES (-1,-1,1), (0,-1,2), (1,-1,4), (1,0,8),
+                           (1,1,16), (0,1,32), (-1,1,64), (-1,0,128)),
+codes AS (
+  SELECT p.img, p.x, p.y,
+         CAST(sum(CASE WHEN n.v >= p.v THEN o.w ELSE 0 END) AS BIGINT)
+           AS code
+  FROM px p CROSS JOIN offs o
+  JOIN px n ON n.img = p.img AND n.x = p.x + o.dx AND n.y = p.y + o.dy
+  GROUP BY 1, 2, 3 HAVING count(*) = 8)
+SELECT img, code, CAST(count(*) AS BIGINT) AS n,
+       bit_count(xor(code, (code * 2) % 256 + code // 128)) <= 2
+         AS is_uniform
+FROM codes GROUP BY 1, 2
+"""
+
+
 def q_knox(spark, sf_dir):
     """Knox space-time interaction (spatial.knox_pair_counts): ordered
     event pairs close in space (d^2 <= 16), in time (|dt| <= 6h) and in
@@ -4877,6 +4916,7 @@ GROUP_A = {
     "distance_transform": (q_distance_transform, SQL_DISTANCE_TRANSFORM),
     "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
     "glcm_texture": (q_glcm_texture, SQL_GLCM_TEXTURE),
+    "lbp_texture": (q_lbp_texture, SQL_LBP_TEXTURE),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),
