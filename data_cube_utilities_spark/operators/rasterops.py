@@ -2211,3 +2211,65 @@ def lbp_histogram_long(pixels: DataFrame, img_col: str = "img",
                  .withColumn(
                      "is_uniform",
                      F.bit_count(F.col("code").bitwiseXOR(rotl)) <= 2))
+
+
+# ---------------------------------------------------------------------------
+# Block-matching optical flow (two-epoch SAD argmin)
+# ---------------------------------------------------------------------------
+
+def block_flow_long(px0: DataFrame, px1: DataFrame, block: int = 8,
+                    radius: int = 2, img_col: str = "img",
+                    x_col: str = "px", y_col: str = "py",
+                    value_col: str = "val") -> DataFrame:
+    """Per-block displacement between two epochs of a long-form raster —
+    the classic block-matching motion/change vector (video codecs,
+    glacier/dune displacement from repeat imagery): for each block x
+    block tile of epoch 0, the (u, v) in [-radius, radius]^2 minimizing
+    the sum of absolute differences against epoch 1 sampled at
+    (x + u, y + v).
+
+    Exact integer end to end: SAD over int64, argmin by lexicographic
+    min of (sad, u, v) so ties break identically in any engine.  A
+    candidate (u, v) only competes when ALL block*block pixels find an
+    epoch-1 partner (count = block^2), so image borders shrink the
+    candidate set instead of comparing truncated windows.
+
+    Shape: explode the (2r+1)^2 candidates on the epoch-0 side, one
+    equi-join onto epoch 1 at the displaced key, one (img, block, u, v)
+    aggregate, one per-block min — no UDF, no window over raw pixels.
+    Rows joined = n_px * (2r+1)^2; at 100 TB both sides partition by
+    (img, x, y) and the join co-locates after one shuffle each."""
+    cands = [(u, v) for u in range(-radius, radius + 1)
+             for v in range(-radius, radius + 1)]
+    p0 = px0.select(F.col(img_col).alias("img"),
+                    F.col(x_col).cast("long").alias("x"),
+                    F.col(y_col).cast("long").alias("y"),
+                    F.col(value_col).cast("long").alias("v0"))
+    p1 = px1.select(F.col(img_col).alias("img"),
+                    F.col(x_col).cast("long").alias("x"),
+                    F.col(y_col).cast("long").alias("y"),
+                    F.col(value_col).cast("long").alias("v1"))
+    fan = p0.select(
+        "img", (F.col("x") / block).cast("long").alias("bx"),
+        (F.col("y") / block).cast("long").alias("by"), "v0",
+        F.explode(F.array(*[
+            F.struct((F.col("x") + u).alias("x"),
+                     (F.col("y") + v).alias("y"),
+                     F.lit(u).alias("u"), F.lit(v).alias("v"))
+            for u, v in cands])).alias("c"))
+    scored = (fan.select("img", "bx", "by", "v0",
+                         F.col("c.x").alias("x"), F.col("c.y").alias("y"),
+                         F.col("c.u").alias("u"), F.col("c.v").alias("v"))
+                 .join(p1, ["img", "x", "y"])
+                 .groupBy("img", "bx", "by", "u", "v")
+                 .agg(F.sum(F.abs(F.col("v1") - F.col("v0")))
+                       .cast("long").alias("sad"),
+                      F.count("*").alias("_c"))
+                 .filter(F.col("_c") == block * block))
+    best = (scored.groupBy("img", "bx", "by")
+                  .agg(F.min(F.struct("sad", "u", "v")).alias("b"),
+                       F.count("*").cast("long").alias("n_cands")))
+    return best.select("img", "bx", "by",
+                       F.col("b.sad").alias("sad"),
+                       F.col("b.u").alias("u"), F.col("b.v").alias("v"),
+                       "n_cands")

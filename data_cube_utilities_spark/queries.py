@@ -2945,6 +2945,58 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_block_flow(spark, sf_dir):
+    """Block-matching optical flow (rasterops.block_flow_long): epoch 1
+    is epoch 0 shifted right one pixel plus a deterministic (x*y)%3
+    perturbation, so interior blocks must recover u=1, v=0 with SAD =
+    the summed perturbation — the planted displacement makes the row
+    self-documenting.  Exact SAD argmin, lexicographic tie-break;
+    oracle is the same candidate cross-join with a row_number pick."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    px0 = (li.groupBy((F.col("l_suppkey") % 4).alias("img"),
+                      (F.col("l_orderkey") % 32).alias("px"),
+                      (F.col("l_partkey") % 32).alias("py"))
+             .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                  .alias("val")))
+    px1 = px0.select(
+        "img", (F.col("px") + 1).alias("px"), "py",
+        (F.col("val") + (F.col("px") * F.col("py")) % 3).alias("val"))
+    out = rasterops.block_flow_long(px0, px1, block=8, radius=2)
+    return out.select("img", "bx", "by", "sad",
+                      F.col("u").cast("int").alias("u"),
+                      F.col("v").cast("int").alias("v"), "n_cands")
+
+
+SQL_BLOCK_FLOW = """
+WITH px0 AS (
+  SELECT l_suppkey % 4 AS img, l_orderkey % 32 AS x, l_partkey % 32 AS y,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2, 3),
+px1 AS (SELECT img, x + 1 AS x1, y AS y1, v + (x * y) % 3 AS w FROM px0),
+us(u) AS (VALUES (-2), (-1), (0), (1), (2)),
+vs(vv) AS (VALUES (-2), (-1), (0), (1), (2)),
+scored AS (
+  SELECT p0.img, p0.x // 8 AS bx, p0.y // 8 AS by, u, vv AS v,
+         CAST(sum(abs(p1.w - p0.v)) AS BIGINT) AS sad
+  FROM px0 p0 CROSS JOIN us CROSS JOIN vs
+  JOIN px1 p1 ON p1.img = p0.img AND p1.x1 = p0.x + u
+             AND p1.y1 = p0.y + vv
+  GROUP BY 1, 2, 3, 4, 5 HAVING count(*) = 64),
+r AS (
+  SELECT img, bx, by, sad, u, v,
+         CAST(count(*) OVER (PARTITION BY img, bx, by) AS BIGINT)
+           AS n_cands,
+         row_number() OVER (PARTITION BY img, bx, by
+                            ORDER BY sad, u, v) AS rn
+  FROM scored)
+SELECT img, bx, by, sad, CAST(u AS INTEGER) AS u, CAST(v AS INTEGER) AS v,
+       n_cands
+FROM r WHERE rn = 1
+"""
+
+
 def q_knox(spark, sf_dir):
     """Knox space-time interaction (spatial.knox_pair_counts): ordered
     event pairs close in space (d^2 <= 16), in time (|dt| <= 6h) and in
@@ -4917,6 +4969,7 @@ GROUP_A = {
     "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
     "glcm_texture": (q_glcm_texture, SQL_GLCM_TEXTURE),
     "lbp_texture": (q_lbp_texture, SQL_LBP_TEXTURE),
+    "block_flow": (q_block_flow, SQL_BLOCK_FLOW),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),

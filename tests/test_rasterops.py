@@ -788,3 +788,30 @@ def test_lbp_codes_match_reference_loop(spark):
         bits = [(c >> i) & 1 for i in range(8)]
         trans = sum(bits[i] != bits[(i + 1) % 8] for i in range(8))
         assert bool(r.is_uniform) == (trans <= 2), c
+
+
+def test_block_flow_recovers_planted_shift(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark.operators import rasterops
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, size=(24, 24))
+    rows0 = [(0, x, y, int(a[y, x])) for y in range(24) for x in range(24)]
+    # epoch 1: shifted by (+2, -1), exact copy
+    rows1 = [(0, x + 2, y - 1, int(a[y, x]))
+             for y in range(24) for x in range(24)]
+    mk = lambda r: spark.createDataFrame(
+        r, "img long, px long, py long, val long")
+    out = rasterops.block_flow_long(mk(rows0), mk(rows1),
+                                    block=8, radius=2).toPandas()
+    # interior blocks must recover (u, v) = (2, -1) with SAD 0
+    assert len(out) == 9  # 3x3 blocks
+    inner = out[(out.bx == 1) & (out.by == 1)].iloc[0]
+    assert (inner.u, inner.v, inner.sad) == (2, -1, 0)
+    # every block that kept the exact-match candidate picks it
+    exact = out[out.sad == 0]
+    assert ((exact.u == 2) & (exact.v == -1)).all()
+    assert len(exact) >= 4
+    # candidate counts never exceed the search grid
+    assert (out.n_cands <= 25).all() and (out.n_cands >= 1).all()
