@@ -1977,3 +1977,51 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
     schema = df.schema
     local = df.mapInPandas(sweep, schema)
     return local.coalesce(1).mapInPandas(sweep, schema).select(*cols)
+
+
+def mask_distance_stats(cells_df: DataFrame, ix_col: str = "ix",
+                        iy_col: str = "iy", a_col: str = "in_a",
+                        b_col: str = "in_b") -> DataFrame:
+    """Hausdorff / Chamfer distances between two masks on one grid —
+    the shape-change scalar pair for repeat imagery (how far did the
+    shoreline / burn scar / water mask move between epochs), the
+    aggregate companion to the per-pixel coastal_change rasters.
+
+    Both directed distance fields come from the repo's exact separable
+    EDT (distance_transform_grid), evaluated AT the other mask's cells:
+      d2(a -> B) for every a in A,  d2(b -> A) for every b in B
+    then one global aggregate:
+      hausdorff_d2 = max(max_a d2(a->B), max_b d2(b->A))   (symmetric)
+      chamfer_ab / chamfer_ba = sum of directed squared distances
+    Distances stay SQUARED ints (sqrt is irrational; callers compare
+    d2 against r^2).  Empty masks yield NULL directed values and a
+    NULL hausdorff, never a fake zero.
+
+    Shape: two EDT passes (each: two in-column window scans + one
+    in-row min-plus fold) + two semi-join samples + one single-row
+    aggregate — no cross join; the brute oracle is O(|A|*|B|) but this
+    plan is O(grid) regardless of mask sizes."""
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(a_col).cast("boolean").alias("a"),
+                        F.col(b_col).cast("boolean").alias("b"))
+    edt_b = distance_transform_grid(g, "ix", "iy", "b")
+    edt_a = distance_transform_grid(g, "ix", "iy", "a")
+    da = (g.filter("a").join(edt_b, ["ix", "iy"])
+           .agg(F.max("d2").alias("h_ab"),
+                F.sum("d2").alias("chamfer_ab"),
+                F.count("*").alias("n_a")))
+    db = (g.filter("b").join(edt_a, ["ix", "iy"])
+           .agg(F.max("d2").alias("h_ba"),
+                F.sum("d2").alias("chamfer_ba"),
+                F.count("*").alias("n_b")))
+    # greatest() skips NULLs, but one empty side must mean NULL, not
+    # "the other side's max"
+    haus = F.when(F.col("h_ab").isNull() | F.col("h_ba").isNull(),
+                  F.lit(None).cast("long")) \
+            .otherwise(F.greatest("h_ab", "h_ba"))
+    return (da.crossJoin(db)
+              .select(haus.alias("hausdorff_d2"),
+                      "h_ab", "h_ba", "chamfer_ab", "chamfer_ba",
+                      F.col("n_a").cast("long").alias("n_a"),
+                      F.col("n_b").cast("long").alias("n_b")))

@@ -2945,6 +2945,53 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_hausdorff(spark, sf_dir):
+    """Hausdorff / Chamfer mask distances (spatial.mask_distance_stats):
+    two masks on the 32x32 lineitem grid (v%7==0 vs v%5==0), directed
+    squared-distance fields via the exact separable EDT, one symmetric
+    max + both directed sums.  Oracle: brute min over the O(|A|*|B|)
+    pair join — the plan under test is O(grid) instead."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                   .alias("v")))
+    g = grid.select("ix", "iy", (F.col("v") % 7 == 0).alias("in_a"),
+                    (F.col("v") % 5 == 0).alias("in_b"))
+    return spatial.mask_distance_stats(g)
+
+
+SQL_HAUSDORFF = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+a AS (SELECT ix, iy FROM g WHERE v % 7 = 0),
+b AS (SELECT ix, iy FROM g WHERE v % 5 = 0),
+da AS (
+  SELECT max(d2) AS h_ab, sum(d2) AS chamfer_ab, count(*) AS n_a
+  FROM (SELECT a.ix, a.iy,
+               min((a.ix - b.ix) * (a.ix - b.ix)
+                   + (a.iy - b.iy) * (a.iy - b.iy)) AS d2
+        FROM a LEFT JOIN b ON TRUE GROUP BY a.ix, a.iy)),
+db AS (
+  SELECT max(d2) AS h_ba, sum(d2) AS chamfer_ba, count(*) AS n_b
+  FROM (SELECT b.ix, b.iy,
+               min((a.ix - b.ix) * (a.ix - b.ix)
+                   + (a.iy - b.iy) * (a.iy - b.iy)) AS d2
+        FROM b LEFT JOIN a ON TRUE GROUP BY b.ix, b.iy))
+SELECT CAST(CASE WHEN h_ab IS NULL OR h_ba IS NULL THEN NULL
+            ELSE greatest(h_ab, h_ba) END AS BIGINT) AS hausdorff_d2,
+       CAST(h_ab AS BIGINT) AS h_ab, CAST(h_ba AS BIGINT) AS h_ba,
+       CAST(chamfer_ab AS BIGINT) AS chamfer_ab,
+       CAST(chamfer_ba AS BIGINT) AS chamfer_ba,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM da CROSS JOIN db
+"""
+
+
 def q_block_flow(spark, sf_dir):
     """Block-matching optical flow (rasterops.block_flow_long): epoch 1
     is epoch 0 shifted right one pixel plus a deterministic (x*y)%3
@@ -4970,6 +5017,7 @@ GROUP_A = {
     "glcm_texture": (q_glcm_texture, SQL_GLCM_TEXTURE),
     "lbp_texture": (q_lbp_texture, SQL_LBP_TEXTURE),
     "block_flow": (q_block_flow, SQL_BLOCK_FLOW),
+    "hausdorff": (q_hausdorff, SQL_HAUSDORFF),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),

@@ -1011,3 +1011,38 @@ def test_skyline_two_stage_matches_brute(spark):
     assert set(out["id"]) == keep
     # duplicates of an undominated point all survive
     assert len(out) == int(pdf.id.isin(keep).sum())
+
+
+def test_mask_distance_stats_matches_brute_and_handles_empty(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark.operators import spatial
+
+    rng = np.random.RandomState(3)
+    n = 16
+    av = rng.rand(n, n) < 0.08
+    bv = rng.rand(n, n) < 0.08
+    rows = [(x, y, bool(av[y, x]), bool(bv[y, x]))
+            for y in range(n) for x in range(n)]
+    g = spark.createDataFrame(
+        rows, "ix long, iy long, in_a boolean, in_b boolean")
+    out = spatial.mask_distance_stats(g).collect()[0]
+
+    A = [(x, y) for y in range(n) for x in range(n) if av[y, x]]
+    B = [(x, y) for y in range(n) for x in range(n) if bv[y, x]]
+    d2 = lambda p, q: (p[0]-q[0])**2 + (p[1]-q[1])**2
+    dab = [min(d2(a, b) for b in B) for a in A]
+    dba = [min(d2(a, b) for a in A) for b in B]
+    assert out.h_ab == max(dab) and out.h_ba == max(dba)
+    assert out.hausdorff_d2 == max(max(dab), max(dba))
+    assert out.chamfer_ab == sum(dab) and out.chamfer_ba == sum(dba)
+    assert (out.n_a, out.n_b) == (len(A), len(B))
+
+    # empty B: directed and symmetric distances are NULL, not zero
+    g2 = spark.createDataFrame(
+        [(x, y, x == 1 and y == 1, False)
+         for y in range(4) for x in range(4)],
+        "ix long, iy long, in_a boolean, in_b boolean")
+    e = spatial.mask_distance_stats(g2).collect()[0]
+    assert e.hausdorff_d2 is None and e.h_ab is None and e.h_ba is None
+    assert (e.n_a, e.n_b) == (1, 0)
