@@ -2025,3 +2025,42 @@ def mask_distance_stats(cells_df: DataFrame, ix_col: str = "ix",
                       "h_ab", "h_ba", "chamfer_ab", "chamfer_ba",
                       F.col("n_a").cast("long").alias("n_a"),
                       F.col("n_b").cast("long").alias("n_b")))
+
+
+def kde_surface(points_df: DataFrame, radius: int = 3,
+                x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Kernel-density heatmap over an integer cell grid — the
+    hotspot-surface companion to getis_ord (which tests significance;
+    this renders intensity): density(c) = sum over points within
+    `radius` of (radius^2 + 1 - d^2), the Epanechnikov parabola
+    quantized to EXACT integers (the +1 keeps the rim weight positive
+    so support is the full closed disk).
+
+    Because points snap to cells first, the kernel depends only on the
+    cell offset: one per-cell count, one explode of the fixed
+    disk-offset table (|offsets| = ~pi*r^2, a literal array — never a
+    shuffle), one sum onto the target cell.  Output rows only where
+    density > 0; the empty grid is implicit (a dense raster would
+    materialize mostly zeros at 100 TB for nothing).  n_points carries
+    the raw per-cell count so callers can separate mass from spread."""
+    offs = [(dx, dy, radius * radius + 1 - dx * dx - dy * dy)
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+            if dx * dx + dy * dy <= radius * radius]
+    counts = (points_df.select(F.col(x_col).cast("long").alias("x"),
+                               F.col(y_col).cast("long").alias("y"))
+                       .groupBy("x", "y")
+                       .agg(F.count("*").alias("c")))
+    fan = counts.select(
+        "c", F.explode(F.array(*[
+            F.struct((F.col("x") + dx).alias("cx"),
+                     (F.col("y") + dy).alias("cy"),
+                     F.lit(w).alias("w"))
+            for dx, dy, w in offs])).alias("o"))
+    return (fan.groupBy(F.col("o.cx").alias("cx"),
+                        F.col("o.cy").alias("cy"))
+               .agg(F.sum(F.col("c") * F.col("o.w"))
+                     .cast("long").alias("density"),
+                    F.sum(F.when(F.col("o.w") == radius * radius + 1,
+                                 F.col("c")).otherwise(0))
+                     .cast("long").alias("n_points")))

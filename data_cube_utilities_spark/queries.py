@@ -2945,6 +2945,38 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_kde_surface(spark, sf_dir):
+    """Integer-Epanechnikov KDE heatmap (spatial.kde_surface) over the
+    events user grid (radius 3, weight 10 - d^2): per-cell point count
+    convolved with the fixed disk kernel — one groupBy + one literal
+    offset explode + one sum, exact integers throughout.  Oracle: the
+    same convolution via a range()-generated offset table."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select((F.col("user_id") % 29).alias("x"),
+                    ((F.col("user_id") * 7) % 31).alias("y"))
+    return spatial.kde_surface(pts, radius=3)
+
+
+SQL_KDE_SURFACE = """
+WITH c AS (
+  SELECT user_id % 29 AS x, (user_id * 7) % 31 AS y, count(*) AS c
+  FROM events GROUP BY 1, 2),
+offs AS (
+  SELECT dxt.range AS dx, dyt.range AS dy,
+         10 - dxt.range * dxt.range - dyt.range * dyt.range AS w
+  FROM range(-3, 4) dxt, range(-3, 4) dyt
+  WHERE dxt.range * dxt.range + dyt.range * dyt.range <= 9)
+SELECT c.x + dx AS cx, c.y + dy AS cy,
+       CAST(sum(c.c * w) AS BIGINT) AS density,
+       CAST(sum(CASE WHEN w = 10 THEN c.c ELSE 0 END) AS BIGINT)
+         AS n_points
+FROM c CROSS JOIN offs
+GROUP BY 1, 2
+"""
+
+
 def q_hausdorff(spark, sf_dir):
     """Hausdorff / Chamfer mask distances (spatial.mask_distance_stats):
     two masks on the 32x32 lineitem grid (v%7==0 vs v%5==0), directed
@@ -5018,6 +5050,7 @@ GROUP_A = {
     "lbp_texture": (q_lbp_texture, SQL_LBP_TEXTURE),
     "block_flow": (q_block_flow, SQL_BLOCK_FLOW),
     "hausdorff": (q_hausdorff, SQL_HAUSDORFF),
+    "kde_surface": (q_kde_surface, SQL_KDE_SURFACE),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),

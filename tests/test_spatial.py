@@ -1046,3 +1046,22 @@ def test_mask_distance_stats_matches_brute_and_handles_empty(spark):
     e = spatial.mask_distance_stats(g2).collect()[0]
     assert e.hausdorff_d2 is None and e.h_ab is None and e.h_ba is None
     assert (e.n_a, e.n_b) == (1, 0)
+
+
+def test_kde_surface_exact_convolution(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    pts = spark.createDataFrame(
+        [(5, 5), (5, 5), (8, 5), (20, 20)], "x long, y long")
+    out = {(r.cx, r.cy): (r.density, r.n_points)
+           for r in spatial.kde_surface(pts, radius=2).collect()}
+    # center cell: own two points (w=5 each) + (8,5) at d2=9 > 4 -> out
+    assert out[(5, 5)] == (2 * 5 + 0, 2)
+    # midpoint (6,5): d2=1 from (5,5) x2 -> 2*4; d2=4 from (8,5) -> 1
+    assert out[(6, 5)] == (2 * 4 + 1, 0)
+    # isolated point contributes a full disk of 13 cells
+    iso = [(c, v) for c, v in out.items()
+           if abs(c[0] - 20) <= 2 and abs(c[1] - 20) <= 2]
+    assert len(iso) == 13 and out[(20, 20)] == (5, 1)
+    # no zero-density rows materialize
+    assert all(v[0] > 0 for v in out.values())
