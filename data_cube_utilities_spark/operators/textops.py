@@ -2018,3 +2018,47 @@ def oov_stats(df: DataFrame, vocab_k: int = 50, id_col: str = "doc_id",
                      F.col("n_oov").cast("long").alias("n_oov"),
                      (F.col("n_oov").cast("double")
                       / F.col("n_tok").cast("double")).alias("oov_frac")))
+
+
+def domain_gate(df: DataFrame, group_col: str = "source",
+                id_col: str = "doc_id", text_col: str = "text",
+                max_dup_pct: int = 20, min_mean_chars: int = 20,
+                max_mean_chars: int = 100_000) -> DataFrame:
+    """Domain-level corpus gate — the C4/RefinedWeb-style decision one
+    level above per-doc filters: a domain (source/host) whose pages are
+    mostly mutual duplicates, or whose mean page length is degenerate,
+    gets dropped WHOLESALE, because per-doc gates can't see that the
+    domain is a template farm or a tag-page mill.
+
+    Per group: n_docs, n_unique_texts (distinct md5 — the exact_dedup
+    key), dup_docs, sum_chars, n_langs, then two integer-exact gate
+    flags (thresholds cross-multiplied so no division ever happens:
+    dup_docs * 100 <= max_dup_pct * n_docs; lo * n_docs <= sum_chars
+    <= hi * n_docs) and their conjunction `keep`.  Joining the kept
+    set back to documents as a broadcast semi-join is the intended
+    composition (corpus_clean's gate stage).
+
+    One shuffle: the (group, md5) distinct combines map-side; the
+    group aggregate rides the same partitioning.  100 TB shape: output
+    is one row per domain — tiny — and the md5 distinct is the only
+    state that scales with docs."""
+    d = df.select(F.col(group_col).alias("grp"),
+                  F.md5(F.col(text_col)).alias("h"),
+                  F.length(text_col).cast("long").alias("n_chars"),
+                  F.col("lang"))
+    agg = d.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"))
+    dup = (F.col("n_docs") - F.col("n_unique_texts")).alias("dup_docs")
+    ok_dup = ((F.col("n_docs") - F.col("n_unique_texts")) * 100
+              <= max_dup_pct * F.col("n_docs"))
+    ok_len = ((F.lit(min_mean_chars) * F.col("n_docs")
+               <= F.col("sum_chars"))
+              & (F.col("sum_chars")
+                 <= F.lit(max_mean_chars) * F.col("n_docs")))
+    return agg.select(
+        F.col("grp").alias(group_col), "n_docs", "n_unique_texts",
+        dup, "sum_chars", "n_langs", ok_dup.alias("ok_dup"),
+        ok_len.alias("ok_len"), (ok_dup & ok_len).alias("keep"))

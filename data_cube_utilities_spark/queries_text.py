@@ -1507,8 +1507,41 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_domain_gate(spark, sf_dir):
+    """Domain-level corpus gate (textops.domain_gate): per-source dedup
+    ratio + mean-length window, thresholds cross-multiplied so the gate
+    is pure integer comparison (dup_docs*100 <= 20*n_docs; 30*n_docs <=
+    sum_chars <= 2000*n_docs on the driver corpus).  The wholesale
+    domain drop per-doc filters cannot express."""
+    return textops.domain_gate(_t(spark, sf_dir, "documents"),
+                               max_dup_pct=20, min_mean_chars=30,
+                               max_mean_chars=2000)
+
+
+SQL_DOMAIN_GATE = """
+WITH agg AS (
+  SELECT source, count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_unique_texts,
+         sum(length(text)) AS sum_chars,
+         count(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
+       CAST(n_docs - n_unique_texts AS BIGINT) AS dup_docs,
+       CAST(sum_chars AS BIGINT) AS sum_chars,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       (n_docs - n_unique_texts) * 100 <= 20 * n_docs AS ok_dup,
+       30 * n_docs <= sum_chars AND sum_chars <= 2000 * n_docs AS ok_len,
+       ((n_docs - n_unique_texts) * 100 <= 20 * n_docs)
+         AND (30 * n_docs <= sum_chars AND sum_chars <= 2000 * n_docs)
+         AS keep
+FROM agg
+"""
+
+
 GROUP_B = {
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
+    "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
     "rag_chunks": (q_rag_chunks, SQL_RAG_CHUNKS),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

@@ -895,3 +895,29 @@ def test_oov_stats_vocab_boundary(spark):
     out3 = (textops.oov_stats(docs, vocab_k=3)
             .toPandas().set_index("doc_id"))
     assert out3.loc[2].n_oov == 0 and out3.loc[1].n_oov == 1
+
+
+def test_domain_gate_drops_template_farm(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    rows = (
+        # healthy domain: unique pages, sane lengths
+        [(i, f"unique page number {i} with plenty of words", "en", "good")
+         for i in range(10)]
+        # template farm: 10 docs, 2 distinct texts -> 80% dup
+        + [(100 + i, "same boilerplate body", "en", "farm")
+           for i in range(8)]
+        + [(108, "the other boilerplate", "en", "farm"),
+           (109, "the other boilerplate", "en", "farm")]
+        # degenerate: tiny mean length
+        + [(200 + i, f"x{i}", "en", "tiny") for i in range(5)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {r.source: r for r in textops.domain_gate(
+        df, max_dup_pct=20, min_mean_chars=5,
+        max_mean_chars=1000).collect()}
+    assert out["good"].keep and out["good"].dup_docs == 0
+    assert not out["farm"].keep and not out["farm"].ok_dup
+    assert out["farm"].n_unique_texts == 2 and out["farm"].dup_docs == 8
+    assert not out["tiny"].keep and not out["tiny"].ok_len
+    assert out["tiny"].ok_dup  # fails only the length gate
