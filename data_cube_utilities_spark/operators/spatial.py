@@ -2064,3 +2064,62 @@ def kde_surface(points_df: DataFrame, radius: int = 3,
                     F.sum(F.when(F.col("o.w") == radius * radius + 1,
                                  F.col("c")).otherwise(0))
                      .cast("long").alias("n_points")))
+
+
+def map_match(points_df: DataFrame, segments_df: DataFrame,
+              pt_id_col: str = "pt_id", x_col: str = "x",
+              y_col: str = "y") -> DataFrame:
+    """Snap every point to its nearest line segment — the map-matching
+    primitive (GPS pings onto a road network, sample sites onto a
+    transect/coastline).  segments_df: (seg_id, x1, y1, x2, y2),
+    integer endpoints.
+
+    Point-to-segment squared distance is a RATIONAL: with L2 = |AB|^2
+    and dot = AP.AB,
+      dot <= 0   ->  |AP|^2            (denominator 1)
+      dot >= L2  ->  |BP|^2            (denominator 1)
+      else       ->  (|AP|^2 * L2 - dot^2) / L2
+    Comparing raw doubles across segments would be summation-free but
+    rounding-dependent; instead each candidate scores
+    score = (num * 2^20) DIV den — one integer division both engines
+    compute identically — and the argmin takes the lexicographic min
+    of (score, seg_id), so the chosen segment is deterministic and
+    hash-stable even between near-equidistant segments (ties at 2^-20
+    resolution break by seg_id; exactness of the DISTANCE VALUE is
+    preserved separately in num/den).
+
+    Shape: the network broadcasts (road graphs are MBs where pings are
+    TBs); per-point work is |segments| comparisons map-side, then one
+    groupBy argmin on pt_id.  For networks too big to broadcast,
+    pre-bucket both sides by cell (the knn_cells shape) and reuse this
+    scorer on the bucketed candidates."""
+    p = points_df.select(F.col(pt_id_col).alias("pt_id"),
+                         F.col(x_col).cast("long").alias("px"),
+                         F.col(y_col).cast("long").alias("py"))
+    s = segments_df.select(
+        "seg_id", F.col("x1").cast("long"), F.col("y1").cast("long"),
+        F.col("x2").cast("long"), F.col("y2").cast("long"))
+    j = p.join(F.broadcast(s))
+    abx, aby = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    apx, apy = F.col("px") - F.col("x1"), F.col("py") - F.col("y1")
+    bpx, bpy = F.col("px") - F.col("x2"), F.col("py") - F.col("y2")
+    l2 = abx * abx + aby * aby
+    dot = apx * abx + apy * aby
+    ap2 = apx * apx + apy * apy
+    bp2 = bpx * bpx + bpy * bpy
+    num = (F.when(dot <= 0, ap2)
+            .when(dot >= l2, bp2)
+            .otherwise(ap2 * l2 - dot * dot))
+    den = F.when((dot <= 0) | (dot >= l2), F.lit(1)).otherwise(l2)
+    scored = j.select(
+        "pt_id", "seg_id", num.cast("long").alias("num"),
+        den.cast("long").alias("den"))
+    best = (scored.withColumn("score", F.expr("(num * 1048576) DIV den"))
+                  .groupBy("pt_id")
+                  .agg(F.min(F.struct("score", "seg_id", "num", "den"))
+                        .alias("b"),
+                       F.count("*").cast("long").alias("n_segments")))
+    return best.select("pt_id", F.col("b.seg_id").alias("seg_id"),
+                       F.col("b.score").alias("score"),
+                       F.col("b.num").alias("d2_num"),
+                       F.col("b.den").alias("d2_den"), "n_segments")

@@ -2945,6 +2945,66 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_map_match(spark, sf_dir):
+    """Map matching (spatial.map_match): every 1-in-7 event ping snaps
+    to the nearest of 25 nation-derived segments.  Point-to-segment
+    distance is the exact rational num/den (clamped projection); the
+    cross-segment argmin uses the deterministic 2^20-scaled integer
+    score with seg_id tie-break, so both engines pick identical
+    segments.  The network side broadcasts."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    pts = (ev.filter(F.col("event_id") % 7 == 0)
+             .select(F.col("event_id").alias("pt_id"),
+                     (F.col("user_id") % 29).alias("x"),
+                     ((F.col("user_id") * 7) % 31).alias("y")))
+    na = _t(spark, sf_dir, "nation")
+    segs = na.select(
+        F.col("n_nationkey").cast("long").alias("seg_id"),
+        (F.col("n_nationkey") % 29).alias("x1"),
+        ((F.col("n_nationkey") * 7) % 31).alias("y1"),
+        ((F.col("n_nationkey") * 11) % 29).alias("x2"),
+        ((F.col("n_nationkey") * 13) % 31).alias("y2"))
+    return spatial.map_match(pts, segs)
+
+
+SQL_MAP_MATCH = """
+WITH p AS (
+  SELECT event_id AS pt_id, user_id % 29 AS px, (user_id * 7) % 31 AS py
+  FROM events WHERE event_id % 7 = 0),
+s AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS seg_id,
+         n_nationkey % 29 AS x1, (n_nationkey * 7) % 31 AS y1,
+         (n_nationkey * 11) % 29 AS x2, (n_nationkey * 13) % 31 AS y2
+  FROM nation),
+g AS (
+  SELECT pt_id, seg_id,
+         (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS l2,
+         (px - x1) * (x2 - x1) + (py - y1) * (y2 - y1) AS dot,
+         (px - x1) * (px - x1) + (py - y1) * (py - y1) AS ap2,
+         (px - x2) * (px - x2) + (py - y2) * (py - y2) AS bp2
+  FROM p CROSS JOIN s),
+sc AS (
+  SELECT pt_id, seg_id,
+         CAST(CASE WHEN dot <= 0 THEN ap2 WHEN dot >= l2 THEN bp2
+                   ELSE ap2 * l2 - dot * dot END AS BIGINT) AS num,
+         CAST(CASE WHEN dot <= 0 OR dot >= l2 THEN 1
+                   ELSE l2 END AS BIGINT) AS den
+  FROM g),
+r AS (
+  SELECT pt_id, seg_id, num * 1048576 // den AS score, num, den,
+         CAST(count(*) OVER (PARTITION BY pt_id) AS BIGINT) AS n_segments,
+         row_number() OVER (PARTITION BY pt_id
+                            ORDER BY num * 1048576 // den, seg_id)
+           AS rn
+  FROM sc)
+SELECT pt_id, seg_id, CAST(score AS BIGINT) AS score,
+       num AS d2_num, den AS d2_den, n_segments
+FROM r WHERE rn = 1
+"""
+
+
 def q_kde_surface(spark, sf_dir):
     """Integer-Epanechnikov KDE heatmap (spatial.kde_surface) over the
     events user grid (radius 3, weight 10 - d^2): per-cell point count
@@ -5051,6 +5111,7 @@ GROUP_A = {
     "block_flow": (q_block_flow, SQL_BLOCK_FLOW),
     "hausdorff": (q_hausdorff, SQL_HAUSDORFF),
     "kde_surface": (q_kde_surface, SQL_KDE_SURFACE),
+    "map_match": (q_map_match, SQL_MAP_MATCH),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),

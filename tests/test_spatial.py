@@ -1065,3 +1065,33 @@ def test_kde_surface_exact_convolution(spark):
     assert len(iso) == 13 and out[(20, 20)] == (5, 1)
     # no zero-density rows materialize
     assert all(v[0] > 0 for v in out.values())
+
+
+def test_map_match_geometry_cases(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    # one horizontal segment from (0,0) to (10,0), one point per regime
+    segs = spark.createDataFrame(
+        [(1, 0, 0, 10, 0), (2, 0, 5, 0, 5)],  # seg 2 is DEGENERATE
+        "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    pts = spark.createDataFrame(
+        [(10, 5, 2),    # interior projection: d2 = 4/1 onto seg 1
+         (11, -3, 1),   # before A: d2 = |AP|^2 = 10
+         (12, 13, 2),   # past B: d2 = 13
+         (13, 0, 5)],   # ON the degenerate segment 2: d2 = 0
+        "pt_id long, x long, y long")
+    out = {r.pt_id: r for r in spatial.map_match(pts, segs).collect()}
+    assert (out[10].seg_id, out[10].d2_num, out[10].d2_den) == (1, 400, 100)
+    assert out[10].d2_num / out[10].d2_den == 4.0
+    assert (out[11].seg_id, out[11].d2_num, out[11].d2_den) == (1, 10, 1)
+    assert (out[12].seg_id, out[12].d2_num, out[12].d2_den) == (1, 13, 1)
+    assert (out[13].seg_id, out[13].d2_num) == (2, 0)
+    assert all(r.n_segments == 2 for r in out.values())
+
+    # tie between two segments breaks to the smaller seg_id
+    segs2 = spark.createDataFrame(
+        [(7, 0, 2, 10, 2), (3, 0, -2, 10, -2)],
+        "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    p2 = spark.createDataFrame([(1, 5, 0)], "pt_id long, x long, y long")
+    r = spatial.map_match(p2, segs2).collect()[0]
+    assert r.seg_id == 3 and r.d2_num / r.d2_den == 4.0
