@@ -2273,3 +2273,73 @@ def block_flow_long(px0: DataFrame, px1: DataFrame, block: int = 8,
                        F.col("b.sad").alias("sad"),
                        F.col("b.u").alias("u"), F.col("b.v").alias("v"),
                        "n_cands")
+
+
+# ---------------------------------------------------------------------------
+# Difference-of-Gaussians blob detection (integer binomial scale space)
+# ---------------------------------------------------------------------------
+
+BINOM5 = (1, 4, 6, 4, 1)                       # ~ Gaussian sigma 1
+BINOM9 = (1, 8, 28, 56, 70, 56, 28, 8, 1)      # ~ Gaussian sigma sqrt(2)
+
+
+def _sep_fold(src: DataFrame, in_col: str, out_col: str,
+              weights, axis: str) -> DataFrame:
+    """One axis of a separable integer convolution via _fold_offsets:
+    weights indexed by the offset along `axis` ('x' or 'y')."""
+    r = len(weights) // 2
+    window = [(d, 0) if axis == "x" else (0, d)
+              for d in range(-r, r + 1)]
+    warr = F.array(*[F.lit(int(w)) for w in weights])
+    idx = (F.col("dx") if axis == "x" else F.col("dy")) + (r + 1)
+    agg = [F.sum(F.element_at(warr, idx.cast("int")) * F.col(in_col))
+            .cast("long").alias(out_col),
+           F.count("*").alias("_c")]
+    return _fold_offsets(src.select("img", "x", "y", in_col),
+                         agg, window, len(weights))
+
+
+def dog_blobs_long(pixels: DataFrame, threshold: int = 0,
+                   img_col: str = "img", x_col: str = "px",
+                   y_col: str = "py",
+                   value_col: str = "val") -> DataFrame:
+    """Difference-of-Gaussians blob response over a long-form pixel
+    table — the scale-space detector that fires on blob-sized structure
+    where Harris fires on corners and Hough on lines (Lindeberg's
+    scale-space primal sketch; SIFT's detection stage).
+
+    Integer binomial kernels stand in for the Gaussians (binomial
+    coefficients ARE the discrete Gaussian): L1 = 5-tap (sigma~1,
+    2D mass 256), L2 = 9-tap (sigma~sqrt 2, 2D mass 65536), and the
+    response dog = L2 - 256*L1 aligns the two masses exactly, so the
+    whole scale space is int64 (|dog| <= ~3.4e7) with zero floats.
+    A pixel is a bright blob (is_max) when dog is strictly greater
+    than all 8 neighbors and > threshold; dark blob (is_min) mirrors.
+    Strictness keeps plateaus out, matching harris_corners_long.
+
+    Shape: each convolution is separable — two _fold_offsets passes per
+    scale (5-tap x2, 9-tap x2), one inner join aligns the two scales on
+    the 4-pixel-margin interior, one 8-neighbor fold for the extremum
+    test.  All shuffles key on (img, x, y); no UDF anywhere."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    l1 = _sep_fold(_sep_fold(p, "v", "h1", BINOM5, "x"),
+                   "h1", "l1", BINOM5, "y")
+    l2 = _sep_fold(_sep_fold(p, "v", "h2", BINOM9, "x"),
+                   "h2", "l2", BINOM9, "y")
+    dog = (l2.join(l1, ["img", "x", "y"])
+             .select("img", "x", "y",
+                     (F.col("l2") - 256 * F.col("l1")).alias("dog")))
+    w8 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+          if (dx, dy) != (0, 0)]
+    ext = _fold_offsets(dog, [F.max("dog").alias("nmx"),
+                              F.min("dog").alias("nmn"),
+                              F.count("*").alias("_c")], w8, 8)
+    return (dog.join(ext, ["img", "x", "y"])
+               .select("img", "x", "y", "dog",
+                       ((F.col("dog") > F.col("nmx"))
+                        & (F.col("dog") > threshold)).alias("is_max"),
+                       ((F.col("dog") < F.col("nmn"))
+                        & (F.col("dog") < -threshold)).alias("is_min")))

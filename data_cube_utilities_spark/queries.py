@@ -2906,6 +2906,67 @@ FROM cooc GROUP BY img
 """
 
 
+def q_dog_blobs(spark, sf_dir):
+    """Difference-of-Gaussians blobs (rasterops.dog_blobs_long) over the
+    four 32x32 lineitem tiles: integer binomial scale space (5-tap vs
+    9-tap, masses aligned by dog = L2 - 256*L1), strict 8-neighbor
+    extrema.  Oracle: the same separable convolutions as weighted
+    offset joins in SQL."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    px = (li.groupBy((F.col("l_suppkey") % 4).alias("img"),
+                     (F.col("l_orderkey") % 32).alias("px"),
+                     (F.col("l_partkey") % 32).alias("py"))
+            .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                 .alias("val")))
+    return rasterops.dog_blobs_long(px, threshold=1000)
+
+
+SQL_DOG_BLOBS = """
+WITH px AS (
+  SELECT l_suppkey % 4 AS img, l_orderkey % 32 AS x, l_partkey % 32 AS y,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2, 3),
+w5(d, w) AS (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1)),
+w9(d, w) AS (VALUES (-4, 1), (-3, 8), (-2, 28), (-1, 56), (0, 70),
+                    (1, 56), (2, 28), (3, 8), (4, 1)),
+h1 AS (
+  SELECT p.img, p.x, p.y, sum(w5.w * n.v) AS v
+  FROM px p CROSS JOIN w5 JOIN px n
+    ON n.img = p.img AND n.x = p.x + w5.d AND n.y = p.y
+  GROUP BY 1, 2, 3 HAVING count(*) = 5),
+l1 AS (
+  SELECT p.img, p.x, p.y, sum(w5.w * n.v) AS v
+  FROM h1 p CROSS JOIN w5 JOIN h1 n
+    ON n.img = p.img AND n.x = p.x AND n.y = p.y + w5.d
+  GROUP BY 1, 2, 3 HAVING count(*) = 5),
+h2 AS (
+  SELECT p.img, p.x, p.y, sum(w9.w * n.v) AS v
+  FROM px p CROSS JOIN w9 JOIN px n
+    ON n.img = p.img AND n.x = p.x + w9.d AND n.y = p.y
+  GROUP BY 1, 2, 3 HAVING count(*) = 9),
+l2 AS (
+  SELECT p.img, p.x, p.y, sum(w9.w * n.v) AS v
+  FROM h2 p CROSS JOIN w9 JOIN h2 n
+    ON n.img = p.img AND n.x = p.x AND n.y = p.y + w9.d
+  GROUP BY 1, 2, 3 HAVING count(*) = 9),
+dog AS (
+  SELECT l2.img, l2.x, l2.y, CAST(l2.v - 256 * l1.v AS BIGINT) AS dog
+  FROM l2 JOIN l1 ON l1.img = l2.img AND l1.x = l2.x AND l1.y = l2.y),
+ext AS (
+  SELECT p.img, p.x, p.y, max(n.dog) AS nmx, min(n.dog) AS nmn
+  FROM dog p JOIN dog n
+    ON n.img = p.img AND abs(n.x - p.x) <= 1 AND abs(n.y - p.y) <= 1
+   AND NOT (n.x = p.x AND n.y = p.y)
+  GROUP BY 1, 2, 3 HAVING count(*) = 8)
+SELECT d.img, d.x, d.y, d.dog,
+       d.dog > e.nmx AND d.dog > 1000 AS is_max,
+       d.dog < e.nmn AND d.dog < -1000 AS is_min
+FROM dog d JOIN ext e ON e.img = d.img AND e.x = d.x AND e.y = d.y
+"""
+
+
 def q_lbp_texture(spark, sf_dir):
     """Local Binary Pattern histogram (rasterops.lbp_histogram_long):
     8-bit neighbor-comparison codes per pixel over the same four 32x32
@@ -5108,6 +5169,7 @@ GROUP_A = {
     "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
     "glcm_texture": (q_glcm_texture, SQL_GLCM_TEXTURE),
     "lbp_texture": (q_lbp_texture, SQL_LBP_TEXTURE),
+    "dog_blobs": (q_dog_blobs, SQL_DOG_BLOBS),
     "block_flow": (q_block_flow, SQL_BLOCK_FLOW),
     "hausdorff": (q_hausdorff, SQL_HAUSDORFF),
     "kde_surface": (q_kde_surface, SQL_KDE_SURFACE),

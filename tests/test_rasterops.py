@@ -815,3 +815,40 @@ def test_block_flow_recovers_planted_shift(spark):
     assert len(exact) >= 4
     # candidate counts never exceed the search grid
     assert (out.n_cands <= 25).all() and (out.n_cands >= 1).all()
+
+
+def test_dog_blobs_match_numpy_and_find_planted_blob(spark):
+    import numpy as np
+    from data_cube_utilities_spark.operators import rasterops
+
+    n = 20
+    a = np.zeros((n, n), dtype=np.int64)
+    a[10, 10] = 200  # an impulse: DoG responds maximally at the center
+    a[3, 15] = 150
+    rows = [(0, x, y, int(a[y, x])) for y in range(n) for x in range(n)]
+    px = spark.createDataFrame(rows, "img long, px long, py long, val long")
+    out = rasterops.dog_blobs_long(px, threshold=10).toPandas()
+
+    # numpy reference: separable binomial convolutions on the interior
+    def conv_sep(img, k):
+        r = len(k) // 2
+        h = sum(w * np.roll(img, -d, axis=1)
+                for d, w in zip(range(-r, r + 1), k))
+        return sum(w * np.roll(h, -d, axis=0)
+                   for d, w in zip(range(-r, r + 1), k))
+    l1 = conv_sep(a, rasterops.BINOM5)
+    l2 = conv_sep(a, rasterops.BINOM9)
+    dog = l2 - 256 * l1
+    got = {(r.x, r.y): r.dog for _, r in out.iterrows()}
+    # interior margin is 5 px (4 for the 9-tap + 1 for the extremum ring)
+    for (x, y), v in got.items():
+        assert v == dog[y, x], (x, y)
+    assert all(5 <= x <= n - 6 and 5 <= y <= n - 6 for x, y in got)
+    # the impulse center is a DARK DoG extremum (wider kernel spreads
+    # mass, so L2 < 256*L1 at the peak) and a bright ring surrounds it
+    center = out[(out.x == 10) & (out.y == 10)].iloc[0]
+    assert bool(center.is_min) and not bool(center.is_max)
+    maxima = out[out.is_max]
+    assert len(maxima) >= 1
+    assert all(abs(r.x - 10) <= 4 and abs(r.y - 10) <= 4
+               for _, r in maxima.iterrows())
