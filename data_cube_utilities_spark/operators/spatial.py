@@ -2123,3 +2123,102 @@ def map_match(points_df: DataFrame, segments_df: DataFrame,
                        F.col("b.score").alias("score"),
                        F.col("b.num").alias("d2_num"),
                        F.col("b.den").alias("d2_den"), "n_segments")
+
+
+def rdp_simplify(traj_df: DataFrame, eps2_num: int, eps2_den: int = 1,
+                 max_iters: int = 8, traj_id_col: str = "traj_id",
+                 seq_col: str = "seq", x_col: str = "x",
+                 y_col: str = "y") -> DataFrame:
+    """Distributed Ramer-Douglas-Peucker polyline simplification — the
+    standard reduction for trajectories, contours and coastlines
+    (subpixel_contours output is its natural input).
+
+    Exact arithmetic throughout: a point's distance to its bracketing
+    chord AB is the rational cross(AB, AP)^2 / |AB|^2; WITHIN one chord
+    the denominator is shared, so the classic farthest-point argmax is
+    an exact integer argmax on the numerator (ties break by seq), and
+    the epsilon test cross-multiplies (num * eps2_den > eps2_num * den)
+    so eps^2 may itself be rational.  No doubles anywhere.
+
+    Iterative breadth-first splitting instead of recursion: every point
+    finds its bracketing kept points with two running-extreme window
+    scans over (traj, seq), each chord splits at its farthest point if
+    beyond epsilon, and ALL chords split in the same round — one round
+    is two window passes + one argmax aggregate, so a round costs the
+    same for a million trajectories as for one (per-traj recursion
+    depth never serializes across the fleet).  Rounds stop at
+    `max_iters` or at fixpoint (no chord splits — checked by one
+    count() per round; typical depth is O(log n) for natural lines).
+    Degenerate chords (closed rings / repeated endpoints, |AB|^2 = 0)
+    fall back to point-to-point distance from A, the standard RDP
+    convention.
+
+    Returns the kept vertices (traj_id, seq, x, y, converged) —
+    `converged` is a GLOBAL flag: False on every row when the loop hit
+    max_iters with splits still pending somewhere, so callers see
+    truncation instead of mistaking it for the fixpoint."""
+    t = traj_df.select(F.col(traj_id_col).alias("tid"),
+                       F.col(seq_col).cast("long").alias("seq"),
+                       F.col(x_col).cast("long").alias("x"),
+                       F.col(y_col).cast("long").alias("y"))
+    wt = Window.partitionBy("tid")
+    pts = t.withColumn(
+        "keep", (F.col("seq") == F.min("seq").over(wt))
+                | (F.col("seq") == F.max("seq").over(wt))).persist()
+    pts.count()
+    wup = (Window.partitionBy("tid").orderBy("seq")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    wdn = (Window.partitionBy("tid").orderBy(F.desc("seq"))
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    kept_seq = F.when(F.col("keep"), F.col("seq"))
+    kept_x = F.when(F.col("keep"), F.col("x"))
+    kept_y = F.when(F.col("keep"), F.col("y"))
+    split_any = True
+    rounds = 0
+    while split_any and rounds < max_iters:
+        rounds += 1
+        # bracket every interior point by its nearest kept neighbors
+        br = (pts.withColumn("ls", F.max(kept_seq).over(wup))
+                 .withColumn("lx", F.last(kept_x, True).over(wup))
+                 .withColumn("ly", F.last(kept_y, True).over(wup))
+                 .withColumn("rs", F.min(kept_seq).over(wdn))
+                 .withColumn("rx", F.last(kept_x, True).over(wdn))
+                 .withColumn("ry", F.last(kept_y, True).over(wdn)))
+        inner = br.filter(~F.col("keep"))
+        abx, aby = F.col("rx") - F.col("lx"), F.col("ry") - F.col("ly")
+        apx, apy = F.col("x") - F.col("lx"), F.col("y") - F.col("ly")
+        l2 = abx * abx + aby * aby
+        cross = abx * apy - aby * apx
+        num = F.when(l2 == 0, (apx * apx + apy * apy)) \
+               .otherwise(cross * cross)
+        den = F.when(l2 == 0, F.lit(1)).otherwise(l2)
+        cand = inner.select(
+            "tid", "seq", "ls", "rs", num.alias("num"), den.alias("den"))
+        far = (cand.groupBy("tid", "ls", "rs")
+                   .agg(F.max(F.struct(F.col("num"),
+                                       (-F.col("seq")).alias("nseq")))
+                         .alias("m"),
+                        F.first("den").alias("den"))
+                   .select("tid", (-F.col("m.nseq")).alias("seq"),
+                           F.col("m.num").alias("num"), "den")
+                   .filter(F.col("num") * eps2_den
+                           > F.lit(eps2_num) * F.col("den")))
+        n_split = far.count()
+        split_any = n_split > 0
+        if split_any:
+            new = (pts.join(far.select("tid", "seq").withColumn(
+                                "nk", F.lit(True)),
+                            ["tid", "seq"], "left")
+                      .withColumn("keep", F.col("keep")
+                                  | F.coalesce("nk", F.lit(False)))
+                      .drop("nk").persist())
+            new.count()
+            pts.unpersist()
+            pts = new
+    out = pts.filter("keep").select(
+        F.col("tid").alias(traj_id_col), "seq", "x", "y",
+        F.lit(not split_any).alias("converged"))
+    # materialize before releasing the loop cache
+    out = out.localCheckpoint(eager=True)
+    pts.unpersist()
+    return out

@@ -3006,6 +3006,94 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_rdp_simplify(spark, sf_dir):
+    """Distributed Ramer-Douglas-Peucker (spatial.rdp_simplify) over ten
+    event-derived trajectories (x = ping rank, y = deterministic
+    wiggle), eps^2 = 9, 4 breadth-first rounds.  Exact rational
+    farthest-point argmax; the oracle unrolls the same four rounds as
+    CTE stages (breadth-first splitting makes RDP's recursion
+    SQL-expressible without recursion — each round is windows +
+    argmax).  `converged` pins the fixpoint-vs-truncation contract."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("traj_id").orderBy("ts", "event_id")
+    tr = (ev.filter(F.col("event_id") % 3 == 0)
+            .select((F.col("user_id") % 10).alias("traj_id"),
+                    "ts", "event_id")
+            .withColumn("seq", F.row_number().over(w))
+            .select("traj_id", "seq", F.col("seq").alias("x"),
+                    ((F.col("event_id") * 7) % 23).alias("y")))
+    return spatial.rdp_simplify(tr, eps2_num=9, max_iters=4)
+
+
+def _rdp_oracle_sql(eps2_num: int, eps2_den: int, rounds: int) -> str:
+    """Unrolled breadth-first RDP rounds as chained CTEs (one bracket
+    aggregate + one farthest-point window pick per round), mirroring
+    spatial.rdp_simplify's loop exactly — including the 'points added
+    on the final round still count, convergence = that round found
+    nothing' contract."""
+    parts = ["""
+WITH raw AS (
+  SELECT user_id % 10 AS tid, ts, event_id
+  FROM events WHERE event_id % 3 = 0),
+pts AS (
+  SELECT tid,
+         row_number() OVER (PARTITION BY tid ORDER BY ts, event_id)
+           AS seq,
+         row_number() OVER (PARTITION BY tid ORDER BY ts, event_id)
+           AS x,
+         (event_id * 7) % 23 AS y
+  FROM raw),
+k0 AS (
+  SELECT p.tid, p.seq, p.x, p.y FROM pts p
+  JOIN (SELECT tid, min(seq) AS lo, max(seq) AS hi
+        FROM pts GROUP BY tid) e
+    ON e.tid = p.tid AND (p.seq = e.lo OR p.seq = e.hi))"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT p.tid, p.seq, p.x, p.y,
+         max(CASE WHEN k.seq < p.seq THEN k.seq END) AS ls,
+         min(CASE WHEN k.seq > p.seq THEN k.seq END) AS rs
+  FROM pts p JOIN k{i - 1} k ON k.tid = p.tid
+  WHERE NOT EXISTS (SELECT 1 FROM k{i - 1} z
+                    WHERE z.tid = p.tid AND z.seq = p.seq)
+  GROUP BY p.tid, p.seq, p.x, p.y),
+d{i} AS (
+  SELECT c.tid, c.seq, c.ls, c.rs,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS l2,
+         (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) AS cr,
+         (c.x - a.x) * (c.x - a.x) + (c.y - a.y) * (c.y - a.y) AS ap2
+  FROM c{i} c
+  JOIN k{i - 1} a ON a.tid = c.tid AND a.seq = c.ls
+  JOIN k{i - 1} b ON b.tid = c.tid AND b.seq = c.rs),
+f{i} AS (
+  SELECT tid, seq FROM (
+    SELECT tid, seq,
+           CASE WHEN l2 = 0 THEN ap2 ELSE cr * cr END AS num,
+           CASE WHEN l2 = 0 THEN 1 ELSE l2 END AS den,
+           row_number() OVER (
+             PARTITION BY tid, ls, rs
+             ORDER BY CASE WHEN l2 = 0 THEN ap2 ELSE cr * cr END DESC,
+                      seq) AS rn
+    FROM d{i})
+  WHERE rn = 1 AND num * {eps2_den} > {eps2_num} * den),
+k{i} AS (
+  SELECT * FROM k{i - 1}
+  UNION ALL
+  SELECT p.tid, p.seq, p.x, p.y
+  FROM f{i} f JOIN pts p ON p.tid = f.tid AND p.seq = f.seq)""")
+    parts.append(f"""
+SELECT tid AS traj_id, seq, x, y,
+       (SELECT count(*) FROM f{rounds}) = 0 AS converged
+FROM k{rounds}""")
+    return "".join(parts)
+
+
+SQL_RDP_SIMPLIFY = _rdp_oracle_sql(9, 1, 4)
+
+
 def q_map_match(spark, sf_dir):
     """Map matching (spatial.map_match): every 1-in-7 event ping snaps
     to the nearest of 25 nation-derived segments.  Point-to-segment
@@ -5174,6 +5262,7 @@ GROUP_A = {
     "hausdorff": (q_hausdorff, SQL_HAUSDORFF),
     "kde_surface": (q_kde_surface, SQL_KDE_SURFACE),
     "map_match": (q_map_match, SQL_MAP_MATCH),
+    "rdp_simplify": (q_rdp_simplify, SQL_RDP_SIMPLIFY),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),

@@ -1095,3 +1095,52 @@ def test_map_match_geometry_cases(spark):
     p2 = spark.createDataFrame([(1, 5, 0)], "pt_id long, x long, y long")
     r = spatial.map_match(p2, segs2).collect()[0]
     assert r.seg_id == 3 and r.d2_num / r.d2_den == 4.0
+
+
+def _rdp_ref(points, eps2):
+    """Classic recursive RDP with squared-distance rational compare."""
+    def d2_cmp(a, b, p):
+        abx, aby = b[0] - a[0], b[1] - a[1]
+        apx, apy = p[0] - a[0], p[1] - a[1]
+        l2 = abx * abx + aby * aby
+        if l2 == 0:
+            return apx * apx + apy * apy, 1
+        c = abx * apy - aby * apx
+        return c * c, l2
+    def rec(lo, hi):
+        best, bn, bd = None, -1, 1
+        for i in range(lo + 1, hi):
+            n, d = d2_cmp(points[lo], points[hi], points[i])
+            if n * bd > bn * d:   # exact rational compare
+                best, bn, bd = i, n, d
+        if best is not None and bn > eps2 * bd:
+            return rec(lo, best) + [best] + rec(best, hi)
+        return []
+    if len(points) < 3:
+        return list(range(len(points)))
+    return [0] + rec(0, len(points) - 1) + [len(points) - 1]
+
+
+def test_rdp_simplify_matches_recursive_reference(spark):
+    import math
+    from data_cube_utilities_spark.operators import spatial
+
+    # a noisy sine-ish integer polyline + a straight line + a V shape
+    trajs = {
+        1: [(i, round(10 * math.sin(i / 3.0)) + (i % 3)) for i in range(40)],
+        2: [(i, 2 * i) for i in range(12)],          # collinear: 2 points
+        3: [(0, 0), (5, 9), (10, 0)],                # keep the apex
+    }
+    rows = [(tid, s, x, y) for tid, pts in trajs.items()
+            for s, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "traj_id long, seq long, x long, y long")
+    out = spatial.rdp_simplify(df, eps2_num=4, max_iters=16)
+    got = {tid: [r.seq for r in out.filter(out.traj_id == tid)
+                 .orderBy("seq").collect()] for tid in trajs}
+    for tid, pts in trajs.items():
+        assert got[tid] == _rdp_ref(pts, 4), tid
+    assert all(r.converged for r in out.collect())
+    # truncation surfaces: one round cannot finish the sine curve
+    t1 = spatial.rdp_simplify(
+        df.filter("traj_id = 1"), eps2_num=4, max_iters=1)
+    assert not t1.collect()[0].converged
