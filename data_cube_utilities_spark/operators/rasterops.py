@@ -2343,3 +2343,73 @@ def dog_blobs_long(pixels: DataFrame, threshold: int = 0,
                         & (F.col("dog") > threshold)).alias("is_max"),
                        ((F.col("dog") < F.col("nmn"))
                         & (F.col("dog") < -threshold)).alias("is_min")))
+
+
+# ---------------------------------------------------------------------------
+# HOG: histogram of oriented gradients (exact-integer octant binning)
+# ---------------------------------------------------------------------------
+
+def _octant_of(gx, gy):
+    """Unsigned gradient direction binned into 8 half-open 45-degree
+    sectors from +x toward +y, decided by an ORDERED sign/magnitude
+    ladder (first match wins) so every boundary angle lands in exactly
+    one bin identically in any engine; -1 for flat pixels.  The SQL
+    twin transcribes this CASE verbatim — keep the two in sync."""
+    return (F.when((gx == 0) & (gy == 0), F.lit(-1))
+             .when((gx > 0) & (gy >= 0) & (gx > gy), F.lit(0))
+             .when((gx > 0) & (gy > 0), F.lit(1))
+             .when((gx <= 0) & (gy > 0) & (gy > -gx), F.lit(2))
+             .when((gx < 0) & (gy > 0), F.lit(3))
+             .when((gx < 0) & (gy <= 0) & (-gx > -gy), F.lit(4))
+             .when((gx < 0) & (gy < 0), F.lit(5))
+             .when((gx >= 0) & (gy < 0) & (-gy > gx), F.lit(6))
+             .otherwise(F.lit(7)))
+
+
+def hog_features_long(pixels: DataFrame, cell: int = 8,
+                      img_col: str = "img", x_col: str = "px",
+                      y_col: str = "py",
+                      value_col: str = "val") -> DataFrame:
+    """Histogram of Oriented Gradients over a long-form pixel table
+    (Dalal & Triggs, CVPR 2005) — the patch descriptor that pairs with
+    the repo's LBP (micro-texture) and GLCM (gray-level co-occurrence):
+    per cell x cell block, the distribution of edge directions.
+
+    Exact-integer deviations, both deliberate and documented:
+      - orientation = the 8-octant ladder of _octant_of (full 360°,
+        unsigned-by-flip is a downstream fold of bin k with k+4);
+      - vote weight = L1 gradient magnitude |gx| + |gy| (the L2 norm
+        is irrational; L1 preserves ordering within an octant and
+        keeps every vote an int64);
+      - block normalization is NOT applied (it divides by a sqrt) —
+        cell_total ships instead so callers normalize downstream in
+        whatever float precision they choose.
+    Flat pixels (bin -1) vote nowhere but do count in n_px.
+
+    Shape: one Sobel fold (the harris_corners_long stage), one
+    (img, cell, bin) aggregate.  Two shuffles total."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    w9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    sobel = _fold_offsets(p, [
+        F.sum(F.col("dx") * (2 - F.abs(F.col("dy"))) * F.col("v"))
+         .cast("long").alias("gx"),
+        F.sum(F.col("dy") * (2 - F.abs(F.col("dx"))) * F.col("v"))
+         .cast("long").alias("gy"),
+        F.count("*").alias("_c")], w9, 9)
+    gx, gy = F.col("gx"), F.col("gy")
+    binned = sobel.select(
+        "img", (F.col("x") / cell).cast("long").alias("cx"),
+        (F.col("y") / cell).cast("long").alias("cy"),
+        _octant_of(gx, gy).alias("bin"),
+        (F.abs(gx) + F.abs(gy)).alias("w"))
+    hist = (binned.filter(F.col("bin") >= 0)
+                  .groupBy("img", "cx", "cy", "bin")
+                  .agg(F.sum("w").cast("long").alias("w_sum"),
+                       F.count("*").cast("long").alias("n_px")))
+    tot = (binned.groupBy("img", "cx", "cy")
+                 .agg(F.sum("w").cast("long").alias("cell_total"),
+                      F.count("*").cast("long").alias("cell_px")))
+    return hist.join(tot, ["img", "cx", "cy"])

@@ -2906,6 +2906,63 @@ FROM cooc GROUP BY img
 """
 
 
+def q_hog_features(spark, sf_dir):
+    """HOG descriptors (rasterops.hog_features_long) over the four
+    32x32 lineitem tiles, 8x8 cells: Sobel gradients, ordered-ladder
+    octant bins, L1-magnitude votes, per-cell totals for downstream
+    normalization.  Oracle transcribes the identical CASE ladder."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    px = (li.groupBy((F.col("l_suppkey") % 4).alias("img"),
+                     (F.col("l_orderkey") % 32).alias("px"),
+                     (F.col("l_partkey") % 32).alias("py"))
+            .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                 .alias("val")))
+    return rasterops.hog_features_long(px, cell=8)
+
+
+SQL_HOG_FEATURES = """
+WITH px AS (
+  SELECT l_suppkey % 4 AS img, l_orderkey % 32 AS x, l_partkey % 32 AS y,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2, 3),
+sob AS (
+  SELECT p.img, p.x, p.y,
+         CAST(sum((n.x - p.x) * (2 - abs(n.y - p.y)) * n.v) AS BIGINT)
+           AS gx,
+         CAST(sum((n.y - p.y) * (2 - abs(n.x - p.x)) * n.v) AS BIGINT)
+           AS gy
+  FROM px p JOIN px n
+    ON n.img = p.img AND abs(n.x - p.x) <= 1 AND abs(n.y - p.y) <= 1
+  GROUP BY 1, 2, 3 HAVING count(*) = 9),
+binned AS (
+  SELECT img, x // 8 AS cx, y // 8 AS cy,
+         CASE WHEN gx = 0 AND gy = 0 THEN -1
+              WHEN gx > 0 AND gy >= 0 AND gx > gy THEN 0
+              WHEN gx > 0 AND gy > 0 THEN 1
+              WHEN gx <= 0 AND gy > 0 AND gy > -gx THEN 2
+              WHEN gx < 0 AND gy > 0 THEN 3
+              WHEN gx < 0 AND gy <= 0 AND -gx > -gy THEN 4
+              WHEN gx < 0 AND gy < 0 THEN 5
+              WHEN gx >= 0 AND gy < 0 AND -gy > gx THEN 6
+              ELSE 7 END AS bin,
+         abs(gx) + abs(gy) AS w
+  FROM sob),
+hist AS (
+  SELECT img, cx, cy, bin, CAST(sum(w) AS BIGINT) AS w_sum,
+         CAST(count(*) AS BIGINT) AS n_px
+  FROM binned WHERE bin >= 0 GROUP BY 1, 2, 3, 4),
+tot AS (
+  SELECT img, cx, cy, CAST(sum(w) AS BIGINT) AS cell_total,
+         CAST(count(*) AS BIGINT) AS cell_px
+  FROM binned GROUP BY 1, 2, 3)
+SELECT h.img, h.cx, h.cy, h.bin, h.w_sum, h.n_px, t.cell_total, t.cell_px
+FROM hist h JOIN tot t
+  ON t.img = h.img AND t.cx = h.cx AND t.cy = h.cy
+"""
+
+
 def q_dog_blobs(spark, sf_dir):
     """Difference-of-Gaussians blobs (rasterops.dog_blobs_long) over the
     four 32x32 lineitem tiles: integer binomial scale space (5-tap vs
@@ -5258,6 +5315,7 @@ GROUP_A = {
     "glcm_texture": (q_glcm_texture, SQL_GLCM_TEXTURE),
     "lbp_texture": (q_lbp_texture, SQL_LBP_TEXTURE),
     "dog_blobs": (q_dog_blobs, SQL_DOG_BLOBS),
+    "hog_features": (q_hog_features, SQL_HOG_FEATURES),
     "block_flow": (q_block_flow, SQL_BLOCK_FLOW),
     "hausdorff": (q_hausdorff, SQL_HAUSDORFF),
     "kde_surface": (q_kde_surface, SQL_KDE_SURFACE),

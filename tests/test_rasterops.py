@@ -852,3 +852,33 @@ def test_dog_blobs_match_numpy_and_find_planted_blob(spark):
     assert len(maxima) >= 1
     assert all(abs(r.x - 10) <= 4 and abs(r.y - 10) <= 4
                for _, r in maxima.iterrows())
+
+
+def test_hog_octants_match_atan2_and_totals(spark):
+    import math
+    import numpy as np
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark.operators import rasterops
+
+    # direct ladder check over a dense (gx, gy) sweep incl. boundaries
+    g = [(gx, gy) for gx in range(-3, 4) for gy in range(-3, 4)]
+    df = spark.createDataFrame(g, "gx long, gy long")
+    out = df.withColumn(
+        "bin", rasterops._octant_of(F.col("gx"), F.col("gy"))).collect()
+    for r in out:
+        if r.gx == 0 and r.gy == 0:
+            assert r.bin == -1
+            continue
+        ang = math.atan2(r.gy, r.gx) % (2 * math.pi)
+        want = int(ang // (math.pi / 4)) % 8
+        assert r.bin == want, (r.gx, r.gy, r.bin, want)
+
+    # end-to-end: a vertical step edge -> all votes in the +x octant
+    rows = [(0, x, y, 200 if x >= 8 else 0)
+            for y in range(16) for x in range(16)]
+    px = spark.createDataFrame(rows, "img long, px long, py long, val long")
+    hog = rasterops.hog_features_long(px, cell=8).toPandas()
+    assert set(hog.bin) == {0}          # pure +x gradient
+    # votes sum to the cell totals (flat pixels vote nowhere)
+    assert (hog.w_sum == hog.cell_total).all()
+    assert (hog.n_px <= hog.cell_px).all()
