@@ -2413,3 +2413,53 @@ def hog_features_long(pixels: DataFrame, cell: int = 8,
                  .agg(F.sum("w").cast("long").alias("cell_total"),
                       F.count("*").cast("long").alias("cell_px")))
     return hist.join(tot, ["img", "cx", "cy"])
+
+
+# ---------------------------------------------------------------------------
+# Segmentation evaluation: label-pair IoU + best-match assignment
+# ---------------------------------------------------------------------------
+
+def label_iou(seg_a: DataFrame, seg_b: DataFrame, img_col: str = "img",
+              x_col: str = "px", y_col: str = "py",
+              label_col: str = "label") -> DataFrame:
+    """Per-(label_a, label_b) IoU between two labelings of the same
+    grid — the segmentation-quality metric (predicted regions vs ground
+    truth, or epoch-to-epoch region tracking for shepherd_clumps /
+    vectorize_regions outputs).
+
+    IoU stays an EXACT RATIONAL: n_inter / (n_a + n_b - n_inter); the
+    per-A best match maximizes the 2^20-scaled integer quotient
+    (n_inter * 2^20) DIV n_union — the map_match idiom: equal rationals
+    score equal, sub-2^-20 differences fall to the deterministic
+    smaller-label_b tie-break, no float division anywhere, and the
+    product stays in int64 up to ~8e12 pixels per label.
+    `is_best_for_a` marks it; rows carry both counts so callers derive
+    precision/recall at any IoU threshold (e.g. the COCO-style
+    inter * 2 > union test) by integer compare.
+
+    Shape: one inner join on (img, x, y) — co-partitioned scans at
+    scale — then a (img, label, label) count and two broadcast-size
+    per-label count joins.  Pairs with zero intersection never
+    materialize (their IoU is 0)."""
+    a = seg_a.select(F.col(img_col).alias("img"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"),
+                     F.col(label_col).cast("long").alias("la"))
+    b = seg_b.select(F.col(img_col).alias("img"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"),
+                     F.col(label_col).cast("long").alias("lb"))
+    inter = (a.join(b, ["img", "x", "y"])
+              .groupBy("img", "la", "lb")
+              .agg(F.count("*").cast("long").alias("n_inter")))
+    na = a.groupBy("img", "la").agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.groupBy("img", "lb").agg(F.count("*").cast("long").alias("n_b"))
+    j = (inter.join(na, ["img", "la"]).join(nb, ["img", "lb"])
+              .withColumn("n_union",
+                          F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    w = Window.partitionBy("img", "la")
+    score = F.expr("(n_inter * 1048576) DIV n_union")
+    cand = F.struct(score.alias("s"), (-F.col("lb")).alias("nlb"))
+    return j.select(
+        "img", "la", "lb", "n_inter", "n_a", "n_b", "n_union",
+        (cand == F.max(cand).over(w)).alias("is_best_for_a"))

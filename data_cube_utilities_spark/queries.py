@@ -2906,6 +2906,56 @@ FROM cooc GROUP BY img
 """
 
 
+def q_label_iou(spark, sf_dir):
+    """Segmentation evaluation (rasterops.label_iou): two quantized
+    labelings of the 32x32 lineitem grid (v//64 vs (v+17)//64 — shifted
+    quantization mimics a near-miss prediction), per-pair intersection
+    and union counts, exact-rational best match per A label.  Oracle
+    recomputes the same joins and the 2^20-scaled argmax."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    px = (li.groupBy(F.lit(0).alias("img"),
+                     (F.col("l_orderkey") % 32).alias("px"),
+                     (F.col("l_partkey") % 32).alias("py"))
+            .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                 .alias("v")))
+    seg_a = px.select("img", "px", "py",
+                      F.floor(F.col("v") / 64).alias("label"))
+    seg_b = px.select("img", "px", "py",
+                      F.floor((F.col("v") + 17) / 64).alias("label"))
+    return rasterops.label_iou(seg_a, seg_b)
+
+
+SQL_LABEL_IOU = """
+WITH px AS (
+  SELECT 0 AS img, l_orderkey % 32 AS x, l_partkey % 32 AS y,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2, 3),
+a AS (SELECT img, x, y, v // 64 AS la FROM px),
+b AS (SELECT img, x, y, (v + 17) // 64 AS lb FROM px),
+inter AS (
+  SELECT a.img, la, lb, CAST(count(*) AS BIGINT) AS n_inter
+  FROM a JOIN b ON b.img = a.img AND b.x = a.x AND b.y = a.y
+  GROUP BY 1, 2, 3),
+na AS (SELECT img, la, CAST(count(*) AS BIGINT) AS n_a
+       FROM a GROUP BY 1, 2),
+nb AS (SELECT img, lb, CAST(count(*) AS BIGINT) AS n_b
+       FROM b GROUP BY 1, 2),
+j AS (
+  SELECT i.img, i.la, i.lb, i.n_inter, na.n_a, nb.n_b,
+         na.n_a + nb.n_b - i.n_inter AS n_union
+  FROM inter i
+  JOIN na ON na.img = i.img AND na.la = i.la
+  JOIN nb ON nb.img = i.img AND nb.lb = i.lb)
+SELECT img, la, lb, n_inter, n_a, n_b, n_union,
+       (n_inter * 1048576 // n_union, -lb) = max(
+         (n_inter * 1048576 // n_union, -lb))
+         OVER (PARTITION BY img, la) AS is_best_for_a
+FROM j
+"""
+
+
 def q_hog_features(spark, sf_dir):
     """HOG descriptors (rasterops.hog_features_long) over the four
     32x32 lineitem tiles, 8x8 cells: Sobel gradients, ordered-ladder
@@ -5316,6 +5366,7 @@ GROUP_A = {
     "lbp_texture": (q_lbp_texture, SQL_LBP_TEXTURE),
     "dog_blobs": (q_dog_blobs, SQL_DOG_BLOBS),
     "hog_features": (q_hog_features, SQL_HOG_FEATURES),
+    "label_iou": (q_label_iou, SQL_LABEL_IOU),
     "block_flow": (q_block_flow, SQL_BLOCK_FLOW),
     "hausdorff": (q_hausdorff, SQL_HAUSDORFF),
     "kde_surface": (q_kde_surface, SQL_KDE_SURFACE),

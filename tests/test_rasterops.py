@@ -882,3 +882,33 @@ def test_hog_octants_match_atan2_and_totals(spark):
     # votes sum to the cell totals (flat pixels vote nowhere)
     assert (hog.w_sum == hog.cell_total).all()
     assert (hog.n_px <= hog.cell_px).all()
+
+
+def test_label_iou_exact_counts_and_best_match(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    # ground truth: left half label 1, right half label 2
+    # prediction: label 10 covers x<6 (IoU 6/10 with 1), label 20 rest
+    rows_a = [(0, x, y, 1 if x < 8 else 2)
+              for y in range(4) for x in range(16)]
+    rows_b = [(0, x, y, 10 if x < 6 else 20)
+              for y in range(4) for x in range(16)]
+    mk = lambda r: spark.createDataFrame(
+        r, "img long, px long, py long, label long")
+    out = {(r.la, r.lb): r for r in
+           rasterops.label_iou(mk(rows_a), mk(rows_b)).collect()}
+    r = out[(1, 10)]
+    assert (r.n_inter, r.n_a, r.n_b, r.n_union) == (24, 32, 24, 32)
+    assert r.is_best_for_a          # IoU 24/32 beats (1,20)'s 8/64
+    assert not out[(1, 20)].is_best_for_a
+    r2 = out[(2, 20)]
+    assert (r2.n_inter, r2.n_union) == (32, 40) and r2.is_best_for_a
+    assert (2, 10) not in out       # zero-intersection pairs absent
+
+    # exact tie: two predictions with identical IoU -> smaller lb wins
+    rows_b2 = [(0, x, y, 5 if x < 4 else (3 if x < 8 else 9))
+               for y in range(4) for x in range(16)]
+    t = {(r.la, r.lb): r for r in
+         rasterops.label_iou(mk(rows_a), mk(rows_b2)).collect()}
+    assert t[(1, 5)].n_inter == t[(1, 3)].n_inter == 16
+    assert t[(1, 3)].is_best_for_a and not t[(1, 5)].is_best_for_a
