@@ -422,3 +422,77 @@ def first_last_valid(df: DataFrame, keys: Sequence[str], value_col: str,
         F.expr(f"max_by({value_col}, {time_col}) FILTER (WHERE {value_col} IS NOT NULL)")
          .alias("last_value"),
         F.max(F.when(v.isNotNull(), t)).alias("last_time"))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping (in-row exact-integer DP)
+# ---------------------------------------------------------------------------
+
+def dtw_distance_col(acol, bcol):
+    """DTW distance between two array<long> columns as a pure Catalyst
+    expression — the O(n*m) dynamic program runs INSIDE the row via a
+    nested higher-order aggregate (the Mann-Kendall in-row pair-scan
+    shape, one level deeper): the outer fold walks A carrying the DP
+    row, the inner fold walks B with the three-way recurrence
+    new[j] = |a - B[j]| + min(prev[j], prev[j-1], new[j-1]); the
+    out-of-range reads use F.get (0-based, NULL-safe) + coalesce to a
+    2^62 sentinel.  |a-b| costs keep everything int64-exact, so the
+    distance hash-matches any engine's DTW.
+
+    Zero Python, zero shuffle: cost is per-row CPU, so a million pairs
+    DP in parallel wherever their rows live.  Intended for bounded
+    series (the classic subsequence/window lengths, n*m <= ~10^6 per
+    row); band-limit upstream for longer series."""
+    BIG = F.lit(2 ** 62)
+
+    def outer(prev, a):
+        def inner(acc2, j):
+            cost = F.abs(a - F.element_at(bcol, j.cast("int")))
+            up = F.element_at(prev, j.cast("int"))
+            diag = F.coalesce(F.get(prev, j.cast("int") - 2), BIG)
+            left = F.coalesce(F.get(acc2, F.size(acc2) - 1), BIG)
+            return F.concat(acc2,
+                            F.array(cost + F.least(up, diag, left)))
+        return F.aggregate(F.sequence(F.lit(1), F.size(bcol)),
+                           F.array().cast("array<long>"), inner)
+
+    def init_inner(acc, j):
+        cost = F.abs(F.element_at(acol, 1)
+                     - F.element_at(bcol, j.cast("int")))
+        run = F.coalesce(F.get(acc, F.size(acc) - 1), F.lit(0))
+        return F.concat(acc, F.array(cost + run))
+
+    row1 = F.aggregate(F.sequence(F.lit(1), F.size(bcol)),
+                       F.array().cast("array<long>"), init_inner)
+    rest = F.slice(acol, 2, F.greatest(F.size(acol) - 1, F.lit(0)))
+    return F.element_at(F.aggregate(rest, row1, outer), F.size(bcol))
+
+
+def dtw_pairs(series_df: DataFrame, id_col: str = "sid",
+              t_col: str = "t", v_col: str = "v") -> DataFrame:
+    """All-pairs DTW over a table of integer time series — the
+    alignment-tolerant similarity that plain Euclidean windows miss
+    (phenology curves shifted by season onset, gauge series shifted by
+    routing lag).  Series assemble per id with one
+    array_sort(collect_list(struct(t, v))) (deterministic order), then
+    every unordered pair (sa < sb) evaluates dtw_distance_col in-row.
+
+    Shape: one groupBy to build series, one self-join on sa < sb (for
+    k series that's k(k-1)/2 rows — the caller controls k; at scale
+    pair against a broadcast probe set instead, the lsh_ann_batch
+    pattern), all DP work in-row."""
+    arr = (series_df.groupBy(F.col(id_col).alias("sid"))
+           .agg(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct(F.col(t_col).alias("t"),
+                            F.col(v_col).alias("v")))),
+               lambda s: s["v"]).alias("vals"),
+               F.count("*").cast("long").alias("n")))
+    a = arr.select(F.col("sid").alias("sa"), F.col("vals").alias("va"),
+                   F.col("n").alias("n_a"))
+    b = arr.select(F.col("sid").alias("sb"), F.col("vals").alias("vb"),
+                   F.col("n").alias("n_b"))
+    pairs = a.join(b, F.col("sa") < F.col("sb"))
+    return pairs.select(
+        "sa", "sb", "n_a", "n_b",
+        dtw_distance_col(F.col("va"), F.col("vb")).alias("dtw"))

@@ -3113,6 +3113,74 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_dtw_pairs(spark, sf_dir):
+    """All-pairs DTW (temporal.dtw_pairs): six event-derived integer
+    series (13-22 points each), the O(n*m) dynamic program running
+    entirely in-row as a nested higher-order aggregate.  The oracle is
+    a recursive CTE over DP rows with the intra-row recurrence
+    flattened to a min-plus prefix scan (new[j] = S_j + running-min of
+    (min(prev[j], prev[j-1]) - S_{j-1})) — windows only, no lateral
+    recursion — proving the 'genuinely non-SQL' DP is hash-oracleable
+    after all."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (ev.filter(F.col("event_id") % 97 == 0)
+             .select((F.col("user_id") % 6).alias("sid"),
+                     F.col("event_id").alias("t"),
+                     ((F.col("event_id") * 7) % 50).alias("v")))
+    return temporal.dtw_pairs(ser)
+
+
+SQL_DTW_PAIRS = """
+WITH RECURSIVE raw AS (
+  SELECT user_id % 6 AS sid, event_id, (event_id * 7) % 50 AS v
+  FROM events WHERE event_id % 97 = 0),
+s AS (
+  SELECT sid,
+         row_number() OVER (PARTITION BY sid ORDER BY event_id) AS i, v
+  FROM raw),
+n AS (SELECT sid, max(i) AS n FROM s GROUP BY sid),
+pr AS (
+  SELECT x.sid AS sa, y.sid AS sb, x.n AS n_a, y.n AS n_b
+  FROM n x JOIN n y ON x.sid < y.sid),
+dp(sa, sb, i, j, val) AS (
+  SELECT pr.sa, pr.sb, 1, b.i,
+         sum(abs(a1.v - b.v)) OVER (PARTITION BY pr.sa, pr.sb
+                                    ORDER BY b.i
+                                    ROWS UNBOUNDED PRECEDING)
+  FROM pr
+  JOIN s a1 ON a1.sid = pr.sa AND a1.i = 1
+  JOIN s b ON b.sid = pr.sb
+  UNION ALL
+  SELECT sa, sb, i, j, S + rmin FROM (
+    SELECT x.sa, x.sb, x.i, x.j, x.S,
+           min(x.e - x.Sprev) OVER (PARTITION BY x.sa, x.sb
+                                    ORDER BY x.j
+                                    ROWS UNBOUNDED PRECEDING) AS rmin
+    FROM (
+      SELECT d.sa, d.sb, d.i + 1 AS i, d.j, d.val,
+             sum(abs(na.v - b.v)) OVER (PARTITION BY d.sa, d.sb
+                                        ORDER BY d.j
+                                        ROWS UNBOUNDED PRECEDING) AS S,
+             sum(abs(na.v - b.v)) OVER (PARTITION BY d.sa, d.sb
+                                        ORDER BY d.j
+                                        ROWS UNBOUNDED PRECEDING)
+               - abs(na.v - b.v) AS Sprev,
+             least(d.val,
+                   coalesce(lag(d.val) OVER (PARTITION BY d.sa, d.sb
+                                             ORDER BY d.j),
+                            4611686018427387904)) AS e
+      FROM dp d
+      JOIN s b ON b.sid = d.sb AND b.i = d.j
+      JOIN s na ON na.sid = d.sa AND na.i = d.i + 1) x))
+SELECT dp.sa, dp.sb, CAST(pr.n_a AS BIGINT) AS n_a,
+       CAST(pr.n_b AS BIGINT) AS n_b, CAST(dp.val AS BIGINT) AS dtw
+FROM dp JOIN pr ON pr.sa = dp.sa AND pr.sb = dp.sb
+WHERE dp.i = pr.n_a AND dp.j = pr.n_b
+"""
+
+
 def q_rdp_simplify(spark, sf_dir):
     """Distributed Ramer-Douglas-Peucker (spatial.rdp_simplify) over ten
     event-derived trajectories (x = ping rank, y = deterministic
@@ -5372,6 +5440,7 @@ GROUP_A = {
     "kde_surface": (q_kde_surface, SQL_KDE_SURFACE),
     "map_match": (q_map_match, SQL_MAP_MATCH),
     "rdp_simplify": (q_rdp_simplify, SQL_RDP_SIMPLIFY),
+    "dtw_pairs": (q_dtw_pairs, SQL_DTW_PAIRS),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),

@@ -293,3 +293,37 @@ def test_interp_linear_fills_gaps_edges_stay_null(spark):
     filled = np.interp(np.arange(5), np.flatnonzero(~np.isnan(s)),
                        s[~np.isnan(s)])
     assert filled[1] == 20.0 and filled[2] == 30.0
+
+
+def test_dtw_pairs_matches_classic_dp(spark):
+    import random
+    from data_cube_utilities_spark.operators import temporal
+
+    def dtw_ref(A, B):
+        INF = float("inf")
+        dp = [[INF] * (len(B) + 1) for _ in range(len(A) + 1)]
+        dp[0][0] = 0
+        for i in range(1, len(A) + 1):
+            for j in range(1, len(B) + 1):
+                dp[i][j] = abs(A[i - 1] - B[j - 1]) + min(
+                    dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1])
+        return dp[-1][-1]
+
+    rng = random.Random(9)
+    series = {k: [rng.randint(0, 40) for _ in range(rng.randint(3, 12))]
+              for k in range(4)}
+    rows = [(k, t, v) for k, vs in series.items()
+            for t, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "sid long, t long, v long")
+    out = temporal.dtw_pairs(df).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.dtw == dtw_ref(series[r.sa], series[r.sb]), (r.sa, r.sb)
+        assert (r.n_a, r.n_b) == (len(series[r.sa]), len(series[r.sb]))
+    # identical series -> DTW 0; single-point series still defined
+    df2 = spark.createDataFrame(
+        [(0, 0, 7), (0, 1, 9), (1, 0, 7), (1, 1, 9), (2, 0, 5)],
+        "sid long, t long, v long")
+    got = {(r.sa, r.sb): r.dtw for r in temporal.dtw_pairs(df2).collect()}
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == abs(7 - 5) + abs(9 - 5)
