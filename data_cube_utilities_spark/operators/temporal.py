@@ -496,3 +496,46 @@ def dtw_pairs(series_df: DataFrame, id_col: str = "sid",
     return pairs.select(
         "sa", "sb", "n_a", "n_b",
         dtw_distance_col(F.col("va"), F.col("vb")).alias("dtw"))
+
+
+def cusum_changepoint(df: DataFrame, key_cols: Sequence[str],
+                      t_col: str = "t", v_col: str = "v") -> DataFrame:
+    """Per-series CUSUM changepoint: the split index maximizing the
+    scaled deviation |n*S_k - k*S_n| — the classic single-breakpoint
+    statistic (a series that is flat-then-shifted peaks exactly at the
+    shift), the WHERE companion to mann_kendall's WHETHER.
+
+    The usual statistic max_k |S_k - (k/n)*S_n| is a fraction; scaling
+    by n makes every compared value an exact integer (|n*S_k - k*S_n|,
+    int64-safe for |sum|*n < 2^62), so argmax and the statistic itself
+    hash-match any engine.  Ties break to the EARLIEST k.  Returns per
+    series: n, stat_num (the max |n*S_k - k*S_n| over k = 1..n-1),
+    k_star (its position), t_star (the time at k_star), plus S_n —
+    callers recover the conventional statistic as stat_num / n and
+    gate significance however they choose.  Series of length < 2 yield
+    NULL k_star (no interior split exists).
+
+    One window pass (running sum + row index) + one aggregate.  At
+    scale both shuffle on the series key only."""
+    keys = [F.col(k) for k in key_cols]
+    w = (Window.partitionBy(*keys).orderBy(t_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    base = df.select(*key_cols, F.col(t_col).alias("t"),
+                     F.col(v_col).cast("long").alias("v"))
+    run = (base.withColumn("s_k", F.sum("v").over(w))
+               .withColumn("k", F.count("*").over(w)))
+    sn = (run.groupBy(*key_cols)
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum("v").cast("long").alias("s_n")))
+    j = run.join(sn, list(key_cols))
+    dev = F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n"))
+    interior = j.filter(F.col("k") < F.col("n"))
+    agg = (interior.groupBy(*key_cols)
+           .agg(F.max(F.struct(dev.alias("d"), (-F.col("k")).alias("nk"),
+                               F.col("t").alias("t")))
+                 .alias("b")))
+    return (sn.join(agg, list(key_cols), "left")
+              .select(*key_cols, "n", "s_n",
+                      F.col("b.d").alias("stat_num"),
+                      (-F.col("b.nk")).cast("long").alias("k_star"),
+                      F.col("b.t").alias("t_star")))

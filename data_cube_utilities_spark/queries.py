@@ -3113,6 +3113,50 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint (temporal.cusum_changepoint) per event user
+    group: argmax_k |n*S_k - k*S_n| with earliest-k ties — exact
+    integers via the n-scaling, so statistic AND break position
+    hash-match.  Oracle recomputes the same windows."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (ev.filter(F.col("event_id") % 11 == 0)
+             .select((F.col("user_id") % 20).alias("grp"),
+                     F.col("event_id").alias("t"),
+                     ((F.col("event_id") * 13) % 100).alias("v")))
+    return temporal.cusum_changepoint(ser, ["grp"])
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH ser AS (
+  SELECT user_id % 20 AS grp, event_id AS t,
+         (event_id * 13) % 100 AS v
+  FROM events WHERE event_id % 11 = 0),
+run AS (
+  SELECT grp, t, v,
+         sum(v) OVER (PARTITION BY grp ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS s_k,
+         count(*) OVER (PARTITION BY grp ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS k
+  FROM ser),
+sn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(v) AS BIGINT) AS s_n
+       FROM ser GROUP BY grp),
+best AS (
+  SELECT r.grp,
+         max((abs(sn.n * r.s_k - r.k * sn.s_n), -r.k, r.t)) AS b
+  FROM run r JOIN sn ON sn.grp = r.grp
+  WHERE r.k < sn.n
+  GROUP BY r.grp)
+SELECT sn.grp, sn.n, sn.s_n,
+       CAST(b[1] AS BIGINT) AS stat_num,
+       CAST(-b[2] AS BIGINT) AS k_star,
+       CAST(b[3] AS BIGINT) AS t_star
+FROM sn LEFT JOIN best ON best.grp = sn.grp
+"""
+
+
 def q_dtw_pairs(spark, sf_dir):
     """All-pairs DTW (temporal.dtw_pairs): six event-derived integer
     series (13-22 points each), the O(n*m) dynamic program running
@@ -5441,6 +5485,7 @@ GROUP_A = {
     "map_match": (q_map_match, SQL_MAP_MATCH),
     "rdp_simplify": (q_rdp_simplify, SQL_RDP_SIMPLIFY),
     "dtw_pairs": (q_dtw_pairs, SQL_DTW_PAIRS),
+    "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),

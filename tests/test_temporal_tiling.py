@@ -327,3 +327,28 @@ def test_dtw_pairs_matches_classic_dp(spark):
     got = {(r.sa, r.sb): r.dtw for r in temporal.dtw_pairs(df2).collect()}
     assert got[(0, 1)] == 0
     assert got[(0, 2)] == abs(7 - 5) + abs(9 - 5)
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    # flat 10 then flat 50: CUSUM peaks exactly at the boundary (k=8)
+    rows = [(0, t, 10 if t < 8 else 50) for t in range(20)]
+    # a constant series: stat_num = 0 everywhere, earliest k wins
+    rows += [(1, t, 7) for t in range(5)]
+    # single point: no interior split -> NULL k_star
+    rows += [(2, 0, 3)]
+    df = spark.createDataFrame(rows, "grp long, t long, v long")
+    out = {r.grp: r for r in
+           temporal.cusum_changepoint(df, ["grp"]).collect()}
+    r0 = out[0]
+    assert r0.k_star == 8 and r0.t_star == 7
+    # brute-force the statistic
+    vs = [10 if t < 8 else 50 for t in range(20)]
+    S = [0]
+    for v in vs:
+        S.append(S[-1] + v)
+    want = max(abs(20 * S[k] - k * S[20]) for k in range(1, 20))
+    assert r0.stat_num == want and r0.n == 20 and r0.s_n == sum(vs)
+    assert out[1].stat_num == 0 and out[1].k_star == 1
+    assert out[2].k_star is None and out[2].stat_num is None
