@@ -369,3 +369,60 @@ def hll_estimate(sketch: DataFrame, group_cols: Sequence[str],
                        F.col("n_hit").cast("long").alias("n_hit"))
                .withColumn("est_distinct",
                            F.expr(f"CAST({numer} AS BIGINT) DIV s_total")))
+
+
+# ---------------------------------------------------------------------------
+# 1-D earth mover's distance (histogram drift)
+# ---------------------------------------------------------------------------
+
+def emd_1d(df_a: DataFrame, df_b: DataFrame, key_cols: Sequence[str],
+           bin_col: str = "bin") -> DataFrame:
+    """Exact 1-D EMD (Wasserstein-1) between two samples' histograms
+    per group — the drift monitor for training pipelines (feature
+    distribution this week vs last week, per-cell reflectance this
+    epoch vs baseline): unlike a KS max-gap it weighs HOW FAR mass
+    moved, and in 1-D it has the closed form
+        EMD = sum over bins of |CDF_a - CDF_b| * bin_width.
+    With unequal sample sizes the CDFs are fractions; cross-scaling by
+    the two totals makes every term exact int64:
+        emd_num = sum_k |n_b * cumA_k - n_a * cumB_k| * span_k
+    (span_k = distance to the next occupied bin, so sparse histograms
+    count the empty-bin stretches the closed form requires) and EMD in
+    bin units = emd_num / (n_a * n_b), recoverable by the caller in
+    any precision (int64-safe while n_a * n_b * bin_range < 2^62).
+    Gate drift by cross-multiplying the threshold, never dividing.
+
+    Shape: two (key, bin) counts, one full outer join (zero-filled),
+    one ordered window cumsum per side, one aggregate.  Shuffles key
+    on (group, bin) then group — bounded by histogram size, not rows."""
+    ka = [F.col(k) for k in key_cols]
+    ca = (df_a.groupBy(*key_cols, bin_col)
+              .agg(F.count("*").cast("long").alias("c_a")))
+    cb = (df_b.groupBy(*key_cols, bin_col)
+              .agg(F.count("*").cast("long").alias("c_b")))
+    full = (ca.join(cb, [*key_cols, bin_col], "full")
+              .select(*key_cols, bin_col,
+                      F.coalesce("c_a", F.lit(0)).alias("c_a"),
+                      F.coalesce("c_b", F.lit(0)).alias("c_b")))
+    w = (Window.partitionBy(*ka).orderBy(bin_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy(*ka)
+    wlead = Window.partitionBy(*ka).orderBy(bin_col)
+    cum = (full.withColumn("cum_a", F.sum("c_a").over(w))
+               .withColumn("cum_b", F.sum("c_b").over(w))
+               .withColumn("n_a", F.sum("c_a").over(wn))
+               .withColumn("n_b", F.sum("c_b").over(wn))
+               # sparse histograms: the CDF gap persists across EMPTY
+               # bins, so each occupied bin's term carries the span to
+               # the next occupied bin (the last bin's term is 0, its
+               # span irrelevant — coalesce to 1)
+               .withColumn("span", F.coalesce(
+                   F.lead(bin_col).over(wlead) - F.col(bin_col),
+                   F.lit(1)).cast("long")))
+    term = (F.abs(F.col("n_b") * F.col("cum_a")
+                  - F.col("n_a") * F.col("cum_b")) * F.col("span"))
+    return (cum.groupBy(*key_cols)
+               .agg(F.max("n_a").cast("long").alias("n_a"),
+                    F.max("n_b").cast("long").alias("n_b"),
+                    F.count("*").cast("long").alias("n_bins"),
+                    F.sum(term).cast("long").alias("emd_num")))

@@ -3113,6 +3113,59 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_emd_drift(spark, sf_dir):
+    """Histogram drift as exact 1-D EMD (sketches.emd_1d): order price
+    distributions of two order-priority cohorts per order status,
+    binned at width 5000.  emd_num is the cross-scaled integer closed
+    form with empty-bin spans counted; the oracle recomputes the same
+    CDF algebra."""
+    from .operators import sketches
+
+    o = _t(spark, sf_dir, "orders")
+    binned = o.select("o_orderstatus",
+                      F.floor(F.col("o_totalprice") / 5000)
+                       .cast("long").alias("bin"),
+                      F.col("o_orderpriority").alias("pri"))
+    a = binned.filter(F.col("pri") < "3")
+    b = binned.filter(F.col("pri") >= "3")
+    return sketches.emd_1d(a, b, ["o_orderstatus"])
+
+
+SQL_EMD_DRIFT = """
+WITH binned AS (
+  SELECT o_orderstatus, CAST(floor(o_totalprice / 5000) AS BIGINT) AS bin,
+         o_orderpriority AS pri
+  FROM orders),
+ca AS (SELECT o_orderstatus, bin, CAST(count(*) AS BIGINT) AS c_a
+       FROM binned WHERE pri < '3' GROUP BY 1, 2),
+cb AS (SELECT o_orderstatus, bin, CAST(count(*) AS BIGINT) AS c_b
+       FROM binned WHERE pri >= '3' GROUP BY 1, 2),
+full_j AS (
+  SELECT coalesce(ca.o_orderstatus, cb.o_orderstatus) AS grp,
+         coalesce(ca.bin, cb.bin) AS bin,
+         coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb
+    ON cb.o_orderstatus = ca.o_orderstatus AND cb.bin = ca.bin),
+cum AS (
+  SELECT grp, bin, c_a, c_b,
+         sum(c_a) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(c_b) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum_b,
+         sum(c_a) OVER (PARTITION BY grp) AS n_a,
+         sum(c_b) OVER (PARTITION BY grp) AS n_b,
+         coalesce(lead(bin) OVER (PARTITION BY grp ORDER BY bin) - bin,
+                  1) AS span
+  FROM full_j)
+SELECT grp AS o_orderstatus, CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(abs(n_b * cum_a - n_a * cum_b) * span) AS BIGINT)
+         AS emd_num
+FROM cum GROUP BY grp
+"""
+
+
 def q_cusum_changepoint(spark, sf_dir):
     """CUSUM changepoint (temporal.cusum_changepoint) per event user
     group: argmax_k |n*S_k - k*S_n| with earliest-k ties — exact
@@ -5486,6 +5539,7 @@ GROUP_A = {
     "rdp_simplify": (q_rdp_simplify, SQL_RDP_SIMPLIFY),
     "dtw_pairs": (q_dtw_pairs, SQL_DTW_PAIRS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "emd_drift": (q_emd_drift, SQL_EMD_DRIFT),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),

@@ -199,3 +199,35 @@ def test_hll_registers_merge_and_estimate(spark):
         + (64 - len(regs)) * (1 << 40)
     assert est.s_total == s
     assert est.est_distinct == (46454 * 64 * 64 * (1 << 24)) // s
+
+
+def test_emd_1d_matches_scipy_free_reference(spark):
+    import random
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark.operators import sketches
+
+    rng = random.Random(13)
+    xs = [rng.randint(0, 30) for _ in range(200)]
+    ys = [rng.randint(5, 40) for _ in range(150)]   # shifted distribution
+    a = spark.createDataFrame([("g", x) for x in xs], "grp string, bin long")
+    b = spark.createDataFrame([("g", y) for y in ys], "grp string, bin long")
+    out = sketches.emd_1d(a, b, ["grp"]).collect()[0]
+
+    # reference: wasserstein over the full integer bin range
+    lo, hi = min(xs + ys), max(xs + ys)
+    ca = cb = 0
+    num = 0
+    for k in range(lo, hi + 1):
+        ca += xs.count(k)
+        cb += ys.count(k)
+        num += abs(len(ys) * ca - len(xs) * cb)
+    assert out.emd_num == num
+    assert (out.n_a, out.n_b) == (len(xs), len(ys))
+
+    # identical samples -> zero drift; sparse far-apart bins count spans
+    same = sketches.emd_1d(a, a, ["grp"]).collect()[0]
+    assert same.emd_num == 0
+    p = spark.createDataFrame([("g", 0)], "grp string, bin long")
+    q = spark.createDataFrame([("g", 100)], "grp string, bin long")
+    far = sketches.emd_1d(p, q, ["grp"]).collect()[0]
+    assert far.emd_num == 100  # mass 1x1 moved 100 bins
