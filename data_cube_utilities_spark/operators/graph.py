@@ -1,0 +1,95 @@
+"""Graph ranking over edge lists (integer fixed-point PageRank).
+
+Beyond-reference training-pipeline operator (task mandate): ranking the
+link graph of a web corpus — which domains/hosts deserve crawl budget
+and which are link farms — is a standard upstream signal for corpus
+quality gates (domain_gate consumes the verdicts).  The repo's other
+graph operators (connected components, watershed pointer doubling,
+flow-accumulation path closure) label structure; this one scores it.
+
+Why fixed-point: float PageRank is summation-order-dependent — the same
+graph yields different last-ulp ranks per partitioning, so results
+can't be hash-compared across engines or reruns.  Scaling ranks to a
+2^30 integer grid and doing every division as BIGINT DIV makes each
+iteration a pure integer function of the previous one: Spark, DuckDB,
+or a re-run with different parallelism produce bit-identical ranks.
+The price is documented mass leakage (floor divisions and dangling
+nodes drop mass instead of redistributing); ORDERING quality is
+unaffected for ranking use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PR_SCALE = 2 ** 30
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = 5,
+                   damp_num: int = 85, damp_den: int = 100,
+                   src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge list.
+
+    Nodes = every id appearing as src or dst; duplicate edges count as
+    parallel links (weight = multiplicity).  Per iteration, entirely
+    in int64:
+
+        share(u)  = pr(u) DIV out(u)
+        pr'(v)    = base + (damp_num * sum_in(v) share) DIV damp_den
+        base      = ((damp_den - damp_num) * PR_SCALE DIV damp_den)
+                      DIV n
+
+    Dangling nodes keep receiving base but their own mass leaks (no
+    redistribution) — deterministic, documented, and irrelevant to
+    rank ORDER.  Returns (node, pr, out_deg, in_deg) with pr on the
+    2^30 grid.
+
+    Shape: out-degrees computed once; each iteration is one
+    edges-to-ranks equi-join + one groupBy on dst + one left join back
+    to the node set (nodes with no in-links get bare base).  The rank
+    table is one row per node — at web scale partition both sides by
+    node id and the join co-locates; `iters` is small and fixed (the
+    classic 5-20), so total cost is iters * one-shuffle."""
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+              .unionByName(e.select(F.col("dst").alias("node")))
+              .distinct())
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("out_deg"))
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("in_deg"))
+    n_nodes = nodes.count()
+    base = ((damp_den - damp_num) * PR_SCALE // damp_den) // n_nodes
+    init = PR_SCALE // n_nodes
+
+    pr = nodes.withColumn("pr", F.lit(init).cast("long")).persist()
+    pr.count()
+    deg = out_deg.persist()
+    for _ in range(iters):
+        contrib = (e.join(pr, e.src == pr.node)
+                    .join(deg, pr.node == deg.node)
+                    .select(F.col("dst").alias("node"),
+                            F.expr("pr DIV out_deg").alias("share")))
+        summed = contrib.groupBy("node").agg(
+            F.sum("share").cast("long").alias("s"))
+        new = (nodes.join(summed, ["node"], "left")
+                    .select("node",
+                            (F.lit(base)
+                             + F.expr(f"({damp_num} * coalesce(s, 0)) "
+                                      f"DIV {damp_den}"))
+                            .cast("long").alias("pr"))
+                    .persist())
+        new.count()
+        pr.unpersist()
+        pr = new
+    out = (pr.join(out_deg, ["node"], "left")
+             .join(in_deg, ["node"], "left")
+             .select("node", "pr",
+                     F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                     F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+    out = out.localCheckpoint(eager=True)
+    pr.unpersist()
+    deg.unpersist()
+    return out

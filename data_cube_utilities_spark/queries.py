@@ -3113,6 +3113,59 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (graph.pagerank_fixed), 4
+    iterations over the part -> supplier link graph from lineitem
+    (parallel edges = link multiplicity).  Every division is BIGINT
+    DIV on the 2^30 grid, so ranks hash-match; the oracle replays the
+    identical iterations as a recursive CTE whose working table is the
+    full rank vector."""
+    from .operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select((F.col("l_partkey") % 50).alias("src"),
+                  ((F.col("l_suppkey") % 40) + 100).alias("dst"))
+    return graph.pagerank_fixed(e, iters=4)
+
+
+SQL_PAGERANK = """
+WITH RECURSIVE e AS (
+  SELECT l_partkey % 50 AS src, (l_suppkey % 40) + 100 AS dst
+  FROM lineitem),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+         FROM e GROUP BY 1),
+ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+        FROM e GROUP BY 1),
+pr(it, node, pr) AS (
+  SELECT 0, node,
+         CAST(CAST(1073741824 AS BIGINT)
+              // (SELECT count(*) FROM nodes) AS BIGINT)
+  FROM nodes
+  UNION ALL
+  SELECT cur.it + 1, nd.node,
+         CAST(((15 * CAST(1073741824 AS BIGINT)) // 100)
+                // (SELECT count(*) FROM nodes)
+              + (85 * coalesce(s.s, CAST(0 AS BIGINT))) // 100 AS BIGINT)
+  FROM (SELECT DISTINCT it FROM pr) cur
+  CROSS JOIN nodes nd
+  LEFT JOIN (
+    SELECT p.it, e.dst AS node, sum(p.pr // o.out_deg) AS s
+    FROM pr p JOIN e ON e.src = p.node
+    JOIN outd o ON o.node = p.node
+    GROUP BY 1, 2) s ON s.it = cur.it AND s.node = nd.node
+  WHERE cur.it < 4)
+SELECT p.node, p.pr,
+       coalesce(o.out_deg, 0) AS out_deg,
+       coalesce(i.in_deg, 0) AS in_deg
+FROM pr p
+LEFT JOIN outd o ON o.node = p.node
+LEFT JOIN ind i ON i.node = p.node
+WHERE p.it = 4
+"""
+
+
 def q_emd_drift(spark, sf_dir):
     """Histogram drift as exact 1-D EMD (sketches.emd_1d): order price
     distributions of two order-priority cohorts per order status,
@@ -5540,6 +5593,7 @@ GROUP_A = {
     "dtw_pairs": (q_dtw_pairs, SQL_DTW_PAIRS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "emd_drift": (q_emd_drift, SQL_EMD_DRIFT),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),
