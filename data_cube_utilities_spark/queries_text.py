@@ -1539,9 +1539,42 @@ FROM agg
 """
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Blocked Levenshtein fuzzy self-join (textops.fuzzy_self_join)
+    over supplier names, max_dist=2: (first char, length band) equi-
+    blocking, native DP levenshtein in both engines.  Supplier names
+    differ only in their digit tail, so the result is the exact set of
+    id pairs within two digit edits — a known-structure stress of the
+    blocking."""
+    sup = _t(spark, sf_dir, "supplier")
+    return textops.fuzzy_self_join(sup, id_col="s_suppkey",
+                                   text_col="s_name", max_dist=2)
+
+
+SQL_FUZZY_JOIN = """
+WITH base AS (
+  SELECT s_suppkey AS id, s_name AS s,
+         substr(s_name, 1, 1) AS c,
+         length(s_name) // 3 AS band
+  FROM supplier),
+probe AS (
+  SELECT id AS id_r, s AS s_r, c, band + d.d AS band
+  FROM base CROSS JOIN (VALUES (-1), (0), (1)) d(d))
+SELECT l.id AS id_a, p.id_r AS id_b,
+       CAST(levenshtein(l.s, p.s_r) AS INTEGER) AS dist,
+       CAST(length(l.s) AS BIGINT) AS len_a,
+       CAST(length(p.s_r) AS BIGINT) AS len_b
+FROM base l JOIN probe p ON p.c = l.c AND p.band = l.band
+WHERE l.id < p.id_r
+  AND abs(length(l.s) - length(p.s_r)) <= 2
+  AND levenshtein(l.s, p.s_r) <= 2
+"""
+
+
 GROUP_B = {
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
+    "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
     "rag_chunks": (q_rag_chunks, SQL_RAG_CHUNKS),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

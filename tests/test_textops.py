@@ -921,3 +921,31 @@ def test_domain_gate_drops_template_farm(spark):
     assert out["farm"].n_unique_texts == 2 and out["farm"].dup_docs == 8
     assert not out["tiny"].keep and not out["tiny"].ok_len
     assert out["tiny"].ok_dup  # fails only the length gate
+
+
+def test_fuzzy_self_join_blocking_and_distance(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    rows = [
+        (1, "gadget mk1"),
+        (2, "gadget mk2"),        # dist 1 from 1
+        (3, "gadget mk22"),       # dist 1 from 2, 2 from 1
+        (4, "gidget mk1"),        # dist 1 from 1 (interior edit)
+        (5, "badget mk1"),        # dist 1 from 1 BUT first char differs
+        (6, "completely other"),
+        (7, "gadget mk1 extra!"), # length diff 7 > 2: pruned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.dist for r in
+           textops.fuzzy_self_join(df, max_dist=2).collect()}
+    assert out[(1, 2)] == 1 and out[(1, 4)] == 1
+    assert out[(2, 3)] == 1 and out[(1, 3)] == 2 and out[(2, 4)] == 2
+    # documented blocking contract: a first-character typo escapes
+    assert (1, 5) not in out
+    # length lower bound prunes; unrelated strings absent
+    assert not any(7 in p or 6 in p for p in out)
+    # band-straddling lengths still pair via the exploded probe bands
+    df2 = spark.createDataFrame(
+        [(1, "ab"), (2, "abc")], "doc_id long, text string")
+    got = textops.fuzzy_self_join(df2, max_dist=1).collect()
+    assert len(got) == 1 and got[0].dist == 1
