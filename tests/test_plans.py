@@ -474,3 +474,70 @@ def test_distance_transform_single_fold_no_python(spark):
     assert "CartesianProduct" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_map_match_broadcasts_network_no_cartesian_filter(spark):
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .filter(F.col("event_id") % 7 == 0)
+          .select(F.col("event_id").alias("pt_id"),
+                  (F.col("user_id") % 29).alias("x"),
+                  ((F.col("user_id") * 7) % 31).alias("y")))
+    segs = (spark.read.parquet(f"{SF}/nation.parquet")
+            .select(F.col("n_nationkey").cast("long").alias("seg_id"),
+                    (F.col("n_nationkey") % 29).alias("x1"),
+                    ((F.col("n_nationkey") * 7) % 31).alias("y1"),
+                    ((F.col("n_nationkey") * 11) % 29).alias("x2"),
+                    ((F.col("n_nationkey") * 13) % 31).alias("y2")))
+    plan = plan_of(spatial.map_match(ev, segs))
+    # the network side must broadcast: per-ping work stays map-side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_blocking_is_equi_join(spark):
+    from data_cube_utilities_spark.operators import textops
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    plan = plan_of(textops.fuzzy_self_join(
+        sup, id_col="s_suppkey", text_col="s_name", max_dist=2))
+    # the (first char, band) block must reach the join as equi keys --
+    # a theta-join here would be all-pairs at scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # levenshtein must be a post-join filter, not a join condition that
+    # degenerates the join to nested-loop
+    assert "levenshtein" in plan
+
+
+def test_label_iou_single_grid_join_then_counts(spark):
+    from data_cube_utilities_spark.operators import rasterops
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    px = (li.groupBy(F.lit(0).alias("img"),
+                     (F.col("l_orderkey") % 32).alias("px"),
+                     (F.col("l_partkey") % 32).alias("py"))
+            .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                 .alias("v")))
+    a = px.select("img", "px", "py", F.floor(F.col("v") / 64).alias("label"))
+    b = px.select("img", "px", "py",
+                  F.floor((F.col("v") + 17) / 64).alias("label"))
+    plan = plan_of(rasterops.label_iou(a, b))
+    assert "CartesianProduct" not in plan
+    # per-label count joins are tiny: they must broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_emd_shuffles_bounded_by_histogram_not_rows(spark):
+    from data_cube_utilities_spark.operators import sketches
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    binned = o.select("o_orderstatus",
+                      F.floor(F.col("o_totalprice") / 5000)
+                       .cast("long").alias("bin"),
+                      F.col("o_orderpriority").alias("pri"))
+    out = sketches.emd_1d(binned.filter(F.col("pri") < "3"),
+                          binned.filter(F.col("pri") >= "3"),
+                          ["o_orderstatus"])
+    plan = plan_of(out)
+    # counts aggregate map-side BEFORE the exchange: partial_count
+    # under HashAggregate precedes Exchange in both count subtrees
+    assert plan.count("partial_count") >= 2
+    assert "CartesianProduct" not in plan
