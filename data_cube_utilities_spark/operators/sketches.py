@@ -426,3 +426,38 @@ def emd_1d(df_a: DataFrame, df_b: DataFrame, key_cols: Sequence[str],
                     F.max("n_b").cast("long").alias("n_b"),
                     F.count("*").cast("long").alias("n_bins"),
                     F.sum(term).cast("long").alias("emd_num")))
+
+
+# ---------------------------------------------------------------------------
+# First-digit (Benford) profile — data-audit gate
+# ---------------------------------------------------------------------------
+
+def first_digit_profile(df: DataFrame, group_cols: Sequence[str],
+                        value_col: str) -> DataFrame:
+    """Leading-significant-digit histogram per group — the Benford's-law
+    audit input (fabricated/synthetic/unit-mangled numeric columns skew
+    visibly from the log distribution; a per-source profile catches a
+    bad ingest batch before it trains anything).
+
+    The leading digit comes from string algebra, not logs: strip sign,
+    strip '0.' zeros, first char of the digits — exact for any numeric
+    type both engines print identically (integers and decimals; avoid
+    raw floats whose to-string differs per engine — cast upstream).
+    Ships per (group, digit): count, plus per-group total and the
+    2^20-scaled observed fraction ((c * 2^20) DIV n) so the gate
+    compares integers against a pre-scaled Benford table downstream —
+    log10(1+1/d) itself is irrational and never computed here.
+
+    One map-side-combining groupBy; output 9 rows per group."""
+    s = F.regexp_replace(F.col(value_col).cast("string"), r"[-+.]", "")
+    s = F.regexp_replace(s, r"^0+", "")
+    digit = F.substring(s, 1, 1)
+    base = (df.filter(F.col(value_col).isNotNull())
+              .select(*group_cols, digit.alias("digit"))
+              .filter(F.col("digit") != ""))
+    counts = base.groupBy(*group_cols, "digit").agg(
+        F.count("*").cast("long").alias("c"))
+    wn = Window.partitionBy(*[F.col(k) for k in group_cols])
+    return (counts.withColumn("n", F.sum("c").over(wn).cast("long"))
+                  .withColumn("frac_2p20",
+                              F.expr("(c * 1048576) DIV n")))

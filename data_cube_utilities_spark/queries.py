@@ -3113,6 +3113,43 @@ FROM codes GROUP BY 1, 2
 """
 
 
+def q_benford(spark, sf_dir):
+    """First-digit audit profile (sketches.first_digit_profile) of
+    integer-cent order totals per order status.  Digit extraction is
+    string algebra on an exact integer (floats never stringify), the
+    observed fraction is a 2^20-scaled DIV — all hash-exact."""
+    from .operators import sketches
+
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select("o_orderstatus",
+                     F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long").alias("cents"))
+    return sketches.first_digit_profile(cents, ["o_orderstatus"], "cents")
+
+
+SQL_BENFORD = """
+WITH cents AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL),
+d AS (
+  SELECT o_orderstatus,
+         substr(regexp_replace(regexp_replace(CAST(v AS VARCHAR),
+                                              '[-+.]', '', 'g'),
+                               '^0+', ''), 1, 1) AS digit
+  FROM cents),
+c AS (
+  SELECT o_orderstatus, digit, CAST(count(*) AS BIGINT) AS c
+  FROM d WHERE digit <> '' GROUP BY 1, 2)
+SELECT o_orderstatus, digit, c,
+       CAST(sum(c) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n,
+       CAST((c * 1048576)
+            // sum(c) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+         AS frac_2p20
+FROM c
+"""
+
+
 def q_pagerank(spark, sf_dir):
     """Integer fixed-point PageRank (graph.pagerank_fixed), 4
     iterations over the part -> supplier link graph from lineitem
@@ -5594,6 +5631,7 @@ GROUP_A = {
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "emd_drift": (q_emd_drift, SQL_EMD_DRIFT),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "benford": (q_benford, SQL_BENFORD),
     "knox": (q_knox, SQL_KNOX),
     "integral_image": (q_integral_image, SQL_INTEGRAL_IMAGE),
     "box_filter_sum": (q_box_filter_sum, SQL_BOX_FILTER_SUM),

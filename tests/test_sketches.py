@@ -231,3 +231,16 @@ def test_emd_1d_matches_scipy_free_reference(spark):
     q = spark.createDataFrame([("g", 100)], "grp string, bin long")
     far = sketches.emd_1d(p, q, ["grp"]).collect()[0]
     assert far.emd_num == 100  # mass 1x1 moved 100 bins
+
+
+def test_first_digit_profile_extraction_edges(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    rows = [("g", 123), ("g", -456), ("g", 7), ("g", 100), ("g", 19),
+            ("g", 0), ("g", None)]  # 0 has no significant digit
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.digit: (r.c, r.n, r.frac_2p20) for r in
+           sketches.first_digit_profile(df, ["grp"], "v").collect()}
+    assert out["1"] == (3, 5, (3 * 1048576) // 5)   # 123, 100, 19
+    assert out["4"][0] == 1 and out["7"][0] == 1    # sign stripped
+    assert "0" not in out and sum(v[0] for v in out.values()) == 5
