@@ -2203,6 +2203,10 @@ def rdp_simplify(traj_df: DataFrame, eps2_num: int, eps2_den: int = 1,
                            F.col("m.num").alias("num"), "den")
                    .filter(F.col("num") * eps2_den
                            > F.lit(eps2_num) * F.col("den")))
+        # persist the split set: without it the bracket-window lineage
+        # would run twice per round (once for this count, once inside
+        # the next pts materialization)
+        far = far.persist()
         n_split = far.count()
         split_any = n_split > 0
         if split_any:
@@ -2215,6 +2219,7 @@ def rdp_simplify(traj_df: DataFrame, eps2_num: int, eps2_den: int = 1,
             new.count()
             pts.unpersist()
             pts = new
+        far.unpersist()
     out = pts.filter("keep").select(
         F.col("tid").alias(traj_id_col), "seq", "x", "y",
         F.lit(not split_any).alias("converged"))
