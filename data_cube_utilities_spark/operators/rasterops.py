@@ -2463,3 +2463,67 @@ def label_iou(seg_a: DataFrame, seg_b: DataFrame, img_col: str = "img",
     return j.select(
         "img", "la", "lb", "n_inter", "n_a", "n_b", "n_union",
         (cand == F.max(cand).over(w)).alias("is_best_for_a"))
+
+
+def seam_carve_energy(pixels: DataFrame, img_col: str = "img",
+                      x_col: str = "px", y_col: str = "py",
+                      value_col: str = "val") -> DataFrame:
+    """Minimum vertical-seam energy per image (Avidan-Shamir seam
+    carving's DP core) over a long-form pixel table: treat val as the
+    energy map and compute, for every image, the cheapest 8-connected
+    top-to-bottom seam
+
+        dp[y][x] = e[y][x] + min(dp[y-1][x-1], dp[y-1][x], dp[y-1][x+1])
+
+    entirely in-row: one groupBy assembles each image as an
+    array<array<long>> (rows sorted by y, columns by x), then a single
+    higher-order aggregate folds the rows with the 3-tap stencil — the
+    dtw_distance_col shape, but with NO within-row recursion (each new
+    cell reads only the previous row), so the step is a pure
+    F.transform.  Exact int64 throughout; ties resolve to the leftmost
+    column (deterministic argmin via array_position).
+
+    Returns one row per image: (img, h, w, seam_energy, seam_end_x) —
+    seam_end_x is the 1-based bottom-row column where the cheapest seam
+    lands.  Shape at scale: one shuffle (the groupBy); a 10^12-image
+    corpus DPs every image independently wherever its row lives.
+    Content-aware retargeting of the reference's image tiles needs
+    exactly this ranking to decide which columns a resize may drop."""
+    BIG = F.lit(2 ** 62)
+    rows_arr = (pixels.groupBy(F.col(img_col).alias("img"),
+                               F.col(y_col).cast("long").alias("y"))
+                .agg(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col(x_col).cast("long").alias("x"),
+                                     F.col(value_col).cast("long")
+                                      .alias("v")))),
+                        lambda s: s["v"]).alias("row")))
+    imgs = (rows_arr.groupBy("img")
+            .agg(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("y").alias("y"),
+                                 F.col("row").alias("row")))),
+                    lambda s: s["row"]).alias("rows")))
+
+    def step(prev, row):
+        def at(idx0):
+            return F.coalesce(F.get(prev, idx0), BIG)
+        return F.transform(
+            F.sequence(F.lit(1), F.size(row)),
+            lambda j: F.element_at(row, j.cast("int"))
+            + F.least(at(j.cast("int") - 2), at(j.cast("int") - 1),
+                      at(j.cast("int"))))
+
+    first = F.element_at(F.col("rows"), 1)
+    rest = F.slice(F.col("rows"), 2,
+                   F.greatest(F.size("rows") - 1, F.lit(0)))
+    final = F.aggregate(rest, first, step)
+    out = imgs.select(
+        "img", F.size("rows").cast("long").alias("h"),
+        F.size(first).cast("long").alias("w"),
+        final.alias("_final"))
+    return out.select(
+        "img", "h", "w",
+        F.array_min("_final").cast("long").alias("seam_energy"),
+        F.array_position("_final", F.array_min("_final"))
+         .cast("long").alias("seam_end_x"))

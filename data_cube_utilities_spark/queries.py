@@ -5558,6 +5558,122 @@ FROM b GROUP BY cell
 """
 
 
+def q_frechet_pairs(spark, sf_dir):
+    """All-pairs squared discrete Fréchet (spatial.frechet_pairs): six
+    event-derived trajectories (x = ping rank, y = deterministic
+    wiggle), the max-min DP running in-row as a nested higher-order
+    aggregate (dtw_pairs' twin — leash max instead of cost sum).  The
+    oracle flattens the within-row recurrence
+    new[j] = max(c_j, min(prev[j], prev[j-1], new[j-1])) to the closed
+    form new[j] = min_{k<=j} max(min(prev[k], prev[k-1]),
+    max_{l=k..j} c_l), which a recursive CTE evaluates with one window
+    min per row — the second DP family proven hash-oracleable."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("traj_id").orderBy("ts", "event_id")
+    tr = (ev.filter(F.col("event_id") % 89 == 0)
+            .select((F.col("user_id") % 6).alias("traj_id"),
+                    "ts", "event_id")
+            .withColumn("seq", F.row_number().over(w))
+            .select("traj_id", "seq", F.col("seq").alias("x"),
+                    ((F.col("event_id") * 7) % 23).alias("y")))
+    return spatial.frechet_pairs(tr)
+
+
+SQL_FRECHET_PAIRS = """
+WITH RECURSIVE raw AS (
+  SELECT user_id % 6 AS sid, ts, event_id, (event_id * 7) % 23 AS y
+  FROM events WHERE event_id % 89 = 0),
+s AS (
+  SELECT sid,
+         row_number() OVER (PARTITION BY sid ORDER BY ts, event_id) AS i,
+         row_number() OVER (PARTITION BY sid ORDER BY ts, event_id) AS x,
+         y
+  FROM raw),
+n AS (SELECT sid, max(i) AS n FROM s GROUP BY sid),
+pr AS (
+  SELECT a.sid AS sa, b.sid AS sb, a.n AS n_a, b.n AS n_b
+  FROM n a JOIN n b ON a.sid < b.sid),
+c AS (
+  SELECT pr.sa, pr.sb, pa.i AS i, pb.i AS j,
+         (pa.x - pb.x) * (pa.x - pb.x)
+           + (pa.y - pb.y) * (pa.y - pb.y) AS c
+  FROM pr
+  JOIN s pa ON pa.sid = pr.sa
+  JOIN s pb ON pb.sid = pr.sb),
+m AS (
+  SELECT ck.sa, ck.sb, ck.i, ck.j AS k, cj.j AS j, max(cl.c) AS mx
+  FROM c ck
+  JOIN c cj ON cj.sa = ck.sa AND cj.sb = ck.sb AND cj.i = ck.i
+           AND cj.j >= ck.j
+  JOIN c cl ON cl.sa = ck.sa AND cl.sb = ck.sb AND cl.i = ck.i
+           AND cl.j BETWEEN ck.j AND cj.j
+  GROUP BY 1, 2, 3, 4, 5),
+dp(sa, sb, i, j, val) AS (
+  SELECT sa, sb, 1, j,
+         max(c) OVER (PARTITION BY sa, sb ORDER BY j
+                      ROWS UNBOUNDED PRECEDING)
+  FROM c WHERE i = 1
+  UNION ALL
+  SELECT sa, sb, i, j, val FROM (
+    SELECT x.sa, x.sb, x.i, x.j, x.k,
+           min(x.term) OVER (PARTITION BY x.sa, x.sb, x.j) AS val
+    FROM (
+      SELECT p.sa, p.sb, p.i + 1 AS i, mm.j, p.j AS k,
+             greatest(p.mk, mm.mx) AS term
+      FROM (
+        SELECT d.sa, d.sb, d.i, d.j,
+               least(d.val,
+                     coalesce(lag(d.val) OVER (PARTITION BY d.sa, d.sb
+                                               ORDER BY d.j),
+                              4611686018427387904)) AS mk
+        FROM dp d) p
+      JOIN m mm ON mm.sa = p.sa AND mm.sb = p.sb AND mm.i = p.i + 1
+               AND mm.k = p.j AND mm.j >= p.j) x) z
+  WHERE z.k = z.j)
+SELECT dp.sa, dp.sb, CAST(pr.n_a AS BIGINT) AS n_a,
+       CAST(pr.n_b AS BIGINT) AS n_b, CAST(dp.val AS BIGINT) AS frechet2
+FROM dp JOIN pr ON pr.sa = dp.sa AND pr.sb = dp.sb
+WHERE dp.i = pr.n_a AND dp.j = pr.n_b
+"""
+
+
+def q_seam_carve(spark, sf_dir):
+    """Minimum vertical-seam energy per image
+    (rasterops.seam_carve_energy) over the four dense 32x32 lineitem
+    tiles — the Avidan-Shamir content-aware-resize DP, folded in-row
+    with a 3-tap stencil (no within-row recursion, so both sides are
+    windows-only).  Oracle: a recursive CTE walks rows y with a
+    1-preceding..1-following window min."""
+    from .operators import rasterops
+
+    return rasterops.seam_carve_energy(_px_grid(spark, sf_dir))
+
+
+SQL_SEAM_CARVE = f"""
+WITH RECURSIVE {_PX_SQL},
+dp(img, y, x, val) AS (
+  SELECT img, y, x, CAST(v AS BIGINT) FROM px WHERE y = 0
+  UNION ALL
+  SELECT e.img, e.y, e.x, e.v + m.mn
+  FROM (
+    SELECT d.img, d.y + 1 AS ny, d.x,
+           min(d.val) OVER (PARTITION BY d.img ORDER BY d.x
+                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+             AS mn
+    FROM dp d) m
+  JOIN px e ON e.img = m.img AND e.y = m.ny AND e.x = m.x),
+bot AS (SELECT img, x, val FROM dp WHERE y = 31),
+mn AS (SELECT img, min(val) AS e FROM bot GROUP BY img)
+SELECT b.img, CAST(32 AS BIGINT) AS h, CAST(32 AS BIGINT) AS w,
+       CAST(mn.e AS BIGINT) AS seam_energy,
+       CAST(min(b.x) + 1 AS BIGINT) AS seam_end_x
+FROM bot b JOIN mn ON mn.img = b.img AND b.val = mn.e
+GROUP BY b.img, mn.e
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -5689,6 +5805,8 @@ GROUP_A = {
     "lag_linregress": (q_lag_linregress, SQL_LAG_LINREGRESS),
     "temporal_change_stats": (q_temporal_change_stats, SQL_TEMPORAL_CHANGE),
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),
+    "frechet_pairs": (q_frechet_pairs, SQL_FRECHET_PAIRS),
+    "seam_carve": (q_seam_carve, SQL_SEAM_CARVE),
 }
 
 
