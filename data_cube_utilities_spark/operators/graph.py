@@ -93,3 +93,62 @@ def pagerank_fixed(edges: DataFrame, iters: int = 5,
     pr.unpersist()
     deg.unpersist()
     return out
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over an undirected edge list — the standard graph-quality signal a
+    link-graph pipeline runs next to PageRank (link farms show huge
+    degree with near-zero closure; organic communities close their
+    wedges).
+
+    Exact and engine-reproducible: edges are canonicalized (self-loops
+    dropped, (min,max) dedup), then ORIENTED from the lexicographically
+    smaller (degree, node) endpoint to the larger — the classic
+    skew-killer: every triangle materializes exactly once, and the
+    oriented out-degree is O(sqrt(m)) even on power-law graphs, so the
+    wedge join cannot blow up on a celebrity node.  The clustering
+    coefficient ships as the repo's exact-rational DIV idiom
+    (lcc_q20 = (2*triangles << 20) DIV (deg*(deg-1))) — no doubles.
+
+    Shape at scale: two equi-joins on node keys (wedge build + wedge
+    close), both shuffle-partitioned; per-node counts one further
+    groupBy.  Returns (node, degree, triangles, lcc_q20) for every
+    node of the canonical edge set."""
+    e = (edges.select(F.col(src_col).cast("long").alias("a"),
+                      F.col(dst_col).cast("long").alias("b"))
+              .filter(F.col("a") != F.col("b"))
+              .select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v"))
+              .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lower_u = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ed.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("y"))
+    w1 = oriented.select(F.col("x").alias("n1"), F.col("y").alias("n2"))
+    w2 = oriented.select(F.col("x").alias("n2"), F.col("y").alias("n3"))
+    wedges = w1.join(w2, "n2")
+    closing = oriented.select(F.col("x").alias("n1"),
+                              F.col("y").alias("n3"))
+    tris = wedges.join(closing, ["n1", "n3"])
+    per_node = (tris.select(F.explode(F.array("n1", "n2", "n3"))
+                             .alias("node"))
+                    .groupBy("node")
+                    .agg(F.count("*").cast("long").alias("triangles")))
+    out = deg.join(per_node, "node", "left").select(
+        "node", F.col("deg").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
+    return out.select(
+        "node", "degree", "triangles",
+        F.when(F.col("degree") >= 2,
+               F.expr("(2 * triangles * 1048576) "
+                      "DIV (degree * (degree - 1))"))
+         .otherwise(F.lit(0)).cast("long").alias("lcc_q20"))

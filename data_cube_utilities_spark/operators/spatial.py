@@ -1065,6 +1065,46 @@ def majority_filter_grid(cells_df: DataFrame, ix_col: str = "ix",
                       .alias("changed")))
 
 
+def median_filter_grid(cells_df: DataFrame, ix_col: str = "ix",
+                       iy_col: str = "iy",
+                       value_col: str = "v") -> DataFrame:
+    """Focal MEDIAN filter over the queen neighborhood incl. self — the
+    salt-and-pepper denoiser for CONTINUOUS rasters (DNs, DEM spikes),
+    where majority_filter_grid's mode is meaningless.  The median is
+    the exact LOWER median — element ceil(k/2) of the sorted window —
+    so truncated edge windows (k even) stay integer and the result
+    hash-reproduces in any engine; no doubles anywhere.
+
+    Shape at scale: the majority_filter_grid contract — one 9-shifted-
+    selves equi-join co-partitioned on the cell key, one per-cell
+    sorted-array pick; no collect, no UDF.  Returns
+    (ix, iy, v, median_v, k, changed)."""
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(value_col).cast("long").alias("v"))
+    offs = cells_df.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long")
+    nbr = g.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"),
+                   F.col("v").alias("vj"))
+    win = (g.crossJoin(F.broadcast(offs))
+            .withColumn("jx", F.col("ix") + F.col("dx"))
+            .withColumn("jy", F.col("iy") + F.col("dy"))
+            .join(nbr, ["jx", "jy"])
+            .groupBy("ix", "iy")
+            .agg(F.array_sort(F.collect_list("vj")).alias("w")))
+    med = win.select(
+        "ix", "iy", F.size("w").cast("long").alias("k"),
+        F.element_at("w", F.floor((F.size("w") + 1) / 2).cast("int"))
+         .alias("median_v"))
+    return (g.join(med, ["ix", "iy"])
+             .select("ix", "iy", "v",
+                     F.col("median_v").cast("long").alias("median_v"),
+                     "k",
+                     (F.col("median_v") != F.col("v")).cast("int")
+                      .alias("changed")))
+
+
 def transition_matrix_grid(a_df: DataFrame, b_df: DataFrame,
                            ix_col: str = "ix", iy_col: str = "iy",
                            value_col: str = "v") -> DataFrame:

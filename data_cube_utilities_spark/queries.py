@@ -5674,6 +5674,95 @@ GROUP BY b.img, mn.e
 """
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangles + local clustering coefficient
+    (graph.triangle_count) over a 500-node lineitem-derived link graph
+    — degree-oriented wedge join (the O(sqrt(m))-out-degree skew
+    killer), exact lcc via the 2^20 DIV idiom.  The oracle re-counts
+    with the simple u<v orientation: triangle counts are orientation-
+    independent, so the two different join shapes must agree exactly."""
+    from .operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = (li.filter(F.col("l_orderkey") % 7 == 0)
+           .select((F.col("l_partkey") % 500).alias("src"),
+                   ((F.col("l_suppkey") * 3) % 500).alias("dst")))
+    return graph.triangle_count(e)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH raw AS (
+  SELECT l_partkey % 500 AS a, (l_suppkey * 3) % 500 AS b
+  FROM lineitem WHERE l_orderkey % 7 = 0),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT n1 AS node FROM tri
+    UNION ALL SELECT n2 FROM tri
+    UNION ALL SELECT n3 FROM tri)
+  GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN (2 * coalesce(pn.triangles, 0) * 1048576)
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_q20
+FROM deg d LEFT JOIN pn ON pn.node = d.node
+"""
+
+
+def q_median_filter(spark, sf_dir):
+    """Focal median denoiser (spatial.median_filter_grid) over the
+    32x32 lineitem DN grid — exact lower median of the sorted queen
+    window (ceil(k/2) pick keeps truncated edge windows integer).
+    Oracle: per-cell neighbor counts + the same row_number pick."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = (li.groupBy((F.col("l_orderkey") % 32).alias("ix"),
+                       (F.col("l_partkey") % 32).alias("iy"))
+              .agg((F.sum(F.col("l_quantity").cast("long")) % 256)
+                   .alias("v")))
+    return spatial.median_filter_grid(grid, "ix", "iy", "v")
+
+
+SQL_MEDIAN_FILTER = """
+WITH g AS (
+  SELECT l_orderkey % 32 AS ix, l_partkey % 32 AS iy,
+         CAST(sum(CAST(l_quantity AS BIGINT)) % 256 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+o(dx, dy) AS (
+  VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+         (1, -1), (1, 0), (1, 1)),
+w AS (
+  SELECT a.ix, a.iy, b.v AS vj
+  FROM g a CROSS JOIN o
+  JOIN g b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy),
+k AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS k FROM w GROUP BY 1, 2),
+med AS (
+  SELECT ix, iy, vj AS median_v FROM (
+    SELECT ix, iy, vj,
+           row_number() OVER (PARTITION BY ix, iy ORDER BY vj) AS rn,
+           count(*) OVER (PARTITION BY ix, iy) AS cnt
+    FROM w) WHERE rn = (cnt + 1) // 2)
+SELECT g.ix, g.iy, g.v, med.median_v, k.k,
+       CAST(med.median_v <> g.v AS INT) AS changed
+FROM g JOIN med ON med.ix = g.ix AND med.iy = g.iy
+JOIN k ON k.ix = g.ix AND k.iy = g.iy
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -5807,6 +5896,8 @@ GROUP_A = {
     "temporal_full_stats": (q_temporal_full_stats, SQL_TEMPORAL_FULL_STATS),
     "frechet_pairs": (q_frechet_pairs, SQL_FRECHET_PAIRS),
     "seam_carve": (q_seam_carve, SQL_SEAM_CARVE),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "median_filter": (q_median_filter, SQL_MEDIAN_FILTER),
 }
 
 
