@@ -2527,3 +2527,133 @@ def seam_carve_energy(pixels: DataFrame, img_col: str = "img",
         F.array_min("_final").cast("long").alias("seam_energy"),
         F.array_position("_final", F.array_min("_final"))
          .cast("long").alias("seam_end_x"))
+
+
+# ---------------------------------------------------------------------------
+# Canny edge detector (exact-integer, distributed hysteresis)
+# ---------------------------------------------------------------------------
+
+def canny_edges_long(pixels: DataFrame, t_lo2: int = 5_000,
+                     t_hi2: int = 200_000, img_col: str = "img",
+                     x_col: str = "px", y_col: str = "py",
+                     value_col: str = "val",
+                     max_cc_iter: int = 32) -> DataFrame:
+    """Canny edge detector over a long-form pixel table, exact-integer
+    end to end — the missing member of the edge family (Sobel folds
+    feed Harris corners and Hough lines already; this adds the thinned,
+    hysteresis-linked edge map the reference's coastline/change rasters
+    are built from, dc_coastal_change.py's edge shape).
+
+      1. Sobel gradients (the shared 3x3 weighted fold; full windows
+         only, so the valid region shrinks by one ring — no border
+         convention leaks in).
+      2. Magnitude as mag2 = gx^2 + gy^2 (no sqrt: thresholds are
+         supplied squared) and sector quantization by pure integer
+         comparisons — sector 0 (E-W) when 5|gy| <= 2|gx|, sector 2
+         (N-S) when 5|gx| <= 2|gy| (atan(2/5) = 21.8deg, the exact-
+         rational stand-in for the classic 22.5deg boundary), else the
+         diagonal picked by sign(gx*gy).  First-match-wins makes
+         gx = gy = 0 sector 0 deterministically (it fails every
+         threshold anyway).
+      3. Non-max suppression: a pixel survives iff mag2 >= both
+         neighbors' mag2 along its sector direction (plateaus are kept
+         whole — deterministic, no float tie lottery; neighbors outside
+         the valid gradient region compare as -1).  One offset explode
+         + left join + groupBy max.
+      4. Double threshold: strength 2 (strong) at mag2 >= t_hi2,
+         strength 1 (weak) at mag2 >= t_lo2, else dropped.
+      5. Hysteresis as distributed connected components: survivors are
+         packed into int64 nodes (img*2^40 + x*2^20 + y — requires
+         integer img in [0, 2^22) and coords in [0, 2^20), the repo's
+         grid convention), 8-adjacent survivor pairs form the edge
+         list, and _cc_labels_df (min-label propagation + pointer
+         jumping, O(log diameter) bounded shuffles) labels components;
+         a component is an edge iff it contains at least one strong
+         pixel.  No driver-side structure, no UDF anywhere.
+
+    Returns the NMS+threshold survivors:
+    (img, x, y, gx, gy, mag2, sector, strength, edge) — all integers,
+    hash-reproducible in any engine.  Oracle twin: the same folds in
+    SQL with hysteresis as a recursive-CTE flood from the strong set.
+    """
+    p = pixels.select(F.col(img_col).cast("long").alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    w9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    grad = _fold_offsets(p, [
+        F.sum(F.col("dx") * (2 - F.abs(F.col("dy"))) * F.col("v"))
+         .cast("long").alias("gx"),
+        F.sum(F.col("dy") * (2 - F.abs(F.col("dx"))) * F.col("v"))
+         .cast("long").alias("gy"),
+        F.count("*").alias("_c")], w9, 9)
+    ax, ay = F.abs(F.col("gx")), F.abs(F.col("gy"))
+    sector = (F.when(5 * ay <= 2 * ax, 0)
+               .when(5 * ax <= 2 * ay, 2)
+               .when(F.col("gx") * F.col("gy") > 0, 1)
+               .otherwise(3))
+    g = grad.select(
+        "img", "x", "y", "gx", "gy",
+        (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy"))
+        .alias("mag2"), sector.cast("int").alias("sector"))
+
+    def _pair(dx, dy):
+        return F.array(F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")),
+                       F.struct(F.lit(-dx).alias("dx"), F.lit(-dy).alias("dy")))
+    sec_offs = F.element_at(
+        F.array(_pair(1, 0), _pair(1, 1), _pair(0, 1), _pair(1, -1)),
+        F.col("sector") + 1)
+    probe = (g.select("img", "x", "y", "mag2",
+                      F.explode(sec_offs).alias("o"))
+              .select("img", "x", "y", "mag2",
+                      (F.col("x") + F.col("o.dx")).alias("jx"),
+                      (F.col("y") + F.col("o.dy")).alias("jy")))
+    nbr = g.select(F.col("img"), F.col("x").alias("jx"),
+                   F.col("y").alias("jy"), F.col("mag2").alias("nmag2"))
+    nms = (probe.join(nbr, ["img", "jx", "jy"], "left")
+                .groupBy("img", "x", "y")
+                .agg(F.max(F.coalesce("nmag2", F.lit(-1))).alias("nmax")))
+    surv = (g.join(nms, ["img", "x", "y"])
+             .filter((F.col("mag2") >= t_lo2)
+                     & (F.col("mag2") >= F.col("nmax")))
+             .withColumn("strength",
+                         F.when(F.col("mag2") >= t_hi2, 2).otherwise(1)
+                          .cast("int"))
+             .drop("nmax")
+             .localCheckpoint(eager=True))
+
+    node = (F.col("img") * F.lit(1 << 40) + F.col("x") * F.lit(1 << 20)
+            + F.col("y"))
+    nodes = surv.select("img", "x", "y", "strength", node.alias("node"))
+    w8 = [(dx, dy) for dx, dy in w9 if (dx, dy) != (0, 0)]
+    adj = (nodes.select(
+               "img", "node",
+               F.explode(F.array(*[
+                   F.struct((F.col("x") + dx).alias("jx"),
+                            (F.col("y") + dy).alias("jy"))
+                   for dx, dy in w8])).alias("o"))
+               .select("img", "node", F.col("o.jx").alias("x"),
+                       F.col("o.jy").alias("y"))
+               .join(nodes.select("img", "x", "y",
+                                  F.col("node").alias("node2")),
+                     ["img", "x", "y"])
+               .filter(F.col("node") < F.col("node2"))
+               .select(F.col("node").alias("u"), F.col("node2").alias("v")))
+    lab = _cc_labels_df(adj, max_iter=max_cc_iter)
+    comp = (nodes.join(lab, nodes["node"] == lab["u"], "left")
+                 .select(nodes["node"],
+                         F.coalesce("lab", nodes["node"]).alias("lab"),
+                         "strength"))
+    strong_comp = (comp.filter(F.col("strength") == 2)
+                       .select("lab").distinct()
+                       .withColumn("has_strong", F.lit(1)))
+    edge = (comp.join(strong_comp, "lab", "left")
+                .select("node",
+                        F.coalesce("has_strong", F.lit(0)).alias("edge")))
+    return (nodes.join(edge, "node")
+                 .join(surv.select("img", "x", "y", "gx", "gy", "mag2",
+                                   "sector"),
+                       ["img", "x", "y"])
+                 .select("img", "x", "y", "gx", "gy", "mag2", "sector",
+                         F.col("strength").cast("long").alias("strength"),
+                         F.col("edge").cast("long").alias("edge")))

@@ -5763,6 +5763,79 @@ JOIN k ON k.ix = g.ix AND k.iy = g.iy
 """
 
 
+def q_canny_edges(spark, sf_dir):
+    """Canny edge detector (rasterops.canny_edges_long) over a 32x32
+    step-edge image built from lineitem: a 200-DN vertical step at
+    px=16 plus %16 aggregate noise.  Sobel -> integer-sector NMS ->
+    double threshold (squared: 5k / 200k) -> hysteresis as DISTRIBUTED
+    connected components (_cc_labels_df min-label propagation) — weak
+    pixels survive only when 8-linked to the strong step.  Oracle:
+    identical folds in SQL with the hysteresis flood as a recursive
+    CTE from the strong set."""
+    from .operators import rasterops
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = (li.groupBy((F.col("l_orderkey") % 32).alias("px"),
+                    (F.col("l_partkey") % 32).alias("py"))
+           .agg((F.sum(F.col("l_quantity").cast("long")) % 64)
+                .alias("noise"))
+           .select(F.lit(0).cast("long").alias("img"), "px", "py",
+                   (F.when(F.col("px") >= 16, 200).otherwise(0)
+                    + F.col("noise")).alias("val")))
+    out = rasterops.canny_edges_long(g, t_lo2=5_000, t_hi2=200_000)
+    return out.select("img", "x", "y", "gx", "gy", "mag2",
+                      F.col("sector").cast("long").alias("sector"),
+                      "strength", "edge")
+
+
+SQL_CANNY_EDGES = """
+WITH RECURSIVE px AS (
+  SELECT CAST(0 AS BIGINT) AS img, l_orderkey % 32 AS x,
+         l_partkey % 32 AS y,
+         CAST(CASE WHEN l_orderkey % 32 >= 16 THEN 200 ELSE 0 END
+              + sum(CAST(l_quantity AS BIGINT)) % 64 AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2, 3),
+o9(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                      (1,-1),(1,0),(1,1)),
+g AS (
+  SELECT p.img, p.x - o.dx AS x, p.y - o.dy AS y,
+         CAST(sum(o.dx * (2 - abs(o.dy)) * p.v) AS BIGINT) AS gx,
+         CAST(sum(o.dy * (2 - abs(o.dx)) * p.v) AS BIGINT) AS gy
+  FROM px p CROSS JOIN o9 o
+  GROUP BY 1, 2, 3 HAVING count(*) = 9),
+s AS (
+  SELECT img, x, y, gx, gy, gx*gx + gy*gy AS mag2,
+         CAST(CASE WHEN 5*abs(gy) <= 2*abs(gx) THEN 0
+                   WHEN 5*abs(gx) <= 2*abs(gy) THEN 2
+                   WHEN gx*gy > 0 THEN 1 ELSE 3 END AS BIGINT) AS sector
+  FROM g),
+d(sector, dx, dy) AS (VALUES (0,1,0),(0,-1,0),(1,1,1),(1,-1,-1),
+                             (2,0,1),(2,0,-1),(3,1,-1),(3,-1,1)),
+nm AS (
+  SELECT s.img, s.x, s.y, max(coalesce(n.mag2, -1)) AS nmax
+  FROM s JOIN d ON d.sector = s.sector
+  LEFT JOIN s n ON n.img = s.img AND n.x = s.x + d.dx
+               AND n.y = s.y + d.dy
+  GROUP BY 1, 2, 3),
+surv AS (
+  SELECT s.*, CAST(CASE WHEN s.mag2 >= 200000 THEN 2 ELSE 1 END
+                   AS BIGINT) AS strength
+  FROM s JOIN nm ON nm.img = s.img AND nm.x = s.x AND nm.y = s.y
+  WHERE s.mag2 >= 5000 AND s.mag2 >= nm.nmax),
+reach AS (
+  SELECT img, x, y FROM surv WHERE strength = 2
+  UNION
+  SELECT w.img, w.x, w.y
+  FROM reach r JOIN surv w
+    ON w.img = r.img AND abs(w.x - r.x) <= 1 AND abs(w.y - r.y) <= 1)
+SELECT s.img, s.x, s.y, s.gx, s.gy, CAST(s.mag2 AS BIGINT) AS mag2,
+       s.sector, s.strength,
+       CAST(CASE WHEN r.x IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS edge
+FROM surv s
+LEFT JOIN reach r ON r.img = s.img AND r.x = s.x AND r.y = s.y
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -5898,6 +5971,7 @@ GROUP_A = {
     "seam_carve": (q_seam_carve, SQL_SEAM_CARVE),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "median_filter": (q_median_filter, SQL_MEDIAN_FILTER),
+    "canny_edges": (q_canny_edges, SQL_CANNY_EDGES),
 }
 
 

@@ -541,3 +541,22 @@ def test_emd_shuffles_bounded_by_histogram_not_rows(spark):
     # under HashAggregate precedes Exchange in both count subtrees
     assert plan.count("partial_count") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_canny_edges_all_jvm_no_cartesian(spark):
+    from data_cube_utilities_spark.operators import rasterops
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    g = (li.groupBy(F.lit(0).cast("long").alias("img"),
+                    (F.col("l_orderkey") % 32).alias("px"),
+                    (F.col("l_partkey") % 32).alias("py"))
+           .agg((F.sum(F.col("l_quantity").cast("long")) % 64)
+                .alias("val")))
+    plan = plan_of(rasterops.canny_edges_long(g))
+    # Sobel fold / NMS / threshold / hysteresis relabel: every stage is
+    # an equi-join or hash aggregate — no UDF, no all-pairs anywhere
+    # (the hysteresis CC iterations ran eagerly at build time via
+    # localCheckpoint; this plan covers the final flag assembly)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan

@@ -58,3 +58,82 @@ def test_median_filter_grid_denoises_spike(spark):
     assert out[(2, 2)].median_v < 100 and out[(2, 2)].changed == 1
     # corner windows are truncated (k=4) yet stay integer-exact
     assert out[(0, 0)].k == 4
+
+
+def _canny_ref(vals, t_lo2, t_hi2):
+    """Pure-python reference of canny_edges_long's exact spec."""
+    grad = {}
+    for (x, y) in vals:
+        win = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               if (x + dx, y + dy) in vals]
+        if len(win) != 9:
+            continue
+        gx = sum(dx * (2 - abs(dy)) * vals[(x + dx, y + dy)]
+                 for dx, dy in win)
+        gy = sum(dy * (2 - abs(dx)) * vals[(x + dx, y + dy)]
+                 for dx, dy in win)
+        m2 = gx * gx + gy * gy
+        if 5 * abs(gy) <= 2 * abs(gx):
+            sec = 0
+        elif 5 * abs(gx) <= 2 * abs(gy):
+            sec = 2
+        elif gx * gy > 0:
+            sec = 1
+        else:
+            sec = 3
+        grad[(x, y)] = (gx, gy, m2, sec)
+    dirs = {0: (1, 0), 1: (1, 1), 2: (0, 1), 3: (1, -1)}
+    surv = {}
+    for (x, y), (gx, gy, m2, sec) in grad.items():
+        dx, dy = dirs[sec]
+        n1 = grad.get((x + dx, y + dy), (0, 0, -1, 0))[2]
+        n2 = grad.get((x - dx, y - dy), (0, 0, -1, 0))[2]
+        if m2 >= t_lo2 and m2 >= n1 and m2 >= n2:
+            surv[(x, y)] = (gx, gy, m2, sec, 2 if m2 >= t_hi2 else 1)
+    # hysteresis: BFS from strong through 8-adjacent survivors
+    frontier = [p for p, r in surv.items() if r[4] == 2]
+    reach = set(frontier)
+    while frontier:
+        x, y = frontier.pop()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                q = (x + dx, y + dy)
+                if q in surv and q not in reach:
+                    reach.add(q)
+                    frontier.append(q)
+    return {p: r + (int(p in reach),) for p, r in surv.items()}
+
+
+def test_canny_edges_long_matches_reference(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    rng = np.random.RandomState(3)
+    vals = {}
+    for x in range(14):
+        for y in range(14):
+            # one vertical step whose height fades along y: the top half
+            # is a strong edge, the bottom half of the SAME line is weak
+            # — 8-connected, so hysteresis must keep it
+            step = 200 if y < 7 else 90
+            vals[(x, y)] = step * (x >= 7) + int(rng.randint(0, 40))
+    # isolated weak blob far from the step: must be dropped
+    vals[(2, 11)] += 70
+
+    t_lo2, t_hi2 = 5_000, 200_000
+    ref = _canny_ref(vals, t_lo2, t_hi2)
+    df = spark.createDataFrame(
+        [(0, x, y, v) for (x, y), v in vals.items()],
+        "img long, px long, py long, val long")
+    out = {(r.x, r.y): (r.gx, r.gy, r.mag2, r.sector, r.strength, r.edge)
+           for r in rasterops.canny_edges_long(
+               df, t_lo2=t_lo2, t_hi2=t_hi2).collect()}
+
+    assert out == ref
+    strengths = {v[4] for v in out.values()}
+    edges = {v[5] for v in out.values()}
+    assert strengths == {1, 2} and edges == {0, 1}, \
+        "fixture must exercise weak+strong and kept+dropped regimes"
+    # isolated weak survivors are dropped, step-linked weak ones kept
+    kept_weak = [p for p, v in out.items() if v[4] == 1 and v[5] == 1]
+    dropped_weak = [p for p, v in out.items() if v[4] == 1 and v[5] == 0]
+    assert kept_weak and dropped_weak
