@@ -539,3 +539,70 @@ def cusum_changepoint(df: DataFrame, key_cols: Sequence[str],
                       F.col("b.d").alias("stat_num"),
                       (-F.col("b.nk")).cast("long").alias("k_star"),
                       F.col("b.t").alias("t_star")))
+
+
+def acf_profile(df: DataFrame, key_cols: Sequence[str],
+                t_col: str = "t", v_col: str = "v",
+                max_lag: int = 5) -> DataFrame:
+    """Per-series autocorrelation profile at lags 1..max_lag — the
+    seasonality/persistence fingerprint that sits next to mann_kendall
+    (WHETHER a trend) and cusum_changepoint (WHERE it breaks): a spike
+    at lag 7 on daily data is weekly seasonality, slow decay is
+    persistence, ~0 everywhere is white noise.
+
+    Lag is POSITIONAL over the t-ordered series (the standard ACF on a
+    regularly sampled series; gaps in t are the caller's problem, as
+    with every window op here).  For each lag l the Pearson r over the
+    paired subsample (v_i, v_{i+l}) is computed from exact int64
+    moments — n_pairs, sum_x, sum_y, sum_xx, sum_yy, sum_xy — and the
+    hash-stable columns are those integers plus num = n*sxy - sx*sy
+    (also exact); acf itself is the one fixed-order double
+    round(num / sqrt(varx * vary), 6), NULL when either marginal
+    variance is zero (constant run) or n_pairs < 2.
+
+    Shape at scale: ONE window pass computes every lead (same window
+    spec, so Spark evaluates all max_lag leads in a single sort), one
+    explode by max_lag, one aggregate on (keys, lag) — both shuffles
+    key on the series id.  No UDF, no collect.  Int64 bounds:
+    |v| <= 2^20 keeps n*sxy safely under 2^62 for series to ~2^20
+    points."""
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(t_col)
+    base = df.select(*key_cols, F.col(t_col).alias("t"),
+                     F.col(v_col).cast("long").alias("v"))
+    # generators may not contain window expressions, so the leads land
+    # as named columns first (one shared window spec = ONE sort pass),
+    # then explode into (lag, y) rows
+    led = base.select(
+        *key_cols, F.col("v").alias("x"),
+        *[F.lead("v", l).over(w).alias(f"_y{l}")
+          for l in range(1, max_lag + 1)])
+    pairs = (led.select(
+                *key_cols, "x",
+                F.explode(F.array(*[
+                    F.struct(F.lit(l).cast("long").alias("lag"),
+                             F.col(f"_y{l}").alias("y"))
+                    for l in range(1, max_lag + 1)])).alias("o"))
+             .select(*key_cols, "x", F.col("o.lag").alias("lag"),
+                     F.col("o.y").alias("y"))
+             .filter(F.col("y").isNotNull()))
+    agg = (pairs.groupBy(*key_cols, "lag")
+           .agg(F.count("*").cast("long").alias("n_pairs"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy")))
+    n = F.col("n_pairs")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        *key_cols, "lag", "n_pairs",
+        num.cast("long").alias("num"),
+        varx.cast("long").alias("varx"),
+        vary.cast("long").alias("vary"),
+        F.when((n >= 2) & (varx > 0) & (vary > 0),
+               F.round(num / F.sqrt(varx.cast("double")
+                                    * vary.cast("double")), 6))
+         .alias("acf"))

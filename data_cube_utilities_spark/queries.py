@@ -5836,6 +5836,58 @@ LEFT JOIN reach r ON r.img = s.img AND r.x = s.x AND r.y = s.y
 """
 
 
+def q_acf_profile(spark, sf_dir):
+    """Autocorrelation profile (temporal.acf_profile) at lags 1..5 per
+    event user group, over a period-4 signal planted in event_id — the
+    seasonality fingerprint next to mann_kendall (trend) and
+    cusum_changepoint (break).  Moments are exact int64 (hash columns
+    num/varx/vary); acf is the one fixed-order rounded double.
+    Oracle: row_number rank self-join at each lag (DuckDB lead() takes
+    only constant offsets)."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (ev.filter(F.col("event_id") % 5 == 0)
+             .select((F.col("user_id") % 16).alias("grp"),
+                     F.col("event_id").alias("t"),
+                     ((F.expr("event_id div 5") % 4) * 10
+                      + (F.col("event_id") * 13) % 7).alias("v")))
+    return temporal.acf_profile(ser, ["grp"], max_lag=5)
+
+
+SQL_ACF_PROFILE = """
+WITH ser AS (
+  SELECT user_id % 16 AS grp, event_id AS t,
+         ((event_id // 5) % 4) * 10 + (event_id * 13) % 7 AS v
+  FROM events WHERE event_id % 5 = 0),
+rk AS (
+  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY t) AS r
+  FROM ser),
+l(lag) AS (VALUES (1), (2), (3), (4), (5)),
+agg AS (
+  SELECT a.grp, CAST(l.lag AS BIGINT) AS lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.v) AS BIGINT) AS sx, CAST(sum(b.v) AS BIGINT) AS sy,
+         CAST(sum(a.v * a.v) AS BIGINT) AS sxx,
+         CAST(sum(b.v * b.v) AS BIGINT) AS syy,
+         CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+  FROM rk a CROSS JOIN l
+  JOIN rk b ON b.grp = a.grp AND b.r = a.r + l.lag
+  GROUP BY 1, 2)
+SELECT grp, lag, n_pairs,
+       CAST(n_pairs * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n_pairs * sxx - sx * sx AS BIGINT) AS varx,
+       CAST(n_pairs * syy - sy * sy AS BIGINT) AS vary,
+       CASE WHEN n_pairs >= 2 AND n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+            THEN round((n_pairs * sxy - sx * sy)
+                       / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_pairs * syy - sy * sy AS DOUBLE)),
+                       6) END AS acf
+FROM agg
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -5972,6 +6024,7 @@ GROUP_A = {
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "median_filter": (q_median_filter, SQL_MEDIAN_FILTER),
     "canny_edges": (q_canny_edges, SQL_CANNY_EDGES),
+    "acf_profile": (q_acf_profile, SQL_ACF_PROFILE),
 }
 
 

@@ -137,3 +137,28 @@ def test_canny_edges_long_matches_reference(spark):
     kept_weak = [p for p, v in out.items() if v[4] == 1 and v[5] == 1]
     dropped_weak = [p for p, v in out.items() if v[4] == 1 and v[5] == 0]
     assert kept_weak and dropped_weak
+
+
+def test_acf_profile_numpy_parity_and_constant_series(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    rows = [("a", t, (t % 4) * 10 + (t * 13) % 3) for t in range(20)]
+    rows += [("b", t, 5) for t in range(8)]          # constant series
+    df = spark.createDataFrame(rows, "grp string, t long, v long")
+    pdf = (temporal.acf_profile(df, ["grp"], max_lag=5)
+           .orderBy("grp", "lag").toPandas())
+
+    v = np.array([r[2] for r in rows[:20]], dtype=float)
+    for lag in range(1, 6):
+        x, y = v[:-lag], v[lag:]
+        r = float(np.corrcoef(x, y)[0, 1])
+        got = float(pdf[(pdf.grp == "a") & (pdf.lag == lag)].acf.iloc[0])
+        assert abs(round(r, 6) - got) < 2e-6, (lag, r, got)
+        n = pdf[(pdf.grp == "a") & (pdf.lag == lag)].n_pairs.iloc[0]
+        assert n == 20 - lag
+    # the planted period-4 signal fingerprints at lag 4
+    acf4 = float(pdf[(pdf.grp == "a") & (pdf.lag == 4)].acf.iloc[0])
+    assert acf4 > 0.9
+    # zero-variance marginals yield NULL acf but exact zero moments
+    b = pdf[pdf.grp == "b"]
+    assert b.acf.isna().all() and (b.varx == 0).all()
