@@ -152,3 +152,59 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
                F.expr("(2 * triangles * 1048576) "
                       "DIV (degree * (degree - 1))"))
          .otherwise(F.lit(0)).cast("long").alias("lcc_q20"))
+
+
+def kcore(edges: DataFrame, k: int = 3, src_col: str = "src",
+          dst_col: str = "dst", max_rounds: int = 16) -> DataFrame:
+    """k-core decomposition at a fixed k: iteratively peel every node
+    whose degree has fallen below k until the remainder is stable —
+    the classic link-graph quality core (crawl-frontier pruning keeps
+    the k-core; spam shells and dead-end tendrils peel away in the
+    first rounds, organic hubs survive).  Completes the graph family:
+    PageRank scores, triangles close, components label, k-core prunes.
+
+    Exact and engine-reproducible: each round removes ALL sub-k nodes
+    simultaneously (the standard synchronous peel), so the surviving
+    edge set after round r is a pure function of the input — no
+    ordering, no floats.  The loop runs to FIXPOINT (bounded by
+    max_rounds); the oracle twin unrolls the same rounds as a CTE
+    chain, and extra unrolled rounds past the fixpoint are no-ops, so
+    any unroll depth >= the true peel depth hash-matches.
+
+    Shape at scale: per round one degree aggregate + two semi-joins,
+    all keyed on node ids; localCheckpoint flattens the iterated plan
+    and the convergence probe is one count on the (shrinking) edge
+    set.  Returns (node, core_degree) for the members of the k-core —
+    core_degree >= k by construction; empty when the graph has no
+    k-core."""
+    alive = (edges.select(F.col(src_col).cast("long").alias("a"),
+                          F.col(dst_col).cast("long").alias("b"))
+                  .filter(F.col("a") != F.col("b"))
+                  .select(F.least("a", "b").alias("u"),
+                          F.greatest("a", "b").alias("v"))
+                  .distinct()
+                  .localCheckpoint(eager=True))
+    n_edges = alive.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (alive.select(F.col("u").alias("node"))
+                    .unionAll(alive.select(F.col("v").alias("node")))
+                    .groupBy("node")
+                    .agg(F.count("*").cast("long").alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (alive.join(keep.withColumnRenamed("node", "u"), "u",
+                          "left_semi")
+                    .join(keep.withColumnRenamed("node", "v"), "v",
+                          "left_semi")
+                    .select("u", "v")
+                    .localCheckpoint(eager=True))
+        n_nxt = nxt.count()
+        alive = nxt
+        if n_nxt == n_edges:      # nothing peeled: fixpoint
+            break
+        n_edges = n_nxt
+    return (alive.select(F.col("u").alias("node"))
+                 .unionAll(alive.select(F.col("v").alias("node")))
+                 .groupBy("node")
+                 .agg(F.count("*").cast("long").alias("core_degree")))

@@ -5888,6 +5888,56 @@ FROM agg
 """
 
 
+def q_kcore(spark, sf_dir):
+    """3-core of a hierarchy+cluster link graph (graph.kcore): orders
+    custkeys chain up a //2 and //3 hierarchy (long peelable tendrils
+    — the cascade runs ~10 waves at sf0.1) while a dense 40-node
+    cluster survives as the core.  Spark peels synchronously to
+    FIXPOINT; the oracle unrolls 14 identical rounds as a CTE chain
+    (rounds past the fixpoint are no-ops, so any unroll depth >= the
+    true peel depth hash-matches — the rdp_simplify contract)."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    hier = (o.select(F.col("o_custkey").alias("src"),
+                     F.expr("o_custkey div 2").alias("dst"))
+             .unionAll(o.select(F.col("o_custkey").alias("src"),
+                                F.expr("o_custkey div 3").alias("dst"))))
+    dense = (o.filter(F.col("o_orderkey") % 11 == 0)
+              .select((F.col("o_custkey") % 40).alias("src"),
+                      ((F.col("o_custkey") * 7) % 40).alias("dst")))
+    return graph.kcore(hier.unionAll(dense), k=3)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = ["""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+    SELECT o_custkey AS u, o_custkey // 2 AS v FROM orders
+    UNION ALL
+    SELECT o_custkey AS u, o_custkey // 3 AS v FROM orders
+    UNION ALL
+    SELECT o_custkey % 40 AS u, (o_custkey * 7) % 40 AS v
+    FROM orders WHERE o_orderkey % 11 = 0)
+  WHERE u <> v)"""]
+    for r in range(rounds):
+        parts.append(f""",
+d{r} AS (SELECT node, count(*) AS deg FROM (
+  SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}) GROUP BY node),
+k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN k{r} x ON x.node = e.u JOIN k{r} y ON y.node = e.v)""")
+    parts.append(f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY node""")
+    return "".join(parts)
+
+
+SQL_KCORE = _kcore_sql(3, 14)
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -6025,6 +6075,7 @@ GROUP_A = {
     "median_filter": (q_median_filter, SQL_MEDIAN_FILTER),
     "canny_edges": (q_canny_edges, SQL_CANNY_EDGES),
     "acf_profile": (q_acf_profile, SQL_ACF_PROFILE),
+    "kcore": (q_kcore, SQL_KCORE),
 }
 
 

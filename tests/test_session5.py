@@ -162,3 +162,22 @@ def test_acf_profile_numpy_parity_and_constant_series(spark):
     # zero-variance marginals yield NULL acf but exact zero moments
     b = pdf[pdf.grp == "b"]
     assert b.acf.isna().all() and (b.varx == 0).all()
+
+
+def test_kcore_peels_tendrils_keeps_clique(spark):
+    from data_cube_utilities_spark.operators import graph
+
+    # K5 on {0..4} (every degree 4) with a chain tendril 4-10-11-12
+    # hanging off it, plus a triangle {20,21,22} (a 2-core, not 3)
+    edges = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges += [(4, 10), (10, 11), (11, 12)]
+    edges += [(20, 21), (21, 22), (20, 22)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    core3 = {r.node: r.core_degree for r in graph.kcore(df, k=3).collect()}
+    assert core3 == {n: 4 for n in range(5)}, core3
+    # k above the max clique degree: no core at all
+    assert graph.kcore(df, k=5).count() == 0
+    # k=2 keeps K5 AND the triangle, still peels the chain
+    core2 = {r.node for r in graph.kcore(df, k=2).collect()}
+    assert core2 == {0, 1, 2, 3, 4, 20, 21, 22}
