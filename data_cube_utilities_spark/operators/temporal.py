@@ -606,3 +606,56 @@ def acf_profile(df: DataFrame, key_cols: Sequence[str],
                F.round(num / F.sqrt(varx.cast("double")
                                     * vary.cast("double")), 6))
          .alias("acf"))
+
+
+def exp_smooth(df: DataFrame, key_cols: Sequence[str],
+               t_col: str = "t", v_col: str = "v",
+               alpha_num: int = 1, alpha_den: int = 4,
+               scale: int = 65536) -> DataFrame:
+    """Simple exponential smoothing per series, exact-integer: the
+    recursive level l_t = alpha*x_t + (1-alpha)*l_{t-1} on a Q16 fixed-
+    point grid, every step ONE nonnegative integer division —
+    l_t = ((d-n)*l_{t-1} + n*x_t*scale) DIV d with alpha = n/d.  Floats
+    would make the recursion summation-order- and ulp-dependent; on the
+    integer grid Spark, DuckDB, and any rerun produce bit-identical
+    levels (nonnegative operands, so floor and truncate division
+    agree — inputs are required nonnegative, the caller shifts).
+
+    The recursion is inherently sequential IN t but embarrassingly
+    parallel ACROSS series, so the series is folded in-row: one
+    array_sort(collect_list) builds the (t, x) array per series key
+    (one shuffle), F.aggregate threads the level through it JVM-side
+    (the dtw/seam-carve idiom — no UDF), posexplode restores long
+    form.  Returns (keys, t, x, level_q16); level_q16 / scale is the
+    conventional smoothed value.
+
+    Int64 bounds: (d-n)*l + n*x*scale < 2^63 needs x*scale*d < 2^62 —
+    x up to ~2^30 at the default Q16/alpha=1/4."""
+    keys = [F.col(k) for k in key_cols]
+    ser = (df.select(*key_cols, F.col(t_col).alias("t"),
+                     F.col(v_col).cast("long").alias("x"))
+             .groupBy(*keys)
+             .agg(F.array_sort(F.collect_list(F.struct("t", "x")))
+                   .alias("s")))
+    d, n, sc = alpha_den, alpha_num, scale
+    first = F.element_at("s", 1)
+    init = F.array(F.struct(first["t"].alias("t"), first["x"].alias("x"),
+                            (first["x"] * sc).alias("lvl")))
+
+    def step(acc, e):
+        prev = F.element_at(acc, -1)["lvl"]
+        num = (d - n) * prev + n * e["x"] * sc
+        # exact integer floor-div: float division would round above
+        # 2^53, so divide on the decimal(38,0) grid and floor
+        lvl = F.floor(num.cast("decimal(38,0)") / F.lit(d)).cast("long")
+        return F.concat(acc, F.array(
+            F.struct(e["t"].alias("t"), e["x"].alias("x"),
+                     lvl.alias("lvl"))))
+
+    rest = F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0)))
+    folded = ser.select(*key_cols,
+                        F.aggregate(rest, init, step).alias("lv"))
+    ex = folded.select(*key_cols, F.explode("lv").alias("e"))
+    return ex.select(*key_cols, F.col("e.t").alias("t"),
+                     F.col("e.x").alias("x"),
+                     F.col("e.lvl").cast("long").alias("level_q16"))

@@ -5938,6 +5938,41 @@ GROUP BY node""")
 SQL_KCORE = _kcore_sql(3, 14)
 
 
+def q_exp_smooth(spark, sf_dir):
+    """Exponential smoothing (temporal.exp_smooth, alpha = 1/4) per
+    event user group on the Q16 integer grid — the sequential
+    recursion folded in-row (dtw/seam-carve idiom), bit-identical
+    under any partitioning.  Oracle: recursive CTE replaying the same
+    nonnegative integer division per rank step."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (ev.filter(F.col("event_id") % 9 == 0)
+             .select((F.col("user_id") % 20).alias("grp"),
+                     F.col("event_id").alias("t"),
+                     ((F.col("event_id") * 13) % 100).alias("v")))
+    return temporal.exp_smooth(ser, ["grp"], alpha_num=1, alpha_den=4)
+
+
+SQL_EXP_SMOOTH = """
+WITH RECURSIVE ser AS (
+  SELECT user_id % 20 AS grp, event_id AS t, (event_id * 13) % 100 AS v
+  FROM events WHERE event_id % 9 = 0),
+rk AS (
+  SELECT grp, t, v,
+         row_number() OVER (PARTITION BY grp ORDER BY t) AS r
+  FROM ser),
+lev AS (
+  SELECT grp, t, v AS x, r, CAST(v * 65536 AS BIGINT) AS lvl
+  FROM rk WHERE r = 1
+  UNION ALL
+  SELECT rk.grp, rk.t, rk.v, rk.r,
+         CAST((3 * lev.lvl + rk.v * 65536) // 4 AS BIGINT)
+  FROM lev JOIN rk ON rk.grp = lev.grp AND rk.r = lev.r + 1)
+SELECT grp, t, CAST(x AS BIGINT) AS x, lvl AS level_q16 FROM lev
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -6076,6 +6111,7 @@ GROUP_A = {
     "canny_edges": (q_canny_edges, SQL_CANNY_EDGES),
     "acf_profile": (q_acf_profile, SQL_ACF_PROFILE),
     "kcore": (q_kcore, SQL_KCORE),
+    "exp_smooth": (q_exp_smooth, SQL_EXP_SMOOTH),
 }
 
 

@@ -181,3 +181,30 @@ def test_kcore_peels_tendrils_keeps_clique(spark):
     # k=2 keeps K5 AND the triangle, still peels the chain
     core2 = {r.node for r in graph.kcore(df, k=2).collect()}
     assert core2 == {0, 1, 2, 3, 4, 20, 21, 22}
+
+
+def test_exp_smooth_integer_recursion(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    xs = [3, 10, 0, 7, 20, 20, 20, 1]
+    rows = [("a", t, x) for t, x in enumerate(xs)]
+    rows += [("b", 0, 9)]                       # singleton series
+    df = spark.createDataFrame(rows, "grp string, t long, v long")
+    out = temporal.exp_smooth(df, ["grp"], alpha_num=1,
+                              alpha_den=4).collect()
+
+    lvl, ref = xs[0] * 65536, []
+    ref.append(lvl)
+    for x in xs[1:]:
+        lvl = (3 * lvl + x * 65536) // 4
+        ref.append(lvl)
+    got = [r.level_q16 for r in sorted(
+        (r for r in out if r.grp == "a"), key=lambda r: r.t)]
+    assert got == ref
+    # singleton: level = x on the Q16 grid
+    b = [r for r in out if r.grp == "b"]
+    assert len(b) == 1 and b[0].level_q16 == 9 * 65536
+    # partitioning determinism
+    one = sorted((r.grp, r.t, r.level_q16) for r in temporal.exp_smooth(
+        df.coalesce(1), ["grp"], alpha_num=1, alpha_den=4).collect())
+    assert one == sorted((r.grp, r.t, r.level_q16) for r in out)
