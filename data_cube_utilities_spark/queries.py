@@ -5973,6 +5973,48 @@ SELECT grp, t, CAST(x AS BIGINT) AS x, lvl AS level_q16 FROM lev
 """
 
 
+def q_region_moments(spark, sf_dir):
+    """Per-region image moments (rasterops.region_moments) over the 4
+    dense lineitem images, regions = DN quartile classes (v DIV 64),
+    weight = v: exact raw moments + m00^2-scaled central moments (the
+    centroid division cleared), theta the one fixed-order double.  ONE
+    partial+final aggregate — the cheapest distributed shape."""
+    from .operators import rasterops
+
+    px = _px_grid(spark, sf_dir).select(
+        "img", "px", "py", F.expr("val div 64").alias("label"),
+        F.col("val").alias("w"))
+    return rasterops.region_moments(px)
+
+
+SQL_REGION_MOMENTS = f"""
+WITH {_PX_SQL},
+base AS (
+  SELECT img, x, y, v // 64 AS label, v AS w FROM px),
+agg AS (
+  SELECT img, label, CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(w) AS BIGINT) AS m00,
+         CAST(sum(w * x) AS BIGINT) AS m10,
+         CAST(sum(w * y) AS BIGINT) AS m01,
+         CAST(sum(w * x * x) AS BIGINT) AS m20,
+         CAST(sum(w * y * y) AS BIGINT) AS m02,
+         CAST(sum(w * x * y) AS BIGINT) AS m11
+  FROM base GROUP BY 1, 2)
+SELECT img, CAST(label AS BIGINT) AS label, n_px,
+       m00, m10, m01, m20, m02, m11,
+       CAST(m00 * m20 - m10 * m10 AS BIGINT) AS mu20s,
+       CAST(m00 * m02 - m01 * m01 AS BIGINT) AS mu02s,
+       CAST(m00 * m11 - m10 * m01 AS BIGINT) AS mu11s,
+       CASE WHEN m00 * m20 - m10 * m10 <> m00 * m02 - m01 * m01
+                 OR m00 * m11 - m10 * m01 <> 0
+            THEN round(atan2(2.0 * (m00 * m11 - m10 * m01),
+                             CAST((m00 * m20 - m10 * m10)
+                                  - (m00 * m02 - m01 * m01) AS DOUBLE))
+                       / 2.0, 6) END AS theta
+FROM agg
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -6112,6 +6154,7 @@ GROUP_A = {
     "acf_profile": (q_acf_profile, SQL_ACF_PROFILE),
     "kcore": (q_kcore, SQL_KCORE),
     "exp_smooth": (q_exp_smooth, SQL_EXP_SMOOTH),
+    "region_moments": (q_region_moments, SQL_REGION_MOMENTS),
 }
 
 

@@ -208,3 +208,35 @@ def test_exp_smooth_integer_recursion(spark):
     one = sorted((r.grp, r.t, r.level_q16) for r in temporal.exp_smooth(
         df.coalesce(1), ["grp"], alpha_num=1, alpha_den=4).collect())
     assert one == sorted((r.grp, r.t, r.level_q16) for r in out)
+
+
+def test_region_moments_match_numpy(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(9, 9))
+    labels = (np.indices((9, 9)).sum(0) >= 9).astype(int)  # two triangles
+    rows = [(0, int(x), int(y), int(labels[y, x]), int(img[y, x]))
+            for y in range(9) for x in range(9)]
+    df = spark.createDataFrame(rows, "img long, px long, py long, "
+                                     "label long, w long")
+    out = {r.label: r for r in rasterops.region_moments(df).collect()}
+
+    for lab in (0, 1):
+        ys, xs = np.nonzero(labels == lab)
+        w = img[ys, xs].astype(object)          # python ints: no overflow
+        m00, m10, m01 = int(w.sum()), int((w * xs).sum()), int((w * ys).sum())
+        m20 = int((w * xs * xs).sum())
+        m02 = int((w * ys * ys).sum())
+        m11 = int((w * xs * ys).sum())
+        r = out[lab]
+        assert (r.m00, r.m10, r.m01, r.m20, r.m02, r.m11) == \
+            (m00, m10, m01, m20, m02, m11)
+        assert r.mu20s == m00 * m20 - m10 * m10
+        assert r.mu11s == m00 * m11 - m10 * m01
+        # theta agrees with the float covariance-matrix orientation
+        import math
+        want = math.atan2(2 * (m00 * m11 - m10 * m01),
+                          (m00 * m20 - m10 * m10)
+                          - (m00 * m02 - m01 * m01)) / 2
+        assert abs(r.theta - round(want, 6)) < 1e-9
