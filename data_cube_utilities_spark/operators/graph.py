@@ -208,3 +208,53 @@ def kcore(edges: DataFrame, k: int = 3, src_col: str = "src",
                  .unionAll(alive.select(F.col("v").alias("node")))
                  .groupBy("node")
                  .agg(F.count("*").cast("long").alias("core_degree")))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation with a
+    deterministic tie-break — the cheap community pass a link-graph
+    pipeline runs after PageRank/k-core (mirror farms and topic
+    clusters condense onto one label within a few sweeps).
+
+    Classic LPA is run-order-dependent (asynchronous updates, random
+    tie-breaks); this one is a pure function of the input: every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties to the SMALLEST label, for exactly `rounds` sweeps (no early
+    stop: synchronous LPA can 2-cycle on bipartite structure, so a
+    fixed sweep count — replayed verbatim by the oracle — is the
+    hash-exact contract; callers wanting convergence diff two
+    consecutive outputs).
+
+    Shape at scale: per sweep one equi-join (labels onto the
+    symmetrized edge list) + one (node, label) count + one max_by
+    argmax — all shuffles keyed on node ids; localCheckpoint flattens
+    the iterated plan.  Returns (node, community) where community is
+    the surviving label (a node id)."""
+    e = (edges.select(F.col(src_col).cast("long").alias("a"),
+                      F.col(dst_col).cast("long").alias("b"))
+              .filter(F.col("a") != F.col("b"))
+              .select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v"))
+              .distinct())
+    sym = (e.unionAll(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+            .localCheckpoint(eager=True))
+    lab = (sym.select("u").distinct()
+              .select("u", F.col("u").alias("lab"))
+              .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        nbr = (sym.join(lab.select(F.col("u").alias("v"),
+                                   F.col("lab").alias("vlab")), "v")
+                  .groupBy("u", "vlab")
+                  .agg(F.count("*").cast("long").alias("c")))
+        # most frequent neighbor label, ties to the smallest label:
+        # min over (-count, label) is exactly that argmax
+        lab = (nbr.groupBy("u")
+                  .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                      F.col("vlab").alias("lab"))).alias("b"))
+                  .select("u", F.col("b.lab").alias("lab"))
+                  .localCheckpoint(eager=True))
+    return lab.select(F.col("u").alias("node"),
+                      F.col("lab").alias("community"))

@@ -6015,6 +6015,57 @@ FROM agg
 """
 
 
+def q_label_propagation(spark, sf_dir):
+    """4 synchronous LPA sweeps (graph.label_propagation) over the
+    hierarchy+cluster graph of q_kcore — deterministic argmax (most
+    frequent neighbor label, ties to smallest), fixed sweep count
+    replayed verbatim by the oracle's unrolled CTE rounds."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    hier = (o.select(F.col("o_custkey").alias("src"),
+                     F.expr("o_custkey div 2").alias("dst"))
+             .unionAll(o.select(F.col("o_custkey").alias("src"),
+                                F.expr("o_custkey div 3").alias("dst"))))
+    dense = (o.filter(F.col("o_orderkey") % 11 == 0)
+              .select((F.col("o_custkey") % 40).alias("src"),
+                      ((F.col("o_custkey") * 7) % 40).alias("dst")))
+    return graph.label_propagation(hier.unionAll(dense), rounds=4)
+
+
+def _lpa_sql(rounds: int) -> str:
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+    SELECT o_custkey AS u, o_custkey // 2 AS v FROM orders
+    UNION ALL
+    SELECT o_custkey AS u, o_custkey // 3 AS v FROM orders
+    UNION ALL
+    SELECT o_custkey % 40 AS u, (o_custkey * 7) % 40 AS v
+    FROM orders WHERE o_orderkey % 11 = 0)
+  WHERE u <> v),
+sym AS MATERIALIZED (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT u, u AS lab FROM sym)"""]
+    for r in range(rounds):
+        parts.append(f""",
+n{r} AS (
+  SELECT s.u, l.lab, count(*) AS c
+  FROM sym s JOIN l{r} l ON l.u = s.v GROUP BY 1, 2),
+l{r + 1} AS MATERIALIZED (
+  SELECT u, lab FROM (
+    SELECT u, lab,
+           row_number() OVER (PARTITION BY u
+                              ORDER BY c DESC, lab ASC) AS rn
+    FROM n{r}) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT u AS node, CAST(lab AS BIGINT) AS community FROM l{rounds}""")
+    return "".join(parts)
+
+
+SQL_LABEL_PROPAGATION = _lpa_sql(4)
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -6155,6 +6206,7 @@ GROUP_A = {
     "kcore": (q_kcore, SQL_KCORE),
     "exp_smooth": (q_exp_smooth, SQL_EXP_SMOOTH),
     "region_moments": (q_region_moments, SQL_REGION_MOMENTS),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
 }
 
 

@@ -240,3 +240,43 @@ def test_region_moments_match_numpy(spark):
                           (m00 * m20 - m10 * m10)
                           - (m00 * m02 - m01 * m01)) / 2
         assert abs(r.theta - round(want, 6)) < 1e-9
+
+
+def test_label_propagation_condenses_cliques(spark):
+    from data_cube_utilities_spark.operators import graph
+
+    # two K4 cliques bridged by one edge: LPA condenses each clique
+    # onto its minimum label within a sweep or two
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges += [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.community
+           for r in graph.label_propagation(df, rounds=4).collect()}
+
+    assert set(out) == set(range(4)) | set(range(10, 14))
+    # each clique is one community; the two communities are distinct
+    c0 = {out[n] for n in range(4)}
+    c1 = {out[n] for n in range(10, 14)}
+    assert len(c0) == 1 and len(c1) == 1 and c0 != c1
+
+    # pure function of the input: partitioning cannot change anything
+    one = {r.node: r.community for r in graph.label_propagation(
+        df.coalesce(1), rounds=4).collect()}
+    assert one == out
+
+    # python replay of the synchronous spec, 4 sweeps
+    from collections import Counter
+    sym = {}
+    for u, v in edges:
+        sym.setdefault(u, []).append(v)
+        sym.setdefault(v, []).append(u)
+    lab = {n: n for n in sym}
+    for _ in range(4):
+        nxt = {}
+        for n, nbrs in sym.items():
+            cnt = Counter(lab[m] for m in nbrs)
+            best = min(((-c, l) for l, c in cnt.items()))
+            nxt[n] = best[1]
+        lab = nxt
+    assert lab == out
