@@ -2358,3 +2358,66 @@ def frechet_pairs(traj_df: DataFrame, traj_id_col: str = "traj_id",
         "sa", "sb", "n_a", "n_b",
         frechet_distance_col(F.col("xa"), F.col("ya"),
                              F.col("xb"), F.col("yb")).alias("frechet2"))
+
+
+def turn_stats(traj_df: DataFrame, traj_id_col: str = "traj_id",
+               t_col: str = "t", x_col: str = "x",
+               y_col: str = "y") -> DataFrame:
+    """Per-trajectory turning profile — the heading-change fingerprint
+    that separates straight transit (roads, ship lanes) from dwell /
+    search movement, computed entirely as exact integer cross/dot
+    products of consecutive displacement vectors (no atan2 anywhere:
+    summed float angles would be summation-order-dependent).
+
+    At each interior point with displacements a = p_i - p_{i-1} and
+    b = p_{i+1} - p_i (zero displacements skipped — heading undefined):
+      cross = ax*by - ay*bx   (sign: left > 0, right < 0)
+      dot   = ax*bx + ay*by
+    Classification, all integer comparisons: straight (cross = 0 and
+    dot > 0), u_turn (cross = 0 and dot < 0), left/right by sign, and
+    sharp = turn magnitude > 45 deg, i.e. dot <= 0 (>= 90) OR
+    cross^2 > dot^2 (|tan| > 1, exact while |coord delta| < 2^15).
+
+    One window pass (two lags over the trajectory sort) + one
+    aggregate, shuffling on the trajectory key only.  Returns
+    (traj_id, n_pts, n_segments, n_turns, n_left, n_right, n_straight,
+    n_uturn, n_sharp)."""
+    k, t = F.col(traj_id_col), F.col(t_col)
+    w = Window.partitionBy(traj_id_col).orderBy(t_col)
+    p = traj_df.select(traj_id_col, t_col,
+                       F.col(x_col).cast("long").alias("x"),
+                       F.col(y_col).cast("long").alias("y"))
+    d = (p.withColumn("px", F.lag("x").over(w))
+          .withColumn("py", F.lag("y").over(w))
+          .withColumn("ax", F.col("x") - F.col("px"))
+          .withColumn("ay", F.col("y") - F.col("py")))
+    # displacement INTO the next point, via lead of the displacement
+    d = (d.withColumn("bx", F.lead("ax").over(w))
+          .withColumn("by", F.lead("ay").over(w)))
+    interior = d.filter(
+        F.col("ax").isNotNull() & F.col("bx").isNotNull()
+        & ((F.col("ax") != 0) | (F.col("ay") != 0))
+        & ((F.col("bx") != 0) | (F.col("by") != 0)))
+    cross = F.col("ax") * F.col("by") - F.col("ay") * F.col("bx")
+    dot = F.col("ax") * F.col("bx") + F.col("ay") * F.col("by")
+    cls = interior.select(
+        traj_id_col, cross.alias("c"), dot.alias("d"))
+    n_all = p.groupBy(traj_id_col).agg(
+        F.count("*").cast("long").alias("n_pts"),
+        (F.count("*") - 1).cast("long").alias("n_segments"))
+    c, dd = F.col("c"), F.col("d")
+    agg = cls.groupBy(traj_id_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum((c > 0).cast("long")).alias("n_left"),
+        F.sum((c < 0).cast("long")).alias("n_right"),
+        F.sum(((c == 0) & (dd > 0)).cast("long")).alias("n_straight"),
+        F.sum(((c == 0) & (dd < 0)).cast("long")).alias("n_uturn"),
+        F.sum(((dd <= 0) | (c * c > dd * dd)).cast("long"))
+         .alias("n_sharp"))
+    return (n_all.join(agg, traj_id_col, "left")
+                 .select(traj_id_col, "n_pts", "n_segments",
+                         *[F.coalesce(F.col(cname), F.lit(0)).cast("long")
+                            .alias(cname)
+                           for cname in ("n_turns", "n_left", "n_right",
+                                         "n_straight", "n_uturn",
+                                         "n_sharp")]))

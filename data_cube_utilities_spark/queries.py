@@ -6066,6 +6066,67 @@ SELECT u AS node, CAST(lab AS BIGINT) AS community FROM l{rounds}""")
 SQL_LABEL_PROPAGATION = _lpa_sql(4)
 
 
+def q_turn_stats(spark, sf_dir):
+    """Trajectory turning profile (spatial.turn_stats): per event user,
+    heading-change classification from exact integer cross/dot of
+    consecutive displacements — left/right/straight/u-turn counts plus
+    sharp (>45deg) turns, no atan2 anywhere.  Oracle: identical lag
+    algebra in SQL windows."""
+    from .operators import spatial
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 3 == 0)
+          .select((F.col("user_id") % 12).alias("traj_id"),
+                  F.col("event_id").alias("t"),
+                  ((F.col("event_id") * 7) % 23).alias("x"),
+                  ((F.col("event_id") * 11) % 19).alias("y")))
+    return spatial.turn_stats(ev)
+
+
+SQL_TURN_STATS = """
+WITH p AS (
+  SELECT user_id % 12 AS traj_id, event_id AS t,
+         (event_id * 7) % 23 AS x, (event_id * 11) % 19 AS y
+  FROM events WHERE event_id % 3 = 0),
+d1 AS (
+  SELECT traj_id, t,
+         x - lag(x) OVER w AS ax, y - lag(y) OVER w AS ay
+  FROM p WINDOW w AS (PARTITION BY traj_id ORDER BY t)),
+d AS (
+  SELECT traj_id, t, ax, ay,
+         lead(ax) OVER w AS bx, lead(ay) OVER w AS by
+  FROM d1 WINDOW w AS (PARTITION BY traj_id ORDER BY t)),
+i AS (
+  SELECT traj_id, ax * by - ay * bx AS c, ax * bx + ay * by AS dd
+  FROM d
+  WHERE ax IS NOT NULL AND bx IS NOT NULL
+    AND (ax <> 0 OR ay <> 0) AND (bx <> 0 OR by <> 0)),
+n AS (
+  SELECT traj_id, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(count(*) - 1 AS BIGINT) AS n_segments
+  FROM p GROUP BY 1),
+a AS (
+  SELECT traj_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+         CAST(sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+         CAST(sum(CASE WHEN c = 0 AND dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straight,
+         CAST(sum(CASE WHEN c = 0 AND dd < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_uturn,
+         CAST(sum(CASE WHEN dd <= 0 OR c * c > dd * dd THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_sharp
+  FROM i GROUP BY 1)
+SELECT n.traj_id, n.n_pts, n.n_segments,
+       coalesce(a.n_turns, 0) AS n_turns,
+       coalesce(a.n_left, 0) AS n_left,
+       coalesce(a.n_right, 0) AS n_right,
+       coalesce(a.n_straight, 0) AS n_straight,
+       coalesce(a.n_uturn, 0) AS n_uturn,
+       coalesce(a.n_sharp, 0) AS n_sharp
+FROM n LEFT JOIN a ON a.traj_id = n.traj_id
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -6207,6 +6268,7 @@ GROUP_A = {
     "exp_smooth": (q_exp_smooth, SQL_EXP_SMOOTH),
     "region_moments": (q_region_moments, SQL_REGION_MOMENTS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "turn_stats": (q_turn_stats, SQL_TURN_STATS),
 }
 
 

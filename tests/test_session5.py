@@ -280,3 +280,31 @@ def test_label_propagation_condenses_cliques(spark):
             nxt[n] = best[1]
         lab = nxt
     assert lab == out
+
+
+def test_turn_stats_classifies_planted_path(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    # path: east, east (straight), then north (left 90 = sharp),
+    # then east (right 90 = sharp), then west (u-turn), then a gentle
+    # left (cross>0, |tan|<1 -> not sharp)
+    pts = [(0, 0), (1, 0), (2, 0), (2, 1), (3, 1), (2, 1), (0, 0)]
+    # last leg (2,1)->(0,0): a=( -2,-1) after b=(-2,0)? build explicitly:
+    pts = [(0, 0), (1, 0), (2, 0), (2, 1), (3, 1), (2, 1)]
+    rows = [("p", i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "traj_id string, t long, x long, y long")
+    r = spatial.turn_stats(df).collect()[0]
+
+    # interior headings: at (1,0): a=(1,0) b=(1,0) straight;
+    # at (2,0): a=(1,0) b=(0,1) left sharp; at (2,1): a=(0,1) b=(1,0)
+    # right sharp; at (3,1): a=(1,0) b=(-1,0) u-turn (sharp)
+    assert (r.n_pts, r.n_segments, r.n_turns) == (6, 5, 4)
+    assert (r.n_left, r.n_right, r.n_straight, r.n_uturn) == (1, 1, 1, 1)
+    assert r.n_sharp == 3
+
+    # gentle turn is NOT sharp: a=(2,0) b=(2,1) -> cross=2, dot=4
+    df2 = spark.createDataFrame(
+        [("g", 0, 0, 0), ("g", 1, 2, 0), ("g", 2, 4, 1)],
+        "traj_id string, t long, x long, y long")
+    g = spatial.turn_stats(df2).collect()[0]
+    assert (g.n_turns, g.n_left, g.n_sharp) == (1, 1, 0)
