@@ -258,3 +258,63 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
                   .localCheckpoint(eager=True))
     return lab.select(F.col("u").alias("node"),
                       F.col("lab").alias("community"))
+
+
+def link_predict(edges: DataFrame, min_cn: int = 1,
+                 src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Link prediction over an undirected edge list: for every
+    NON-adjacent node pair at distance 2, the three classic
+    common-neighbor scores — raw common-neighbor count, Jaccard, and
+    the resource-allocation index (Zhou/Lu/Zhang 2009: sum over shared
+    neighbors z of 1/deg(z), the degree-penalized variant that beats
+    Adamic-Adar's 1/log without needing a transcendental).
+
+    A link-graph pipeline runs this to densify crawl frontiers and to
+    spot mirror/farm candidates that dedup missed (two hosts sharing
+    most of their link neighborhoods but never linking to each other).
+    Reference graph-adjacency shape: the wedge join of triangle_count
+    reused with the CLOSING join inverted to an anti-join.
+
+    Exact and engine-reproducible: both ratio scores ship on the
+    repo's 2^20 rational grid (jaccard_q20 = (cn << 20) DIV
+    (deg_u + deg_v - cn); ra_q20 = sum over z of (1 << 20) DIV
+    deg(z)) — integer DIV, no doubles, hash-identical across engines.
+
+    Shape at scale: degrees once (one groupBy); candidate pairs from
+    ONE self-join of the symmetrized adjacency on the shared-neighbor
+    key z — the join key is the WEDGE CENTER, so fan-out is
+    sum_z deg(z)^2: cap hub blow-up upstream by k-core/degree
+    filtering if the graph is power-law (same caveat every
+    common-neighbor system documents); existing edges leave via one
+    broadcast-able anti-join.  Returns (u, v, cn, jaccard_q20,
+    ra_q20), u < v, cn >= min_cn, pairs NOT already edges."""
+    e = (edges.select(F.col(src_col).cast("long").alias("a"),
+                      F.col(dst_col).cast("long").alias("b"))
+              .filter(F.col("a") != F.col("b"))
+              .select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v"))
+              .distinct())
+    sym = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("deg"))
+    # wedges centered at z: (u -z- v), u < v; RA credit = 2^20 DIV deg(z)
+    zdeg = deg.select(F.col("node").alias("z"), F.col("deg").alias("zdeg"))
+    w1 = sym.select(F.col("u").alias("z"), F.col("v").alias("pu"))
+    w2 = sym.select(F.col("u").alias("z"), F.col("v").alias("pv"))
+    cand = (w1.join(w2, "z")
+              .filter(F.col("pu") < F.col("pv"))
+              .join(zdeg, "z")
+              .groupBy(F.col("pu").alias("u"), F.col("pv").alias("v"))
+              .agg(F.count("*").cast("long").alias("cn"),
+                   F.sum(F.expr("1048576 DIV zdeg"))
+                    .cast("long").alias("ra_q20")))
+    fresh = cand.join(e, ["u", "v"], "left_anti").filter(
+        F.col("cn") >= min_cn)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    return (fresh.join(du, "u").join(dv, "v")
+                 .select("u", "v", "cn",
+                         F.expr("(cn * 1048576) DIV (du + dv - cn)")
+                          .cast("long").alias("jaccard_q20"),
+                         "ra_q20"))

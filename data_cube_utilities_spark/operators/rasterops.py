@@ -2706,3 +2706,99 @@ def region_moments(pixels: DataFrame, img_col: str = "img",
                F.round(F.atan2(2.0 * mu11s.cast("double"),
                                (mu20s - mu02s).cast("double")) / 2.0, 6))
          .alias("theta"))
+
+
+# ---------------------------------------------------------------------------
+# Census transform + stereo disparity (hamming-cost block matching)
+# ---------------------------------------------------------------------------
+
+def census_codes_long(pixels: DataFrame, img_col: str = "img",
+                      x_col: str = "px", y_col: str = "py",
+                      value_col: str = "val") -> DataFrame:
+    """Census transform (Zabih & Woodfill, ECCV 1994) over a long-form
+    pixel table: each full-3x3-neighborhood pixel gets the 8-bit code
+    whose bit w (LBP_OFFSETS weights) is set when the NEIGHBOR is
+    strictly darker than the center — the illumination-invariant
+    descriptor stereo and change-detection pipelines match on (only
+    the local ORDERING of intensities survives, so per-image gain/
+    offset differences cancel exactly).
+
+    Same plan as lbp_histogram_long (one offset explode + one
+    center-key join + one agg, all integer) but keeps the PER-PIXEL
+    code (LBP aggregates to a histogram) and uses the census strict-<
+    convention rather than LBP's >=.  Returns (img, x, y, v, code)."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    shifted = p.select(
+        "img",
+        F.explode(F.array(*[
+            F.struct((F.col("x") - dx).alias("cx"),
+                     (F.col("y") - dy).alias("cy"),
+                     F.lit(w).alias("w"))
+            for dx, dy, w in LBP_OFFSETS])).alias("o"),
+        F.col("v").alias("nv"))
+    flat = shifted.select("img", F.col("o.cx").alias("x"),
+                          F.col("o.cy").alias("y"),
+                          F.col("o.w").alias("w"), "nv")
+    return (flat.join(p, ["img", "x", "y"])
+                .groupBy("img", "x", "y", "v")
+                .agg(F.sum(F.when(F.col("nv") < F.col("v"),
+                                  F.col("w")).otherwise(0))
+                      .cast("long").alias("code"),
+                     F.count("*").alias("_c"))
+                .filter(F.col("_c") == 8)
+                .drop("_c"))
+
+
+def census_stereo_long(px_left: DataFrame, px_right: DataFrame,
+                       d_max: int = 4, img_col: str = "img",
+                       x_col: str = "px", y_col: str = "py",
+                       value_col: str = "val") -> DataFrame:
+    """Stereo disparity by census matching: for every census-coded
+    pixel of the LEFT image, the horizontal displacement d in
+    [0, d_max] minimizing the hamming distance between left and right
+    census codes at (x - d, y) — the classic local-stereo cost
+    (census + hamming is the standard real-time stereo kernel, e.g.
+    the OpenCV/SGM cost term) and, over repeat satellite passes, the
+    along-track displacement estimator that complements block_flow's
+    SAD (census is radiometry-invariant; SAD is not).
+
+    Exact integers end to end: cost = bit_count(codeL XOR codeR),
+    argmin by lexicographic min of (cost, d) so ties resolve to the
+    SMALLEST disparity in any engine.  Pixels whose candidate window
+    falls entirely outside the right image emit nothing (count
+    shrinks at borders rather than padding).
+
+    Shape: census on each side (one offset explode + join each), a
+    (d_max+1)-way candidate explode on the left, ONE equi-join onto
+    the right codes at the displaced key, one per-pixel min-struct
+    agg.  Rows joined = n_px * (d_max+1); both sides hash-partition
+    on (img, x, y) — the block_flow scale contract."""
+    cl = census_codes_long(px_left, img_col, x_col, y_col, value_col)
+    cr = census_codes_long(px_right, img_col, x_col, y_col, value_col)
+    fan = cl.select(
+        "img", F.col("x").alias("lx"), F.col("y"),
+        F.col("code").alias("code_l"),
+        F.explode(F.array(*[F.lit(d) for d in range(d_max + 1)]))
+         .alias("d"))
+    probe = fan.select("img", "lx", "y", "code_l", "d",
+                       (F.col("lx") - F.col("d")).alias("x"))
+    joined = probe.join(
+        cr.select("img", "x", "y", F.col("code").alias("code_r")),
+        ["img", "x", "y"])
+    scored = joined.select(
+        "img", "lx", F.col("y").alias("ly"),
+        F.struct(
+            F.bit_count(F.col("code_l").bitwiseXOR(F.col("code_r")))
+             .cast("long").alias("cost"),
+            F.col("d").cast("long").alias("d")).alias("sc"))
+    best = (scored.groupBy("img", "lx", "ly")
+                  .agg(F.min("sc").alias("b"),
+                       F.count("*").cast("long").alias("n_cands")))
+    return best.select("img", F.col("lx").alias("x"),
+                       F.col("ly").alias("y"),
+                       F.col("b.d").alias("disparity"),
+                       F.col("b.cost").alias("hamming_cost"),
+                       "n_cands")

@@ -659,3 +659,200 @@ def exp_smooth(df: DataFrame, key_cols: Sequence[str],
     return ex.select(*key_cols, F.col("e.t").alias("t"),
                      F.col("e.x").alias("x"),
                      F.col("e.lvl").cast("long").alias("level_q16"))
+
+
+def scd2_build(df: DataFrame, key_cols: Sequence[str],
+               t_col: str = "t", v_col: str = "v") -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse a per-key
+    change-event stream (key, t, v) into validity intervals
+    (key, v, eff_from, eff_to, is_current, n_events) — the standard
+    dimension-table maintenance pass every warehouse pipeline runs,
+    and the lineage shape the engine's Iceberg read_changes feeds
+    (ivm_agg's cursor is a degenerate single-row SCD).
+
+    Semantics: consecutive events carrying the SAME value merge into
+    one interval (re-stating a value does not split history);
+    eff_from = first event time of the run, eff_to = start of the next
+    run (half-open, NULL on the current run), is_current marks the
+    open interval.  Deterministic for unique (key, t); equal-t
+    duplicates are resolved by the (t, v) sort everywhere.
+
+    Shape at scale: the classic gaps-and-islands plan — one window
+    pass (lag + running change-count = run id), one groupBy on
+    (key, run), one more window for lead(eff_from).  All three stages
+    share the same key partitioning, so AQE coalesces to effectively
+    one shuffle of the event stream; no UDF, whole-stage codegen
+    end-to-end."""
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy("t", "v")
+    ev = df.select(*key_cols, F.col(t_col).alias("t"),
+                   F.col(v_col).alias("v"))
+    runs = ev.withColumn(
+        "chg", F.when(F.lag("v").over(w).isNull()
+                      | (F.lag("v").over(w) != F.col("v")), 1).otherwise(0)
+    ).withColumn("run_id", F.sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    iv = (runs.groupBy(*keys, "run_id")
+              .agg(F.min("t").alias("eff_from"),
+                   F.first("v").alias("v"),
+                   F.count("*").cast("long").alias("n_events")))
+    w2 = Window.partitionBy(*keys).orderBy("eff_from")
+    return (iv.withColumn("eff_to", F.lead("eff_from").over(w2))
+              .withColumn("is_current", F.col("eff_to").isNull())
+              .select(*key_cols, "v", "eff_from", "eff_to",
+                      "is_current", "n_events",
+                      F.col("run_id").cast("long").alias("version")))
+
+
+def interval_sweep(df: DataFrame, key_cols: Sequence[str],
+                   start_col: str = "t0", end_col: str = "t1") -> DataFrame:
+    """Interval-overlap profile per key over half-open [t0, t1)
+    intervals: maximum concurrency, total covered span (union length),
+    interval count, and summed raw length — the sweep-line pass behind
+    sensor-uptime, session-overlap, and acquisition-coverage questions
+    (the reference's time-gap analytics answer WHERE data is missing;
+    this answers how deeply it overlaps, dc_time idiom extended).
+
+    The sweep is the textbook +1/-1 event walk: each interval emits
+    (t0, +1) and (t1, -1); events sort by (t, delta) so a closing
+    endpoint processes BEFORE an opening one at the same t (half-open
+    semantics — touching intervals do not double-count, zero-length
+    intervals contribute nothing).  Running sum = concurrency; covered
+    span = sum of (next_t - t) where concurrency > 0.  All integer,
+    engine-exact.
+
+    Shape at scale: one explode (x2 rows) + one window over the key —
+    a single shuffle; no UDF."""
+    keys = [F.col(k) for k in key_cols]
+    base = df.select(*key_cols,
+                     F.col(start_col).cast("long").alias("t0"),
+                     F.col(end_col).cast("long").alias("t1"))
+    ev = base.select(
+        *key_cols,
+        F.explode(F.array(
+            F.struct(F.col("t0").alias("t"), F.lit(1).alias("d")),
+            F.struct(F.col("t1").alias("t"), F.lit(-1).alias("d"))
+        )).alias("e")
+    ).select(*key_cols, F.col("e.t").alias("t"), F.col("e.d").alias("d"))
+    w = Window.partitionBy(*keys).orderBy("t", "d")
+    run = (ev.withColumn("conc", F.sum("d").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+             .withColumn("nxt", F.lead("t").over(w)))
+    per = (run.groupBy(*keys)
+              .agg(F.max("conc").cast("long").alias("max_concurrency"),
+                   F.sum(F.when((F.col("conc") > 0) & F.col("nxt").isNotNull(),
+                                F.col("nxt") - F.col("t"))
+                          .otherwise(F.lit(0)))
+                    .cast("long").alias("covered_span")))
+    raw = base.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum(F.col("t1") - F.col("t0")).cast("long").alias("sum_length"))
+    return raw.join(per, key_cols).select(
+        *key_cols, "n_intervals", "sum_length",
+        "max_concurrency", "covered_span")
+
+
+def sax_words(df: DataFrame, key_cols: Sequence[str],
+              t_col: str = "t", v_col: str = "v",
+              seg_len: int = 4) -> DataFrame:
+    """SAX-style symbolization (Lin/Keogh 2003 shape): each series is
+    piecewise-aggregate-approximated into fixed-length segments, each
+    segment quantized to a 4-letter alphabet, and the letters
+    concatenated into one WORD per series — the index key for motif
+    discovery / similarity grouping over millions of series.
+
+    Reproducibility deviation from the paper (documented): classic SAX
+    z-normalizes and cuts at Gaussian breakpoints — both float paths
+    whose last-ulp behavior differs per engine.  Here the breakpoints
+    are EXACT rational multiples of the series' own mean — a segment
+    sum s over L points quantizes against k/2 * mean via the cross-
+    multiplied integer predicate 2*n*s > k*L*total (k = 1, 2, 3; n =
+    series length) — so letters a<b<c<d mean "below half the mean /
+    below the mean / below 1.5x / above".  Scale-free like z-norm
+    (doubling v leaves the word unchanged), pure int64.
+
+    Shape at scale: one shuffle (groupBy key), then PAA + quantize +
+    word build all inside the row via higher-order array functions —
+    the exp_smooth/dtw in-row idiom.  Trailing partial segments are
+    dropped (PAA convention).  Returns (keys, n_pts, n_segments,
+    word)."""
+    keys = [F.col(k) for k in key_cols]
+    ser = (df.select(*key_cols, F.col(t_col).alias("t"),
+                     F.col(v_col).cast("long").alias("x"))
+             .groupBy(*keys)
+             .agg(F.array_sort(F.collect_list(F.struct("t", "x")))
+                   .alias("s")))
+    L = seg_len
+    n = F.size("s")
+    nseg = F.floor(n / L).cast("int")
+    total = F.aggregate(
+        "s", F.lit(0).cast("long"), lambda acc, e: acc + e["x"])
+    segsums = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.aggregate(
+            F.slice("s", i * L + 1, L), F.lit(0).cast("long"),
+            lambda acc, e: acc + e["x"]))
+    word = F.concat_ws("", F.transform(
+        segsums,
+        lambda s: F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+            (F.when(2 * n * s > 1 * L * total, 1).otherwise(0)
+             + F.when(2 * n * s > 2 * L * total, 1).otherwise(0)
+             + F.when(2 * n * s > 3 * L * total, 1).otherwise(0)
+             + 1).cast("int"))))
+    return (ser.filter(nseg >= 1)
+               .select(*key_cols, n.cast("long").alias("n_pts"),
+                       nseg.cast("long").alias("n_segments"),
+                       word.alias("word")))
+
+
+def mad_outliers(df: DataFrame, key_cols: Sequence[str],
+                 v_col: str = "v", k: int = 3) -> DataFrame:
+    """Robust per-group outlier detection by median absolute deviation
+    — the quality gate that survives the heavy-tailed distributions
+    where mean/stddev z-scores drown (sensor glitches, scraped-number
+    junk, DN spikes): flag x where |x - median| > k * MAD.
+
+    Exact-integer contract: 'median' is the LOWER median (the
+    ceil(n/2)-th order statistic) on both passes, so every quantity —
+    median, MAD, and the threshold comparison — is pure int64 and
+    hash-identical across engines; the conventional interpolated
+    median and the 1.4826 consistency constant are float conveniences
+    this deliberately trades away (k absorbs the constant).
+    MAD = 0 (over half the group identical) degrades to flagging any
+    deviation > 0, the standard modified-z fallback.
+
+    Shape at scale: two window passes over the same key partitioning
+    (order statistic = row_number vs count), then one map-side
+    comparison — no UDF, no collect; AQE reuses the shuffle.  Returns
+    per-group (median, mad, n, n_outliers, outlier_ids) with
+    outlier_ids capped at 16 smallest offenders for bounded row
+    width."""
+    keys = [F.col(k_) for k_ in key_cols]
+    w = Window.partitionBy(*keys).orderBy("x", "rid")
+    base = df.select(*key_cols, F.col(v_col).cast("long").alias("x"),
+                     F.monotonically_increasing_id().alias("rid"))
+    med = (base.withColumn("rn", F.row_number().over(w))
+               .withColumn("n", F.count("*").over(Window.partitionBy(*keys)))
+               .withColumn("med", F.max(F.when(
+                   F.col("rn") == F.ceil(F.col("n") / 2), F.col("x")))
+                   .over(Window.partitionBy(*keys))))
+    dev = med.withColumn("ad", F.abs(F.col("x") - F.col("med")))
+    w2 = Window.partitionBy(*keys).orderBy("ad", "rid")
+    mad = (dev.withColumn("rn2", F.row_number().over(w2))
+              .withColumn("mad", F.max(F.when(
+                  F.col("rn2") == F.ceil(F.col("n") / 2), F.col("ad")))
+                  .over(Window.partitionBy(*keys))))
+    flagged = mad.withColumn(
+        "is_out",
+        F.when(F.col("mad") > 0, F.col("ad") > k * F.col("mad"))
+         .otherwise(F.col("ad") > 0))
+    return (flagged.groupBy(*keys)
+                   .agg(F.first("med").cast("long").alias("median"),
+                        F.first("mad").cast("long").alias("mad"),
+                        F.count("*").cast("long").alias("n"),
+                        F.sum(F.col("is_out").cast("long"))
+                         .cast("long").alias("n_outliers"),
+                        F.slice(F.array_sort(F.collect_list(
+                            F.when(F.col("is_out"), F.col("x")))), 1, 16)
+                         .alias("outlier_values")))

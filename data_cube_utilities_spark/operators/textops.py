@@ -2107,3 +2107,83 @@ def fuzzy_self_join(df: DataFrame, id_col: str = "doc_id",
                         F.col("id_r").alias("id_b"), "dist",
                         F.length("s").cast("long").alias("len_a"),
                         F.length("s_r").cast("long").alias("len_b"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup upstream of content dedup)
+# ---------------------------------------------------------------------------
+
+_URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append `canonical_url`: the crawl-frontier normal form every web
+    corpus dedups on BEFORE fetching (the cheapest dedup there is —
+    no content needed).  A 100 TB crawl sheds 20-40% of its frontier
+    to exactly these rules (C4/CommonCrawl practice):
+
+      scheme + host lowercased; leading 'www.' stripped;
+      default ports dropped (:80 on http, :443 on https);
+      fragment dropped; tracking params dropped (utm_*, fbclid,
+      gclid, ref); remaining query params SORTED (param order is
+      transport noise); trailing slashes trimmed (bare host -> '/').
+
+    Entirely JVM string/array functions (substring_index, rlike,
+    filter/sort higher-order fns) — one codegen projection, no UDF,
+    no shuffle; the DuckDB twin replays the identical split/filter/
+    sort pipeline so canonical forms hash-match across engines.
+    Input URLs must carry an explicit scheme ('x://...')."""
+    t = df.withColumn("_nf", F.substring_index(F.col(url_col), "#", 1))
+    t = t.withColumn("_scheme", F.lower(F.substring_index("_nf", "://", 1)))
+    # everything after '://'
+    t = t.withColumn("_rest", F.expr(
+        "substring(_nf, length(substring_index(_nf, '://', 1)) + 4)"))
+    t = t.withColumn("_hostport", F.substring_index("_rest", "/", 1))
+    t = t.withColumn("_pathq", F.expr(
+        "substring(_rest, length(_hostport) + 1)"))
+    t = t.withColumn("_host", F.lower(F.substring_index("_hostport", ":", 1)))
+    t = t.withColumn("_host", F.when(
+        F.col("_host").startswith("www."),
+        F.expr("substring(_host, 5)")).otherwise(F.col("_host")))
+    t = t.withColumn("_port", F.when(
+        F.instr("_hostport", ":") > 0,
+        F.substring_index("_hostport", ":", -1)))
+    keep_port = F.col("_port").isNotNull() & ~(
+        ((F.col("_scheme") == "http") & (F.col("_port") == "80"))
+        | ((F.col("_scheme") == "https") & (F.col("_port") == "443")))
+    t = t.withColumn("_path", F.regexp_replace(
+        F.substring_index("_pathq", "?", 1), "/+$", ""))
+    t = t.withColumn("_path", F.when(F.length("_path") == 0, F.lit("/"))
+                              .otherwise(F.col("_path")))
+    t = t.withColumn("_query", F.when(
+        F.instr("_pathq", "?") > 0,
+        F.expr("substring(_pathq, instr(_pathq, '?') + 1)")))
+    params = F.array_sort(F.filter(
+        F.split(F.coalesce("_query", F.lit("")), "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.lower(p).rlike(_URL_TRACKING_RE)))
+    t = t.withColumn("_qs", F.array_join(params, "&"))
+    canon = F.concat(
+        "_scheme", F.lit("://"), "_host",
+        F.when(keep_port, F.concat(F.lit(":"), F.col("_port")))
+         .otherwise(F.lit("")),
+        "_path",
+        F.when(F.length("_qs") > 0, F.concat(F.lit("?"), F.col("_qs")))
+         .otherwise(F.lit("")))
+    return (t.withColumn("canonical_url", canon)
+             .drop("_nf", "_scheme", "_rest", "_hostport", "_pathq",
+                   "_host", "_port", "_path", "_query", "_qs"))
+
+
+def url_dedup_groups(df: DataFrame, url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Frontier dedup groups by canonical URL: (canonical_url,
+    keeper_id, n_copies, n_distinct_raw) — keeper = min id, the
+    exact_dedup contract applied to the canonical form.  One groupBy
+    on the canonical string — a single shuffle at any scale."""
+    c = canonicalize_urls(df, url_col)
+    return (c.groupBy("canonical_url")
+             .agg(F.min(id_col).alias("keeper_id"),
+                  F.count("*").cast("long").alias("n_copies"),
+                  F.countDistinct(url_col).cast("long")
+                   .alias("n_distinct_raw")))

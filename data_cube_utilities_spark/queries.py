@@ -6127,6 +6127,403 @@ FROM n LEFT JOIN a ON a.traj_id = n.traj_id
 """
 
 
+def q_link_predict(spark, sf_dir):
+    """Link prediction (graph.link_predict) over the kcore/LPA
+    hierarchy+cluster graph: non-adjacent distance-2 pairs scored by
+    common-neighbor count, Jaccard, and the resource-allocation index
+    — all on the exact 2^20 rational grid (integer DIV, no doubles).
+    min_cn=2 keeps the candidate set to genuinely-shared
+    neighborhoods.  Oracle: the same wedge join + anti-join in SQL."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    hier = (o.select(F.col("o_custkey").alias("src"),
+                     F.expr("o_custkey div 2").alias("dst"))
+             .unionAll(o.select(F.col("o_custkey").alias("src"),
+                                F.expr("o_custkey div 3").alias("dst"))))
+    dense = (o.filter(F.col("o_orderkey") % 11 == 0)
+              .select((F.col("o_custkey") % 40).alias("src"),
+                      ((F.col("o_custkey") * 7) % 40).alias("dst")))
+    return graph.link_predict(hier.unionAll(dense), min_cn=2)
+
+
+SQL_LINK_PREDICT = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+    SELECT o_custkey AS u, o_custkey // 2 AS v FROM orders
+    UNION ALL
+    SELECT o_custkey AS u, o_custkey // 3 AS v FROM orders
+    UNION ALL
+    SELECT o_custkey % 40 AS u, (o_custkey * 7) % 40 AS v
+    FROM orders WHERE o_orderkey % 11 = 0)
+  WHERE u <> v),
+sym AS MATERIALIZED (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS MATERIALIZED (
+  SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+cand AS (
+  SELECT w1.v AS u, w2.v AS v, count(*) AS cn,
+         CAST(sum(1048576 // d.deg) AS BIGINT) AS ra_q20
+  FROM sym w1
+  JOIN sym w2 ON w2.u = w1.u AND w1.v < w2.v
+  JOIN deg d ON d.node = w1.u
+  GROUP BY 1, 2),
+fresh AS (
+  SELECT c.u, c.v, c.cn, c.ra_q20
+  FROM cand c LEFT JOIN e ON e.u = c.u AND e.v = c.v
+  WHERE e.u IS NULL AND c.cn >= 2)
+SELECT f.u, f.v, CAST(f.cn AS BIGINT) AS cn,
+       CAST((f.cn * 1048576) // (du.deg + dv.deg - f.cn) AS BIGINT)
+         AS jaccard_q20,
+       f.ra_q20
+FROM fresh f
+JOIN deg du ON du.node = f.u
+JOIN deg dv ON dv.node = f.v
+"""
+
+
+def q_scd2(spark, sf_dir):
+    """SCD type-2 dimension build (temporal.scd2_build): each event
+    user's event_type stream collapses into validity intervals
+    (gaps-and-islands: run ids by change flags, half-open eff_from/
+    eff_to, is_current on the open run).  Oracle replays the identical
+    window algebra."""
+    from .operators import temporal
+
+    ev = (_t(spark, sf_dir, "events")
+          .select((F.col("user_id") % 16).alias("k"),
+                  F.col("event_id").alias("t"),
+                  F.col("event_type").alias("v")))
+    return temporal.scd2_build(ev, ["k"])
+
+
+SQL_SCD2 = """
+WITH ev AS (
+  SELECT user_id % 16 AS k, event_id AS t, event_type AS v FROM events),
+r AS (
+  SELECT k, t, v,
+         CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+              THEN 1 ELSE 0 END AS chg
+  FROM ev WINDOW w AS (PARTITION BY k ORDER BY t, v)),
+rr AS (
+  SELECT k, t, v,
+         sum(chg) OVER (PARTITION BY k ORDER BY t, v
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM r),
+iv AS (
+  SELECT k, run_id, min(t) AS eff_from, min(v) AS v,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM rr GROUP BY 1, 2)
+SELECT k, v, eff_from, lead(eff_from) OVER w2 AS eff_to,
+       lead(eff_from) OVER w2 IS NULL AS is_current, n_events,
+       CAST(run_id AS BIGINT) AS version
+FROM iv WINDOW w2 AS (PARTITION BY k ORDER BY eff_from)
+"""
+
+
+def q_interval_sweep(spark, sf_dir):
+    """Interval-overlap profile (temporal.interval_sweep): synthetic
+    half-open order intervals per customer bucket — max concurrency
+    via the +1/-1 sweep (closings before openings at equal t), union
+    length from conc>0 segments.  All integer; oracle runs the same
+    sweep with an explicit ROWS frame."""
+    from .operators import temporal
+
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select((F.col("o_custkey") % 24).alias("k"),
+                  (F.col("o_orderkey") % 512).alias("t0"),
+                  (F.col("o_orderkey") % 512 + 1
+                   + F.col("o_orderkey") % 64).alias("t1"))
+    return temporal.interval_sweep(iv, ["k"])
+
+
+SQL_INTERVAL_SWEEP = """
+WITH iv AS (
+  SELECT o_custkey % 24 AS k, o_orderkey % 512 AS t0,
+         o_orderkey % 512 + 1 + o_orderkey % 64 AS t1
+  FROM orders),
+ev AS (
+  SELECT k, t0 AS t, 1 AS d FROM iv
+  UNION ALL SELECT k, t1 AS t, -1 AS d FROM iv),
+run AS (
+  SELECT k, t, d,
+         sum(d) OVER (PARTITION BY k ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS conc,
+         lead(t) OVER (PARTITION BY k ORDER BY t, d) AS nxt
+  FROM ev),
+per AS (
+  SELECT k, CAST(max(conc) AS BIGINT) AS max_concurrency,
+         CAST(sum(CASE WHEN conc > 0 AND nxt IS NOT NULL
+                       THEN nxt - t ELSE 0 END) AS BIGINT) AS covered_span
+  FROM run GROUP BY 1),
+raw AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(t1 - t0) AS BIGINT) AS sum_length
+  FROM iv GROUP BY 1)
+SELECT raw.k, raw.n_intervals, raw.sum_length,
+       per.max_concurrency, per.covered_span
+FROM raw JOIN per ON per.k = raw.k
+"""
+
+
+def q_sax_words(spark, sf_dir):
+    """SAX symbolization (temporal.sax_words): per-user event series
+    PAA'd into 4-point segments, each quantized against exact rational
+    multiples of the series mean (cross-multiplied integer predicates
+    — no z-norm floats), letters concatenated to one motif word per
+    series.  Oracle rebuilds segments with row_number windows and
+    string_agg."""
+    from .operators import temporal
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 2 == 0)
+          .select((F.col("user_id") % 24).alias("k"),
+                  F.col("event_id").alias("t"),
+                  ((F.col("event_id") * 13) % 100).alias("v")))
+    return temporal.sax_words(ev, ["k"], seg_len=4)
+
+
+SQL_SAX_WORDS = """
+WITH ser AS (
+  SELECT user_id % 24 AS k, event_id AS t, (event_id * 13) % 100 AS v
+  FROM events WHERE event_id % 2 = 0),
+rk AS (
+  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY t) AS rn,
+         count(*) OVER (PARTITION BY k) AS n,
+         sum(v) OVER (PARTITION BY k) AS total
+  FROM ser),
+segs AS (
+  SELECT k, (rn - 1) // 4 AS seg, max(n) AS n, max(total) AS total,
+         sum(v) AS s
+  FROM rk WHERE rn <= (n // 4) * 4 GROUP BY 1, 2),
+lets AS (
+  SELECT k, seg, n,
+         chr(97 + CASE WHEN 2 * n * s > 3 * 4 * total THEN 3
+                       WHEN 2 * n * s > 2 * 4 * total THEN 2
+                       WHEN 2 * n * s > 1 * 4 * total THEN 1
+                       ELSE 0 END) AS c
+  FROM segs)
+SELECT k, CAST(max(n) AS BIGINT) AS n_pts,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       string_agg(c, '' ORDER BY seg) AS word
+FROM lets GROUP BY k
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """MAD outlier gate (temporal.mad_outliers) over lineitem-derived
+    integer readings with planted 50000-unit spikes at l_orderkey %
+    501 = 0: lower-median + lower-MAD order statistics, flag at
+    |x - med| > 5 * MAD — all int64, hash-exact.  The array column is
+    post-projected to its minimum (engine-portable scalar)."""
+    from .operators import temporal
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_suppkey") % 8).alias("g"),
+        ((F.col("l_partkey") * 31 + F.col("l_orderkey")) % 1000
+         + F.when(F.col("l_orderkey") % 501 == 0, 50000)
+            .otherwise(0)).alias("v"))
+    out = temporal.mad_outliers(base, ["g"], k=5)
+    return out.select(
+        "g", "median", "mad", "n", "n_outliers",
+        F.coalesce(F.get("outlier_values", 0), F.lit(-1))
+         .cast("long").alias("min_outlier"))
+
+
+SQL_MAD_OUTLIERS = """
+WITH base AS (
+  SELECT l_suppkey % 8 AS g,
+         (l_partkey * 31 + l_orderkey) % 1000
+          + CASE WHEN l_orderkey % 501 = 0 THEN 50000 ELSE 0 END AS x
+  FROM lineitem),
+m AS (
+  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM base),
+med AS (
+  SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS med,
+         max(n) AS n
+  FROM m GROUP BY 1),
+d AS (
+  SELECT b.g, b.x, abs(b.x - med.med) AS ad, med.med, med.n
+  FROM base b JOIN med ON med.g = b.g),
+m2 AS (
+  SELECT g, ad, n, row_number() OVER (PARTITION BY g ORDER BY ad) AS rn2
+  FROM d),
+mad AS (
+  SELECT g, max(CASE WHEN rn2 = (n + 1) // 2 THEN ad END) AS mad
+  FROM m2 GROUP BY 1),
+fl AS (
+  SELECT d.g, d.x, d.med, d.n, mad.mad,
+         CASE WHEN mad.mad > 0 THEN d.ad > 5 * mad.mad
+              ELSE d.ad > 0 END AS is_out
+  FROM d JOIN mad ON mad.g = d.g)
+SELECT g, CAST(max(med) AS BIGINT) AS median,
+       CAST(max(mad) AS BIGINT) AS mad,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(coalesce(min(CASE WHEN is_out THEN x END), -1) AS BIGINT)
+         AS min_outlier
+FROM fl GROUP BY g
+"""
+
+
+def q_census_stereo(spark, sf_dir):
+    """Census-transform stereo (rasterops.census_stereo_long): left =
+    dense lineitem image 0, right = the same content shifted LEFT by
+    2 px (the planted disparity), matched over d in [0, 3] by hamming
+    distance between 8-bit census codes, ties to the smallest d.
+    Everything integer; oracle recomputes census codes via the LBP
+    VALUES-offset join and the argmin as min(cost*16 + d)."""
+    from .operators import rasterops
+
+    p = _px_grid(spark, sf_dir).filter(F.col("img") == 0)
+    right = p.select("img", (F.col("px") - 2).alias("px"), "py", "val")
+    return rasterops.census_stereo_long(p, right, d_max=3)
+
+
+SQL_CENSUS_STEREO = f"""
+WITH {_PX_SQL},
+pl AS (SELECT x, y, v FROM px WHERE img = 0),
+prr AS (SELECT x - 2 AS x, y, v FROM px WHERE img = 0),
+offs(dx, dy, w) AS (VALUES (-1,-1,1), (0,-1,2), (1,-1,4), (1,0,8),
+                           (1,1,16), (0,1,32), (-1,1,64), (-1,0,128)),
+cl AS (
+  SELECT p.x, p.y,
+         CAST(sum(CASE WHEN n.v < p.v THEN o.w ELSE 0 END) AS BIGINT)
+           AS code
+  FROM pl p CROSS JOIN offs o
+  JOIN pl n ON n.x = p.x + o.dx AND n.y = p.y + o.dy
+  GROUP BY 1, 2 HAVING count(*) = 8),
+cr AS (
+  SELECT p.x, p.y,
+         CAST(sum(CASE WHEN n.v < p.v THEN o.w ELSE 0 END) AS BIGINT)
+           AS code
+  FROM prr p CROSS JOIN offs o
+  JOIN prr n ON n.x = p.x + o.dx AND n.y = p.y + o.dy
+  GROUP BY 1, 2 HAVING count(*) = 8),
+cand AS (
+  SELECT l.x AS lx, l.y,
+         CAST(bit_count(xor(l.code, r.code)) AS BIGINT) * 16 + d.d AS a
+  FROM cl l CROSS JOIN (VALUES (0), (1), (2), (3)) d(d)
+  JOIN cr r ON r.x = l.x - d.d AND r.y = l.y)
+SELECT CAST(0 AS BIGINT) AS img, lx AS x, y,
+       CAST(min(a) % 16 AS BIGINT) AS disparity,
+       CAST(min(a) // 16 AS BIGINT) AS hamming_cost,
+       CAST(count(*) AS BIGINT) AS n_cands
+FROM cand GROUP BY 1, 2, 3
+"""
+
+
+def q_url_canonical(spark, sf_dir):
+    """Crawl-frontier URL dedup (textops.url_dedup_groups): synthetic
+    URLs over documents exercising every canonicalization rule (mixed
+    case, www, default vs explicit ports, trailing slashes, tracking
+    params, unsorted params, fragments); groups collapse on the
+    canonical form.  Oracle replays the identical split/filter/sort
+    pipeline in DuckDB string/list functions."""
+    from .operators import textops
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.expr("""concat(
+      CASE WHEN doc_id % 4 = 0 THEN 'HTTP' WHEN doc_id % 4 = 1 THEN 'http'
+           WHEN doc_id % 4 = 2 THEN 'HTTPS' ELSE 'https' END,
+      '://',
+      CASE WHEN doc_id % 3 = 0 THEN 'WWW.Host' ELSE 'host' END,
+      CAST(doc_id % 50 AS STRING), '.Example.COM',
+      CASE WHEN doc_id % 5 = 0 THEN
+             (CASE WHEN doc_id % 4 <= 1 THEN ':80' ELSE ':443' END)
+           WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
+      '/Docs/', CAST(doc_id % 20 AS STRING),
+      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 2 = 0 THEN
+             concat('?utm_source=feed&b=', CAST(doc_id % 7 AS STRING),
+                    '&a=1')
+           ELSE concat('?a=1&b=', CAST(doc_id % 7 AS STRING),
+                       '&gclid=xyz') END,
+      CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)""")
+    return textops.url_dedup_groups(
+        d.select("doc_id", url.alias("url")))
+
+
+SQL_URL_CANONICAL = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'HTTP'
+              WHEN doc_id % 4 = 1 THEN 'http'
+              WHEN doc_id % 4 = 2 THEN 'HTTPS' ELSE 'https' END
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Host' ELSE 'host' END)
+         || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+         || (CASE WHEN doc_id % 5 = 0 THEN
+                    (CASE WHEN doc_id % 4 <= 1 THEN ':80' ELSE ':443' END)
+                  WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+         || '/Docs/' || CAST(doc_id % 20 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR)
+                       || '&a=1'
+                  ELSE '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+                       || '&gclid=xyz' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         split_part(url, '#', 1) AS nf
+  FROM raw),
+p2 AS (
+  SELECT doc_id, url,
+         lower(split_part(nf, '://', 1)) AS scheme,
+         substring(nf, length(split_part(nf, '://', 1)) + 4) AS rest
+  FROM parts),
+p3 AS (
+  SELECT doc_id, url, scheme,
+         split_part(rest, '/', 1) AS hostport,
+         substring(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM p2),
+p4 AS (
+  SELECT doc_id, url, scheme, pathq,
+         CASE WHEN lower(split_part(hostport, ':', 1)) LIKE 'www.%'
+              THEN substring(lower(split_part(hostport, ':', 1)), 5)
+              ELSE lower(split_part(hostport, ':', 1)) END AS host,
+         nullif(split_part(hostport, ':', 2), '') AS port
+  FROM p3),
+p5 AS (
+  SELECT doc_id, url, scheme, host, port,
+         CASE WHEN length(regexp_replace(split_part(pathq, '?', 1),
+                                         '/+$', '')) = 0 THEN '/'
+              ELSE regexp_replace(split_part(pathq, '?', 1), '/+$', '')
+         END AS path,
+         CASE WHEN instr(pathq, '?') > 0
+              THEN substring(pathq, instr(pathq, '?') + 1) END AS query
+  FROM p4),
+p6 AS (
+  SELECT doc_id, url, scheme, host, port, path,
+         array_to_string(list_sort(list_filter(
+           string_split(coalesce(query, ''), '&'),
+           p -> length(p) > 0 AND NOT regexp_matches(
+                  lower(p), '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+  FROM p5),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host
+         || (CASE WHEN port IS NOT NULL
+                       AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                  THEN ':' || port ELSE '' END)
+         || path
+         || (CASE WHEN length(qs) > 0 THEN '?' || qs ELSE '' END)
+           AS canonical_url
+  FROM p6)
+SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
+FROM canon GROUP BY 1
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -6269,6 +6666,13 @@ GROUP_A = {
     "region_moments": (q_region_moments, SQL_REGION_MOMENTS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "turn_stats": (q_turn_stats, SQL_TURN_STATS),
+    "link_predict": (q_link_predict, SQL_LINK_PREDICT),
+    "scd2": (q_scd2, SQL_SCD2),
+    "interval_sweep": (q_interval_sweep, SQL_INTERVAL_SWEEP),
+    "sax_words": (q_sax_words, SQL_SAX_WORDS),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "census_stereo": (q_census_stereo, SQL_CENSUS_STEREO),
+    "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
 }
 
 
