@@ -2802,3 +2802,84 @@ def census_stereo_long(px_left: DataFrame, px_right: DataFrame,
                        F.col("b.d").alias("disparity"),
                        F.col("b.cost").alias("hamming_cost"),
                        "n_cands")
+
+
+# ---------------------------------------------------------------------------
+# FAST segment-test corner detector
+# ---------------------------------------------------------------------------
+
+# Bresenham circle of radius 3, clockwise from 12 o'clock — the FAST-16
+# ring (Rosten & Drummond, ECCV 2006); bit i of the mask = ring pixel i
+FAST_RING = [(0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2),
+             (1, 3), (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1),
+             (-2, -2), (-1, -3)]
+
+
+def _circular_run9_sql(mask: str) -> str:
+    """SQL boolean: does the 16-bit `mask` contain >= 9 CONTIGUOUS set
+    bits circularly?  Doubling the word (m | m << 16) turns the
+    circular run into a linear one; 16 fixed window tests cover every
+    start.  Bitwise AND against shifted 0x1FF windows — NOT integer
+    division, whose spelling differs per engine (Spark DIV vs DuckDB
+    //) — so the SAME generated text runs on both."""
+    mm = f"(({mask}) + ({mask}) * 65536)"
+    tests = [f"(({mm} & {511 << i}) = {511 << i})" for i in range(16)]
+    return "(" + " OR ".join(tests) + ")"
+
+
+def fast_corners_long(pixels: DataFrame, threshold: int = 8,
+                      img_col: str = "img", x_col: str = "px",
+                      y_col: str = "py",
+                      value_col: str = "val") -> DataFrame:
+    """FAST-9 corner detector over a long-form pixel table: a pixel is
+    a corner when >= 9 CONTIGUOUS pixels of its radius-3 Bresenham
+    ring are all brighter than center + threshold, or all darker than
+    center - threshold — the completion of the detector family
+    (Harris = gradient corners, Hough = lines, DoG = blobs; FAST is
+    the segment-test corner every real-time tracker runs first).
+
+    Exact integers end to end: two 16-bit ring masks (bright/dark) by
+    the LBP offset-explode idiom, the circular >= 9-run test as pure
+    integer algebra (double the word, 16 fixed window comparisons —
+    _circular_run9_sql, the SAME generated text the oracle runs).
+    Only full-16-ring pixels compete (borders emit nothing).
+
+    Shape: one x16 offset explode + one center equi-join + one groupBy
+    + one codegen projection — the lbp/census plan with a wider ring.
+    Returns corner rows only: (img, x, y, v, bright_mask, dark_mask,
+    n_bright, n_dark)."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    shifted = p.select(
+        "img",
+        F.explode(F.array(*[
+            F.struct((F.col("x") - dx).alias("cx"),
+                     (F.col("y") - dy).alias("cy"),
+                     F.lit(1 << i).alias("w"))
+            for i, (dx, dy) in enumerate(FAST_RING)])).alias("o"),
+        F.col("v").alias("nv"))
+    flat = shifted.select("img", F.col("o.cx").alias("x"),
+                          F.col("o.cy").alias("y"),
+                          F.col("o.w").alias("w"), "nv")
+    t = int(threshold)
+    masks = (flat.join(p, ["img", "x", "y"])
+                 .groupBy("img", "x", "y", "v")
+                 .agg(F.sum(F.when(F.col("nv") > F.col("v") + t,
+                                   F.col("w")).otherwise(0))
+                       .cast("long").alias("bright_mask"),
+                      F.sum(F.when(F.col("nv") < F.col("v") - t,
+                                   F.col("w")).otherwise(0))
+                       .cast("long").alias("dark_mask"),
+                      F.count("*").alias("_c"))
+                 .filter(F.col("_c") == 16)
+                 .drop("_c"))
+    is_corner = F.expr(_circular_run9_sql("bright_mask")) \
+        | F.expr(_circular_run9_sql("dark_mask"))
+    return (masks.filter(is_corner)
+                 .select("img", "x", "y", "v", "bright_mask", "dark_mask",
+                         F.bit_count("bright_mask").cast("long")
+                          .alias("n_bright"),
+                         F.bit_count("dark_mask").cast("long")
+                          .alias("n_dark")))

@@ -461,3 +461,76 @@ def first_digit_profile(df: DataFrame, group_cols: Sequence[str],
     return (counts.withColumn("n", F.sum("c").over(wn).cast("long"))
                   .withColumn("frac_2p20",
                               F.expr("(c * 1048576) DIV n")))
+
+
+def gini_concentration(df: DataFrame, group_cols: Sequence[str],
+                       value_col: str = "v") -> DataFrame:
+    """Per-group Gini coefficient on the exact 2^20 grid — the
+    concentration gate a corpus pipeline runs over source/domain/
+    shard contributions (a training mix where 2% of domains carry 80%
+    of tokens is a skew AND a diversity problem; Gini is the one-number
+    alarm).
+
+    Formula on sorted nonnegative x_1 <= ... <= x_n (rank i):
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+    computed entirely in int64 and shipped as gini_q20 = the numerator
+    * 2^20 DIV denominator.  Tied values occupy a contiguous rank
+    block whose rank-sum is fixed, and x is constant inside the block,
+    so sum(i * x_i) — hence the result — is invariant under any tie
+    permutation the engine picks.  Hash-exact across engines.
+
+    Shape: one rank window + one aggregate on the same key
+    partitioning — a single shuffle."""
+    keys = [F.col(k) for k in group_cols]
+    w = Window.partitionBy(*keys).orderBy("x")
+    base = df.select(*group_cols, F.col(value_col).cast("long").alias("x"))
+    ranked = base.withColumn("i", F.row_number().over(w))
+    # ix and the q20-scaled numerator live on the decimal(38,0) grid:
+    # sum(i * x) nears int64 at ~1e5 rows of 1e7-unit values, and the
+    # * 2^20 scaling crosses it long before — Spark int64 multiply
+    # WRAPS silently, so the wide grid is correctness, not caution
+    return (ranked.groupBy(*group_cols)
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("x").cast("long").alias("total"),
+                 F.sum(F.col("i").cast("decimal(20,0)") * F.col("x"))
+                  .cast("decimal(38,0)").alias("ix"))
+            .select(*group_cols, "n", "total",
+                    F.when(F.col("total") > 0,
+                           F.expr("((2 * ix - (n + 1)"
+                                  " * CAST(total AS DECIMAL(38,0)))"
+                                  " * 1048576)"
+                                  " DIV (CAST(n AS DECIMAL(38,0)) * total)"))
+                     .otherwise(F.lit(0)).cast("long").alias("gini_q20")))
+
+
+def chi_square_cells(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Chi-square independence table between two categorical columns —
+    the drift/association detector (did the label mix shift across
+    shards? is quality correlated with source?) with per-cell
+    contributions so the answer says WHICH cells drive the statistic.
+
+    Per cell: observed o, row total r, col total c, grand total N, and
+    the exact-rational contribution ((o*N - r*c)^2 * 2^20) DIV
+    (r*c*N) — the numerator is squared on the decimal(38,0) grid
+    (o*N reaches ~1e12 at 1e6 rows; its square overflows int64, and
+    Spark's int64 multiply WRAPS silently where DuckDB errors, so the
+    wide grid is correctness, not caution), then the final DIV lands
+    back in int64.  chi2_q20 = sum of contrib_q20 over cells
+    (downstream one-liner; kept per-cell here).
+
+    Shape: one (a,b) groupBy; marginals as two window sums over the
+    cell table (cells, not rows — tiny); one projection."""
+    cells = (df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+               .agg(F.count("*").cast("long").alias("o")))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    t = (cells.withColumn("r", F.sum("o").over(wa).cast("long"))
+              .withColumn("c", F.sum("o").over(wb).cast("long"))
+              .withColumn("n", F.sum("o").over(wall).cast("long")))
+    contrib = F.expr(
+        "CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+        " * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+        " * 1048576) DIV (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)")
+    return t.select("a", "b", "o", "r", "c", "n",
+                    contrib.alias("contrib_q20"))

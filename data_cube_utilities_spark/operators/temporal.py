@@ -856,3 +856,48 @@ def mad_outliers(df: DataFrame, key_cols: Sequence[str],
                         F.slice(F.array_sort(F.collect_list(
                             F.when(F.col("is_out"), F.col("x")))), 1, 16)
                          .alias("outlier_values")))
+
+
+def funnel_steps(df: DataFrame, steps: Sequence[str],
+                 user_col: str = "user", t_col: str = "t",
+                 step_col: str = "step") -> DataFrame:
+    """Ordered-funnel conversion (the product-analytics staple): per
+    user, step k counts only if it occurs STRICTLY AFTER the user's
+    completion of step k-1 (earliest-completion semantics — each
+    step's timestamp is the min event time after the previous step's
+    timestamp, the standard greedy matching that maximizes conversion
+    counts).  Returns one row per step: users reaching it, conversion
+    vs step 1 and vs the previous step on the exact 2^20 grid.
+
+    Shape at scale: one filtered min-agg per step joined to the
+    previous step's per-user table — len(steps) key-partitioned
+    shuffles total (steps is small and fixed); the final summary is a
+    len(steps)-row union.  No windows over the raw event stream, no
+    UDF."""
+    ev = df.select(F.col(user_col).alias("u"),
+                   F.col(t_col).cast("long").alias("t"),
+                   F.col(step_col).alias("s"))
+    reached = []
+    prev = None
+    for s in steps:
+        cur = ev.filter(F.col("s") == s)
+        if prev is not None:
+            cur = (cur.join(prev.select("u", F.col("ts").alias("_pt")), "u")
+                      .filter(F.col("t") > F.col("_pt")))
+        # one row per surviving user — tiny; checkpoint so step k+1 and
+        # the count action don't re-run the whole upstream chain
+        prev = (cur.groupBy("u").agg(F.min("t").alias("ts"))
+                   .localCheckpoint(eager=True))
+        reached.append(prev)
+    spark = df.sparkSession
+    counts = [r.count() for r in reached]
+    n1 = counts[0] if counts else 0
+    rows = []
+    for i, (s, n) in enumerate(zip(steps, counts)):
+        prev_n = counts[i - 1] if i else n1
+        rows.append((i + 1, s, n,
+                     (n * (1 << 20)) // n1 if n1 else 0,
+                     (n * (1 << 20)) // prev_n if prev_n else 0))
+    return spark.createDataFrame(
+        rows, "step_idx long, step string, n_users long, "
+              "conv_from_first_q20 long, conv_from_prev_q20 long")

@@ -6524,6 +6524,157 @@ FROM canon GROUP BY 1
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel conversion (temporal.funnel_steps) over the
+    events stream: view -> click -> purchase with strict
+    earliest-after-previous matching; per-step user counts plus
+    2^20-grid conversion vs first and previous step.  Oracle chains
+    the same min-after joins."""
+    from .operators import temporal
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 2 == 0)
+          .select(F.col("user_id").alias("user"),
+                  F.col("event_id").alias("t"),
+                  F.col("event_type").alias("step")))
+    return temporal.funnel_steps(ev, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL = """
+WITH ev AS (
+  SELECT user_id AS u, event_id AS t, event_type AS s
+  FROM events WHERE event_id % 2 = 0),
+s1 AS (SELECT u, min(t) AS ts FROM ev WHERE s = 'view' GROUP BY u),
+s2 AS (SELECT e.u, min(e.t) AS ts FROM ev e
+       JOIN s1 ON s1.u = e.u AND e.t > s1.ts
+       WHERE e.s = 'click' GROUP BY e.u),
+s3 AS (SELECT e.u, min(e.t) AS ts FROM ev e
+       JOIN s2 ON s2.u = e.u AND e.t > s2.ts
+       WHERE e.s = 'purchase' GROUP BY e.u),
+n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3),
+rows_ AS (
+  SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users, n1 AS prev FROM n
+  UNION ALL SELECT 2, 'click', n2, n1 FROM n
+  UNION ALL SELECT 3, 'purchase', n3, n2 FROM n)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(CASE WHEN (SELECT n1 FROM n) > 0
+                 THEN n_users * 1048576 // (SELECT n1 FROM n)
+                 ELSE 0 END AS BIGINT) AS conv_from_first_q20,
+       CAST(CASE WHEN prev > 0 THEN n_users * 1048576 // prev
+                 ELSE 0 END AS BIGINT) AS conv_from_prev_q20
+FROM rows_
+"""
+
+
+def q_gini(spark, sf_dir):
+    """Source-concentration Gini (sketches.gini_concentration) over
+    integer order cents per order status — exact rank formula on the
+    decimal(38,0) grid, result on 2^20.  Oracle: same rank window +
+    HUGEINT algebra."""
+    from .operators import sketches
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(F.col("o_orderstatus").alias("g"),
+                    F.round(F.col("o_totalprice") * 100, 0)
+                     .cast("long").alias("v"))
+    return sketches.gini_concentration(base, ["g"], "v")
+
+
+SQL_GINI = """
+WITH base AS (
+  SELECT o_orderstatus AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders),
+r AS (
+  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS i
+  FROM base)
+SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total,
+       CAST(CASE WHEN sum(x) > 0 THEN
+         ((2 * sum(CAST(i AS HUGEINT) * x)
+           - (count(*) + 1) * CAST(sum(x) AS HUGEINT)) * 1048576)
+         // (CAST(count(*) AS HUGEINT) * sum(x))
+       ELSE 0 END AS BIGINT) AS gini_q20
+FROM r GROUP BY g
+"""
+
+
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence cells (sketches.chi_square_cells)
+    between event_type and a user segment: per-cell observed/marginal
+    counts and the exact-rational q20 contribution, squared on the
+    decimal(38,0) grid (int64 would WRAP on o*N squared).  Oracle:
+    HUGEINT twin."""
+    from .operators import sketches
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type", (F.col("user_id") % 8).alias("seg")))
+    return sketches.chi_square_cells(ev, "event_type", "seg")
+
+
+SQL_CHI_SQUARE = """
+WITH cells AS (
+  SELECT event_type AS a, user_id % 8 AS b,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT a, b, o,
+         CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+         CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells)
+SELECT a, b, o, r, c, n,
+       CAST(((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+             * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+             * 1048576)
+            // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS contrib_q20
+FROM t
+"""
+
+
+def q_fast_corners(spark, sf_dir):
+    """FAST-9 corners (rasterops.fast_corners_long) over the four
+    dense lineitem images: 16-bit bright/dark ring masks, circular
+    >= 9-run test as shared bitwise-AND SQL (the IDENTICAL generated
+    predicate text runs in the oracle).  Completes the detector
+    family (Harris / Hough / DoG / FAST)."""
+    from .operators import rasterops
+
+    return rasterops.fast_corners_long(_px_grid(spark, sf_dir),
+                                       threshold=8)
+
+
+def _fast_corners_sql() -> str:
+    from .operators.rasterops import FAST_RING, _circular_run9_sql
+
+    offs = ", ".join(f"({dx},{dy},{1 << i})"
+                     for i, (dx, dy) in enumerate(FAST_RING))
+    corner = (_circular_run9_sql("bright_mask") + " OR "
+              + _circular_run9_sql("dark_mask"))
+    return f"""
+WITH {_PX_SQL},
+offs(dx, dy, w) AS (VALUES {offs}),
+masks AS (
+  SELECT p.img, p.x, p.y, p.v,
+         CAST(sum(CASE WHEN n.v > p.v + 8 THEN o.w ELSE 0 END) AS BIGINT)
+           AS bright_mask,
+         CAST(sum(CASE WHEN n.v < p.v - 8 THEN o.w ELSE 0 END) AS BIGINT)
+           AS dark_mask
+  FROM px p CROSS JOIN offs o
+  JOIN px n ON n.img = p.img AND n.x = p.x + o.dx AND n.y = p.y + o.dy
+  GROUP BY 1, 2, 3, 4 HAVING count(*) = 16)
+SELECT img, x, y, v, bright_mask, dark_mask,
+       CAST(bit_count(bright_mask) AS BIGINT) AS n_bright,
+       CAST(bit_count(dark_mask) AS BIGINT) AS n_dark
+FROM masks WHERE {corner}
+"""
+
+
+SQL_FAST_CORNERS = _fast_corners_sql()
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -6673,6 +6824,10 @@ GROUP_A = {
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "census_stereo": (q_census_stereo, SQL_CENSUS_STEREO),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "gini": (q_gini, SQL_GINI),
+    "chi_square": (q_chi_square, SQL_CHI_SQUARE),
+    "fast_corners": (q_fast_corners, SQL_FAST_CORNERS),
 }
 
 
