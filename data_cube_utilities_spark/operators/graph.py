@@ -318,3 +318,79 @@ def link_predict(edges: DataFrame, min_cn: int = 1,
                          F.expr("(cn * 1048576) DIV (du + dv - cn)")
                           .cast("long").alias("jaccard_q20"),
                          "ra_q20"))
+
+
+def sssp(edges: DataFrame, source_pred, max_rounds: int = 32,
+         src_col: str = "src", dst_col: str = "dst",
+         weight_col: str | None = None) -> DataFrame:
+    """Single-source / multi-source shortest paths over a directed
+    weighted edge list (Bellman-Ford by synchronous relax rounds).
+
+    The network-distance primitive under the reference's connectivity
+    idioms (dc_water_classifier's region reachability, dea_tools'
+    waterbody chain traversal): cost_distance computes it over a dense
+    RASTER grid; this is the sparse GRAPH twin — crawl-frontier hop
+    budgets, road-network reach, stream-network distance-to-outlet.
+
+    Exact and engine-reproducible: integer weights, integer sums, min
+    per node — no doubles anywhere, so Spark, DuckDB, and any
+    partitioning produce bit-identical distances.
+
+    `source_pred` is a Column predicate over the node id selecting the
+    source set (multi-source = classic virtual super-source).  Weights
+    default to 1 (hop counts) or come from `weight_col` (must be >= 0;
+    negative weights would need |V|-1 forced rounds).
+
+    Shape at scale: the frontier table is one row per reached node.
+    Each round = one equi-join (dist x edges on src) + one groupBy-min
+    on dst + one union-min with the standing table — two shuffles per
+    round, both keyed on node id, so a cluster co-partitions them.
+    Rounds are bounded by the hop diameter (max_rounds caps pathological
+    chains); fixpoint is detected with the cheap (count, sum) pair:
+    per-node distances only ever DECREASE and nodes are only ADDED, so
+    an unchanged (row count, total distance) pair implies no per-node
+    change.  Each round is localCheckpoint-ed — the lineage MUST be
+    truncated per round (an iterative plan that re-analyzes the whole
+    history deepens Catalyst's tree past the JVM stack by round ~15);
+    on a real cluster swap in reliable `checkpoint()` so a lost
+    executor replays one round, not the whole chain.  The oracle
+    unrolls the same rounds as a CTE chain (rounds past the fixpoint
+    are no-ops — the kcore/rdp contract).
+
+    Returns (node, dist) for every node reachable from the source set.
+    """
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    e = (edges.select(F.col(src_col).cast("long").alias("src"),
+                      F.col(dst_col).cast("long").alias("dst"),
+                      w.alias("w"))
+              .filter(F.col("src") != F.col("dst"))
+              .persist())  # scanned once per round — cache, release at end
+    nodes = (e.select(F.col("src").alias("node"))
+              .unionByName(e.select(F.col("dst").alias("node")))
+              .distinct())
+    dist = (nodes.filter(source_pred(F.col("node")))
+                 .select("node", F.lit(0).cast("long").alias("dist"))
+                 .localCheckpoint(eager=True))
+    n_prev, s_prev = _count_sum(dist)
+    for _ in range(max_rounds):
+        relaxed = (dist.join(e, dist.node == e.src)
+                       .select(F.col("dst").alias("node"),
+                               (F.col("dist") + F.col("w")).alias("dist")))
+        nxt = (dist.unionByName(relaxed)
+                   .groupBy("node")
+                   .agg(F.min("dist").alias("dist"))
+                   .localCheckpoint(eager=True))
+        n_cur, s_cur = _count_sum(nxt)
+        dist = nxt
+        if (n_cur, s_cur) == (n_prev, s_prev):
+            break
+        n_prev, s_prev = n_cur, s_cur
+    e.unpersist()
+    return dist
+
+
+def _count_sum(dist: DataFrame) -> tuple:
+    row = dist.agg(F.count("*").alias("n"),
+                   F.coalesce(F.sum("dist"), F.lit(0)).alias("s")).first()
+    return int(row["n"]), int(row["s"])

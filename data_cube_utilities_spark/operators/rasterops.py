@@ -2883,3 +2883,61 @@ def fast_corners_long(pixels: DataFrame, threshold: int = 8,
                           .alias("n_bright"),
                          F.bit_count("dark_mask").cast("long")
                           .alias("n_dark")))
+
+
+def box_nms(boxes: DataFrame, iou_num: int = 1, iou_den: int = 2,
+            img_col: str = "img", id_col: str = "box_id",
+            score_col: str = "score") -> DataFrame:
+    """Non-maximum suppression over detection boxes, the pairwise
+    (parallelizable) variant: box b survives iff NO box a in the same
+    image with strictly higher priority — (score, -id) lexicographic,
+    so ties break deterministically — overlaps it with IoU > thr.
+
+    The detector family (harris/fast/dog/hough) emits point or box
+    candidates; NMS is the standard next stage that thins them to one
+    detection per object.  Reference shape: the strict 8-neighbor
+    non-max suppression inside harris/canny lifted from the pixel grid
+    to arbitrary boxes.
+
+    Pairwise vs classic greedy: greedy NMS re-admits a box when its
+    only suppressor was itself suppressed; the pairwise form (Matrix
+    NMS hard mode, Bodla et al. discussion) suppresses it anyway.
+    Pairwise needs ONE self-join; greedy is an inherently sequential
+    chain.  At detector scale (bounded boxes per image) the pairwise
+    set is the standard distributed choice and is documented here.
+
+    Exact integers throughout: boxes are half-open integer rectangles
+    [x1,x2) x [y1,y2); IoU > iou_num/iou_den is evaluated as
+    inter * iou_den > union * iou_num — cross-multiplied int64, no
+    doubles, hash-identical across engines.
+
+    Shape at scale: one self-join keyed on the image id (boxes per
+    image are detector-bounded, so no skew blow-up) + one left-anti
+    join of survivors — two shuffles on the same key.  Returns the
+    surviving rows (img, box_id, x1, y1, x2, y2, score)."""
+    cols = [img_col, id_col, "x1", "y1", "x2", "y2", score_col]
+    b = boxes.select(*[F.col(c).cast("long") if c != img_col else F.col(c)
+                       for c in cols])
+    a = b.select(F.col(img_col),
+                 *[F.col(c).alias(f"a_{c}") for c in cols[1:]])
+    inter_w = F.least(F.col("a_x2"), F.col("x2")) - \
+        F.greatest(F.col("a_x1"), F.col("x1"))
+    inter_h = F.least(F.col("a_y2"), F.col("y2")) - \
+        F.greatest(F.col("a_y1"), F.col("y1"))
+    inter = (F.greatest(inter_w, F.lit(0)) *
+             F.greatest(inter_h, F.lit(0))).alias("inter")
+    area = ((F.col("x2") - F.col("x1")) *
+            (F.col("y2") - F.col("y1")))
+    a_area = ((F.col("a_x2") - F.col("a_x1")) *
+              (F.col("a_y2") - F.col("a_y1")))
+    higher = ((F.col(f"a_{score_col}") > F.col(score_col)) |
+              ((F.col(f"a_{score_col}") == F.col(score_col)) &
+               (F.col(f"a_{id_col}") < F.col(id_col))))
+    pairs = (b.join(a, img_col)
+              .filter(higher)
+              .withColumn("inter", inter)
+              .filter(F.col("inter") * iou_den >
+                      (area + a_area - F.col("inter")) * iou_num)
+              .select(img_col, id_col)
+              .distinct())
+    return b.join(pairs, [img_col, id_col], "left_anti")

@@ -6675,6 +6675,108 @@ FROM masks WHERE {corner}
 SQL_FAST_CORNERS = _fast_corners_sql()
 
 
+def q_sssp(spark, sf_dir):
+    """Multi-source shortest paths (graph.sssp) over a weighted
+    hierarchy+cross-link graph of custkeys: //2 chains give hop depth,
+    modular cross links give cheaper long-hop detours, weights
+    1+o_orderkey%7 / 3+o_custkey%5.  Sources = nodes divisible by 97.
+    Spark relaxes to fixpoint (capped at 24 rounds); the oracle unrolls
+    the SAME 24 Bellman-Ford rounds as a CTE chain — both sides equal
+    d24 whether or not the fixpoint lands earlier (the kcore/rdp
+    any-depth-past-fixpoint contract, and for an un-reached fixpoint
+    both sides are the identical 24-round relaxation)."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    hier = o.select(F.col("o_custkey").alias("src"),
+                    F.expr("o_custkey div 2").alias("dst"),
+                    (1 + F.col("o_orderkey") % 7).alias("w"))
+    cross = o.select(F.col("o_custkey").alias("src"),
+                     ((F.col("o_custkey") * 3) % 500).alias("dst"),
+                     (3 + F.col("o_custkey") % 5).alias("w"))
+    e = hier.unionAll(cross).groupBy("src", "dst").agg(
+        F.min("w").alias("w"))
+    return graph.sssp(e, lambda n: n % 97 == 0, max_rounds=24,
+                      weight_col="w")
+
+
+def _sssp_sql(rounds: int) -> str:
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT o_custkey AS src, o_custkey // 2 AS dst,
+           1 + o_orderkey % 7 AS w FROM orders
+    UNION ALL
+    SELECT o_custkey AS src, (o_custkey * 3) % 500 AS dst,
+           3 + o_custkey % 5 AS w FROM orders)
+  WHERE src <> dst GROUP BY src, dst),
+d0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+    SELECT DISTINCT src AS node FROM e
+    UNION SELECT DISTINCT dst FROM e)
+  WHERE node % 97 = 0)"""]
+    for r in range(rounds):
+        parts.append(f""",
+d{r + 1} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{r}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{r} d JOIN e ON e.src = d.node)
+  GROUP BY node)""")
+    parts.append(f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}""")
+    return "".join(parts)
+
+
+def q_box_nms(spark, sf_dir):
+    """Pairwise-suppression NMS (rasterops.box_nms) over synthesized
+    integer detection boxes on 8 images: survivor = no higher-priority
+    same-image box with IoU > 1/2 (cross-multiplied int64, half-open
+    rectangles).  Oracle replicates the self-join + anti-join."""
+    from .operators import rasterops
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    boxes = ev.select(
+        (F.col("event_id") % 8).alias("img"),
+        F.col("event_id").alias("box_id"),
+        ((F.col("event_id") * 7) % 96).alias("x1"),
+        ((F.col("event_id") * 13) % 96).alias("y1"),
+        ((F.col("event_id") * 7) % 96 + 4 + F.col("event_id") % 9)
+        .alias("x2"),
+        ((F.col("event_id") * 13) % 96 + 4 + F.col("event_id") % 7)
+        .alias("y2"),
+        ((F.col("event_id") * 31) % 1000).alias("score"))
+    return rasterops.box_nms(boxes, iou_num=1, iou_den=2)
+
+
+SQL_BOX_NMS = """
+WITH b AS (
+  SELECT event_id % 8 AS img, event_id AS box_id,
+         (event_id * 7) % 96 AS x1, (event_id * 13) % 96 AS y1,
+         (event_id * 7) % 96 + 4 + event_id % 9 AS x2,
+         (event_id * 13) % 96 + 4 + event_id % 7 AS y2,
+         (event_id * 31) % 1000 AS score
+  FROM events WHERE event_id % 3 = 0),
+p AS (
+  SELECT b.img, b.box_id,
+         greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
+         * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0) AS inter,
+         (b.x2 - b.x1) * (b.y2 - b.y1)
+         + (a.x2 - a.x1) * (a.y2 - a.y1) AS areas
+  FROM b JOIN b a ON a.img = b.img
+   AND (a.score > b.score OR (a.score = b.score AND a.box_id < b.box_id))),
+sup AS (
+  SELECT DISTINCT img, box_id FROM p WHERE inter * 2 > (areas - inter) * 1)
+SELECT img, CAST(box_id AS BIGINT) AS box_id,
+       CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+       CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2,
+       CAST(score AS BIGINT) AS score
+FROM b ANTI JOIN sup USING (img, box_id)
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -6828,6 +6930,8 @@ GROUP_A = {
     "gini": (q_gini, SQL_GINI),
     "chi_square": (q_chi_square, SQL_CHI_SQUARE),
     "fast_corners": (q_fast_corners, SQL_FAST_CORNERS),
+    "sssp": (q_sssp, _sssp_sql(24)),
+    "box_nms": (q_box_nms, SQL_BOX_NMS),
 }
 
 
