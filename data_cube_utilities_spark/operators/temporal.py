@@ -901,3 +901,127 @@ def funnel_steps(df: DataFrame, steps: Sequence[str],
     return spark.createDataFrame(
         rows, "step_idx long, step string, n_users long, "
               "conv_from_first_q20 long, conv_from_prev_q20 long")
+
+
+def _trunc_div(num, den: int):
+    """Truncate-toward-zero integer division of a possibly NEGATIVE
+    Column numerator by a positive literal, exact on the decimal(38,0)
+    grid — matches both Spark's `div` and DuckDB's `//` (both truncate;
+    F.floor alone would disagree on negatives).  Usable inside
+    higher-order lambdas where the `div` SQL operator can't reach."""
+    q = F.floor(F.abs(num).cast("decimal(38,0)") / F.lit(den)).cast("long")
+    return F.when(num < 0, -q).otherwise(q)
+
+
+def holt_smooth(df: DataFrame, key_cols: Sequence[str],
+                t_col: str = "t", v_col: str = "v",
+                alpha_num: int = 1, alpha_den: int = 4,
+                beta_num: int = 1, beta_den: int = 5,
+                scale: int = 65536) -> DataFrame:
+    """Holt's linear (two-parameter) smoothing per series, exact-integer
+    on the Q16 grid — the trend-aware extension of exp_smooth:
+
+        l_t = (n_a*x_t*sc + (d_a-n_a)*(l_{t-1} + b_{t-1})) tdiv d_a
+        b_t = (n_b*(l_t - l_{t-1}) + (d_b-n_b)*b_{t-1})    tdiv d_b
+
+    with alpha = n_a/d_a, beta = n_b/d_b, l_1 = x_1*sc, b_1 = 0.  The
+    trend b_t goes NEGATIVE on declining series, so every division is
+    the truncate-toward-zero _trunc_div — bit-identical to DuckDB's
+    `//` (floor division would disagree on negative numerators).
+
+    Same shape as exp_smooth: sequential IN t, embarrassingly parallel
+    ACROSS series — one array_sort(collect_list) per key (one shuffle),
+    F.aggregate threads (level, trend) through the array JVM-side, no
+    UDF.  Returns (keys, t, x, level_q16, trend_q16); level+trend is
+    the one-step forecast.  Int64 bounds: |x|*scale*d_a < 2^62."""
+    keys = [F.col(k) for k in key_cols]
+    ser = (df.select(*key_cols, F.col(t_col).alias("t"),
+                     F.col(v_col).cast("long").alias("x"))
+             .groupBy(*keys)
+             .agg(F.array_sort(F.collect_list(F.struct("t", "x")))
+                   .alias("s")))
+    na, da, nb, db, sc = alpha_num, alpha_den, beta_num, beta_den, scale
+    first = F.element_at("s", 1)
+    init = F.array(F.struct(
+        first["t"].alias("t"), first["x"].alias("x"),
+        (first["x"] * sc).alias("lvl"),
+        F.lit(0).cast("long").alias("tr")))
+
+    def step(acc, e):
+        prev = F.element_at(acc, -1)
+        lvl = _trunc_div(na * e["x"] * sc
+                         + (da - na) * (prev["lvl"] + prev["tr"]), da)
+        tr = _trunc_div(nb * (lvl - prev["lvl"])
+                        + (db - nb) * prev["tr"], db)
+        return F.concat(acc, F.array(F.struct(
+            e["t"].alias("t"), e["x"].alias("x"),
+            lvl.alias("lvl"), tr.alias("tr"))))
+
+    rest = F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0)))
+    folded = ser.select(*key_cols,
+                        F.aggregate(rest, init, step).alias("lv"))
+    ex = folded.select(*key_cols, F.explode("lv").alias("e"))
+    return ex.select(*key_cols, F.col("e.t").alias("t"),
+                     F.col("e.x").alias("x"),
+                     F.col("e.lvl").cast("long").alias("level_q16"),
+                     F.col("e.tr").cast("long").alias("trend_q16"))
+
+
+def seasonal_decompose(df: DataFrame, key_cols: Sequence[str],
+                       period: int,
+                       t_col: str = "t", v_col: str = "v",
+                       scale: int = 65536) -> DataFrame:
+    """Additive seasonal decomposition (classic moving-average method,
+    STL's simple ancestor) per series, exact-integer on the Q16 grid:
+
+        trend_t    = mean over the centered odd `period` window (full
+                     windows only, NULL at the edges) — sum*sc tdiv p
+        seasonal_p = mean of (x*sc - trend) over each phase t%period
+        resid_t    = x*sc - trend_t - seasonal_{t%p}
+
+    Detrended values go negative, so every division is truncate-toward-
+    zero (DuckDB `//` parity).  Seasonal indices are the raw phase
+    means (no sum-to-zero renormalization — documented, determinism
+    over convention).  `period` must be odd so the centered window
+    needs no half-weight ends.
+
+    Shape: two window functions over ONE (key, t) sort order + one
+    (key, phase) groupBy + one broadcast-size join back — two shuffles
+    total, all JVM codegen, no UDF.  Returns (keys, t, x, trend_q16,
+    seasonal_q16, resid_q16)."""
+    if period % 2 == 0:
+        raise ValueError("period must be odd for a centered window")
+    half = period // 2
+    keys = [F.col(k) for k in key_cols]
+    w = (Window.partitionBy(*keys).orderBy("t")
+               .rowsBetween(-half, half))
+    base = (df.select(*key_cols, F.col(t_col).alias("t"),
+                      F.col(v_col).cast("long").alias("x"))
+              .withColumn("n_win", F.count("*").over(w))
+              .withColumn(
+                  "trend_q16",
+                  F.when(F.col("n_win") == period,
+                         _trunc_div(F.sum("x").over(w) * scale, period))))
+    det = base.withColumn("phase", F.col("t") % period)
+    seas = (det.filter(F.col("trend_q16").isNotNull())
+               .groupBy(*keys, "phase")
+               .agg(F.sum(F.col("x") * scale - F.col("trend_q16"))
+                     .alias("snum"),
+                    F.count("*").alias("scnt"))
+               .select(*key_cols, "phase",
+                       _trunc_div_col(F.col("snum"), F.col("scnt"))
+                       .alias("seasonal_q16")))
+    out = (det.join(F.broadcast(seas), [*key_cols, "phase"], "left")
+              .select(*key_cols, "t", "x", "trend_q16", "seasonal_q16",
+                      (F.when(F.col("trend_q16").isNotNull(),
+                              F.col("x") * scale - F.col("trend_q16")
+                              - F.col("seasonal_q16")))
+                      .cast("long").alias("resid_q16")))
+    return out
+
+
+def _trunc_div_col(num, den):
+    """_trunc_div with a COLUMN denominator (positive)."""
+    q = (F.floor(F.abs(num).cast("decimal(38,0)")
+                 / den.cast("decimal(38,0)"))).cast("long")
+    return F.when(num < 0, -q).otherwise(q)

@@ -6777,6 +6777,93 @@ FROM b ANTI JOIN sup USING (img, box_id)
 
 
 
+def q_holt_smooth(spark, sf_dir):
+    """Holt two-parameter linear smoothing (temporal.holt_smooth) over
+    per-user event value series: level+trend recursion on the Q16 grid,
+    every division truncate-toward-zero so DuckDB's `//` (which
+    truncates, not floors, on negatives) replays it bit-identically.
+    Oracle: recursive CTE threading (level, trend), the exp_smooth
+    pattern with the level expression repeated inside the trend."""
+    from .operators import temporal
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 7 == 0)
+          .select((F.col("user_id") % 16).alias("grp"),
+                  F.col("event_id").alias("t"),
+                  ((F.col("event_id") * 17) % 120).alias("v")))
+    return temporal.holt_smooth(ev, ["grp"], alpha_num=1, alpha_den=4,
+                                beta_num=1, beta_den=5)
+
+
+SQL_HOLT_SMOOTH = """
+WITH RECURSIVE ser AS (
+  SELECT user_id % 16 AS grp, event_id AS t, (event_id * 17) % 120 AS v
+  FROM events WHERE event_id % 7 = 0),
+rk AS (
+  SELECT grp, t, v,
+         row_number() OVER (PARTITION BY grp ORDER BY t) AS r
+  FROM ser),
+hl AS (
+  SELECT grp, t, v AS x, r,
+         CAST(v * 65536 AS BIGINT) AS lvl, CAST(0 AS BIGINT) AS tr
+  FROM rk WHERE r = 1
+  UNION ALL
+  SELECT rk.grp, rk.t, rk.v, rk.r,
+         CAST((rk.v * 65536 + 3 * (hl.lvl + hl.tr)) // 4 AS BIGINT),
+         CAST(((rk.v * 65536 + 3 * (hl.lvl + hl.tr)) // 4
+               - hl.lvl + 4 * hl.tr) // 5 AS BIGINT)
+  FROM hl JOIN rk ON rk.grp = hl.grp AND rk.r = hl.r + 1)
+SELECT grp, t, CAST(x AS BIGINT) AS x,
+       lvl AS level_q16, tr AS trend_q16
+FROM hl
+"""
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition (temporal.seasonal_decompose,
+    period 7) over per-user event series: centered-window trend (full
+    windows only), phase-mean seasonal, integer residual — window sums
+    + one phase groupBy, every division truncating."""
+    from .operators import temporal
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 5 == 0)
+          .select((F.col("user_id") % 12).alias("grp"),
+                  F.col("event_id").alias("t"),
+                  ((F.col("event_id") * 23) % 200).alias("v")))
+    return temporal.seasonal_decompose(ev, ["grp"], period=7)
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH ser AS (
+  SELECT user_id % 12 AS grp, event_id AS t, (event_id * 23) % 200 AS v
+  FROM events WHERE event_id % 5 = 0),
+b AS (
+  SELECT grp, t, v AS x,
+         count(*) OVER w AS n_win, sum(v) OVER w AS xsum
+  FROM ser
+  WINDOW w AS (PARTITION BY grp ORDER BY t
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+b2 AS (
+  SELECT grp, t, x,
+         CASE WHEN n_win = 7 THEN (xsum * 65536) // 7 END AS trend_q16,
+         t % 7 AS phase
+  FROM b),
+s2 AS (
+  SELECT grp, phase,
+         sum(x * 65536 - trend_q16) // count(*) AS seasonal_q16
+  FROM b2 WHERE trend_q16 IS NOT NULL GROUP BY grp, phase)
+SELECT b2.grp, b2.t, CAST(b2.x AS BIGINT) AS x,
+       CAST(b2.trend_q16 AS BIGINT) AS trend_q16,
+       CAST(s2.seasonal_q16 AS BIGINT) AS seasonal_q16,
+       CAST(CASE WHEN b2.trend_q16 IS NOT NULL
+                 THEN b2.x * 65536 - b2.trend_q16 - s2.seasonal_q16
+            END AS BIGINT) AS resid_q16
+FROM b2 LEFT JOIN s2 ON s2.grp = b2.grp AND s2.phase = b2.phase
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -6932,6 +7019,8 @@ GROUP_A = {
     "fast_corners": (q_fast_corners, SQL_FAST_CORNERS),
     "sssp": (q_sssp, _sssp_sql(24)),
     "box_nms": (q_box_nms, SQL_BOX_NMS),
+    "holt_smooth": (q_holt_smooth, SQL_HOLT_SMOOTH),
+    "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
 }
 
 

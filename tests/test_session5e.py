@@ -85,3 +85,63 @@ def test_box_nms_pairwise_semantics_pinned(spark):
 def test_box_nms_images_are_independent(spark):
     rows = [(0, 1, 0, 0, 10, 10, 90), (1, 2, 0, 0, 10, 10, 10)]
     assert _nms(spark, rows) == [1, 2]
+
+
+def _holt(spark, xs, **kw):
+    from data_cube_utilities_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(1, t, x) for t, x in enumerate(xs)], "g long, t long, v long")
+    return sorted(temporal.holt_smooth(df, ["g"], **kw).collect(),
+                  key=lambda r: r.t)
+
+
+def test_holt_constant_series_is_flat(spark):
+    rows = _holt(spark, [40] * 6)
+    assert all(r.level_q16 == 40 * 65536 and r.trend_q16 == 0
+               for r in rows)
+
+
+def test_holt_declining_series_negative_trend(spark):
+    rows = _holt(spark, [100, 0])
+    # l2 = (0 + 3*6553600)//4 = 4915200; b2 = (4915200-6553600)//5
+    assert rows[1].level_q16 == 4915200
+    assert rows[1].trend_q16 == -327680
+
+
+def test_holt_truncates_toward_zero_like_duckdb(spark):
+    # scale=1: l2 = 9//4 = 2, trend numerator = 2-3 = -1: -1//5 must be
+    # 0 (truncate, DuckDB //), NOT -1 (floor)
+    rows = _holt(spark, [3, 0], scale=1)
+    assert rows[1].level_q16 == 2 and rows[1].trend_q16 == 0
+
+
+def _decomp(spark, xs, period):
+    from data_cube_utilities_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(1, t, x) for t, x in enumerate(xs)], "g long, t long, v long")
+    return sorted(temporal.seasonal_decompose(
+        df, ["g"], period=period).collect(), key=lambda r: r.t)
+
+
+def test_seasonal_pure_period3_signal(spark):
+    sc = 65536
+    xs = [(t % 3) * 3 for t in range(9)]   # 0,3,6 repeating
+    rows = _decomp(spark, xs, period=3)
+    # edges: no full window
+    assert rows[0].trend_q16 is None and rows[-1].trend_q16 is None
+    interior = rows[1:-1]
+    assert all(r.trend_q16 == 3 * sc for r in interior)
+    assert all(r.resid_q16 == 0 for r in interior)
+    seas = {r.t % 3: r.seasonal_q16 for r in interior}
+    assert seas == {0: -3 * sc, 1: 0, 2: 3 * sc}
+
+
+def test_seasonal_even_period_rejected(spark):
+    import pytest
+    from data_cube_utilities_spark.operators import temporal
+
+    df = spark.createDataFrame([(1, 0, 1)], "g long, t long, v long")
+    with pytest.raises(ValueError):
+        temporal.seasonal_decompose(df, ["g"], period=4)
