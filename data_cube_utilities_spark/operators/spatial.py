@@ -2421,3 +2421,92 @@ def turn_stats(traj_df: DataFrame, traj_id_col: str = "traj_id",
                            for cname in ("n_turns", "n_left", "n_right",
                                          "n_straight", "n_uturn",
                                          "n_sharp")]))
+
+
+def bilateral_filter_grid(cells_df: DataFrame, range_cap: int = 32,
+                          ix_col: str = "ix", iy_col: str = "iy",
+                          value_col: str = "v") -> DataFrame:
+    """Edge-preserving bilateral smoothing over a long-form integer
+    grid, exact-integer: each cell's output is the weighted mean of its
+    5x5 window with weight = spatial * range,
+
+        ws(dx,dy) = binom4(dx) * binom4(dy)   (1,4,6,4,1 separable —
+                    the discrete Gaussian every pyramid here uses)
+        wr(q)     = max(range_cap - |v_q - v_p|, 0)   (integer tent;
+                    a LUT'd exp would add nothing but doubles)
+        out       = sum(ws*wr*v_q) DIV sum(ws*wr)
+
+    The self term (diff 0) keeps the denominator >= 6*6*range_cap > 0,
+    so no zero-division branch.  A plain Gaussian blur smears edges; the
+    range tent zeroes the weight of neighbors more than `range_cap` DNs
+    away, so steps survive — the classic pre-segmentation denoiser
+    (reference smoothing shape: dc_utilities' per-band cleanup before
+    wofs/fractional-cover classification).
+
+    Shape at scale: the median_filter_grid contract — one broadcast of
+    25 literal (dx, dy, ws) offset rows, one shifted-selves equi-join
+    co-partitioned on the cell key, one groupBy; integer DIV (operands
+    nonnegative), no UDF, no collect.  Returns (ix, iy, v, smooth_v,
+    wsum)."""
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(value_col).cast("long").alias("v"))
+    b4 = {-2: 1, -1: 4, 0: 6, 1: 4, 2: 1}
+    offs = cells_df.sparkSession.createDataFrame(
+        [(dx, dy, b4[dx] * b4[dy]) for dx in b4 for dy in b4],
+        "dx long, dy long, ws long")
+    nbr = g.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"),
+                   F.col("v").alias("vj"))
+    win = (g.crossJoin(F.broadcast(offs))
+            .withColumn("jx", F.col("ix") + F.col("dx"))
+            .withColumn("jy", F.col("iy") + F.col("dy"))
+            .join(nbr, ["jx", "jy"])
+            .withColumn("wr", F.greatest(
+                F.lit(range_cap) - F.abs(F.col("vj") - F.col("v")),
+                F.lit(0)))
+            .withColumn("wt", F.col("ws") * F.col("wr"))
+            .groupBy("ix", "iy", "v")
+            .agg(F.sum(F.col("wt") * F.col("vj")).alias("num"),
+                 F.sum("wt").alias("wsum")))
+    return win.select("ix", "iy", "v",
+                      F.expr("num div wsum").cast("long").alias("smooth_v"),
+                      F.col("wsum").cast("long").alias("wsum"))
+
+
+def areal_interpolate(cells_df: DataFrame, zone_vals_df: DataFrame,
+                      src_col: str = "src_zone", tgt_col: str = "tgt_zone",
+                      val_col: str = "value") -> DataFrame:
+    """Areal-weighted interpolation between incompatible zone systems
+    (the census-reallocation / dasymetric primitive): a source zone's
+    value is split across target zones proportional to SHARED ATOMIC
+    CELLS, then summed per target —
+
+        alloc(s, t) = value(s) * n_cells(s, t) * 2^20 DIV n_cells(s)
+
+    on the Q20 grid, exact integers (values and counts nonnegative, so
+    DIV == floor on both engines).  The floor remainder per (s, t) is
+    dropped — deterministic, bounded by 1/2^20 of the source value per
+    target — rather than re-spread (convention pinned here).
+
+    cells_df is the atomic crosswalk (one row per atom with its source
+    AND target zone — exactly what cell_assignment/tiling produce at
+    any resolution); zone_vals_df carries (src_zone, value).
+
+    Shape at scale: two groupBys on the crosswalk + one equi-join to
+    the (small) zone-value table + one groupBy on target — the
+    crosswalk shuffles on src once and tgt once, values broadcast.
+    Returns (tgt_zone, value_q20, n_src_zones, n_cells)."""
+    cw = cells_df.select(F.col(src_col).cast("long").alias("s"),
+                         F.col(tgt_col).cast("long").alias("t"))
+    n_src = cw.groupBy("s").agg(F.count("*").alias("n_s"))
+    shared = cw.groupBy("s", "t").agg(F.count("*").alias("n_st"))
+    vals = zone_vals_df.select(F.col(src_col).cast("long").alias("s"),
+                               F.col(val_col).cast("long").alias("val"))
+    alloc = (shared.join(n_src, "s").join(F.broadcast(vals), "s")
+                   .withColumn("alloc_q20", F.expr(
+                       "(val * n_st * 1048576) div n_s")))
+    return (alloc.groupBy(F.col("t").alias("tgt_zone"))
+                 .agg(F.sum("alloc_q20").cast("long").alias("value_q20"),
+                      F.countDistinct("s").cast("long")
+                       .alias("n_src_zones"),
+                      F.sum("n_st").cast("long").alias("n_cells")))

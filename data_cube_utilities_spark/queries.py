@@ -6864,6 +6864,88 @@ FROM b2 LEFT JOIN s2 ON s2.grp = b2.grp AND s2.phase = b2.phase
 
 
 
+def q_bilateral_filter(spark, sf_dir):
+    """Bilateral (edge-preserving) smoothing (spatial.
+    bilateral_filter_grid) over the 4 dense lineitem tiles laid out on
+    one plane (img*64 gap > kernel radius, so tiles can't leak into
+    each other): 5x5 binomial spatial x integer-tent range weights,
+    one offs-broadcast shifted-selves join.  Oracle: identical window
+    join in SQL."""
+    from .operators import spatial
+
+    g = _px_grid(spark, sf_dir).select(
+        (F.col("img") * 64 + F.col("px")).alias("ix"),
+        F.col("py").alias("iy"), F.col("val").alias("v"))
+    return spatial.bilateral_filter_grid(g, range_cap=32)
+
+
+SQL_BILATERAL_FILTER = f"""
+WITH {_PX_SQL},
+g AS (SELECT img * 64 + x AS ix, y AS iy, v FROM px),
+offs AS (
+  SELECT dx.i AS dx, dy.i AS dy,
+         (CASE abs(dx.i) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
+         * (CASE abs(dy.i) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END) AS ws
+  FROM generate_series(-2, 2) dx(i), generate_series(-2, 2) dy(i)),
+win AS (
+  SELECT g.ix, g.iy, g.v,
+         sum(o.ws * greatest(32 - abs(n.v - g.v), 0) * n.v) AS num,
+         sum(o.ws * greatest(32 - abs(n.v - g.v), 0)) AS wsum
+  FROM g CROSS JOIN offs o
+  JOIN g n ON n.ix = g.ix + o.dx AND n.iy = g.iy + o.dy
+  GROUP BY g.ix, g.iy, g.v)
+SELECT ix, iy, CAST(v AS BIGINT) AS v,
+       CAST(num // wsum AS BIGINT) AS smooth_v,
+       CAST(wsum AS BIGINT) AS wsum
+FROM win
+"""
+
+
+def q_areal_interp(spark, sf_dir):
+    """Areal-weighted zone-system reallocation (spatial.
+    areal_interpolate): event atoms carry a source grid zone and an
+    offset (incompatible) target grid zone; customer-derived zone
+    values split proportional to shared atoms on the Q20 grid."""
+    from .operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("event_id") * 7) % 64
+    y = (F.col("event_id") * 13) % 64
+    cells = ev.select(
+        (F.floor(x / 8) * 8 + F.floor(y / 8)).cast("long")
+        .alias("src_zone"),
+        (F.floor((x + 4) / 8) * 8 + F.floor((y + 4) / 8)).cast("long")
+        .alias("tgt_zone"))
+    cust = _t(spark, sf_dir, "customer")
+    vals = (cust.groupBy((F.col("c_custkey") % 64).alias("src_zone"))
+                .agg(F.sum(F.greatest(F.col("c_acctbal").cast("long"),
+                                      F.lit(0))).alias("value")))
+    return spatial.areal_interpolate(cells, vals)
+
+
+SQL_AREAL_INTERP = """
+WITH cw AS (
+  SELECT ((event_id * 7) % 64) // 8 * 8 + ((event_id * 13) % 64) // 8
+           AS s,
+         ((event_id * 7) % 64 + 4) // 8 * 8
+           + ((event_id * 13) % 64 + 4) // 8 AS t
+  FROM events),
+n_src AS (SELECT s, count(*) AS n_s FROM cw GROUP BY s),
+shared AS (SELECT s, t, count(*) AS n_st FROM cw GROUP BY s, t),
+vals AS (
+  SELECT c_custkey % 64 AS s,
+         sum(greatest(CAST(floor(c_acctbal) AS BIGINT), 0)) AS val
+  FROM customer GROUP BY 1)
+SELECT t AS tgt_zone,
+       CAST(sum((val * n_st * 1048576) // n_s) AS BIGINT) AS value_q20,
+       CAST(count(DISTINCT shared.s) AS BIGINT) AS n_src_zones,
+       CAST(sum(n_st) AS BIGINT) AS n_cells
+FROM shared JOIN n_src USING (s) JOIN vals USING (s)
+GROUP BY t
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7021,6 +7103,8 @@ GROUP_A = {
     "box_nms": (q_box_nms, SQL_BOX_NMS),
     "holt_smooth": (q_holt_smooth, SQL_HOLT_SMOOTH),
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    "bilateral_filter": (q_bilateral_filter, SQL_BILATERAL_FILTER),
+    "areal_interp": (q_areal_interp, SQL_AREAL_INTERP),
 }
 
 

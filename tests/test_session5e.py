@@ -145,3 +145,68 @@ def test_seasonal_even_period_rejected(spark):
     df = spark.createDataFrame([(1, 0, 1)], "g long, t long, v long")
     with pytest.raises(ValueError):
         temporal.seasonal_decompose(df, ["g"], period=4)
+
+
+def _bilat(spark, cells, **kw):
+    from data_cube_utilities_spark.operators import spatial
+
+    df = spark.createDataFrame(cells, "ix long, iy long, v long")
+    return {(r.ix, r.iy): r.smooth_v
+            for r in spatial.bilateral_filter_grid(df, **kw).collect()}
+
+
+def test_bilateral_flat_field_identity(spark):
+    cells = [(x, y, 37) for x in range(6) for y in range(6)]
+    out = _bilat(spark, cells)
+    assert all(v == 37 for v in out.values())
+
+
+def test_bilateral_preserves_step_edge(spark):
+    # 8x6 field: left half 0, right half 100; range tent (cap 32)
+    # zeroes every cross-edge weight -> NO bleed on either side
+    cells = [(x, y, 0 if x < 4 else 100)
+             for x in range(8) for y in range(6)]
+    out = _bilat(spark, cells, range_cap=32)
+    assert all(out[(x, y)] == (0 if x < 4 else 100)
+               for x in range(8) for y in range(6))
+
+
+def test_bilateral_damps_salt_noise(spark):
+    # lone spike 10 in a 0 field IS within range_cap -> averaged down
+    cells = [(x, y, 10 if (x, y) == (3, 3) else 0)
+             for x in range(7) for y in range(7)]
+    out = _bilat(spark, cells, range_cap=32)
+    # center: num = 36*32*10, wsum = 36*32 + 220*22 -> 11520//5992 = 1
+    assert out[(3, 3)] == 1
+    assert out[(0, 0)] == 0   # spike outside the 5x5 window
+
+
+def _areal(spark, cw, vals):
+    from data_cube_utilities_spark.operators import spatial
+
+    cells = spark.createDataFrame(cw, "src_zone long, tgt_zone long")
+    zv = spark.createDataFrame(vals, "src_zone long, value long")
+    return {r.tgt_zone: r for r in
+            spatial.areal_interpolate(cells, zv).collect()}
+
+
+def test_areal_identity_zones(spark):
+    out = _areal(spark, [(1, 1), (1, 1), (2, 2)], [(1, 100), (2, 40)])
+    assert out[1].value_q20 == 100 << 20
+    assert out[2].value_q20 == 40 << 20
+
+
+def test_areal_even_split(spark):
+    cw = [(1, 10), (1, 10), (1, 20), (1, 20)]
+    out = _areal(spark, cw, [(1, 100)])
+    assert out[10].value_q20 == 50 << 20
+    assert out[20].value_q20 == 50 << 20
+    assert out[10].n_cells == 2 and out[10].n_src_zones == 1
+
+
+def test_areal_floor_remainder_dropped(spark):
+    cw = [(1, 10), (1, 20), (1, 30)]
+    out = _areal(spark, cw, [(1, 1)])
+    third = (1 * 1 * 1048576) // 3
+    assert all(out[t].value_q20 == third for t in (10, 20, 30))
+    assert sum(out[t].value_q20 for t in (10, 20, 30)) == 1048575
