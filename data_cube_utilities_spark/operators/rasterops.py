@@ -2941,3 +2941,75 @@ def box_nms(boxes: DataFrame, iou_num: int = 1, iou_den: int = 2,
               .select(img_col, id_col)
               .distinct())
     return b.join(pairs, [img_col, id_col], "left_anti")
+
+
+# Zhang-Suen ring order: N, NE, E, SE, S, SW, W, NW (x right, y down)
+_ZS_RING = [("p2", 0, -1), ("p3", 1, -1), ("p4", 1, 0), ("p5", 1, 1),
+            ("p6", 0, 1), ("p7", -1, 1), ("p8", -1, 0), ("p9", -1, -1)]
+
+
+def _zs_substep(on: DataFrame, step: int) -> DataFrame:
+    """One Zhang-Suen sub-iteration over the ON-pixel set: gather the
+    8-neighborhood with the offs-broadcast shifted-selves join, apply
+    the four deletion conditions, return survivors."""
+    offs = on.sparkSession.createDataFrame(
+        [(n, dx, dy) for n, dx, dy in _ZS_RING], "nm string, dx long, dy long")
+    nbr = on.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"))
+    flags = (on.crossJoin(F.broadcast(offs))
+               .withColumn("jx", F.col("ix") + F.col("dx"))
+               .withColumn("jy", F.col("iy") + F.col("dy"))
+               .join(nbr, ["jx", "jy"])   # inner: only ON neighbors
+               .groupBy("ix", "iy")
+               .agg(*[F.max(F.when(F.col("nm") == n, 1).otherwise(0))
+                      .alias(n) for n, _, _ in _ZS_RING]))
+    g = on.join(flags, ["ix", "iy"], "left").na.fill(0)
+    ring = [n for n, _, _ in _ZS_RING]
+    b = sum(F.col(n) for n in ring)
+    a = sum((1 - F.col(ring[i])) * F.col(ring[(i + 1) % 8])
+            for i in range(8))
+    if step == 1:
+        c = (F.col("p2") * F.col("p4") * F.col("p6") == 0)
+        d = (F.col("p4") * F.col("p6") * F.col("p8") == 0)
+    else:
+        c = (F.col("p2") * F.col("p4") * F.col("p8") == 0)
+        d = (F.col("p2") * F.col("p6") * F.col("p8") == 0)
+    delete = b.between(2, 6) & (a == 1) & c & d
+    return g.filter(~delete).select("ix", "iy")
+
+
+def skeletonize_grid(cells_df: DataFrame, max_rounds: int = 8,
+                     ix_col: str = "ix", iy_col: str = "iy") -> DataFrame:
+    """Morphological skeleton of a binary long-form grid by the
+    Zhang-Suen (1984) thinning algorithm: per round, two synchronous
+    sub-iterations each delete boundary pixels that have 2..6 ON
+    neighbors, exactly one 0->1 transition around the ordered ring, and
+    a clear cardinal face (S/E then N/W) — what survives to fixpoint is
+    the 1-px-wide, 8-connected medial axis.  The GIS form of this is
+    stream-network extraction from a rasterized water mask (reference
+    target: the wofs/water-mask family; skeleton = channel centerlines).
+
+    Purely synchronous set logic — no doubles, no UDF, no ordering
+    sensitivity: each sub-iteration is ONE offs-broadcast shifted-selves
+    equi-join + groupBy + filter over the current ON set, co-partitioned
+    on the cell key, localCheckpoint-ed (iterative lineage MUST be cut —
+    the sssp lesson).  Pixel count is strictly decreasing until
+    fixpoint, so the fixpoint test is a bare count.  max_rounds caps
+    blob radius; the oracle unrolls the SAME rounds, so both sides are
+    identical whether or not the cap truncates (rounds past fixpoint
+    are no-ops).
+
+    Input: rows = ON pixels (anything present is ON).  Returns the
+    skeleton's (ix, iy) rows."""
+    on = (cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                          F.col(iy_col).cast("long").alias("iy"))
+                  .distinct()
+                  .localCheckpoint(eager=True))
+    n_prev = on.count()
+    for _ in range(max_rounds):
+        on = _zs_substep(on, 1).localCheckpoint(eager=True)
+        on = _zs_substep(on, 2).localCheckpoint(eager=True)
+        n_cur = on.count()
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    return on

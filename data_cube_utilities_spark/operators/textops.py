@@ -1780,6 +1780,62 @@ def tfidf_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 20,
               .orderBy(F.desc("score"), F.asc(id_col)).limit(k))
 
 
+def bm25_topk(docs: DataFrame, query_terms: "Sequence[str]",
+              k: int = 20, id_col: str = "doc_id",
+              text_col: str = "text",
+              scale: int = 1_000_000) -> DataFrame:
+    """Deterministic BM25 retrieval — tfidf_topk's saturating upgrade,
+    EXACT at the standard constants k1 = 6/5, b = 3/4 (both rational,
+    so the whole Robertson/Sparck-Jones formula clears to one integer
+    division per (doc, term)):
+
+        bm25(term) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with avgdl = T/N (T total corpus tokens, N docs) multiplies out to
+
+        idf_s * 44*tf*T  DIV  (20*tf*T + 6*T + 18*dl*N)
+
+    — every quantity a nonnegative int64, so DIV == floor on both
+    engines and the score hash-reproduces (the log-idf of textbook
+    BM25 is transcendental; idf_s = scale*N DIV df is tfidf_topk's
+    rational idf, which preserves the df ordering that ranking needs).
+    Int64 bound: idf_s * 44 * tf * T < 2^63 — at web scale lower
+    `scale` (idf_s ~ scale*N/df) or pre-bucket df; documented, not
+    guarded.
+
+    Unlike plain TF-IDF, tf saturates (a 100-repeat keyword-stuffed doc
+    scores barely above a 10-repeat one) and long documents are
+    penalized via dl/avgdl — the two properties that made BM25 the
+    retrieval default.
+
+    Shape at scale: identical to tfidf_topk — postings pruned to the
+    query terms BEFORE any shuffle, df/tf two small aggregations, the
+    (N, T) pair ONE broadcast row (dl is computed map-side per row, no
+    extra shuffle), final ranking a TakeOrderedAndProject."""
+    terms = [str(t) for t in query_terms]
+    base = docs.select(id_col,
+                       F.split(F.col(text_col), " ").alias("_tk"))
+    withdl = base.select(id_col, F.size("_tk").cast("long").alias("dl"),
+                         F.explode("_tk").alias("tok"))
+    nt = withdl.agg(
+        F.countDistinct(id_col).alias("_n"),
+        F.count("*").alias("_t"))
+    qt = withdl.filter(F.col("tok").isin(terms))
+    tf = qt.groupBy(id_col, "dl", "tok").agg(F.count("*").alias("tf"))
+    dft = (qt.groupBy("tok")
+             .agg(F.countDistinct(id_col).alias("df"))
+             .crossJoin(F.broadcast(nt.select("_n")))
+             .withColumn("idf_s", F.expr(f"({scale}L * _n) div df")))
+    return (tf.join(F.broadcast(dft.select("tok", "idf_s")), "tok")
+              .crossJoin(F.broadcast(nt))
+              .withColumn("term_score", F.expr(
+                  "(idf_s * 44 * tf * _t) div "
+                  "(20 * tf * _t + 6 * _t + 18 * dl * _n)"))
+              .groupBy(id_col)
+              .agg(F.sum("term_score").alias("score"))
+              .orderBy(F.desc("score"), F.asc(id_col)).limit(k))
+
+
 def repetition_profile(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Gopher-style per-document repetition PROFILE (the "repetitive

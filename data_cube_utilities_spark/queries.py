@@ -6946,6 +6946,102 @@ GROUP BY t
 
 
 
+def q_skeletonize(spark, sf_dir):
+    """Zhang-Suen thinning (rasterops.skeletonize_grid) of the binary
+    mask val >= 96 over the 4 dense lineitem tiles on one plane
+    (img*64 gap): 8 synchronous rounds x 2 sub-iterations, fixpoint by
+    strictly-decreasing pixel count.  Oracle unrolls the identical
+    sub-iterations as a CTE chain (rounds past fixpoint are no-ops)."""
+    from .operators import rasterops
+
+    g = (_px_grid(spark, sf_dir)
+         .filter(F.col("val") >= 96)
+         .select((F.col("img") * 64 + F.col("px")).alias("ix"),
+                 F.col("py").alias("iy")))
+    return rasterops.skeletonize_grid(g, max_rounds=8)
+
+
+def _zs_sql_substep(i: int, step: int) -> str:
+    cases = []
+    ring = [("p2", 0, -1), ("p3", 1, -1), ("p4", 1, 0), ("p5", 1, 1),
+            ("p6", 0, 1), ("p7", -1, 1), ("p8", -1, 0), ("p9", -1, -1)]
+    for nm, dx, dy in ring:
+        cases.append(
+            f"max(CASE WHEN n.ix = g.ix + {dx} AND n.iy = g.iy + {dy} "
+            f"THEN 1 ELSE 0 END) AS {nm}")
+    names = [nm for nm, _, _ in ring]
+    b = " + ".join(names)
+    a = " + ".join(f"(1 - {names[j]}) * {names[(j + 1) % 8]}"
+                   for j in range(8))
+    if step == 1:
+        cd = "p2 * p4 * p6 = 0 AND p4 * p6 * p8 = 0"
+    else:
+        cd = "p2 * p4 * p8 = 0 AND p2 * p6 * p8 = 0"
+    return f""",
+f{i} AS (
+  SELECT g.ix, g.iy, {", ".join(cases)}
+  FROM g{i} g JOIN g{i} n
+    ON n.ix BETWEEN g.ix - 1 AND g.ix + 1
+   AND n.iy BETWEEN g.iy - 1 AND g.iy + 1
+  GROUP BY g.ix, g.iy),
+g{i + 1} AS MATERIALIZED (
+  SELECT ix, iy FROM f{i}
+  WHERE NOT (({b}) BETWEEN 2 AND 6 AND ({a}) = 1 AND {cd}))"""
+
+
+def _skeletonize_sql(rounds: int) -> str:
+    parts = [f"""
+WITH {_PX_SQL},
+g0 AS MATERIALIZED (
+  SELECT img * 64 + x AS ix, y AS iy FROM px WHERE v >= 96)"""]
+    for r in range(rounds):
+        parts.append(_zs_sql_substep(2 * r, 1))
+        parts.append(_zs_sql_substep(2 * r + 1, 2))
+    parts.append(f"""
+SELECT ix, iy FROM g{2 * rounds}""")
+    return "".join(parts)
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 retrieval (textops.bm25_topk) over the documents corpus —
+    exact-rational Robertson formula at k1=6/5, b=3/4, one integer
+    division per (doc, term); oracle replays the cleared fraction."""
+    from .operators import textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return textops.bm25_topk(
+        docs, ["spark", "window", "customer", "vector"], k=15)
+
+
+SQL_BM25 = """
+WITH tk AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+nt AS (
+  SELECT count(DISTINCT doc_id) AS n, count(*) AS t FROM tk),
+qt AS (
+  SELECT * FROM tk
+  WHERE tok IN ('spark', 'window', 'customer', 'vector')),
+tf AS (
+  SELECT doc_id, dl, tok, count(*) AS tf FROM qt GROUP BY 1, 2, 3),
+dft AS (
+  SELECT tok, (1000000 * (SELECT n FROM nt))
+              // count(DISTINCT doc_id) AS idf_s
+  FROM qt GROUP BY tok)
+SELECT tf.doc_id,
+       CAST(sum((idf_s * 44 * tf * (SELECT t FROM nt))
+                // (20 * tf * (SELECT t FROM nt)
+                    + 6 * (SELECT t FROM nt)
+                    + 18 * dl * (SELECT n FROM nt))) AS BIGINT) AS score
+FROM tf JOIN dft USING (tok)
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 15
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7105,6 +7201,8 @@ GROUP_A = {
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "bilateral_filter": (q_bilateral_filter, SQL_BILATERAL_FILTER),
     "areal_interp": (q_areal_interp, SQL_AREAL_INTERP),
+    "skeletonize": (q_skeletonize, _skeletonize_sql(8)),
+    "bm25": (q_bm25, SQL_BM25),
 }
 
 

@@ -210,3 +210,92 @@ def test_areal_floor_remainder_dropped(spark):
     third = (1 * 1 * 1048576) // 3
     assert all(out[t].value_q20 == third for t in (10, 20, 30))
     assert sum(out[t].value_q20 for t in (10, 20, 30)) == 1048575
+
+
+def _skel(spark, pts, rounds=8):
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = spark.createDataFrame(pts, "ix long, iy long")
+    return sorted((r.ix, r.iy) for r in
+                  rasterops.skeletonize_grid(df, max_rounds=rounds)
+                  .collect())
+
+
+def _zs_ref(pts, rounds=8):
+    """Pure-python Zhang-Suen reference (independent of the operator)."""
+    on = set(pts)
+    ring = [(0, -1), (1, -1), (1, 0), (1, 1),
+            (0, 1), (-1, 1), (-1, 0), (-1, -1)]
+    for _ in range(rounds):
+        before = len(on)
+        for step in (1, 2):
+            dele = set()
+            for (x, y) in on:
+                p = [1 if (x + dx, y + dy) in on else 0
+                     for dx, dy in ring]
+                b = sum(p)
+                a = sum((1 - p[i]) * p[(i + 1) % 8] for i in range(8))
+                if step == 1:
+                    cd = p[0] * p[2] * p[4] == 0 and \
+                        p[2] * p[4] * p[6] == 0
+                else:
+                    cd = p[0] * p[2] * p[6] == 0 and \
+                        p[0] * p[4] * p[6] == 0
+                if 2 <= b <= 6 and a == 1 and cd:
+                    dele.add((x, y))
+            on -= dele
+        if len(on) == before:
+            break
+    return sorted(on)
+
+
+def test_skeleton_3x3_block_thins_to_center(spark):
+    pts = [(x, y) for x in range(3) for y in range(3)]
+    out = _skel(spark, pts)
+    assert out == [(1, 1)]
+    assert out == _zs_ref(pts)
+
+
+def test_skeleton_thin_line_is_invariant(spark):
+    pts = [(x, 0) for x in range(6)]
+    assert _skel(spark, pts) == sorted(pts)
+
+
+def test_skeleton_matches_pure_python_reference(spark):
+    # 10x4 bar with a 3x3 nub: non-trivial fixpoint
+    pts = [(x, y) for x in range(10) for y in range(4)]
+    pts += [(x, y) for x in range(3, 6) for y in range(4, 7)]
+    assert _skel(spark, pts) == _zs_ref(pts)
+
+
+def _bm25(spark, docs, terms, **kw):
+    from data_cube_utilities_spark.operators import textops
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r.doc_id: r.score for r in
+            textops.bm25_topk(df, terms, **kw).collect()}
+
+
+def test_bm25_exact_hand_values(spark):
+    docs = [(1, "a b"), (2, "a a b c"), (3, "x y")]
+    out = _bm25(spark, docs, ["a"])
+    # N=3 T=8 df=2 idf_s=1500000; cleared-fraction integer divisions:
+    assert out[1] == (1500000 * 44 * 1 * 8) // (20 * 8 + 48 + 18 * 2 * 3)
+    assert out[2] == (1500000 * 44 * 2 * 8) // (20 * 16 + 48 + 18 * 4 * 3)
+    assert 3 not in out
+
+
+def test_bm25_tf_saturates(spark):
+    docs = [(1, " ".join(["kw"] * 10 + ["pad"] * 10)),
+            (2, " ".join(["kw"] * 100 + ["pad"] * 10)),
+            (3, "other text")]
+    out = _bm25(spark, docs, ["kw"])
+    # more tf scores higher, but FAR less than 10x (saturation)
+    assert out[2] > out[1]
+    assert out[2] < 3 * out[1]
+
+
+def test_bm25_length_penalty(spark):
+    docs = [(1, "kw " + "pad " * 5), (2, "kw " + "pad " * 50)]
+    out = _bm25(spark, docs, ["kw"])
+    assert out[1] > out[2]
