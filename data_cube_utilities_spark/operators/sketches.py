@@ -534,3 +534,105 @@ def chi_square_cells(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         " * 1048576) DIV (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)")
     return t.select("a", "b", "o", "r", "c", "n",
                     contrib.alias("contrib_q20"))
+
+
+def basket_rules(df: DataFrame, basket_col: str, item_col: str,
+                 min_count: int = 2) -> DataFrame:
+    """Frequent item PAIRS + association rules (the A-priori k=2
+    candidate pass, which in practice carries most of market-basket /
+    co-occurrence mining): for every unordered item pair co-occurring
+    in >= min_count baskets,
+
+        support_q20    = pair_count  * 2^20 DIV n_baskets
+        conf_a_to_b    = pair_count  * 2^20 DIV count(a)
+        lift_q20       = pair_count * n_baskets * 2^20
+                           DIV (count(a) * count(b))
+
+    — all exact int64/decimal divisions on the Q20 grid (lift is the
+    log-free PMI twin: >2^20 means positive association).  In a corpus
+    pipeline the same operator over (doc, token) is the co-occurrence /
+    collocation miner.
+
+    Shape at scale: baskets dedup to distinct (basket, item) once; the
+    candidate pairs come from ONE self-join keyed on the basket id
+    (fan-out is sum basket_size^2 — cap pathological baskets upstream,
+    the standard A-priori caveat); item counts join back broadcast.
+    Returns (item_a, item_b, pair_count, count_a, count_b, support_q20,
+    conf_a_to_b_q20, conf_b_to_a_q20, lift_q20)."""
+    bi = (df.select(F.col(basket_col).alias("b"),
+                    F.col(item_col).cast("long").alias("i"))
+            .distinct())
+    n_b = bi.select("b").distinct().count()
+    cnt = bi.groupBy("i").agg(F.count("*").alias("c"))
+    l = bi.select("b", F.col("i").alias("item_a"))
+    r = bi.select("b", F.col("i").alias("item_b"))
+    pairs = (l.join(r, "b")
+              .filter(F.col("item_a") < F.col("item_b"))
+              .groupBy("item_a", "item_b")
+              .agg(F.count("*").alias("pair_count"))
+              .filter(F.col("pair_count") >= min_count))
+    ca = cnt.select(F.col("i").alias("item_a"), F.col("c").alias("count_a"))
+    cb = cnt.select(F.col("i").alias("item_b"), F.col("c").alias("count_b"))
+    q = 1 << 20
+    out = (pairs.join(F.broadcast(ca), "item_a")
+                .join(F.broadcast(cb), "item_b"))
+    return out.select(
+        "item_a", "item_b", "pair_count", "count_a", "count_b",
+        F.expr(f"(pair_count * {q}L) div {n_b}L").alias("support_q20"),
+        F.expr(f"(pair_count * {q}L) div count_a").alias("conf_a_to_b_q20"),
+        F.expr(f"(pair_count * {q}L) div count_b").alias("conf_b_to_a_q20"),
+        F.expr(
+            f"CAST((CAST(pair_count AS DECIMAL(38,0)) * {n_b} * {q}) "
+            f"DIV (CAST(count_a AS DECIMAL(38,0)) * count_b) AS BIGINT)")
+        .alias("lift_q20"))
+
+
+def voronoi_assign(cells_df: DataFrame, sites_df: DataFrame,
+                   ix_col: str = "ix", iy_col: str = "iy",
+                   site_id_col: str = "site_id",
+                   sx_col: str = "sx", sy_col: str = "sy") -> DataFrame:
+    """Discrete Voronoi / Thiessen assignment: each grid cell gets the
+    nearest site by exact squared Euclidean distance, ties to the
+    smallest site id — service-area allocation, nearest-station
+    labeling, the rasterized dual of the kNN suite.
+
+    Shape at scale: the site table is a small dimension, so it is
+    collected ONCE (bounded, the broadcast-probe contract) and folded
+    as a literal array per cell — a pure map-side F.aggregate argmin
+    with NO shuffle and no join at all; 10^12 cells stream through
+    whole-stage codegen.  (Contrast: a crossJoin+groupBy would shuffle
+    |cells| x |sites| rows to recompute the same argmin.)
+
+    Returns (ix, iy, site_id, d2)."""
+    sites = sorted(
+        (int(r[site_id_col]), int(r[sx_col]), int(r[sy_col]))
+        for r in sites_df.select(site_id_col, sx_col, sy_col).collect())
+    if not sites:
+        raise ValueError("voronoi_assign needs at least one site")
+    lit = F.array(*[
+        F.struct(F.lit(sid).cast("long").alias("sid"),
+                 F.lit(sx).cast("long").alias("sx"),
+                 F.lit(sy).cast("long").alias("sy"))
+        for sid, sx, sy in sites])
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"))
+    first = F.element_at(lit, 1)
+
+    def d2(s):
+        return ((s["sx"] - F.col("ix")) * (s["sx"] - F.col("ix"))
+                + (s["sy"] - F.col("iy")) * (s["sy"] - F.col("iy")))
+
+    init = F.struct(first["sid"].alias("sid"), d2(first).alias("d2"))
+
+    def step(acc, s):
+        cand = d2(s)
+        better = (cand < acc["d2"]) | \
+            ((cand == acc["d2"]) & (s["sid"] < acc["sid"]))
+        return F.when(better, F.struct(s["sid"].alias("sid"),
+                                       cand.alias("d2"))).otherwise(acc)
+
+    rest = F.slice(lit, 2, max(len(sites) - 1, 0))
+    best = F.aggregate(rest, init, step)
+    return g.select("ix", "iy",
+                    best["sid"].alias("site_id"),
+                    best["d2"].alias("d2"))

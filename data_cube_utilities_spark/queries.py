@@ -7042,6 +7042,81 @@ LIMIT 15
 
 
 
+def q_basket_rules(spark, sf_dir):
+    """A-priori pair mining (sketches.basket_rules) over order baskets
+    (items = l_partkey mod 30): support / directional confidence / lift
+    on the Q20 grid, all exact divisions.  Oracle replays the distinct
+    + self-join + count algebra."""
+    from .operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 30).alias("item"))
+    return sketches.basket_rules(li, "basket", "item", min_count=2)
+
+
+SQL_BASKET_RULES = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey % 30 AS i FROM lineitem),
+nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+cnt AS (SELECT i, count(*) AS c FROM bi GROUP BY i),
+p AS (
+  SELECT l.i AS item_a, r.i AS item_b, count(*) AS pair_count
+  FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_a, item_b, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(ca.c AS BIGINT) AS count_a, CAST(cb.c AS BIGINT) AS count_b,
+       CAST((pair_count * 1048576) // (SELECT n FROM nb) AS BIGINT)
+         AS support_q20,
+       CAST((pair_count * 1048576) // ca.c AS BIGINT) AS conf_a_to_b_q20,
+       CAST((pair_count * 1048576) // cb.c AS BIGINT) AS conf_b_to_a_q20,
+       CAST((CAST(pair_count AS HUGEINT) * (SELECT n FROM nb) * 1048576)
+            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_q20
+FROM p JOIN cnt ca ON ca.i = item_a JOIN cnt cb ON cb.i = item_b
+"""
+
+
+def q_voronoi(spark, sf_dir):
+    """Discrete Voronoi assignment (sketches.voronoi_assign): a 48x48
+    grid labeled by the nearest supplier-derived site (exact squared
+    distance, ties to smallest site id) — pure map-side literal-array
+    argmin fold, NO shuffle.  Oracle: cross join + rank window."""
+    from .operators import sketches
+
+    grid = spark.range(48 * 48).select(
+        (F.col("id") % 48).alias("ix"),
+        (F.col("id") / 48).cast("long").alias("iy"))
+    sites = (_t(spark, sf_dir, "supplier")
+             .filter(F.col("s_suppkey") % 3 == 0)
+             .select(F.col("s_suppkey").alias("site_id"),
+                     ((F.col("s_suppkey") * 17) % 48).alias("sx"),
+                     ((F.col("s_suppkey") * 29) % 48).alias("sy")))
+    return sketches.voronoi_assign(grid, sites)
+
+
+SQL_VORONOI = """
+WITH g AS (
+  SELECT i.i % 48 AS ix, i.i // 48 AS iy
+  FROM generate_series(0, 2303) i(i)),
+s AS (
+  SELECT s_suppkey AS site_id, (s_suppkey * 17) % 48 AS sx,
+         (s_suppkey * 29) % 48 AS sy
+  FROM supplier WHERE s_suppkey % 3 = 0),
+d AS (
+  SELECT g.ix, g.iy, s.site_id,
+         (s.sx - g.ix) * (s.sx - g.ix)
+         + (s.sy - g.iy) * (s.sy - g.iy) AS d2,
+         row_number() OVER (PARTITION BY g.ix, g.iy
+                            ORDER BY (s.sx - g.ix) * (s.sx - g.ix)
+                                   + (s.sy - g.iy) * (s.sy - g.iy),
+                                     s.site_id) AS rk
+  FROM g CROSS JOIN s)
+SELECT ix, iy, CAST(site_id AS BIGINT) AS site_id, CAST(d2 AS BIGINT) AS d2
+FROM d WHERE rk = 1
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7203,6 +7278,8 @@ GROUP_A = {
     "areal_interp": (q_areal_interp, SQL_AREAL_INTERP),
     "skeletonize": (q_skeletonize, _skeletonize_sql(8)),
     "bm25": (q_bm25, SQL_BM25),
+    "basket_rules": (q_basket_rules, SQL_BASKET_RULES),
+    "voronoi": (q_voronoi, SQL_VORONOI),
 }
 
 

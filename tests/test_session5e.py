@@ -299,3 +299,78 @@ def test_bm25_length_penalty(spark):
     docs = [(1, "kw " + "pad " * 5), (2, "kw " + "pad " * 50)]
     out = _bm25(spark, docs, ["kw"])
     assert out[1] > out[2]
+
+
+def _rules(spark, rows, **kw):
+    from data_cube_utilities_spark.operators import sketches
+
+    df = spark.createDataFrame(rows, "basket long, item long")
+    return {(r.item_a, r.item_b): r for r in
+            sketches.basket_rules(df, "basket", "item", **kw).collect()}
+
+
+def test_basket_rules_exact_counts(spark):
+    # baskets: {1,2} x3, {1,3} x1, {2} alone x1  (5 baskets)
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2),
+            (13, 1), (13, 3), (14, 2)]
+    out = _rules(spark, rows, min_count=1)
+    q = 1 << 20
+    r12 = out[(1, 2)]
+    assert r12.pair_count == 3 and r12.count_a == 4 and r12.count_b == 4
+    assert r12.support_q20 == 3 * q // 5
+    assert r12.conf_a_to_b_q20 == 3 * q // 4
+    # lift = 3*5/(4*4) = 15/16 < 1: weak NEGATIVE association
+    assert r12.lift_q20 == 3 * 5 * q // 16
+    assert out[(1, 3)].pair_count == 1
+
+
+def test_basket_rules_min_count_and_dedup(spark):
+    # duplicate (basket, item) rows must count once
+    rows = [(1, 7), (1, 7), (1, 8), (2, 7), (2, 8)]
+    out = _rules(spark, rows, min_count=2)
+    assert out[(7, 8)].pair_count == 2 and len(out) == 1
+
+
+def _voro(spark, cells, sites):
+    from data_cube_utilities_spark.operators import sketches
+
+    c = spark.createDataFrame(cells, "ix long, iy long")
+    s = spark.createDataFrame(sites, "site_id long, sx long, sy long")
+    return {(r.ix, r.iy): (r.site_id, r.d2) for r in
+            sketches.voronoi_assign(c, s).collect()}
+
+
+def test_voronoi_nearest_and_tie_break(spark):
+    cells = [(0, 0), (10, 0), (5, 0)]
+    sites = [(2, 0, 0), (1, 10, 0)]
+    out = _voro(spark, cells, sites)
+    assert out[(0, 0)] == (2, 0)
+    assert out[(10, 0)] == (1, 0)
+    # (5,0) equidistant (d2=25): smaller site id 1 wins
+    assert out[(5, 0)] == (1, 25)
+
+
+def test_voronoi_single_site(spark):
+    out = _voro(spark, [(3, 4)], [(9, 0, 0)])
+    assert out[(3, 4)] == (9, 25)
+
+
+def test_voronoi_no_sites_raises(spark):
+    import pytest
+    from data_cube_utilities_spark.operators import sketches
+
+    c = spark.createDataFrame([(0, 0)], "ix long, iy long")
+    s = spark.createDataFrame([], "site_id long, sx long, sy long")
+    with pytest.raises(ValueError):
+        sketches.voronoi_assign(c, s)
+
+
+def test_voronoi_plan_is_shuffle_free(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    c = spark.range(100).selectExpr("id % 10 as ix", "id div 10 as iy")
+    s = spark.createDataFrame([(1, 0, 0), (2, 9, 9)],
+                              "site_id long, sx long, sy long")
+    plan = sketches.voronoi_assign(c, s)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
