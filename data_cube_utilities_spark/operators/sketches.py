@@ -636,3 +636,36 @@ def voronoi_assign(cells_df: DataFrame, sites_df: DataFrame,
     return g.select("ix", "iy",
                     best["sid"].alias("site_id"),
                     best["d2"].alias("d2"))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, id_col: str,
+                       value_col: str) -> DataFrame:
+    """Quantile normalization across groups (the batch-effect remover
+    of bioinformatics / the feature-distribution equalizer of ML
+    pipelines): every group's rank-r value is replaced by the MEAN of
+    all groups' rank-r values, so each group ends with an identical
+    value distribution.
+
+    Rank = row_number ordered by (value, id) — the id tiebreak makes
+    rank assignment deterministic under ties (pinned); the reference
+    value is the exact mean on the Q20 grid, sum * 2^20 DIV count
+    (values required nonnegative so DIV == floor cross-engine).
+    Unequal group sizes are allowed: a rank present in only some
+    groups averages over those groups (the tail-rank convention, also
+    pinned by test).
+
+    Shape at scale: ONE window (rank within group) + one groupBy(rank)
+    producing a ranks-long reference table that joins back broadcast —
+    two shuffles, no UDF.  Returns (group, id, value, rank,
+    norm_q20)."""
+    g = df.select(F.col(group_col).alias("grp"),
+                  F.col(id_col).alias("id"),
+                  F.col(value_col).cast("long").alias("v"))
+    w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+    ranked = g.withColumn("rank", F.row_number().over(w))
+    ref = (ranked.groupBy("rank")
+                 .agg(F.expr("(sum(v) * 1048576) div count(*)")
+                       .alias("norm_q20")))
+    return (ranked.join(F.broadcast(ref), "rank")
+                  .select("grp", "id", "v", F.col("rank").cast("long")
+                          .alias("rank"), "norm_q20"))

@@ -1025,3 +1025,39 @@ def _trunc_div_col(num, den):
     q = (F.floor(F.abs(num).cast("decimal(38,0)")
                  / den.cast("decimal(38,0)"))).cast("long")
     return F.when(num < 0, -q).otherwise(q)
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user",
+                      t_col: str = "t", period: int = 7) -> DataFrame:
+    """Cohort retention analysis — the standard product-analytics
+    triangle: users are cohorted by the period of their FIRST event
+    (cohort = min(t) DIV period), and every (cohort, offset) cell
+    counts the cohort's users active `offset` periods later, with the
+    retention rate on the Q20 grid (rate = n_active * 2^20 DIV
+    cohort_size; offset 0 is the cohort size itself, rate 2^20).
+
+    Exact integers throughout (t and period nonnegative, so DIV ==
+    floor on both engines).
+
+    Shape at scale: one groupBy(user) for first-event cohorts, one
+    distinct over (user, period_idx) for activity, one equi-join on the
+    user id (both sides shuffle on the same key and co-partition), one
+    final small aggregate.  Returns (cohort, offset, n_active,
+    cohort_size, rate_q20)."""
+    ev = df.select(F.col(user_col).alias("u"),
+                   F.expr(f"{t_col} div {period}").alias("p"))
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort"))
+    active = ev.distinct()
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").alias("cohort_size"))
+    cells = (active.join(first, "u")
+                   .groupBy("cohort", (F.col("p") - F.col("cohort"))
+                            .alias("offset"))
+                   .agg(F.countDistinct("u").alias("n_active")))
+    return (cells.join(F.broadcast(sizes), "cohort")
+                 .select("cohort", "offset",
+                         F.col("n_active").cast("long").alias("n_active"),
+                         F.col("cohort_size").cast("long")
+                          .alias("cohort_size"),
+                         F.expr("(n_active * 1048576) div cohort_size")
+                          .alias("rate_q20")))

@@ -7117,6 +7117,68 @@ FROM d WHERE rk = 1
 
 
 
+def q_retention(spark, sf_dir):
+    """Cohort retention triangle (temporal.retention_cohorts) over the
+    events stream: cohort = first-event period (period = 997 event ids),
+    per-offset active users + Q20 retention rate."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("user"), F.col("event_id").alias("t"))
+    return temporal.retention_cohorts(ev, period=997)
+
+
+SQL_RETENTION = """
+WITH ev AS (
+  SELECT user_id AS u, event_id // 997 AS p FROM events),
+first AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1),
+act AS (SELECT DISTINCT u, p FROM ev),
+cells AS (
+  SELECT f.cohort, a.p - f.cohort AS off, count(DISTINCT a.u) AS n_active
+  FROM act a JOIN first f ON f.u = a.u
+  GROUP BY 1, 2)
+SELECT c.cohort, off AS offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       CAST((n_active * 1048576) // cohort_size AS BIGINT) AS rate_q20
+FROM cells c JOIN sizes s ON s.cohort = c.cohort
+"""
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization (sketches.quantile_normalize) of order
+    totals across order-status groups: rank-r values replaced by the
+    cross-group rank-r mean on the Q20 grid; (value, id) rank tiebreak
+    pinned."""
+    from .operators import sketches
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"))
+    return sketches.quantile_normalize(o, "grp", "id", "v")
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH g AS (
+  SELECT o_orderstatus AS grp, o_orderkey AS id,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+ranked AS (
+  SELECT grp, id, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rank
+  FROM g),
+ref AS (
+  SELECT rank, (sum(v) * 1048576) // count(*) AS norm_q20
+  FROM ranked GROUP BY rank)
+SELECT grp, id, v, CAST(rank AS BIGINT) AS rank,
+       CAST(norm_q20 AS BIGINT) AS norm_q20
+FROM ranked JOIN ref USING (rank)
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7280,6 +7342,8 @@ GROUP_A = {
     "bm25": (q_bm25, SQL_BM25),
     "basket_rules": (q_basket_rules, SQL_BASKET_RULES),
     "voronoi": (q_voronoi, SQL_VORONOI),
+    "retention": (q_retention, SQL_RETENTION),
+    "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
 }
 
 

@@ -374,3 +374,51 @@ def test_voronoi_plan_is_shuffle_free(spark):
     plan = sketches.voronoi_assign(c, s)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_retention_cohort_triangle(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    # period 10; user 1 first at p0, active p0+p1+p2; user 2 first p0,
+    # active p0 only; user 3 first p1, active p1+p2
+    ev = [(1, 0), (1, 5), (1, 12), (1, 25),
+          (2, 3),
+          (3, 11), (3, 29)]
+    df = spark.createDataFrame(ev, "user long, t long")
+    out = {(r.cohort, r.offset): r for r in
+           temporal.retention_cohorts(df, period=10).collect()}
+    q = 1 << 20
+    assert out[(0, 0)].n_active == 2 and out[(0, 0)].rate_q20 == q
+    assert out[(0, 1)].n_active == 1 and out[(0, 1)].rate_q20 == q // 2
+    assert out[(0, 2)].n_active == 1
+    assert out[(1, 0)].n_active == 1 and out[(1, 1)].n_active == 1
+    assert (1, 2) not in out
+
+
+def test_quantile_normalize_equalizes_groups(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    rows = [("a", 1, 0), ("a", 2, 10), ("a", 3, 20),
+            ("b", 4, 100), ("b", 5, 110), ("b", 6, 120)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    out = sketches.quantile_normalize(df, "grp", "id", "v").collect()
+    q = 1 << 20
+    by_rank = {}
+    for r in out:
+        by_rank.setdefault(r.rank, set()).add(r.norm_q20)
+    # after QN both groups carry identical distributions
+    assert by_rank == {1: {50 * q}, 2: {60 * q}, 3: {70 * q}}
+
+
+def test_quantile_normalize_tie_and_tail_ranks(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    # group a has a tie (rank by id) and one extra tail rank
+    rows = [("a", 1, 5), ("a", 2, 5), ("a", 3, 9), ("b", 4, 1), ("b", 5, 3)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    out = {(r.grp, r.id): r for r in sketches.quantile_normalize(
+        df, "grp", "id", "v").collect()}
+    assert out[("a", 1)].rank == 1 and out[("a", 2)].rank == 2
+    # tail rank 3 exists only in group a: mean over that group alone
+    assert out[("a", 3)].norm_q20 == 9 * (1 << 20)
+    assert out[("a", 1)].norm_q20 == (5 + 1) * (1 << 20) // 2
