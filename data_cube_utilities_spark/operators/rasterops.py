@@ -3013,3 +3013,99 @@ def skeletonize_grid(cells_df: DataFrame, max_rounds: int = 8,
             break
         n_prev = n_cur
     return on
+
+
+def region_topology_long(cells: DataFrame, label_col: str = "label",
+                         ix_col: str = "ix",
+                         iy_col: str = "iy") -> DataFrame:
+    """Exact Euler characteristic per label over a long-form labeled
+    grid, by the classical local-counts formula (Gray 1971):
+
+        euler4 = P - H - V + Q
+
+    with P = pixels, H/V = horizontally/vertically adjacent same-label
+    pairs, Q = 2x2 all-same-label quads.  Under the 4-connected-
+    foreground / 8-connected-background convention, euler4 =
+    (#connected components) - (#holes): for CC labels (one component
+    per label) the hole count is simply 1 - euler4 — the raster
+    topology test (is this water body an annulus?) the reference's
+    vectorize consumers get from shapely's interiors, computed here
+    without geometry.
+
+    Purely local integer counts: H/V/Q are equi-joins of the cell set
+    against its E / S / (E, S, SE) shifted selves on (label, coords) —
+    co-partitioned, no window, no UDF, additive per label (so the
+    global number is one final small agg).  Returns (label, n_px, n_h,
+    n_v, n_quads, euler4)."""
+    b = (cells.select(F.col(label_col).cast("long").alias("lab"),
+                      F.col(ix_col).cast("long").alias("ix"),
+                      F.col(iy_col).cast("long").alias("iy"))
+              .distinct())
+
+    def shifted(dx, dy, tag):
+        return b.select(F.col("lab").alias(f"lab_{tag}"),
+                        (F.col("ix") - dx).alias("ix"),
+                        (F.col("iy") - dy).alias("iy"))
+
+    e = shifted(1, 0, "e")
+    s = shifted(0, 1, "s")
+    se = shifted(1, 1, "se")
+    h_cnt = (b.join(e, ["ix", "iy"])
+              .filter(F.col("lab") == F.col("lab_e"))
+              .groupBy("lab").agg(F.count("*").alias("n_h")))
+    v_cnt = (b.join(s, ["ix", "iy"])
+              .filter(F.col("lab") == F.col("lab_s"))
+              .groupBy("lab").agg(F.count("*").alias("n_v")))
+    q_cnt = (b.join(e, ["ix", "iy"]).join(s, ["ix", "iy"])
+              .join(se, ["ix", "iy"])
+              .filter((F.col("lab") == F.col("lab_e"))
+                      & (F.col("lab") == F.col("lab_s"))
+                      & (F.col("lab") == F.col("lab_se")))
+              .groupBy("lab").agg(F.count("*").alias("n_quads")))
+    p_cnt = b.groupBy("lab").agg(F.count("*").alias("n_px"))
+    out = (p_cnt.join(h_cnt, "lab", "left")
+                .join(v_cnt, "lab", "left")
+                .join(q_cnt, "lab", "left")
+                .na.fill(0, ["n_h", "n_v", "n_quads"]))
+    return out.select(
+        F.col("lab").alias("label"), "n_px",
+        F.col("n_h").cast("long").alias("n_h"),
+        F.col("n_v").cast("long").alias("n_v"),
+        F.col("n_quads").cast("long").alias("n_quads"),
+        (F.col("n_px") - F.col("n_h") - F.col("n_v") + F.col("n_quads"))
+        .cast("long").alias("euler4"))
+
+
+def adaptive_threshold_grid(pixels: DataFrame, radius: int = 2,
+                            c: int = 0, img_col: str = "img",
+                            x_col: str = "px", y_col: str = "py",
+                            value_col: str = "val") -> DataFrame:
+    """Locally adaptive (mean - c) binarization over DENSE per-image
+    grids — the document/scene binarizer that survives illumination
+    gradients where a global Otsu threshold fails:
+
+        on(p) = v(p) * n_win > box_sum(p) - c * n_win
+
+    i.e. v > window_mean - c, cross-multiplied so the comparison is
+    exact int64 (no division at all).  box_sum comes from the
+    summed-area table (integral_image_long -> box_sum_sat: two window
+    passes + 4 key self-joins); the clipped window population n_win is
+    ANALYTIC from the per-image extents (dense-grid contract, same as
+    the SAT corners), not a second count pass.
+
+    Returns (img, x, y, v, box_sum, n_win, on)."""
+    sat = integral_image_long(pixels, img_col, x_col, y_col, value_col)
+    box = box_sum_sat(sat, radius)
+    ext = (pixels.groupBy(F.col(img_col).alias("img"))
+                 .agg(F.max(x_col).alias("mx"), F.max(y_col).alias("my")))
+    r = radius
+    wx = (F.least(F.col("x") + r, F.col("mx"))
+          - F.greatest(F.col("x") - r, F.lit(0)) + 1)
+    wy = (F.least(F.col("y") + r, F.col("my"))
+          - F.greatest(F.col("y") - r, F.lit(0)) + 1)
+    return (box.join(F.broadcast(ext), "img")
+               .withColumn("n_win", (wx * wy).cast("long"))
+               .select("img", "x", "y", "v", "box_sum", "n_win",
+                       (F.col("v") * F.col("n_win")
+                        > F.col("box_sum") - c * F.col("n_win"))
+                       .cast("int").alias("on")))

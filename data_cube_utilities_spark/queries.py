@@ -7179,6 +7179,81 @@ FROM ranked JOIN ref USING (rank)
 
 
 
+def q_region_topology(spark, sf_dir):
+    """Per-class Euler characteristic (rasterops.region_topology_long)
+    over the 4 lineitem tiles on one plane, labels = DN quartile
+    classes: P - H - V + Q local-count formula, three shifted-selves
+    joins.  Oracle replays the same joins."""
+    from .operators import rasterops
+
+    g = _px_grid(spark, sf_dir).select(
+        (F.col("img") * 64 + F.col("px")).alias("ix"),
+        F.col("py").alias("iy"),
+        F.expr("val div 64").alias("label"))
+    return rasterops.region_topology_long(g)
+
+
+SQL_REGION_TOPOLOGY = f"""
+WITH {_PX_SQL},
+b AS (SELECT img * 64 + x AS ix, y AS iy, v // 64 AS lab FROM px),
+h AS (
+  SELECT p.lab, count(*) AS n_h FROM b p
+  JOIN b q ON q.ix = p.ix + 1 AND q.iy = p.iy AND q.lab = p.lab
+  GROUP BY p.lab),
+v AS (
+  SELECT p.lab, count(*) AS n_v FROM b p
+  JOIN b q ON q.ix = p.ix AND q.iy = p.iy + 1 AND q.lab = p.lab
+  GROUP BY p.lab),
+q4 AS (
+  SELECT p.lab, count(*) AS n_quads FROM b p
+  JOIN b e  ON e.ix  = p.ix + 1 AND e.iy  = p.iy     AND e.lab  = p.lab
+  JOIN b s  ON s.ix  = p.ix     AND s.iy  = p.iy + 1 AND s.lab  = p.lab
+  JOIN b se ON se.ix = p.ix + 1 AND se.iy = p.iy + 1 AND se.lab = p.lab
+  GROUP BY p.lab),
+pc AS (SELECT lab, count(*) AS n_px FROM b GROUP BY lab)
+SELECT pc.lab AS label, CAST(n_px AS BIGINT) AS n_px,
+       CAST(coalesce(n_h, 0) AS BIGINT) AS n_h,
+       CAST(coalesce(n_v, 0) AS BIGINT) AS n_v,
+       CAST(coalesce(n_quads, 0) AS BIGINT) AS n_quads,
+       CAST(n_px - coalesce(n_h, 0) - coalesce(n_v, 0)
+            + coalesce(n_quads, 0) AS BIGINT) AS euler4
+FROM pc LEFT JOIN h ON h.lab = pc.lab
+LEFT JOIN v ON v.lab = pc.lab
+LEFT JOIN q4 ON q4.lab = pc.lab
+"""
+
+
+def q_adaptive_threshold(spark, sf_dir):
+    """Adaptive (local mean - c) binarization (rasterops.
+    adaptive_threshold_grid, radius 2, c 8) over the 4 dense lineitem
+    tiles: SAT box sums + analytic clipped window population, the
+    comparison cross-multiplied — zero divisions.  Oracle computes the
+    same window sums by a direct range join (dense grid: identical)."""
+    from .operators import rasterops
+
+    return rasterops.adaptive_threshold_grid(
+        _px_grid(spark, sf_dir), radius=2, c=8)
+
+
+SQL_ADAPTIVE_THRESHOLD = f"""
+WITH {_PX_SQL},
+w AS (
+  SELECT p.img, p.x, p.y, p.v,
+         sum(q.v) AS box_sum, count(*) AS n_win
+  FROM px p JOIN px q ON q.img = p.img
+   AND q.x BETWEEN p.x - 2 AND p.x + 2
+   AND q.y BETWEEN p.y - 2 AND p.y + 2
+  GROUP BY p.img, p.x, p.y, p.v)
+SELECT img, x, y, CAST(v AS BIGINT) AS v,
+       CAST(box_sum AS BIGINT) AS box_sum,
+       CAST(n_win AS BIGINT) AS n_win,
+       CAST(CASE WHEN v * n_win > box_sum - 8 * n_win
+                 THEN 1 ELSE 0 END AS INTEGER) AS on
+FROM w
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7344,6 +7419,8 @@ GROUP_A = {
     "voronoi": (q_voronoi, SQL_VORONOI),
     "retention": (q_retention, SQL_RETENTION),
     "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
+    "region_topology": (q_region_topology, SQL_REGION_TOPOLOGY),
+    "adaptive_threshold": (q_adaptive_threshold, SQL_ADAPTIVE_THRESHOLD),
 }
 
 

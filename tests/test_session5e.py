@@ -422,3 +422,59 @@ def test_quantile_normalize_tie_and_tail_ranks(spark):
     # tail rank 3 exists only in group a: mean over that group alone
     assert out[("a", 3)].norm_q20 == 9 * (1 << 20)
     assert out[("a", 1)].norm_q20 == (5 + 1) * (1 << 20) // 2
+
+
+def _topo(spark, pts):
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = spark.createDataFrame(pts, "label long, ix long, iy long")
+    return {r.label: r for r in
+            rasterops.region_topology_long(df).collect()}
+
+
+def test_topology_solid_square_euler_one(spark):
+    pts = [(1, x, y) for x in range(3) for y in range(3)]
+    r = _topo(spark, pts)[1]
+    assert (r.n_px, r.n_h, r.n_v, r.n_quads) == (9, 6, 6, 4)
+    assert r.euler4 == 1          # one component, no hole
+
+
+def test_topology_annulus_has_one_hole(spark):
+    pts = [(1, x, y) for x in range(3) for y in range(3)
+           if (x, y) != (1, 1)]
+    r = _topo(spark, pts)[1]
+    assert r.euler4 == 0          # 1 component - 1 hole
+
+
+def test_topology_two_islands(spark):
+    pts = [(1, 0, 0), (1, 5, 5)]
+    r = _topo(spark, pts)[1]
+    assert r.euler4 == 2          # two components, no holes
+
+
+def _athresh(spark, vals, **kw):
+    from data_cube_utilities_spark.operators import rasterops
+
+    rows = [(0, x, y, v) for (x, y), v in vals.items()]
+    df = spark.createDataFrame(rows, "img long, px long, py long, val long")
+    return {(r.x, r.y): r for r in
+            rasterops.adaptive_threshold_grid(df, **kw).collect()}
+
+
+def test_adaptive_threshold_flat_field(spark):
+    vals = {(x, y): 50 for x in range(5) for y in range(5)}
+    # v == mean: strict > fails at c=0, passes with any positive c
+    assert all(r.on == 0 for r in _athresh(spark, vals, radius=1,
+                                           c=0).values())
+    assert all(r.on == 1 for r in _athresh(spark, vals, radius=1,
+                                           c=8).values())
+
+
+def test_adaptive_threshold_bright_spot(spark):
+    vals = {(x, y): 0 for x in range(5) for y in range(5)}
+    vals[(2, 2)] = 100
+    out = _athresh(spark, vals, radius=1, c=0)
+    assert out[(2, 2)].on == 1            # 100*9 > 100
+    assert out[(1, 2)].on == 0            # 0 > 100 fails
+    assert out[(0, 0)].on == 0            # all-zero window
+    assert out[(2, 2)].n_win == 9 and out[(0, 0)].n_win == 4
