@@ -2510,3 +2510,114 @@ def areal_interpolate(cells_df: DataFrame, zone_vals_df: DataFrame,
                       F.countDistinct("s").cast("long")
                        .alias("n_src_zones"),
                       F.sum("n_st").cast("long").alias("n_cells")))
+
+
+def least_cost_path_grid(cells_df: DataFrame, target: "tuple[int, int]",
+                         max_log2: int = 13, ix_col: str = "ix",
+                         iy_col: str = "iy", cost_col: str = "cost",
+                         source_col: str = "is_source",
+                         acc_rounds: int = 64,
+                         to_fixpoint: bool = True) -> DataFrame:
+    """Optimal-route reconstruction over a cost raster — the backtrack
+    stage cost_distance_grid lacks: which cells the least-cost path
+    from the source set to `target` actually crosses (corridor siting,
+    route planning — the classic GIS pair of operators).
+
+    Parent pointers are EXACT: parent(v) = the 4-neighbor u with
+    acc(u) + cost(v) == acc(v) (such a u always exists off-source on an
+    optimal tree), ties broken (ux, uy) lexicographic — so the path is
+    unique and hash-reproducible.  Source cells self-loop, saturating
+    every jump below; with a hop-BOUNDED acc (to_fixpoint=False — the
+    cost_distance oracle configuration) a cell can lack a qualifying
+    parent, and it self-loops too, terminating the chase there.
+
+    Shape at scale: sequential backtracking would take path-length
+    rounds; instead the parent FOREST is binary-lifted — J_{k+1} =
+    J_k JOIN J_k gives the 2^(k+1)-ancestor of every cell in one
+    self-join — and the ancestor SET of the target accumulates by
+    A := A UNION J_k[A] from the high bit down (every path offset is a
+    subset sum of powers of two), so a 2^13-cell path resolves in ~26
+    n-row equi-joins instead of 8192 rounds.  localCheckpoint per
+    level (iterative-lineage contract).  Returns the path's (ix, iy,
+    acc) rows, target and reached source included."""
+    acc = cost_distance_grid(cells_df, ix_col, iy_col, cost_col,
+                             source_col, max_rounds=acc_rounds,
+                             to_fixpoint=to_fixpoint)
+    g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
+                        F.col(iy_col).cast("long").alias("iy"),
+                        F.col(cost_col).cast("long").alias("cost"),
+                        F.col(source_col).cast("boolean").alias("src"))
+    a = acc.join(g, ["ix", "iy"]).persist()
+    offs = cells_df.sparkSession.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long")
+    nb = a.select(F.col("ix").alias("ux"), F.col("iy").alias("uy"),
+                  F.col("acc").alias("uacc"))
+    cand = (a.crossJoin(F.broadcast(offs))
+             .withColumn("ux", F.col("ix") + F.col("dx"))
+             .withColumn("uy", F.col("iy") + F.col("dy"))
+             .join(nb, ["ux", "uy"])
+             .filter(F.col("uacc") + F.col("cost") == F.col("acc")))
+    best = (cand.groupBy("ix", "iy")
+                .agg(F.min(F.struct("ux", "uy")).alias("p"))
+                .select("ix", "iy", F.col("p.ux").alias("px"),
+                        F.col("p.uy").alias("py")))
+    # sources (and any cell with no qualifying parent) self-loop
+    parent = (a.select("ix", "iy", "src")
+               .join(best, ["ix", "iy"], "left")
+               .select("ix", "iy",
+                       F.when(F.col("src") | F.col("px").isNull(),
+                              F.col("ix")).otherwise(F.col("px"))
+                        .alias("px"),
+                       F.when(F.col("src") | F.col("py").isNull(),
+                              F.col("iy")).otherwise(F.col("py"))
+                        .alias("py"))
+               .localCheckpoint(eager=True))
+    jumps = [parent]
+    for _ in range(max_log2):
+        j = jumps[-1]
+        j2 = (j.join(j.select(F.col("ix").alias("px"),
+                              F.col("iy").alias("py"),
+                              F.col("px").alias("qx"),
+                              F.col("py").alias("qy")), ["px", "py"])
+               .select("ix", "iy", F.col("qx").alias("px"),
+                       F.col("qy").alias("py"))
+               .localCheckpoint(eager=True))
+        jumps.append(j2)
+    tx, ty = int(target[0]), int(target[1])
+    anc = (a.sparkSession.createDataFrame([(tx, ty)], "ix long, iy long")
+           .localCheckpoint(eager=True))
+    for j in reversed(jumps):
+        hop = (anc.join(j, ["ix", "iy"])
+                  .select(F.col("px").alias("ix"), F.col("py").alias("iy")))
+        anc = (anc.unionByName(hop).distinct()
+                  .localCheckpoint(eager=True))
+    out = anc.join(acc, ["ix", "iy"]).select("ix", "iy", "acc")
+    a.unpersist()
+    return out
+
+
+def skew_profile(df: DataFrame, key_cols: "Sequence[str]",
+                 target_rows: int = 1_000_000,
+                 top_k: int = 20) -> DataFrame:
+    """Join/shuffle skew diagnostic — the measurement half of the salted
+    repartitioning story (salted_zonal is the cure; this finds the
+    patients): per hot key, its row count, its share of the table on
+    the Q20 grid, and the SALT FACTOR a downstream salted aggregation
+    needs (ceil(count / target_rows), computed as an exact integer
+    ceil-div) to keep every task under target_rows rows.
+
+    Coastline/urban cells, null-ish default keys, and bot users all
+    surface here before they melt a 1000-executor join.  Returns the
+    top_k heaviest keys: (key..., cnt, share_q20, salt_factor) —
+    TakeOrderedAndProject after ONE map-side-combining groupBy, so the
+    diagnostic itself cannot skew."""
+    total = df.count()
+    cnt = df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+    return (cnt.select(
+                *key_cols, "cnt",
+                F.expr(f"(cnt * 1048576) div {total}L").alias("share_q20"),
+                F.expr(f"(cnt + {target_rows}L - 1) div {target_rows}L")
+                 .alias("salt_factor"))
+               .orderBy(F.desc("cnt"),
+                        *[F.asc(k) for k in key_cols])
+               .limit(top_k))

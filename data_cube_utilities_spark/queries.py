@@ -7254,6 +7254,97 @@ FROM w
 
 
 
+def q_least_cost_path(spark, sf_dir):
+    """Least-cost route reconstruction (spatial.least_cost_path_grid)
+    over the 16x16 cost raster of q_cost_distance, hop-bounded to 12
+    relax rounds (the oracle-able configuration), target (15, 15):
+    exact parent pointers + binary-lifted ancestor closure.  Oracle:
+    the same unrolled relaxation + packed-key argmin parents + a
+    recursive chase."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = (li.groupBy((F.col("l_orderkey") % 16).alias("ix"),
+                    (F.col("l_partkey") % 16).alias("iy"))
+           .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                .alias("v"))
+           .select("ix", "iy", (F.col("v") % 9 + 1).alias("cost"),
+                   (F.col("v") % 31 == 0).alias("is_source")))
+    return spatial.least_cost_path_grid(
+        g, target=(15, 15), max_log2=4, acc_rounds=12, to_fixpoint=False)
+
+
+def _lcp_sql(rounds: int) -> str:
+    parts = ["""g AS MATERIALIZED (
+  SELECT ix, iy, v % 9 + 1 AS cost, v % 31 = 0 AS src FROM (
+    SELECT l_orderkey % 16 AS ix, l_partkey % 16 AS iy,
+           CAST(sum(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+    FROM lineitem GROUP BY 1, 2) b)""",
+             "d0 AS MATERIALIZED (SELECT ix, iy, CAST(0 AS BIGINT) AS d "
+             "FROM g WHERE src)"]
+    for k in range(1, rounds + 1):
+        parts.append(f"""d{k} AS MATERIALIZED (
+  SELECT ix, iy, min(d) AS d FROM (
+    SELECT ix, iy, d FROM d{k - 1}
+    UNION ALL
+    SELECT g.ix, g.iy, p.d + g.cost AS d
+    FROM d{k - 1} p JOIN g ON abs(g.ix - p.ix) + abs(g.iy - p.iy) = 1) u
+  GROUP BY 1, 2)""")
+    parts.append(f"""acc AS MATERIALIZED (
+  SELECT d{rounds}.ix, d{rounds}.iy, d AS acc, g.src
+  FROM d{rounds} JOIN g USING (ix, iy))""")
+    parts.append("""par AS MATERIALIZED (
+  SELECT v.ix, v.iy,
+         CASE WHEN v.src OR min(u.ix * 100000 + u.iy) IS NULL
+              THEN v.ix ELSE min(u.ix * 100000 + u.iy) // 100000
+         END AS px,
+         CASE WHEN v.src OR min(u.ix * 100000 + u.iy) IS NULL
+              THEN v.iy ELSE min(u.ix * 100000 + u.iy) % 100000
+         END AS py
+  FROM acc v
+  JOIN g gv ON gv.ix = v.ix AND gv.iy = v.iy
+  LEFT JOIN acc u ON abs(u.ix - v.ix) + abs(u.iy - v.iy) = 1
+                 AND u.acc + gv.cost = v.acc AND NOT v.src
+  GROUP BY v.ix, v.iy, v.src)""")
+    parts.append("""chase AS (
+  SELECT CAST(15 AS BIGINT) AS ix, CAST(15 AS BIGINT) AS iy
+  UNION
+  SELECT p.px, p.py FROM chase c
+  JOIN par p ON p.ix = c.ix AND p.iy = c.iy)""")
+    return ("WITH RECURSIVE " + ",\n".join(parts)
+            + "\nSELECT c.ix, c.iy, a.acc FROM chase c "
+              "JOIN acc a USING (ix, iy)")
+
+
+def q_skew_profile(spark, sf_dir):
+    """Shuffle-skew diagnostic (spatial.skew_profile) over lineitem
+    keyed by the deliberately skewed l_partkey mod 7 bucket: heavy
+    keys, Q20 table share, exact ceil-div salt factors."""
+    from .operators import spatial
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.when(F.col("l_orderkey") % 3 == 0, 0)
+          .otherwise(F.col("l_partkey") % 7 + 1)).alias("bucket"))
+    return spatial.skew_profile(li, ["bucket"], target_rows=500,
+                                top_k=10)
+
+
+SQL_SKEW_PROFILE = """
+WITH b AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+              ELSE l_partkey % 7 + 1 END AS bucket
+  FROM lineitem),
+n AS (SELECT count(*) AS total FROM b),
+c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket)
+SELECT bucket, CAST(cnt AS BIGINT) AS cnt,
+       CAST((cnt * 1048576) // (SELECT total FROM n) AS BIGINT)
+         AS share_q20,
+       CAST((cnt + 499) // 500 AS BIGINT) AS salt_factor
+FROM c ORDER BY cnt DESC, bucket ASC LIMIT 10
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7421,6 +7512,8 @@ GROUP_A = {
     "quantile_normalize": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     "region_topology": (q_region_topology, SQL_REGION_TOPOLOGY),
     "adaptive_threshold": (q_adaptive_threshold, SQL_ADAPTIVE_THRESHOLD),
+    "least_cost_path": (q_least_cost_path, _lcp_sql(12)),
+    "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
 }
 
 

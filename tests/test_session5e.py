@@ -478,3 +478,48 @@ def test_adaptive_threshold_bright_spot(spark):
     assert out[(1, 2)].on == 0            # 0 > 100 fails
     assert out[(0, 0)].on == 0            # all-zero window
     assert out[(2, 2)].n_win == 9 and out[(0, 0)].n_win == 4
+
+
+def _lcp(spark, cells, target, **kw):
+    from data_cube_utilities_spark.operators import spatial
+
+    df = spark.createDataFrame(
+        cells, "ix long, iy long, cost long, is_source boolean")
+    return sorted((r.ix, r.iy, r.acc) for r in
+                  spatial.least_cost_path_grid(df, target, max_log2=4,
+                                               **kw).collect())
+
+
+def test_lcp_straight_corridor(spark):
+    cells = [(x, 0, 1, x == 0) for x in range(5)]
+    assert _lcp(spark, cells, (4, 0)) == [(x, 0, x) for x in range(5)]
+
+
+def test_lcp_prefers_cheap_detour(spark):
+    cells = []
+    for x in range(3):
+        for y in range(2):
+            cost = 100 if (x, y) == (1, 0) else 1
+            cells.append((x, y, cost, (x, y) == (0, 0)))
+    out = _lcp(spark, cells, (2, 0))
+    assert out == [(0, 0, 0), (0, 1, 1), (1, 1, 2), (2, 0, 4), (2, 1, 3)]
+
+
+def test_lcp_tie_breaks_lexicographic(spark):
+    cells = [(x, y, 1, (x, y) == (0, 0))
+             for x in range(2) for y in range(2)]
+    out = _lcp(spark, cells, (1, 1))
+    # two optimal parents for (1,1): (0,1) wins over (1,0)
+    assert out == [(0, 0, 0), (0, 1, 1), (1, 1, 2)]
+
+
+def test_skew_profile_salt_factors(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    rows = [("a",)] * 7 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.k: r for r in spatial.skew_profile(
+        df, ["k"], target_rows=4, top_k=5).collect()}
+    assert out["a"].cnt == 7 and out["a"].salt_factor == 2
+    assert out["b"].salt_factor == 1
+    assert out["a"].share_q20 == 7 * (1 << 20) // 10
