@@ -940,3 +940,78 @@ def pca_project(emb: DataFrame, components: np.ndarray, mean: np.ndarray,
 
     return emb.select(id_col, vec_col).mapInPandas(
         run, schema=f"{id_col} long, projection array<double>")
+
+
+def confusion_metrics(df: DataFrame, label_col: str = "label",
+                      pred_col: str = "pred") -> DataFrame:
+    """Per-class classifier evaluation from (label, pred) pairs — the
+    metrics table every wasard/classification consumer reads off
+    sklearn, as exact integers: tp/fp/fn counts plus precision, recall
+    and F1 on the Q20 grid (F1 = 2*tp*2^20 DIV (2*tp + fp + fn) — the
+    harmonic mean clears to one division; NULL when the class never
+    appears as label or prediction).
+
+    Shape at scale: ONE map-side-combining groupBy over (label, pred)
+    builds the confusion matrix (classes^2 rows — tiny), everything
+    downstream is arithmetic on that table.  Returns (cls, tp, fp, fn,
+    n_true, n_pred, precision_q20, recall_q20, f1_q20)."""
+    cm = (df.groupBy(F.col(label_col).cast("long").alias("y"),
+                     F.col(pred_col).cast("long").alias("p"))
+            .agg(F.count("*").alias("n")))
+    classes = (cm.select(F.col("y").alias("cls"))
+                 .unionByName(cm.select(F.col("p").alias("cls")))
+                 .distinct())
+    tp = (cm.filter(F.col("y") == F.col("p"))
+            .select(F.col("y").alias("cls"), F.col("n").alias("tp")))
+    n_true = cm.groupBy(F.col("y").alias("cls")).agg(
+        F.sum("n").alias("n_true"))
+    n_pred = cm.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").alias("n_pred"))
+    out = (classes.join(tp, "cls", "left")
+                  .join(n_true, "cls", "left")
+                  .join(n_pred, "cls", "left")
+                  .na.fill(0, ["tp", "n_true", "n_pred"]))
+    q = 1 << 20
+    return out.select(
+        "cls",
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_true") - F.col("tp")).cast("long").alias("fn"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.expr(f"CASE WHEN n_pred > 0 THEN (tp * {q}L) div n_pred END")
+         .alias("precision_q20"),
+        F.expr(f"CASE WHEN n_true > 0 THEN (tp * {q}L) div n_true END")
+         .alias("recall_q20"),
+        F.expr(f"CASE WHEN n_pred + n_true > 0 THEN (2 * tp * {q}L) "
+               f"div (n_pred + n_true) END").alias("f1_q20"))
+
+
+def calibration_bins(df: DataFrame, score_col: str = "score_q20",
+                     label_col: str = "label",
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: scores
+    arrive already on the Q20 grid (the repo's score convention);
+    bin = score * n_bins DIV 2^20 clamped to n_bins-1, and each bin
+    reports its exact mean score and empirical positive rate, both
+    back on Q20 (sum DIV count).  |mean_score - pos_rate| summed with
+    bin weights is the calibration error (ECE) — derivable downstream
+    without re-scanning.
+
+    One map-side-combining groupBy; exact integers end to end.
+    Returns (bin, n, n_pos, mean_score_q20, pos_rate_q20)."""
+    q = 1 << 20
+    b = df.select(
+        F.least(F.expr(f"({score_col} * {n_bins}L) div {q}L"),
+                F.lit(n_bins - 1)).cast("long").alias("bin"),
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"))
+    return (b.groupBy("bin")
+             .agg(F.count("*").alias("n"),
+                  F.sum("y").alias("n_pos"),
+                  F.sum("s").alias("_ssum"))
+             .select("bin",
+                     F.col("n").cast("long").alias("n"),
+                     F.col("n_pos").cast("long").alias("n_pos"),
+                     F.expr("_ssum div n").alias("mean_score_q20"),
+                     F.expr(f"(n_pos * {q}L) div n").alias("pos_rate_q20")))

@@ -7345,6 +7345,81 @@ FROM c ORDER BY cnt DESC, bucket ASC LIMIT 10
 
 
 
+def q_confusion_metrics(spark, sf_dir):
+    """Classifier eval table (mlops.confusion_metrics) over a
+    deterministic label/pred pair derived from events: per-class
+    tp/fp/fn + Q20 precision/recall/F1 (harmonic mean cleared to one
+    division)."""
+    from .operators import mlops
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 4).alias("label"),
+        (F.when(F.col("event_id") % 7 < 5, F.col("event_id") % 4)
+          .otherwise((F.col("event_id") + 1) % 4)).alias("pred"))
+    return mlops.confusion_metrics(ev)
+
+
+SQL_CONFUSION_METRICS = """
+WITH pairs AS (
+  SELECT event_id % 4 AS y,
+         CASE WHEN event_id % 7 < 5 THEN event_id % 4
+              ELSE (event_id + 1) % 4 END AS p
+  FROM events),
+cm AS (SELECT y, p, count(*) AS n FROM pairs GROUP BY y, p),
+cls AS (SELECT y AS cls FROM cm UNION SELECT p FROM cm),
+tp AS (SELECT y AS cls, n AS tp FROM cm WHERE y = p),
+nt AS (SELECT y AS cls, sum(n) AS n_true FROM cm GROUP BY y),
+np AS (SELECT p AS cls, sum(n) AS n_pred FROM cm GROUP BY p)
+SELECT cls, CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+       CAST(coalesce(n_pred, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+       CAST(coalesce(n_true, 0) - coalesce(tp, 0) AS BIGINT) AS fn,
+       CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+       CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(CASE WHEN coalesce(n_pred, 0) > 0
+                 THEN (coalesce(tp, 0) * 1048576) // n_pred END AS BIGINT)
+         AS precision_q20,
+       CAST(CASE WHEN coalesce(n_true, 0) > 0
+                 THEN (coalesce(tp, 0) * 1048576) // n_true END AS BIGINT)
+         AS recall_q20,
+       CAST(CASE WHEN coalesce(n_pred, 0) + coalesce(n_true, 0) > 0
+                 THEN (2 * coalesce(tp, 0) * 1048576)
+                      // (n_pred + n_true) END AS BIGINT) AS f1_q20
+FROM cls LEFT JOIN tp USING (cls)
+LEFT JOIN nt USING (cls) LEFT JOIN np USING (cls)
+"""
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (mlops.calibration_bins): Q20 scores
+    from a deterministic hash of event ids, labels correlated with the
+    score (well-calibrated by construction at high ids); exact per-bin
+    mean score + positive rate."""
+    from .operators import mlops
+
+    ev = _t(spark, sf_dir, "events").select(
+        (((F.col("event_id") * 37) % 100) * 10486).alias("score_q20"),
+        ((F.col("event_id") * 37) % 100 > (F.col("event_id") * 53) % 100)
+        .cast("long").alias("label"))
+    return mlops.calibration_bins(ev, n_bins=10)
+
+
+SQL_CALIBRATION_BINS = """
+WITH s AS (
+  SELECT ((event_id * 37) % 100) * 10486 AS sc,
+         CASE WHEN (event_id * 37) % 100 > (event_id * 53) % 100
+              THEN 1 ELSE 0 END AS y
+  FROM events),
+b AS (
+  SELECT least((sc * 10) // 1048576, 9) AS bin, sc, y FROM s)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(sc) // count(*) AS BIGINT) AS mean_score_q20,
+       CAST((sum(y) * 1048576) // count(*) AS BIGINT) AS pos_rate_q20
+FROM b GROUP BY bin
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7514,6 +7589,8 @@ GROUP_A = {
     "adaptive_threshold": (q_adaptive_threshold, SQL_ADAPTIVE_THRESHOLD),
     "least_cost_path": (q_least_cost_path, _lcp_sql(12)),
     "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
+    "confusion_metrics": (q_confusion_metrics, SQL_CONFUSION_METRICS),
+    "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
 }
 
 

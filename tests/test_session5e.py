@@ -523,3 +523,38 @@ def test_skew_profile_salt_factors(spark):
     assert out["a"].cnt == 7 and out["a"].salt_factor == 2
     assert out["b"].salt_factor == 1
     assert out["a"].share_q20 == 7 * (1 << 20) // 10
+
+
+def test_confusion_metrics_hand_case(spark):
+    from data_cube_utilities_spark.operators import mlops
+
+    pairs = [(1, 1), (1, 1), (1, 2), (2, 2), (2, 1), (3, 3), (4, 1)]
+    df = spark.createDataFrame(pairs, "label long, pred long")
+    out = {r.cls: r for r in mlops.confusion_metrics(df).collect()}
+    q = 1 << 20
+    c1 = out[1]
+    assert (c1.tp, c1.fp, c1.fn) == (2, 2, 1)
+    assert c1.precision_q20 == 2 * q // 4 and c1.recall_q20 == 2 * q // 3
+    assert c1.f1_q20 == 4 * q // 7
+    assert out[3].f1_q20 == q                 # perfect class
+    c4 = out[4]                               # never predicted
+    assert c4.n_pred == 0 and c4.precision_q20 is None
+    assert c4.recall_q20 == 0
+
+
+def test_calibration_bins_exact(spark):
+    from data_cube_utilities_spark.operators import mlops
+
+    q = 1 << 20
+    rows = [(0, 0), (110000, 1),              # bins 0 and 1
+            (q // 2, 1), (q // 2 + 100, 0),   # bin 5 twice
+            (q, 1)]                           # score == 2^20 clamps to 9
+    df = spark.createDataFrame(rows, "score_q20 long, label long")
+    out = {r.bin: r for r in
+           mlops.calibration_bins(df, n_bins=10).collect()}
+    assert set(out) == {0, 1, 5, 9}
+    b5 = out[5]
+    assert b5.n == 2 and b5.n_pos == 1
+    assert b5.mean_score_q20 == (q // 2 + q // 2 + 100) // 2
+    assert b5.pos_rate_q20 == q // 2
+    assert out[9].n == 1
