@@ -3109,3 +3109,65 @@ def adaptive_threshold_grid(pixels: DataFrame, radius: int = 2,
                        (F.col("v") * F.col("n_win")
                         > F.col("box_sum") - c * F.col("n_win"))
                        .cast("int").alias("on")))
+
+
+def image_quality_long(pixels: DataFrame, clip_lo: int = 8,
+                       clip_hi: int = 248, img_col: str = "img",
+                       x_col: str = "px", y_col: str = "py",
+                       value_col: str = "val") -> DataFrame:
+    """Per-image QUALITY GATE over long-form dense grids — the corpus
+    filter a multimodal training pipeline runs before spending decode /
+    embed budget on an image: focus (mean 4-neighbor Laplacian energy —
+    the classic variance-of-Laplacian blur detector, exact integers:
+    L = 4v - N - S - E - W over interior pixels, energy = sum(L^2) DIV
+    n_interior), exposure clipping (Q20 fraction of pixels at/below
+    clip_lo and at/above clip_hi — blown highlights / crushed shadows),
+    and dynamic range (max - min).
+
+    Low blur_energy = defocused/constant tiles; high clip fractions =
+    sensor saturation or dead detectors (the reference's QA-mask family
+    catches per-PIXEL flags; this scores the whole frame).
+
+    Shape at scale: one 4-shifted-selves equi-join co-partitioned on
+    the cell key for the Laplacian + ONE per-image aggregate (map-side
+    partials); no UDF, no collect.  Returns (img, n_px, n_interior,
+    lap_energy, clip_lo_q20, clip_hi_q20, vmin, vmax)."""
+    g = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    offs = pixels.sparkSession.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long")
+    nbr = g.select("img", F.col("x").alias("jx"), F.col("y").alias("jy"),
+                   F.col("v").alias("vj"))
+    lap = (g.crossJoin(F.broadcast(offs))
+            .withColumn("jx", F.col("x") + F.col("dx"))
+            .withColumn("jy", F.col("y") + F.col("dy"))
+            .join(nbr, ["img", "jx", "jy"])
+            .groupBy("img", "x", "y", "v")
+            .agg(F.count("*").alias("k"), F.sum("vj").alias("nsum"))
+            .filter(F.col("k") == 4)         # interior: all 4 neighbors
+            .select("img", ((4 * F.col("v") - F.col("nsum"))
+                            * (4 * F.col("v") - F.col("nsum")))
+                    .alias("l2")))
+    e = lap.groupBy("img").agg(F.count("*").alias("n_interior"),
+                               F.sum("l2").alias("lsum"))
+    q = 1 << 20
+    stats = g.groupBy("img").agg(
+        F.count("*").alias("n_px"),
+        F.sum((F.col("v") <= clip_lo).cast("long")).alias("nlo"),
+        F.sum((F.col("v") >= clip_hi).cast("long")).alias("nhi"),
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    return (stats.join(e, "img", "left")
+                 .na.fill(0, ["n_interior", "lsum"])
+                 .select("img", "n_px",
+                         F.col("n_interior").cast("long")
+                          .alias("n_interior"),
+                         F.expr("CASE WHEN n_interior > 0 THEN "
+                                "lsum div n_interior ELSE 0 END")
+                          .alias("lap_energy"),
+                         F.expr(f"(nlo * {q}L) div n_px")
+                          .alias("clip_lo_q20"),
+                         F.expr(f"(nhi * {q}L) div n_px")
+                          .alias("clip_hi_q20"),
+                         "vmin", "vmax"))

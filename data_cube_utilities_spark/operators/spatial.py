@@ -2621,3 +2621,41 @@ def skew_profile(df: DataFrame, key_cols: "Sequence[str]",
                .orderBy(F.desc("cnt"),
                         *[F.asc(k) for k in key_cols])
                .limit(top_k))
+
+
+def gravity_flows(origins: DataFrame, dests: DataFrame,
+                  max_d2: int, ox_col: str = "x", oy_col: str = "y",
+                  dx_col: str = "x", dy_col: str = "y") -> DataFrame:
+    """Gravity spatial-interaction model — the classic trip/trade-flow
+    estimator (the MODELED counterpart of the observed od_matrix):
+
+        flow(o, d) = mass_o * mass_d * 2^20 DIV d2,   0 < d2 <= max_d2
+
+    with d2 the exact squared Euclidean distance; the product runs on
+    the decimal(38,0) grid so heavy masses cannot wrap int64 (the
+    chi_square idiom).  Self-pairs (d2 = 0) are excluded — the model is
+    undefined at zero distance.
+
+    Shape at scale: destinations are a broadcast dimension (the
+    voronoi/knn probe contract); origins stream map-side through the
+    distance filter, so the only shuffle is whatever consumes the
+    result.  For two LARGE layers switch to cell-blocked joins (the
+    knn machinery).  Expects origins (o_id, x, y, mass_o) and dests
+    (d_id, x, y, mass_d); returns (o_id, d_id, d2, flow_q20)."""
+    o = origins.select(F.col("o_id").cast("long").alias("o_id"),
+                       F.col(ox_col).cast("long").alias("ox"),
+                       F.col(oy_col).cast("long").alias("oy"),
+                       F.col("mass_o").cast("long").alias("mo"))
+    d = dests.select(F.col("d_id").cast("long").alias("d_id"),
+                     F.col(dx_col).cast("long").alias("dx"),
+                     F.col(dy_col).cast("long").alias("dy"),
+                     F.col("mass_d").cast("long").alias("md"))
+    d2 = ((F.col("ox") - F.col("dx")) * (F.col("ox") - F.col("dx"))
+          + (F.col("oy") - F.col("dy")) * (F.col("oy") - F.col("dy")))
+    return (o.crossJoin(F.broadcast(d))
+             .withColumn("d2", d2)
+             .filter((F.col("d2") > 0) & (F.col("d2") <= max_d2))
+             .select("o_id", "d_id", F.col("d2").cast("long").alias("d2"),
+                     F.expr("CAST((CAST(mo AS DECIMAL(38,0)) * md "
+                            "* 1048576) DIV d2 AS BIGINT)")
+                      .alias("flow_q20")))

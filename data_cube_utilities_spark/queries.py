@@ -7420,6 +7420,89 @@ FROM b GROUP BY bin
 
 
 
+def q_image_quality(spark, sf_dir):
+    """Per-image quality gate (rasterops.image_quality_long) over the 4
+    dense lineitem tiles: exact Laplacian focus energy, Q20 exposure
+    clipping fractions, dynamic range — the pre-decode corpus filter."""
+    from .operators import rasterops
+
+    return rasterops.image_quality_long(_px_grid(spark, sf_dir))
+
+
+SQL_IMAGE_QUALITY = f"""
+WITH {_PX_SQL},
+lap AS (
+  SELECT p.img,
+         (4 * p.v - sum(n.v)) * (4 * p.v - sum(n.v)) AS l2
+  FROM px p JOIN px n ON n.img = p.img
+   AND abs(n.x - p.x) + abs(n.y - p.y) = 1
+  GROUP BY p.img, p.x, p.y, p.v
+  HAVING count(*) = 4),
+e AS (SELECT img, count(*) AS n_interior, sum(l2) AS lsum
+      FROM lap GROUP BY img),
+s AS (
+  SELECT img, count(*) AS n_px,
+         sum(CASE WHEN v <= 8 THEN 1 ELSE 0 END) AS nlo,
+         sum(CASE WHEN v >= 248 THEN 1 ELSE 0 END) AS nhi,
+         min(v) AS vmin, max(v) AS vmax
+  FROM px GROUP BY img)
+SELECT s.img, CAST(n_px AS BIGINT) AS n_px,
+       CAST(coalesce(n_interior, 0) AS BIGINT) AS n_interior,
+       CAST(CASE WHEN coalesce(n_interior, 0) > 0
+                 THEN lsum // n_interior ELSE 0 END AS BIGINT)
+         AS lap_energy,
+       CAST((nlo * 1048576) // n_px AS BIGINT) AS clip_lo_q20,
+       CAST((nhi * 1048576) // n_px AS BIGINT) AS clip_hi_q20,
+       CAST(vmin AS BIGINT) AS vmin, CAST(vmax AS BIGINT) AS vmax
+FROM s LEFT JOIN e ON e.img = s.img
+"""
+
+
+def q_gravity_flows(spark, sf_dir):
+    """Gravity interaction model (spatial.gravity_flows): customer
+    origins x supplier destinations on a 64-grid, masses from account
+    balances (floored cents, clamped nonneg), flows m_o*m_d*2^20 DIV d2
+    within d2 <= 512."""
+    from .operators import spatial
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_id"),
+        ((F.col("c_custkey") * 11) % 64).alias("x"),
+        ((F.col("c_custkey") * 23) % 64).alias("y"),
+        F.greatest(F.floor(F.col("c_acctbal")).cast("long"), F.lit(1))
+        .alias("mass_o"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("d_id"),
+        ((F.col("s_suppkey") * 17) % 64).alias("x"),
+        ((F.col("s_suppkey") * 29) % 64).alias("y"),
+        F.greatest(F.floor(F.col("s_acctbal")).cast("long"), F.lit(1))
+        .alias("mass_d"))
+    return spatial.gravity_flows(cust, supp, max_d2=512)
+
+
+SQL_GRAVITY_FLOWS = """
+WITH o AS (
+  SELECT c_custkey AS o_id, (c_custkey * 11) % 64 AS ox,
+         (c_custkey * 23) % 64 AS oy,
+         greatest(CAST(floor(c_acctbal) AS BIGINT), 1) AS mo
+  FROM customer),
+d AS (
+  SELECT s_suppkey AS d_id, (s_suppkey * 17) % 64 AS dx,
+         (s_suppkey * 29) % 64 AS dy,
+         greatest(CAST(floor(s_acctbal) AS BIGINT), 1) AS md
+  FROM supplier),
+f AS (
+  SELECT o_id, d_id,
+         (ox - dx) * (ox - dx) + (oy - dy) * (oy - dy) AS d2, mo, md
+  FROM o CROSS JOIN d)
+SELECT o_id, d_id, CAST(d2 AS BIGINT) AS d2,
+       CAST((CAST(mo AS HUGEINT) * md * 1048576) // d2 AS BIGINT)
+         AS flow_q20
+FROM f WHERE d2 > 0 AND d2 <= 512
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7591,6 +7674,8 @@ GROUP_A = {
     "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
     "confusion_metrics": (q_confusion_metrics, SQL_CONFUSION_METRICS),
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
+    "image_quality": (q_image_quality, SQL_IMAGE_QUALITY),
+    "gravity_flows": (q_gravity_flows, SQL_GRAVITY_FLOWS),
 }
 
 

@@ -558,3 +558,44 @@ def test_calibration_bins_exact(spark):
     assert b5.mean_score_q20 == (q // 2 + q // 2 + 100) // 2
     assert b5.pos_rate_q20 == q // 2
     assert out[9].n == 1
+
+
+def test_image_quality_flat_vs_noisy(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    rows = [(0, x, y, 100) for x in range(4) for y in range(4)]
+    # img 1: checkerboard 0/200 -> every interior Laplacian = +-800
+    rows += [(1, x, y, 200 if (x + y) % 2 == 0 else 0)
+             for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "img long, px long, py long, val long")
+    out = {r.img: r for r in rasterops.image_quality_long(df).collect()}
+    assert out[0].lap_energy == 0 and out[0].n_interior == 4
+    assert out[1].lap_energy == 800 * 800
+    assert out[0].vmin == 100 and out[1].vmax == 200
+
+
+def test_image_quality_clipping_fractions(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    vals = [0, 0, 255, 100]       # 2 crushed, 1 blown, 1 fine
+    rows = [(0, i, 0, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "img long, px long, py long, val long")
+    r = rasterops.image_quality_long(df).collect()[0]
+    q = 1 << 20
+    assert r.clip_lo_q20 == 2 * q // 4 and r.clip_hi_q20 == q // 4
+    assert r.n_interior == 0 and r.lap_energy == 0
+
+
+def test_gravity_flows_exact(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    o = spark.createDataFrame([(1, 0, 0, 10), (2, 100, 100, 5)],
+                              "o_id long, x long, y long, mass_o long")
+    d = spark.createDataFrame([(7, 3, 4, 20), (8, 0, 0, 9)],
+                              "d_id long, x long, y long, mass_d long")
+    out = {(r.o_id, r.d_id): r for r in
+           spatial.gravity_flows(o, d, max_d2=100).collect()}
+    # o1-d7: d2=25, flow = 10*20*2^20 // 25
+    assert out[(1, 7)].flow_q20 == 10 * 20 * (1 << 20) // 25
+    # o1-d8: d2=0 excluded; o2 beyond max_d2: excluded
+    assert set(out) == {(1, 7)}
