@@ -544,3 +544,107 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 8) -> str:
               f"CAST((({inter} >> {5 * (precision - 1 - c)}) & 31) "
               f"AS INTEGER) + 1, 1)") for c in range(precision)]
     return "(" + " || ".join(chars) + ")"
+
+
+def _quant_py(lat: float, lon: float, bits: int) -> "tuple[int, int]":
+    """Python twin of _quant_col — the IDENTICAL float arithmetic
+    (wrap, scale, floor, clamp), so planner-side bounds agree with the
+    engine-side quantization bit for bit."""
+    import math
+
+    n = 1 << bits
+    shifted = lon + 180.0
+    lon_w = shifted - 360.0 * math.floor(shifted / 360.0) - 180.0
+    ix = int(math.floor((lon_w + 180.0) / 360.0 * n))
+    ix = min(max(ix, 0), n - 1)
+    iy = int(math.floor((90.0 - lat) / 180.0 * n))
+    iy = min(max(iy, 0), n - 1)
+    return ix, iy
+
+
+def zorder_bbox_ranges(ix0: int, ix1: int, iy0: int, iy1: int,
+                       bits: int = 16,
+                       max_ranges: int = 64) -> "list[tuple[int, int]]":
+    """Minimal z-key ranges covering the integer cell bbox
+    [ix0, ix1] x [iy0, iy1] — the INDEX-PRUNING PLANNER for z-ordered
+    storage (Iceberg rewrite-with-zorder + bbox scans): quadtree
+    descent emits one contiguous [zmin, zmax] per quad fully inside the
+    bbox (quads ARE contiguous z intervals — the Morton property),
+    recurses on partial quads, then coalesces z-adjacent ranges and, if
+    still over max_ranges, merges the smallest gaps — widening ranges
+    only ever ADDS false positives, never drops a hit, so an exact
+    residual filter downstream keeps the scan correct.
+
+    Driver-side, O(perimeter) work — the planner is tiny; the WIN is
+    that the emitted ranges push down to parquet/manifest min-max
+    pruning as plain BETWEEN predicates."""
+    out: list[tuple[int, int]] = []
+
+    def z(ix, iy):
+        return int(zorder_np(ix, iy, bits))
+
+    def rec(qx, qy, level):
+        size = 1 << level
+        x_lo, x_hi = qx, qx + size - 1
+        y_lo, y_hi = qy, qy + size - 1
+        if x_hi < ix0 or x_lo > ix1 or y_hi < iy0 or y_lo > iy1:
+            return
+        if x_lo >= ix0 and x_hi <= ix1 and y_lo >= iy0 and y_hi <= iy1:
+            zmin = z(qx, qy)
+            out.append((zmin, zmin + size * size - 1))
+            return
+        half = size // 2
+        for dx in (0, half):
+            for dy in (0, half):
+                rec(qx + dx, qy + dy, level - 1)
+
+    rec(0, 0, bits)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        # merge the pair with the smallest z gap (fewest false positives)
+        gaps = [(merged[i + 1][0] - merged[i][1], i)
+                for i in range(len(merged) - 1)]
+        _, i = min(gaps)
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def zorder_range_scan(df, lat_col: str, lon_col: str,
+                      lat_min: float, lat_max: float,
+                      lon_min: float, lon_max: float,
+                      bits: int = 16, max_ranges: int = 64):
+    """Bbox scan over z-ordered data, planner + residual: quantize the
+    bbox with the SAME arithmetic as the key (so bounds agree bit for
+    bit), filter on the planned z ranges (BETWEEN predicates — these
+    push down to row-group/manifest min-max pruning when the table is
+    laid out by tiling.zorder_layout), then apply the EXACT quantized
+    ix/iy residual so coalesced ranges cannot leak false positives.
+
+    Semantics: rows whose QUANTIZED cell falls in the quantized bbox —
+    the cell-grid contract of the whole cells module.  Returns the
+    input rows + (zkey, ix, iy)."""
+    from pyspark.sql import functions as F
+
+    ix0, iy_a = _quant_py(lat_max, lon_min, bits)   # lat max -> iy min
+    ix1, iy_b = _quant_py(lat_min, lon_max, bits)
+    iy0, iy1 = min(iy_a, iy_b), max(iy_a, iy_b)
+    ranges = zorder_bbox_ranges(ix0, ix1, iy0, iy1, bits, max_ranges)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    ix, iy = _quant_col(lat, lon, bits)
+    z = zorder_col(lat, lon, bits)
+    t = df.withColumn("zkey", z).withColumn("ix", ix).withColumn("iy", iy)
+    cond = None
+    for lo, hi in ranges:
+        c = F.col("zkey").between(lo, hi)
+        cond = c if cond is None else (cond | c)
+    if cond is None:
+        return t.filter(F.lit(False))
+    return t.filter(cond).filter(F.col("ix").between(ix0, ix1)
+                                 & F.col("iy").between(iy0, iy1))

@@ -1061,3 +1061,63 @@ def retention_cohorts(df: DataFrame, user_col: str = "user",
                           .alias("cohort_size"),
                          F.expr("(n_active * 1048576) div cohort_size")
                           .alias("rate_q20")))
+
+
+def time_weighted_avg(df: DataFrame, key_cols: Sequence[str],
+                      t_col: str = "t", v_col: str = "v") -> DataFrame:
+    """Time-weighted average per series — the correct mean for
+    IRREGULARLY sampled step signals (sensor gauges, tide states,
+    prices): each observation holds until the next one, so
+
+        twa_q20 = sum(v_i * (t_{i+1} - t_i)) * 2^20 DIV (t_n - t_1)
+
+    (the last observation carries no forward interval).  A plain AVG
+    over-weights burst samples; the reference's tidal/temporal stats
+    implicitly assume regular sampling — this is the irregular-grid
+    generalization.  Exact int64 with truncating division (DuckDB `//`
+    parity, values may be negative).  Series with one observation (or
+    zero span) return NULL twa.
+
+    One lead window + one aggregate on the series key — single
+    shuffle.  Returns (keys, n, t_first, t_last, twa_q20)."""
+    g = df.select(*key_cols, F.col(t_col).cast("long").alias("t"),
+                  F.col(v_col).cast("long").alias("v"))
+    # (t, v) order: duplicate timestamps get zero-width intervals
+    # deterministically instead of an ambiguous lead
+    w = Window.partitionBy(*key_cols).orderBy("t", "v")
+    g = g.withColumn("_dt", F.lead("t").over(w) - F.col("t"))
+    agg = g.groupBy(*key_cols).agg(
+        F.count("*").alias("n"),
+        F.min("t").alias("t_first"),
+        F.max("t").alias("t_last"),
+        F.sum(F.col("v") * F.col("_dt")).alias("_num"))
+    return agg.select(
+        *key_cols, "n", "t_first", "t_last",
+        F.when(F.col("t_last") > F.col("t_first"),
+               F.expr("(_num * 1048576) div (t_last - t_first)"))
+         .alias("twa_q20"))
+
+
+def ohlc_bars(df: DataFrame, key_cols: Sequence[str], bucket: int,
+              t_col: str = "t", v_col: str = "v") -> DataFrame:
+    """OHLC (open/high/low/close) candlestick bars per series and time
+    bucket — the canonical downsampler for price/level series.  Open
+    and close are decided by PACKED keys (t * 2^32 + v, requiring
+    0 <= v < 2^32 and t >= 0): min/max of the pack is the value at the
+    earliest/latest tick with a deterministic value tiebreak at equal
+    t — engine-portable where min_by/arg_min tie behavior is not.
+
+    ONE map-side-combining groupBy on (keys, bucket); exact integers.
+    Returns (keys, bucket, open, high, low, close, n_ticks, vsum)."""
+    p = (F.col("t") * F.lit(1 << 32) + F.col("v"))
+    g = df.select(*key_cols,
+                  F.col(t_col).cast("long").alias("t"),
+                  F.col(v_col).cast("long").alias("v")) \
+          .withColumn("_b", F.expr(f"t div {bucket}L"))
+    return (g.groupBy(*key_cols, F.col("_b").alias("bucket"))
+             .agg((F.min(p) % F.lit(1 << 32)).cast("long").alias("open"),
+                  F.max("v").alias("high"),
+                  F.min("v").alias("low"),
+                  (F.max(p) % F.lit(1 << 32)).cast("long").alias("close"),
+                  F.count("*").alias("n_ticks"),
+                  F.sum("v").alias("vsum")))

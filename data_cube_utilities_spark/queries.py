@@ -7503,6 +7503,103 @@ FROM f WHERE d2 > 0 AND d2 <= 512
 
 
 
+def q_zorder_scan(spark, sf_dir):
+    """Planned bbox scan over z-ordered supplier points
+    (cells.zorder_range_scan, bits=8, max 16 ranges): quadtree z-range
+    planner + BETWEEN pushdown + exact quantized residual.  The oracle
+    is the PLAIN quantized bbox filter — hash equality IS the planner's
+    covering-correctness proof."""
+    from . import cells
+
+    s = _t(spark, sf_dir, "supplier").withColumn("x", F.expr(SUP_X))                                      .withColumn("y", F.expr(SUP_Y))
+    out = cells.zorder_range_scan(s, "y", "x", -30.0, 40.0, -60.0, 20.0,
+                                  bits=8, max_ranges=16)
+    return out.select("s_suppkey", "zkey", "ix", "iy")
+
+
+def _zscan_sql() -> str:
+    from . import cells
+
+    ix0, iy_a = cells._quant_py(40.0, -60.0, 8)
+    ix1, iy_b = cells._quant_py(-30.0, 20.0, 8)
+    iy0, iy1 = min(iy_a, iy_b), max(iy_a, iy_b)
+    n = 256
+    lon_w = (f"((({SUP_X}) + 180.0) - 360.0 * "
+             f"floor((({SUP_X}) + 180.0)/360.0) - 180.0)")
+    ix = (f"least(greatest(CAST(floor(({lon_w} + 180.0)/360.0 * {n}) "
+          f"AS BIGINT), 0), {n - 1})")
+    iy = (f"least(greatest(CAST(floor((90.0 - ({SUP_Y}))/180.0 * {n}) "
+          f"AS BIGINT), 0), {n - 1})")
+    return f"""
+WITH q AS (
+  SELECT s_suppkey, {cells.zorder_sql(SUP_Y, SUP_X, 8)} AS zkey,
+         {ix} AS ix, {iy} AS iy
+  FROM supplier)
+SELECT s_suppkey, zkey, ix, iy FROM q
+WHERE ix BETWEEN {ix0} AND {ix1} AND iy BETWEEN {iy0} AND {iy1}
+"""
+
+
+def q_twa(spark, sf_dir):
+    """Time-weighted average (temporal.time_weighted_avg) of per-user
+    irregular event series — step-signal mean, exact integers, last
+    observation carries no interval."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("grp"),
+        F.col("event_id").alias("t"),
+        ((F.col("event_id") * 13) % 100).alias("v"))
+    return temporal.time_weighted_avg(ev, ["grp"])
+
+
+SQL_TWA = """
+WITH g AS (
+  SELECT user_id % 20 AS grp, event_id AS t, (event_id * 13) % 100 AS v
+  FROM events),
+d AS (
+  SELECT grp, t, v,
+         lead(t) OVER (PARTITION BY grp ORDER BY t, v) - t AS dt
+  FROM g)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last,
+       CAST(CASE WHEN max(t) > min(t)
+                 THEN (sum(v * dt) * 1048576) // (max(t) - min(t))
+            END AS BIGINT) AS twa_q20
+FROM d GROUP BY grp
+"""
+
+
+def q_ohlc(spark, sf_dir):
+    """OHLC candlestick bars (temporal.ohlc_bars, bucket 512) over
+    per-user event value series; open/close via packed t*2^32+v
+    min/max (deterministic tie behavior in ANY engine)."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("grp"),
+        F.col("event_id").alias("t"),
+        ((F.col("event_id") * 7) % 1000).alias("v"))
+    return temporal.ohlc_bars(ev, ["grp"], bucket=512)
+
+
+SQL_OHLC = """
+WITH g AS (
+  SELECT user_id % 10 AS grp, event_id AS t, (event_id * 7) % 1000 AS v
+  FROM events)
+SELECT grp, t // 512 AS bucket,
+       CAST(min(t * 4294967296 + v) % 4294967296 AS BIGINT) AS open,
+       CAST(max(v) AS BIGINT) AS high,
+       CAST(min(v) AS BIGINT) AS low,
+       CAST(max(t * 4294967296 + v) % 4294967296 AS BIGINT) AS close,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(v) AS BIGINT) AS vsum
+FROM g GROUP BY grp, t // 512
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7676,6 +7773,9 @@ GROUP_A = {
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     "image_quality": (q_image_quality, SQL_IMAGE_QUALITY),
     "gravity_flows": (q_gravity_flows, SQL_GRAVITY_FLOWS),
+    "zorder_scan": (q_zorder_scan, _zscan_sql()),
+    "twa": (q_twa, SQL_TWA),
+    "ohlc": (q_ohlc, SQL_OHLC),
 }
 
 

@@ -599,3 +599,98 @@ def test_gravity_flows_exact(spark):
     assert out[(1, 7)].flow_q20 == 10 * 20 * (1 << 20) // 25
     # o1-d8: d2=0 excluded; o2 beyond max_d2: excluded
     assert set(out) == {(1, 7)}
+
+
+def test_zorder_ranges_full_grid_single_range():
+    from data_cube_utilities_spark import cells
+
+    assert cells.zorder_bbox_ranges(0, 255, 0, 255, bits=8) == \
+        [(0, 256 * 256 - 1)]
+
+
+def test_zorder_ranges_single_cell():
+    from data_cube_utilities_spark import cells
+
+    z = int(cells.zorder_np(13, 57, 8))
+    assert cells.zorder_bbox_ranges(13, 13, 57, 57, bits=8) == [(z, z)]
+
+
+def test_zorder_ranges_cover_and_disjoint():
+    from data_cube_utilities_spark import cells
+
+    rng = cells.zorder_bbox_ranges(3, 20, 7, 15, bits=6)
+    # sorted, disjoint
+    assert all(rng[i][1] < rng[i + 1][0] for i in range(len(rng) - 1))
+    covered = set()
+    for lo, hi in rng:
+        covered.update(range(lo, hi + 1))
+    for ix in range(3, 21):
+        for iy in range(7, 16):
+            assert int(cells.zorder_np(ix, iy, 6)) in covered
+
+
+def test_zorder_ranges_coalesce_to_cap():
+    from data_cube_utilities_spark import cells
+
+    rng = cells.zorder_bbox_ranges(3, 20, 7, 15, bits=6, max_ranges=2)
+    assert len(rng) <= 2
+    for ix in range(3, 21):            # widening never drops a hit
+        for iy in range(7, 16):
+            z = int(cells.zorder_np(ix, iy, 6))
+            assert any(lo <= z <= hi for lo, hi in rng)
+
+
+def test_zorder_range_scan_equals_naive(spark):
+    from data_cube_utilities_spark import cells
+    from pyspark.sql import functions as F
+
+    pts = [(i, -40.0 + i * 1.7, -90.0 + i * 3.1) for i in range(100)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = sorted(r.id for r in cells.zorder_range_scan(
+        df, "lat", "lon", -20.0, 30.0, -50.0, 60.0,
+        bits=7, max_ranges=4).collect())
+    ix0, iy_a = cells._quant_py(30.0, -50.0, 7)
+    ix1, iy_b = cells._quant_py(-20.0, 60.0, 7)
+    iy0, iy1 = min(iy_a, iy_b), max(iy_a, iy_b)
+    ix, iy = cells._quant_col(F.col("lat"), F.col("lon"), 7)
+    naive = sorted(r.id for r in
+                   df.withColumn("ix", ix).withColumn("iy", iy)
+                     .filter(F.col("ix").between(ix0, ix1)
+                             & F.col("iy").between(iy0, iy1)).collect())
+    assert got == naive and len(got) > 0
+
+
+def test_twa_hand_case_and_single_obs(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    q = 1 << 20
+    rows = [(1, 0, 10), (1, 10, 30), (1, 20, 99), (2, 5, 42)]
+    df = spark.createDataFrame(rows, "grp long, t long, v long")
+    out = {r.grp: r for r in
+           temporal.time_weighted_avg(df, ["grp"]).collect()}
+    assert out[1].twa_q20 == (10 * 10 + 30 * 10) * q // 20
+    assert out[2].twa_q20 is None and out[2].n == 1
+
+
+def test_twa_duplicate_timestamps_deterministic(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    q = 1 << 20
+    rows = [(1, 0, 7), (1, 0, 5), (1, 10, 1)]
+    df = spark.createDataFrame(rows, "grp long, t long, v long")
+    r = temporal.time_weighted_avg(df, ["grp"]).collect()[0]
+    # (t,v) order: 5 gets dt=0, 7 gets dt=10 -> num=70
+    assert r.twa_q20 == 70 * q // 10
+
+
+def test_ohlc_open_close_ties(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    rows = [(1, 0, 5), (1, 0, 3), (1, 1, 9), (1, 600, 2)]
+    df = spark.createDataFrame(rows, "grp long, t long, v long")
+    out = {r.bucket: r for r in
+           temporal.ohlc_bars(df, ["grp"], bucket=512).collect()}
+    b0 = out[0]
+    assert (b0.open, b0.high, b0.low, b0.close) == (3, 9, 3, 9)
+    assert b0.n_ticks == 3 and b0.vsum == 17
+    assert out[1].open == out[1].close == 2
