@@ -241,3 +241,39 @@ def wofs_np(blue, green, red, nir, swir1, swir2) -> np.ndarray:
     hi = right & ~(ndi52 <= 0.23) & (ndi52 <= 0.34)
     out[hi & (b1 <= 249.5) & (ndi43 <= 0.45) & (b3 <= 364.5) & (b1 <= 129.5)] = 1
     return out
+
+
+# Crist & Cicone (1985) Landsat-TM tasseled-cap coefficients x 10^4 —
+# published constants (data, not code), integerized so the transform is
+# an exact int64 dot product over the 6 reflective bands.
+TASSELED_CAP_Q4 = {
+    "brightness": (3037, 2793, 4743, 5585, 5082, 1863),
+    "greenness": (-2848, -2435, -5436, 7243, 840, -1800),
+    "wetness": (1509, 1973, 3279, 3406, -7112, -4572),
+}
+TC_BANDS = ("blue", "green", "red", "nir", "swir1", "swir2")
+
+
+def tasseled_cap_col(component: str):
+    """Tasseled-cap component (brightness / greenness / wetness) as an
+    exact integer Column over integer band columns: the published
+    coefficients are embedded x10^4, so the result is the classic
+    transform scaled by 10^4 with ZERO float ops — hash-reproducible
+    where the float dot product is ulp-ambiguous.  The land-cover
+    change axes (Kauth-Thomas 1976 lineage) the reference's
+    bandindices registry stops short of."""
+    from pyspark.sql import functions as F
+
+    coef = TASSELED_CAP_Q4[component]
+    out = None
+    for c, b in zip(coef, TC_BANDS):
+        term = F.col(b) * F.lit(int(c))
+        out = term if out is None else out + term
+    return out.cast("long")
+
+
+def tasseled_cap_sql(component: str) -> str:
+    """DuckDB twin — identical integer dot product."""
+    coef = TASSELED_CAP_Q4[component]
+    return "(" + " + ".join(f"({b}) * ({c})"
+                            for c, b in zip(coef, TC_BANDS)) + ")"

@@ -2659,3 +2659,32 @@ def gravity_flows(origins: DataFrame, dests: DataFrame,
                      F.expr("CAST((CAST(mo AS DECIMAL(38,0)) * md "
                             "* 1048576) DIV d2 AS BIGINT)")
                       .alias("flow_q20")))
+
+
+def downsample_mode_grid(cells_df: DataFrame, factor: int = 2,
+                         ix_col: str = "ix", iy_col: str = "iy",
+                         value_col: str = "v") -> DataFrame:
+    """CATEGORICAL pyramid level: downsample a classified grid by
+    `factor` taking the MODE of each factor x factor block (ties to the
+    smallest class id) — land-cover/classification overviews, where the
+    mean-pool pyramid (overview_pyramid) would invent classes that
+    don't exist.
+
+    Deterministic argmax with no window: per (parent, class) counts,
+    then min(struct(-cnt, class)) picks highest count / smallest class
+    in ONE lexicographic aggregate.  Two map-side-combining groupBys on
+    the parent key.  Returns (px, py, mode_v, n_cells, n_classes)."""
+    g = cells_df.select(
+        F.expr(f"{ix_col} div {factor}").alias("px"),
+        F.expr(f"{iy_col} div {factor}").alias("py"),
+        F.col(value_col).cast("long").alias("v"))
+    cnt = g.groupBy("px", "py", "v").agg(F.count("*").alias("cnt"))
+    pick = (cnt.groupBy("px", "py")
+               .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                   F.col("v").alias("v"))).alias("b"),
+                    F.sum("cnt").alias("n_cells"),
+                    F.count("*").alias("n_classes")))
+    return pick.select("px", "py",
+                       F.col("b.v").alias("mode_v"),
+                       F.col("n_cells").cast("long").alias("n_cells"),
+                       F.col("n_classes").cast("long").alias("n_classes"))

@@ -2243,3 +2243,25 @@ def url_dedup_groups(df: DataFrame, url_col: str = "url",
                   F.count("*").cast("long").alias("n_copies"),
                   F.countDistinct(url_col).cast("long")
                    .alias("n_distinct_raw")))
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the cheap deterministic cleanup
+    every dedup/fingerprint stage should run FIRST so that trivially
+    different bytes ("Foo,  bar!" vs "foo bar") collapse to one form:
+    lowercase, non-alphanumeric runs -> single space, trim.  Patterns
+    restricted to ASCII classes that java.util.regex and RE2 read
+    identically (the BPE_PRETOKEN_PATTERN lesson).
+
+    One codegen projection — no shuffle, no UDF.  Returns (id, text,
+    norm_text, n_chars, n_norm_chars, norm_hash)."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
+        " +", " "))
+    return df.select(
+        F.col(id_col), F.col(text_col).alias("text"),
+        norm.alias("norm_text"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+        F.md5(norm).alias("norm_hash"))

@@ -7600,6 +7600,96 @@ FROM g GROUP BY grp, t // 512
 
 
 
+def q_tasseled_cap(spark, sf_dir):
+    """Tasseled-cap transform (indices.tasseled_cap_col) over the
+    lineitem band synth: brightness/greenness/wetness as EXACT integer
+    dot products (published Crist-Cicone coefficients x 10^4),
+    aggregated per linestatus — sums, mins, maxes all int64."""
+    from .operators import indices
+
+    px = _lineitem_bands(spark, sf_dir)
+    comps = ("brightness", "greenness", "wetness")
+    proj = px.select("l_linestatus",
+                     *[indices.tasseled_cap_col(c).alias(c)
+                       for c in comps])
+    return proj.groupBy("l_linestatus").agg(
+        *[x for c in comps for x in
+          (F.sum(c).alias(f"sum_{c}"), F.min(c).alias(f"min_{c}"),
+           F.max(c).alias(f"max_{c}"))],
+        F.count("*").alias("n"))
+
+
+def _tasseled_cap_sql() -> str:
+    from .operators import indices
+
+    comps = ("brightness", "greenness", "wetness")
+    cols = ",\n".join(
+        f"       CAST(sum({indices.tasseled_cap_sql(c)}) AS BIGINT)"
+        f" AS sum_{c},\n"
+        f"       CAST(min({indices.tasseled_cap_sql(c)}) AS BIGINT)"
+        f" AS min_{c},\n"
+        f"       CAST(max({indices.tasseled_cap_sql(c)}) AS BIGINT)"
+        f" AS max_{c}" for c in comps)
+    return (_bands_cte() + "\nSELECT l_linestatus,\n" + cols
+            + ",\n       CAST(count(*) AS BIGINT) AS n"
+            + "\nFROM px GROUP BY l_linestatus")
+
+
+def q_downsample_mode(spark, sf_dir):
+    """Categorical pyramid level (spatial.downsample_mode_grid,
+    factor 4) over the lineitem tiles' DN-quartile classes: per-block
+    mode with smallest-class ties — the land-cover overview the
+    mean-pool pyramid can't produce."""
+    from .operators import spatial
+
+    g = _px_grid(spark, sf_dir).select(
+        (F.col("img") * 64 + F.col("px")).alias("ix"),
+        F.col("py").alias("iy"),
+        F.expr("val div 64").alias("v"))
+    return spatial.downsample_mode_grid(g, factor=4)
+
+
+SQL_DOWNSAMPLE_MODE = f"""
+WITH {_PX_SQL},
+g AS (SELECT (img * 64 + x) // 4 AS px, y // 4 AS py, v // 64 AS v
+      FROM px),
+c AS (SELECT px, py, v, count(*) AS cnt FROM g GROUP BY px, py, v),
+r AS (SELECT px, py, v, cnt,
+             row_number() OVER (PARTITION BY px, py
+                                ORDER BY cnt DESC, v ASC) AS rk,
+             sum(cnt) OVER (PARTITION BY px, py) AS n_cells,
+             count(*) OVER (PARTITION BY px, py) AS n_classes
+      FROM c)
+SELECT px, py, v AS mode_v, CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(n_classes AS BIGINT) AS n_classes
+FROM r WHERE rk = 1
+"""
+
+
+def q_text_normalize(spark, sf_dir):
+    """Deterministic text canonicalization (textops.normalize_text):
+    lower + non-alnum runs to one space + trim, engine-portable ASCII
+    classes; md5 of the normal form is the dedup key."""
+    from .operators import textops
+
+    return textops.normalize_text(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, text, norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(norm_text) AS BIGINT) AS n_norm_chars,
+       md5(norm_text) AS norm_hash
+FROM n
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7776,6 +7866,9 @@ GROUP_A = {
     "zorder_scan": (q_zorder_scan, _zscan_sql()),
     "twa": (q_twa, SQL_TWA),
     "ohlc": (q_ohlc, SQL_OHLC),
+    "tasseled_cap": (q_tasseled_cap, _tasseled_cap_sql()),
+    "downsample_mode": (q_downsample_mode, SQL_DOWNSAMPLE_MODE),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
 }
 
 

@@ -694,3 +694,45 @@ def test_ohlc_open_close_ties(spark):
     assert (b0.open, b0.high, b0.low, b0.close) == (3, 9, 3, 9)
     assert b0.n_ticks == 3 and b0.vsum == 17
     assert out[1].open == out[1].close == 2
+
+
+def test_tasseled_cap_exact_dot(spark):
+    from data_cube_utilities_spark.operators import indices
+
+    row = [(100, 200, 300, 400, 500, 600)]
+    df = spark.createDataFrame(
+        row, "blue long, green long, red long, nir long, "
+             "swir1 long, swir2 long")
+    out = df.select(
+        *[indices.tasseled_cap_col(c).alias(c)
+          for c in ("brightness", "greenness", "wetness")]).collect()[0]
+    bands = row[0]
+    for comp in ("brightness", "greenness", "wetness"):
+        coef = indices.TASSELED_CAP_Q4[comp]
+        assert getattr(out, comp) == sum(c * b for c, b in
+                                         zip(coef, bands))
+
+
+def test_downsample_mode_tie_to_smallest_class(spark):
+    from data_cube_utilities_spark.operators import spatial
+
+    cells = [(0, 0, 5), (1, 0, 5), (0, 1, 9), (1, 1, 9),  # block (0,0): tie
+             (2, 0, 3), (3, 0, 3), (2, 1, 3), (3, 1, 7)]  # block (1,0): 3
+    df = spark.createDataFrame(cells, "ix long, iy long, v long")
+    out = {(r.px, r.py): r for r in
+           spatial.downsample_mode_grid(df, factor=2).collect()}
+    assert out[(0, 0)].mode_v == 5 and out[(0, 0)].n_classes == 2
+    assert out[(1, 0)].mode_v == 3 and out[(1, 0)].n_cells == 4
+
+
+def test_normalize_text_canonical_form(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    df = spark.createDataFrame([(1, "  Foo,,  BAR!! 42 "),
+                                (2, "foo bar 42")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.normalize_text(df).collect()}
+    assert out[1].norm_text == "foo bar 42"
+    # trivially-different bytes collapse to the SAME dedup key
+    assert out[1].norm_hash == out[2].norm_hash
+    assert out[1].n_norm_chars == 10
