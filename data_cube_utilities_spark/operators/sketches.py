@@ -669,3 +669,84 @@ def quantile_normalize(df: DataFrame, group_col: str, id_col: str,
     return (ranked.join(F.broadcast(ref), "rank")
                   .select("grp", "id", "v", F.col("rank").cast("long")
                           .alias("rank"), "norm_q20"))
+
+
+def rfm_segments(df: DataFrame, user_col: str, t_col: str,
+                 amount_col: str, n_tiles: int = 5) -> DataFrame:
+    """RFM customer segmentation — the classic recency/frequency/
+    monetary triple, exact: per user recency = max(t), frequency =
+    count, monetary = sum(amount); each axis is scored 1..n_tiles by an
+    EXACT quantile rank (score = 1 + (rank-1)*n_tiles DIV n — integer
+    arithmetic, not ntile(), whose uneven-bucket boundary behavior
+    differs between engines), ranks tie-broken by user id so scoring is
+    deterministic under every partitioning.
+
+    Shape at scale: one user groupBy + three global rank windows over
+    the (small) per-user table.  Returns (user, recency, frequency,
+    monetary, r_score, f_score, m_score, rfm) with rfm = 100*r + 10*f
+    + m, the standard segment code."""
+    base = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(F.col(t_col).cast("long")).alias("recency"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col(amount_col).cast("long")).alias("monetary"))
+    n = base.count()
+    ranked = base.select(
+        "user", "recency", "frequency", "monetary",
+        *[F.row_number().over(Window.orderBy(F.asc(c), F.asc("user")))
+          .alias(f"_rk_{c}")
+          for c in ("recency", "frequency", "monetary")])
+    scored = ranked.select(
+        "user", "recency", "frequency", "monetary",
+        *[F.expr(f"1 + ((_rk_{c} - 1) * {n_tiles}) div {n}L")
+          .cast("long").alias(f"{c[0]}_score")
+          for c in ("recency", "frequency", "monetary")])
+    return scored.withColumn(
+        "rfm", (100 * F.col("r_score") + 10 * F.col("f_score")
+                + F.col("m_score")).cast("long"))
+
+
+def stratified_exact_sample(df: DataFrame, stratum_col: str,
+                            id_col: str, n_total: int) -> DataFrame:
+    """EXACT-size stratified sample: allocate n_total draws across
+    strata proportionally by the largest-remainder (Hamilton) method —
+    base_h = n_total * n_h DIV N, leftover seats to the largest
+    remainders (ties to smaller stratum id) — then take EXACTLY k_h
+    rows per stratum by md5(id) order (ties by id).  Fully
+    deterministic: same rows under any partitioning, engine, or rerun —
+    the exact-count upgrade of deterministic_sample's threshold filter
+    (which only hits expected counts).
+
+    Shape at scale: stratum sizes are one tiny agg (broadcast back);
+    the per-stratum top-k is one rank window keyed by stratum.
+    Returns the sampled rows + (stratum, rk, quota)."""
+    s = df.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+    sizes = (s.groupBy(F.col(stratum_col).alias("_st"))
+              .agg(F.count("*").alias("n_h")))
+    rows = [(r["_st"], int(r["n_h"])) for r in sizes.collect()]
+    rows.sort(key=lambda x: str(x[0]))
+    total = sum(n for _, n in rows)
+    if total == 0:
+        return (df.withColumn("rk", F.lit(0).cast("long"))
+                  .withColumn("quota", F.lit(0).cast("long"))
+                  .withColumnRenamed(stratum_col, "stratum")
+                  .filter(F.lit(False)))
+    take = min(n_total, total)
+    base = {st: take * n // total for st, n in rows}
+    rem = take - sum(base.values())
+    # largest remainder first, ties to smaller stratum id (string order)
+    by_rem = sorted(rows, key=lambda x: (-(take * x[1] % total), str(x[0])))
+    for st, _ in by_rem[:rem]:
+        base[st] += 1
+    quota = df.sparkSession.createDataFrame(
+        [(st, int(k)) for st, k in base.items()],
+        f"{stratum_col} string, quota long") \
+        if rows and isinstance(rows[0][0], str) else \
+        df.sparkSession.createDataFrame(
+            [(st, int(k)) for st, k in base.items()],
+            f"{stratum_col} long, quota long")
+    w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    ranked = (s.withColumn("rk", F.row_number().over(w))
+               .join(F.broadcast(quota), stratum_col))
+    return (ranked.filter(F.col("rk") <= F.col("quota"))
+                  .drop("_h")
+                  .withColumnRenamed(stratum_col, "stratum"))

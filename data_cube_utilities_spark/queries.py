@@ -7690,6 +7690,88 @@ FROM n
 
 
 
+def q_rfm(spark, sf_dir):
+    """RFM segmentation (sketches.rfm_segments) of customers from their
+    orders: exact quantile scores (1 + (rank-1)*5 DIV n, user-id rank
+    ties — NOT ntile, whose uneven-bucket boundaries differ between
+    engines), rfm = 100r + 10f + m."""
+    from .operators import sketches
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user"),
+        F.col("o_orderkey").alias("t"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("amount"))
+    return sketches.rfm_segments(o, "user", "t", "amount")
+
+
+SQL_RFM = """
+WITH base AS (
+  SELECT o_custkey AS u, max(o_orderkey) AS recency,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+  FROM orders GROUP BY o_custkey),
+n AS (SELECT count(*) AS n FROM base),
+rk AS (
+  SELECT u, recency, frequency, monetary,
+         row_number() OVER (ORDER BY recency, u) AS rr,
+         row_number() OVER (ORDER BY frequency, u) AS rf,
+         row_number() OVER (ORDER BY monetary, u) AS rm
+  FROM base)
+SELECT u AS user, CAST(recency AS BIGINT) AS recency,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary AS BIGINT) AS monetary,
+       CAST(1 + ((rr - 1) * 5) // (SELECT n FROM n) AS BIGINT) AS r_score,
+       CAST(1 + ((rf - 1) * 5) // (SELECT n FROM n) AS BIGINT) AS f_score,
+       CAST(100 * (1 + ((rr - 1) * 5) // (SELECT n FROM n))
+            + 10 * (1 + ((rf - 1) * 5) // (SELECT n FROM n))
+            + (1 + ((rm - 1) * 5) // (SELECT n FROM n)) AS BIGINT) AS rfm,
+       CAST(1 + ((rm - 1) * 5) // (SELECT n FROM n) AS BIGINT) AS m_score
+FROM rk
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact-size stratified sample (sketches.stratified_exact_sample,
+    100 draws over language strata): Hamilton largest-remainder
+    allocation + per-stratum md5-order top-k — deterministic EXACT
+    counts where threshold sampling only hits expectations."""
+    from .operators import sketches
+
+    return sketches.stratified_exact_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", 100)
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+sz AS (SELECT lang, count(*) AS n_h FROM s GROUP BY lang),
+tot AS (SELECT sum(n_h) AS total, least(100, sum(n_h)) AS take FROM sz),
+q1 AS (
+  SELECT lang, n_h,
+         ((SELECT take FROM tot) * n_h) // (SELECT total FROM tot) AS b,
+         ((SELECT take FROM tot) * n_h) % (SELECT total FROM tot) AS rem
+  FROM sz),
+r AS (SELECT lang, b, row_number()
+        OVER (ORDER BY rem DESC, lang ASC) AS rr FROM q1),
+k AS (SELECT (SELECT take FROM tot) - sum(b) AS k FROM q1),
+quota AS (
+  SELECT lang, b + CASE WHEN rr <= (SELECT k FROM k) THEN 1 ELSE 0 END
+           AS quota
+  FROM r),
+ranked AS (
+  SELECT s.*, row_number()
+           OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM s)
+SELECT doc_id, text, lang AS stratum, source, n_chars,
+       CAST(rk AS BIGINT) AS rk, CAST(quota AS BIGINT) AS quota
+FROM ranked JOIN quota USING (lang) WHERE rk <= quota
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7869,6 +7951,8 @@ GROUP_A = {
     "tasseled_cap": (q_tasseled_cap, _tasseled_cap_sql()),
     "downsample_mode": (q_downsample_mode, SQL_DOWNSAMPLE_MODE),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "rfm": (q_rfm, SQL_RFM),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }
 
 

@@ -736,3 +736,54 @@ def test_normalize_text_canonical_form(spark):
     # trivially-different bytes collapse to the SAME dedup key
     assert out[1].norm_hash == out[2].norm_hash
     assert out[1].n_norm_chars == 10
+
+
+def test_rfm_scores_exact_quintiles(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    # 10 users, one order each: amount == recency == user -> rank = user
+    rows = [(u, u, u) for u in range(1, 11)]
+    df = spark.createDataFrame(rows, "user long, t long, amount long")
+    out = {r.user: r for r in
+           sketches.rfm_segments(df, "user", "t", "amount").collect()}
+    # rank r -> score 1 + (r-1)*5 div 10: users 1-2 -> 1 ... 9-10 -> 5
+    for u in range(1, 11):
+        want = 1 + (u - 1) * 5 // 10
+        assert out[u].r_score == want and out[u].m_score == want
+    assert out[10].rfm == 100 * 5 + 10 * out[10].f_score + 5
+    # all frequencies tie at 1: ranks break by user id, still 1..5 spread
+    assert sorted(out[u].f_score for u in range(1, 11)) == \
+        [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+
+
+def test_stratified_sample_exact_quotas(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    rows = [(i, "a" if i < 70 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sketches.stratified_exact_sample(df, "lang", "doc_id", 10) \
+        .collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r.doc_id)
+    assert len(by["a"]) == 7 and len(by["b"]) == 3
+    # determinism under repartition
+    out2 = sketches.stratified_exact_sample(
+        df.repartition(13), "lang", "doc_id", 10).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+
+
+def test_stratified_sample_largest_remainder(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    # strata sizes 5 / 3 / 2, take 7: bases 3/2/1 (floor of 3.5/2.1/1.4),
+    # remainder 1 seat -> largest fractional part = stratum 'a' (.5)
+    rows = ([(i, "a") for i in range(5)] + [(10 + i, "b") for i in range(3)]
+            + [(20 + i, "c") for i in range(2)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sketches.stratified_exact_sample(df, "lang", "doc_id", 7) \
+        .collect()
+    cnt = {}
+    for r in out:
+        cnt[r.stratum] = cnt.get(r.stratum, 0) + 1
+    assert cnt == {"a": 4, "b": 2, "c": 1}
