@@ -560,3 +560,59 @@ def test_canny_edges_all_jvm_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_zorder_range_scan_pushes_between_to_parquet(spark, tmp_path):
+    # write a z-laid-out table, scan a bbox: the planned zkey BETWEEN
+    # ranges must reach the parquet source as PushedFilters so
+    # row-group min/max pruning can bite at scale
+    pts = spark.range(2000).selectExpr(
+        "id", "CAST((id * 7919) % 12000 AS DOUBLE) / 100.0 - 60.0 AS lat",
+        "CAST((id * 9301) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon")
+    from data_cube_utilities_spark.operators import tiling
+    laid = tiling.zorder_layout(pts, "lat", "lon", n_files=8, bits=8)
+    path = str(tmp_path / "zlaid")
+    laid.write.parquet(path)
+    back = spark.read.parquet(path)
+    out = cells.zorder_range_scan(back, "lat", "lon",
+                                  -20.0, 30.0, -50.0, 60.0,
+                                  bits=8, max_ranges=8)
+    plan = plan_of(out)
+    assert "PushedFilters" in plan and "zkey" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gravity_flows_broadcasts_destinations(spark):
+    o = spark.range(100).selectExpr("id AS o_id", "id % 64 AS x",
+                                    "id % 32 AS y", "id + 1 AS mass_o")
+    d = spark.range(10).selectExpr("id AS d_id", "id % 64 AS x",
+                                   "id % 32 AS y", "id + 1 AS mass_d")
+    plan = plan_of(spatial.gravity_flows(o, d, max_d2=100))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
+def test_box_nms_image_keyed_join_no_cartesian(spark):
+    from data_cube_utilities_spark.operators import rasterops
+    b = spark.range(200).selectExpr(
+        "id % 8 AS img", "id AS box_id", "id % 50 AS x1", "id % 40 AS y1",
+        "id % 50 + 5 AS x2", "id % 40 + 5 AS y2", "id % 97 AS score")
+    plan = plan_of(rasterops.box_nms(b))
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_bilateral_and_topology_are_jvm_equi_joins(spark):
+    from data_cube_utilities_spark.operators import rasterops
+    g = spark.range(400).selectExpr("id % 20 AS ix", "id div 20 AS iy",
+                                    "id % 7 AS v")
+    plan = plan_of(spatial.bilateral_filter_grid(g))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    t = spark.range(400).selectExpr("id % 3 AS label", "id % 20 AS ix",
+                                    "id div 20 AS iy")
+    plan2 = plan_of(rasterops.region_topology_long(t))
+    assert "CartesianProduct" not in plan2
+    assert "BatchEvalPython" not in plan2
