@@ -750,3 +750,36 @@ def stratified_exact_sample(df: DataFrame, stratum_col: str,
     return (ranked.filter(F.col("rk") <= F.col("quota"))
                   .drop("_h")
                   .withColumnRenamed(stratum_col, "stratum"))
+
+
+def abc_analysis(df: DataFrame, item_col: str,
+                 value_col: str,
+                 a_num: int = 4, a_den: int = 5,
+                 b_num: int = 19, b_den: int = 20) -> DataFrame:
+    """Pareto / ABC classification — the inventory 80/95 split: items
+    ranked by value descending (ties to smaller item id), class A while
+    the INCLUSIVE cumulative share is <= a_num/a_den (default 80%),
+    B while <= b_num/b_den (95%), else C.  Share comparisons are
+    cross-multiplied (cum * den <= num * total) so the class boundary
+    is exact — no percentage doubles, no boundary drift between
+    engines.
+
+    One groupBy(item) + one global rank-and-cumsum window over the
+    (small) item table.  Returns (item, value, rank, cum_value,
+    share_q20, cum_share_q20, abc_class)."""
+    base = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("value"))
+    w = Window.orderBy(F.desc("value"), F.asc("item"))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = base.agg(F.sum("value").alias("t")).collect()[0]["t"] or 0
+    ranked = (base.withColumn("rank", F.row_number().over(w))
+                  .withColumn("cum_value", F.sum("value").over(wc)))
+    cls = (F.when(F.col("cum_value") * a_den <= F.lit(a_num * tot), "A")
+            .when(F.col("cum_value") * b_den <= F.lit(b_num * tot), "B")
+            .otherwise("C"))
+    return ranked.select(
+        "item", "value", F.col("rank").cast("long").alias("rank"),
+        "cum_value",
+        F.expr(f"(value * 1048576) div {tot}L").alias("share_q20"),
+        F.expr(f"(cum_value * 1048576) div {tot}L").alias("cum_share_q20"),
+        cls.alias("abc_class"))

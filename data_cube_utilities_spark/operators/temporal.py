@@ -1121,3 +1121,38 @@ def ohlc_bars(df: DataFrame, key_cols: Sequence[str], bucket: int,
                   (F.max(p) % F.lit(1 << 32)).cast("long").alias("close"),
                   F.count("*").alias("n_ticks"),
                   F.sum("v").alias("vsum")))
+
+
+def markov_transitions(df: DataFrame, key_cols: Sequence[str],
+                       t_col: str = "t",
+                       state_col: str = "state") -> DataFrame:
+    """First-order Markov transition table over per-key event
+    sequences: count every (state, next_state) adjacency in (t, state)
+    order — the state tiebreak makes equal-timestamp sequences
+    deterministic — with the row-conditional probability on the Q20
+    grid and the argmax next state per source (ties to the smallest
+    next state, the downsample_mode idiom).  The sequence twin of the
+    grid transition_matrix: session path analysis, next-event
+    prediction baselines, UI funnel graphs.
+
+    One lag window on the key partitioning + one (state, next) groupBy.
+    Returns (state, next_state, n, p_q20, is_top_next)."""
+    w = Window.partitionBy(*key_cols).orderBy(t_col, state_col)
+    g = (df.select(*key_cols, F.col(t_col).alias("t"),
+                   F.col(state_col).alias("state"))
+           .withColumn("_next", F.lead("state").over(w))
+           .filter(F.col("_next").isNotNull()))
+    cnt = g.groupBy("state", F.col("_next").alias("next_state")) \
+           .agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("state").agg(F.sum("n").alias("ntot"))
+    top = (cnt.groupBy("state")
+              .agg(F.min(F.struct((-F.col("n")).alias("nn"),
+                                  F.col("next_state").alias("s")))
+                    .alias("b"))
+              .select("state", F.col("b.s").alias("_top")))
+    return (cnt.join(tot, "state").join(top, "state")
+               .select("state", "next_state",
+                       F.col("n").cast("long").alias("n"),
+                       F.expr("(n * 1048576) div ntot").alias("p_q20"),
+                       (F.col("next_state") == F.col("_top"))
+                       .cast("int").alias("is_top_next")))

@@ -2265,3 +2265,56 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
         F.length(text_col).cast("long").alias("n_chars"),
         F.length(norm).cast("long").alias("n_norm_chars"),
         F.md5(norm).alias("norm_hash"))
+
+
+def containment_dedup_pairs(df: DataFrame, min_contain_q20: int,
+                            max_df: int = 1000,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            release_cache: bool = True) -> DataFrame:
+    """ASYMMETRIC near-dup detection by exact trigram CONTAINMENT
+    (Broder's resemblance twin): contain(A in B) = |A ∩ B| * 2^20 DIV
+    |A| over distinct word-trigram sets.  Jaccard misses the classic
+    wrapper case — a short doc quoted whole inside a long one scores
+    low symmetric similarity but containment(short in long) ~ 1 — and
+    containment is what quote/boilerplate/template dedup actually
+    wants.
+
+    Pairs emerge from ONE equi-join blocked on the shared shingle
+    (the ngram_jaccard shape): fan-out is sum over shingles of df^2,
+    so ubiquitous shingles are capped at max_df occurrences (dropping
+    a shingle can only LOWER intersection counts — a recall knob,
+    documented, never a correctness leak for the shingles kept).
+    Keeps pairs where EITHER direction clears min_contain_q20.
+
+    Returns (doc_a, doc_b, inter, n_a, n_b, contain_a_q20,
+    contain_b_q20), doc_a < doc_b, both directions reported."""
+    sh = (explode_trigrams(_fanout(df), id_col, text_col)
+          .distinct()
+          .persist())
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsz"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    kept = sh.join(dfreq.filter(F.col("sdf") <= max_df), "shingle")
+    l = kept.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
+    r = kept.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
+    inter = (l.join(r, "shingle")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("nsz").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("nsz").alias("n_b"))
+    out = (inter.join(na, "doc_a").join(nb, "doc_b")
+                .withColumn("contain_a_q20",
+                            F.expr("(inter * 1048576) div n_a"))
+                .withColumn("contain_b_q20",
+                            F.expr("(inter * 1048576) div n_b"))
+                .filter((F.col("contain_a_q20") >= min_contain_q20)
+                        | (F.col("contain_b_q20") >= min_contain_q20))
+                .select("doc_a", "doc_b", "inter", "n_a", "n_b",
+                        "contain_a_q20", "contain_b_q20"))
+    if release_cache:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
+    return out

@@ -7772,6 +7772,119 @@ FROM ranked JOIN quota USING (lang) WHERE rk <= quota
 
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment dedup (textops.containment_dedup_pairs,
+    60% threshold): exact trigram-set containment — catches the
+    quoted-wrapper duplicates symmetric Jaccard misses; shingle-blocked
+    join with a max_df recall cap."""
+    from .operators import textops
+
+    return textops.containment_dedup_pairs(
+        _t(spark, sf_dir, "documents"), min_contain_q20=600000)
+
+
+SQL_CONTAINMENT = """
+WITH sh0 AS (
+  SELECT doc_id, unnest([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+                         for i in generate_series(1, greatest(len(sp)-2, 0))])
+           AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS nsz FROM d GROUP BY doc_id),
+dfreq AS (SELECT shingle FROM d GROUP BY shingle
+          HAVING count(*) <= 1000),
+kept AS (SELECT d.doc_id, d.shingle FROM d JOIN dfreq USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+       CAST(sa.nsz AS BIGINT) AS n_a, CAST(sb.nsz AS BIGINT) AS n_b,
+       CAST((i * 1048576) // sa.nsz AS BIGINT) AS contain_a_q20,
+       CAST((i * 1048576) // sb.nsz AS BIGINT) AS contain_b_q20
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (i * 1048576) // sa.nsz >= 600000
+   OR (i * 1048576) // sb.nsz >= 600000
+"""
+
+
+def q_markov(spark, sf_dir):
+    """First-order Markov transition table (temporal.
+    markov_transitions) over per-user event-type sequences: Q20
+    conditional probabilities + deterministic argmax next state."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("t"),
+        F.col("event_type").alias("state"))
+    return temporal.markov_transitions(ev, ["u"])
+
+
+SQL_MARKOV = """
+WITH g AS (SELECT user_id AS u, event_id AS t, event_type AS s
+           FROM events),
+l AS (SELECT u, s AS state,
+             lead(s) OVER (PARTITION BY u ORDER BY t, s) AS nx
+      FROM g),
+c AS (SELECT state, nx AS next_state, count(*) AS n
+      FROM l WHERE nx IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT state, sum(n) AS ntot FROM c GROUP BY state),
+top AS (SELECT state, next_state AS topn FROM (
+          SELECT state, next_state,
+                 row_number() OVER (PARTITION BY state
+                                    ORDER BY n DESC, next_state ASC) AS rk
+          FROM c) WHERE rk = 1)
+SELECT c.state, c.next_state, CAST(n AS BIGINT) AS n,
+       CAST((n * 1048576) // ntot AS BIGINT) AS p_q20,
+       CAST(CASE WHEN c.next_state = topn THEN 1 ELSE 0 END AS INTEGER)
+         AS is_top_next
+FROM c JOIN tot USING (state) JOIN top USING (state)
+"""
+
+
+def q_abc(spark, sf_dir):
+    """ABC / Pareto classification (sketches.abc_analysis) of part
+    buckets by revenue cents: exact cross-multiplied 80/95 class
+    boundaries, rank ties to smaller item."""
+    from .operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 200).alias("item"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("cents"))
+    return sketches.abc_analysis(li, "item", "cents")
+
+
+SQL_ABC = """
+WITH base AS (
+  SELECT l_partkey % 200 AS item,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT sum(value) AS t FROM base),
+r AS (
+  SELECT item, value,
+         row_number() OVER (ORDER BY value DESC, item ASC) AS rank,
+         sum(value) OVER (ORDER BY value DESC, item ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_value
+  FROM base)
+SELECT item, CAST(value AS BIGINT) AS value,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(cum_value AS BIGINT) AS cum_value,
+       CAST((value * 1048576) // (SELECT t FROM tot) AS BIGINT)
+         AS share_q20,
+       CAST((cum_value * 1048576) // (SELECT t FROM tot) AS BIGINT)
+         AS cum_share_q20,
+       CASE WHEN cum_value * 5 <= 4 * (SELECT t FROM tot) THEN 'A'
+            WHEN cum_value * 20 <= 19 * (SELECT t FROM tot) THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -7953,6 +8066,9 @@ GROUP_A = {
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "rfm": (q_rfm, SQL_RFM),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "containment": (q_containment, SQL_CONTAINMENT),
+    "markov": (q_markov, SQL_MARKOV),
+    "abc": (q_abc, SQL_ABC),
 }
 
 

@@ -787,3 +787,50 @@ def test_stratified_sample_largest_remainder(spark):
     for r in out:
         cnt[r.stratum] = cnt.get(r.stratum, 0) + 1
     assert cnt == {"a": 4, "b": 2, "c": 1}
+
+
+def test_containment_catches_wrapper(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    short = "alpha beta gamma delta epsilon"
+    longd = ("intro text here " + short + " and a very long tail "
+             + " ".join(f"w{i}" for i in range(40)))
+    df = spark.createDataFrame([(1, short), (2, longd), (3, "x y z q")],
+                               "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r for r in
+           textops.containment_dedup_pairs(df, 900000).collect()}
+    r = out[(1, 2)]
+    q = 1 << 20
+    assert r.contain_a_q20 == q        # short fully inside long
+    assert r.contain_b_q20 < q // 2    # but Jaccard-style symmetric low
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_markov_transitions_exact(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    ev = [(1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "c"),
+          (2, 0, "a"), (2, 1, "b")]
+    df = spark.createDataFrame(ev, "u long, t long, state string")
+    out = {(r.state, r.next_state): r for r in
+           temporal.markov_transitions(df, ["u"]).collect()}
+    q = 1 << 20
+    ab = out[("a", "b")]
+    assert ab.n == 2 and ab.p_q20 == 2 * q // 3
+    assert ab.is_top_next == 1
+    assert out[("a", "c")].is_top_next == 0
+    assert out[("b", "a")].n == 1      # last events have no successor
+
+
+def test_abc_classes_exact_boundaries(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    # values 80, 15, 5: cum shares 80%, 95%, 100%
+    rows = [(1, 80), (2, 15), (3, 5)]
+    df = spark.createDataFrame(rows, "item long, v long")
+    out = {r.item: r for r in
+           sketches.abc_analysis(df, "item", "v").collect()}
+    assert out[1].abc_class == "A"     # 80*5 <= 4*100 inclusive
+    assert out[2].abc_class == "B"     # 95*20 <= 19*100 inclusive
+    assert out[3].abc_class == "C"
+    assert out[1].rank == 1 and out[3].cum_share_q20 == 1 << 20
