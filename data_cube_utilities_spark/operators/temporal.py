@@ -1156,3 +1156,53 @@ def markov_transitions(df: DataFrame, key_cols: Sequence[str],
                        F.expr("(n * 1048576) div ntot").alias("p_q20"),
                        (F.col("next_state") == F.col("_top"))
                        .cast("int").alias("is_top_next")))
+
+
+def minmax_decimate(df: DataFrame, key_cols: Sequence[str],
+                    n_buckets: int,
+                    t_col: str = "t", v_col: str = "v") -> DataFrame:
+    """Min-max decimation — the lossy series downsampler that preserves
+    envelopes (what plotting and anomaly-triage actually need; a plain
+    every-Nth stride erases spikes): per series, time is cut into
+    n_buckets equal spans and each bucket keeps its min-value and
+    max-value points (packed-key argmin/argmax — v * 2^32 + t_offset —
+    deterministic in any engine: value ties resolve to the EARLIEST t
+    for the min point and the LATEST t for the max point).  Values must
+    be nonnegative (the packed decode is a truncating div).  A bucket
+    whose min and max coincide emits one row.
+
+    ONE groupBy over (keys, bucket) + an explode of at most 2 structs —
+    map-side combining, no window.  Returns (keys, bucket, t, v, kind)
+    with kind in ('min', 'max', 'both')."""
+    g = df.select(*key_cols, F.col(t_col).cast("long").alias("t"),
+                  F.col(v_col).cast("long").alias("v"))
+    w = Window.partitionBy(*key_cols)
+    g = (g.withColumn("_t0", F.min("t").over(w))
+          .withColumn("_t1", F.max("t").over(w))
+          .withColumn("_b", F.least(
+              F.expr(f"((t - _t0) * {n_buckets}L) div "
+                     f"greatest(_t1 - _t0 + 1, 1)"),
+              F.lit(n_buckets - 1))))
+    pack_min = F.min(F.col("v") * F.lit(1 << 32) + (F.col("t") - F.col("_t0")))
+    pack_max = F.max(F.col("v") * F.lit(1 << 32) + (F.col("t") - F.col("_t0")))
+    agg = (g.groupBy(*key_cols, F.col("_b").alias("bucket"))
+            .agg(pack_min.alias("_pmin"), pack_max.alias("_pmax"),
+                 F.min("_t0").alias("_t0")))
+    both = (F.expr("_pmin div 4294967296")
+            == F.expr("_pmax div 4294967296"))  # VALUES tie, not packs
+    ex = agg.select(
+        *key_cols, "bucket",
+        F.explode(F.when(both, F.array(F.struct(
+            F.col("_pmin").alias("p"), F.lit("both").alias("kind"))))
+            .otherwise(F.array(
+                F.struct(F.col("_pmin").alias("p"),
+                         F.lit("min").alias("kind")),
+                F.struct(F.col("_pmax").alias("p"),
+                         F.lit("max").alias("kind"))))).alias("e"),
+        "_t0")
+    return ex.select(
+        *key_cols, "bucket",
+        (F.col("e.p") % F.lit(1 << 32) + F.col("_t0")).cast("long")
+        .alias("t"),
+        F.expr("e.p div 4294967296").cast("long").alias("v"),
+        F.col("e.kind").alias("kind"))

@@ -7885,6 +7885,105 @@ FROM r
 
 
 
+def q_table_diff(spark, sf_dir):
+    """Data-diff audit (snapshots.table_diff): documents v1 vs a
+    deterministic v2 (every 7th doc deleted, every 5th text edited,
+    every 11th re-keyed as an add) -> per-status key counts + per-column
+    change counts in one full-outer pass."""
+    from .sources import snapshots
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    v2 = (d.filter(F.col("doc_id") % 7 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                      F.concat(F.col("text"),
+                                               F.lit(" EDITED")))
+                       .otherwise(F.col("text"))))
+    adds = (d.filter(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     "text", "lang"))
+    return snapshots.table_diff(spark, d, v2.unionByName(adds),
+                                ["doc_id"])
+
+
+SQL_TABLE_DIFF = """
+WITH l AS (SELECT doc_id, text, lang FROM documents),
+r AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' EDITED' ELSE text END
+           AS text, lang
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents
+  WHERE doc_id % 11 = 0),
+j AS (
+  SELECT coalesce(l.doc_id, r.doc_id) AS k,
+         l.doc_id IS NOT NULL AS in_l, r.doc_id IS NOT NULL AS in_r,
+         CASE WHEN NOT (l.text IS NOT DISTINCT FROM r.text)
+              THEN 1 ELSE 0 END AS d_text,
+         CASE WHEN NOT (l.lang IS NOT DISTINCT FROM r.lang)
+              THEN 1 ELSE 0 END AS d_lang
+  FROM l FULL OUTER JOIN r ON r.doc_id = l.doc_id),
+t AS (
+  SELECT CASE WHEN NOT in_l THEN 'added'
+              WHEN NOT in_r THEN 'deleted'
+              WHEN d_text = 1 OR d_lang = 1 THEN 'changed'
+              ELSE 'same' END AS status, d_text, d_lang
+  FROM j)
+SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN status = 'changed' THEN d_text ELSE 0 END)
+            AS BIGINT) AS n_changed_text,
+       CAST(sum(CASE WHEN status = 'changed' THEN d_lang ELSE 0 END)
+            AS BIGINT) AS n_changed_lang
+FROM t GROUP BY status
+"""
+
+
+def q_minmax_decimate(spark, sf_dir):
+    """Envelope-preserving series downsampling (temporal.
+    minmax_decimate, 8 buckets): per-bucket min and max points with
+    packed-key deterministic ties."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 6).alias("grp"),
+        F.col("event_id").alias("t"),
+        ((F.col("event_id") * 37) % 500).alias("v"))
+    return temporal.minmax_decimate(ev, ["grp"], n_buckets=8)
+
+
+SQL_MINMAX_DECIMATE = """
+WITH g AS (
+  SELECT user_id % 6 AS grp, event_id AS t, (event_id * 37) % 500 AS v
+  FROM events),
+b AS (
+  SELECT grp, t, v,
+         min(t) OVER (PARTITION BY grp) AS t0,
+         max(t) OVER (PARTITION BY grp) AS t1
+  FROM g),
+c AS (
+  SELECT grp, t, v, t0,
+         least(((t - t0) * 8) // greatest(t1 - t0 + 1, 1), 7) AS bucket
+  FROM b),
+a AS (
+  SELECT grp, bucket, min(t0) AS t0,
+         min(v * 4294967296 + (t - t0)) AS pmin,
+         max(v * 4294967296 + (t - t0)) AS pmax
+  FROM c GROUP BY grp, bucket),
+e AS (
+  SELECT grp, bucket, t0, pmin AS p,
+         CASE WHEN pmin // 4294967296 = pmax // 4294967296
+              THEN 'both' ELSE 'min' END AS kind
+  FROM a
+  UNION ALL
+  SELECT grp, bucket, t0, pmax, 'max' FROM a
+  WHERE pmin // 4294967296 <> pmax // 4294967296)
+SELECT grp, bucket, CAST(p % 4294967296 + t0 AS BIGINT) AS t,
+       CAST(p // 4294967296 AS BIGINT) AS v, kind
+FROM e
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8069,6 +8168,8 @@ GROUP_A = {
     "containment": (q_containment, SQL_CONTAINMENT),
     "markov": (q_markov, SQL_MARKOV),
     "abc": (q_abc, SQL_ABC),
+    "table_diff": (q_table_diff, SQL_TABLE_DIFF),
+    "minmax_decimate": (q_minmax_decimate, SQL_MINMAX_DECIMATE),
 }
 
 

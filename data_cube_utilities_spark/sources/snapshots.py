@@ -571,3 +571,48 @@ def refresh_incremental_agg(src: SnapshotTable, agg: SnapshotTable,
     return agg.merge_upsert(merged, key_cols=keys,
                             lineage={"src_version": head,
                                      "op": "ivm_incremental"})
+
+
+def table_diff(spark: SparkSession, left: DataFrame, right: DataFrame,
+               key_cols: Sequence[str]) -> DataFrame:
+    """Data-diff audit between two relation versions (two snapshot
+    reads, a table before/after a backfill, source vs migrated copy):
+    one FULL OUTER join on the key, classifying every key as 'added'
+    (right only), 'deleted' (left only), 'changed' (present in both,
+    any non-key column differs — NULL-safe comparison) or 'same'.
+    Returns ONE summary row per status + per-column change counts for
+    the changed rows (n_changed_<col>), all exact integers.
+
+    The per-key classification is the expensive part — one
+    co-partitioned shuffle join; the summary is a tiny aggregate.
+    Column sets must match (asserted)."""
+    assert set(left.columns) == set(right.columns), "schema mismatch"
+    vals = [c for c in left.columns if c not in key_cols]
+    # presence must come from the join sides, not value nullability:
+    # join key-only presence frames alongside the value columns
+    lk = left.select(*key_cols).withColumn("_in_l", F.lit(1))
+    rk = right.select(*key_cols).withColumn("_in_r", F.lit(1))
+    j = (left.select(*key_cols,
+                     *[F.col(c).alias(f"_l_{c}") for c in vals])
+             .join(right.select(*key_cols,
+                                *[F.col(c).alias(f"_r_{c}") for c in vals]),
+                   list(key_cols), "full_outer")
+             .join(lk, list(key_cols), "left")
+             .join(rk, list(key_cols), "left"))
+    diffs = [(~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}")))
+             .cast("long").alias(f"_d_{c}") for c in vals]
+    any_diff = None
+    for c in vals:
+        d = ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    status = (F.when(F.col("_in_l").isNull(), "added")
+               .when(F.col("_in_r").isNull(), "deleted")
+               .when(any_diff if any_diff is not None else F.lit(False),
+                     "changed")
+               .otherwise("same"))
+    tagged = j.select(status.alias("status"), *diffs)
+    return tagged.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        *[F.sum(F.when(F.col("status") == "changed", F.col(f"_d_{c}"))
+                 .otherwise(0)).cast("long").alias(f"n_changed_{c}")
+          for c in vals])

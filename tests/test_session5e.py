@@ -834,3 +834,43 @@ def test_abc_classes_exact_boundaries(spark):
     assert out[2].abc_class == "B"     # 95*20 <= 19*100 inclusive
     assert out[3].abc_class == "C"
     assert out[1].rank == 1 and out[3].cum_share_q20 == 1 << 20
+
+
+def test_table_diff_statuses(spark):
+    from data_cube_utilities_spark.sources import snapshots
+
+    l = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long")
+    r = spark.createDataFrame(
+        [(1, "a", 10),          # same
+         (2, "B", 20),          # changed: s only
+         (4, None, 41),         # changed: v only (NULL-safe s compare)
+         (5, "e", 50)],         # added; 3 deleted
+        "k long, s string, v long")
+    out = {row.status: row for row in
+           snapshots.table_diff(spark, l, r, ["k"]).collect()}
+    assert out["same"].n_keys == 1
+    assert out["added"].n_keys == 1 and out["deleted"].n_keys == 1
+    ch = out["changed"]
+    assert ch.n_keys == 2
+    assert ch.n_changed_s == 1 and ch.n_changed_v == 1
+
+
+def test_minmax_decimate_envelope(spark):
+    from data_cube_utilities_spark.operators import temporal
+
+    # one series, 16 points, spike at t=5: the spike MUST survive
+    vals = [10] * 16
+    vals[5] = 99
+    vals[12] = 1
+    rows = [(1, t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp long, t long, v long")
+    out = temporal.minmax_decimate(df, ["grp"], n_buckets=4).collect()
+    got = {(r.t, r.v, r.kind) for r in out}
+    assert (5, 99, "max") in got
+    assert (12, 1, "min") in got
+    # constant bucket emits ONE 'both' row (bucket 0 = t 0..3)
+    assert (0, 10, "both") in got
+    # constant bucket 2 (t 8..11, all 10s): 'both' at earliest t
+    assert (8, 10, "both") in got
