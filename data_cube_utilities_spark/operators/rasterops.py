@@ -3171,3 +3171,45 @@ def image_quality_long(pixels: DataFrame, clip_lo: int = 8,
                          F.expr(f"(nhi * {q}L) div n_px")
                           .alias("clip_hi_q20"),
                          "vmin", "vmax"))
+
+
+def unsharp_mask_grid(pixels: DataFrame, radius: int = 2,
+                      k_num: int = 1, k_den: int = 2,
+                      vmax: int = 255, img_col: str = "img",
+                      x_col: str = "px", y_col: str = "py",
+                      value_col: str = "val") -> DataFrame:
+    """Unsharp masking over dense per-image grids — the classic
+    sharpener (out = v + k * (v - blur)) composed from the SAT box
+    blur, EXACT:
+
+        out = clamp(v + (k_num * (v * n_win - box_sum))
+                        tdiv (k_den * n_win), 0, vmax)
+
+    — the highpass (v*n - box) is cross-multiplied so there is no blur
+    division at all, and the single division truncates toward zero
+    (DuckDB `//` parity; the highpass goes negative on dark-of-
+    neighborhood pixels).  Same dense-grid contract and analytic
+    clipped n_win as adaptive_threshold_grid.
+
+    Returns (img, x, y, v, sharp_v)."""
+    sat = integral_image_long(pixels, img_col, x_col, y_col, value_col)
+    box = box_sum_sat(sat, radius)
+    ext = (pixels.groupBy(F.col(img_col).alias("img"))
+                 .agg(F.max(x_col).alias("mx"), F.max(y_col).alias("my")))
+    r = radius
+    wx = (F.least(F.col("x") + r, F.col("mx"))
+          - F.greatest(F.col("x") - r, F.lit(0)) + 1)
+    wy = (F.least(F.col("y") + r, F.col("my"))
+          - F.greatest(F.col("y") - r, F.lit(0)) + 1)
+    t = (box.join(F.broadcast(ext), "img")
+            .withColumn("n_win", (wx * wy).cast("long"))
+            .withColumn("_hp", k_num * (F.col("v") * F.col("n_win")
+                                        - F.col("box_sum"))))
+    q = F.floor(F.abs(F.col("_hp")).cast("decimal(38,0)")
+                / (k_den * F.col("n_win")).cast("decimal(38,0)")) \
+         .cast("long")
+    tdiv = F.when(F.col("_hp") < 0, -q).otherwise(q)
+    sharp = F.least(F.greatest(F.col("v") + tdiv, F.lit(0)),
+                    F.lit(vmax))
+    return t.select("img", "x", "y", "v",
+                    sharp.cast("long").alias("sharp_v"))

@@ -783,3 +783,37 @@ def abc_analysis(df: DataFrame, item_col: str,
         F.expr(f"(value * 1048576) div {tot}L").alias("share_q20"),
         F.expr(f"(cum_value * 1048576) div {tot}L").alias("cum_share_q20"),
         cls.alias("abc_class"))
+
+
+def surprisal_profile(df: DataFrame, group_cols: Sequence[str],
+                      value_col: str) -> DataFrame:
+    """Integer ENTROPY/surprisal profile per group — the log-free
+    diversity axis profile_table lacks: per distinct value,
+    surprisal_bits = bitlen(N) - bitlen(cnt) (bitlen = length of the
+    binary expansion — the HLL register idiom, identical in Spark's
+    bin() and DuckDB's bin()), which brackets log2(N/cnt) within 1
+    bit; the group's entropy proxy is the count-weighted mean on the
+    Q20 grid,
+
+        entropy_bits_q20 = sum(cnt * bits) * 2^20 DIV N.
+
+    Near 0 = one value dominates (constant column, degenerate key);
+    high = uniform spread — the cheap uniformity gate for join-key and
+    corpus-field audits, deterministic where a float log2 entropy is
+    ulp-ambiguous.  Two map-side-combining groupBys.  Returns (group,
+    n, n_distinct, top_cnt, entropy_bits_q20)."""
+    cnt = (df.groupBy(*group_cols, F.col(value_col).alias("_v"))
+             .agg(F.count("*").alias("cnt")))
+    bits = F.length(F.bin(F.col("cnt")))
+    per = cnt.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.col("cnt") * bits).alias("_cb"))
+    return per.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("top_cnt").cast("long").alias("top_cnt"),
+        F.expr("((n * length(bin(n)) - _cb) * 1048576) div n")
+         .cast("long").alias("entropy_bits_q20"))

@@ -7984,6 +7984,65 @@ FROM e
 
 
 
+def q_unsharp_mask(spark, sf_dir):
+    """Unsharp sharpening (rasterops.unsharp_mask_grid, radius 2,
+    k = 1/2) over the 4 dense lineitem tiles: SAT box blur composed
+    into a cross-multiplied highpass, single truncating division,
+    clamped to [0, 255]."""
+    from .operators import rasterops
+
+    return rasterops.unsharp_mask_grid(_px_grid(spark, sf_dir),
+                                       radius=2, k_num=1, k_den=2)
+
+
+SQL_UNSHARP_MASK = f"""
+WITH {_PX_SQL},
+w AS (
+  SELECT p.img, p.x, p.y, p.v,
+         sum(q.v) AS box_sum, count(*) AS n_win
+  FROM px p JOIN px q ON q.img = p.img
+   AND q.x BETWEEN p.x - 2 AND p.x + 2
+   AND q.y BETWEEN p.y - 2 AND p.y + 2
+  GROUP BY p.img, p.x, p.y, p.v)
+SELECT img, x, y, CAST(v AS BIGINT) AS v,
+       CAST(least(greatest(
+         v + (1 * (v * n_win - box_sum)) // (2 * n_win), 0), 255)
+         AS BIGINT) AS sharp_v
+FROM w
+"""
+
+
+def q_surprisal(spark, sf_dir):
+    """Integer surprisal/entropy profile (sketches.surprisal_profile)
+    of order keys per status: bitlen-based log-free entropy proxy on
+    the Q20 grid — the uniformity gate for join-key audits."""
+    from .operators import sketches
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("grp"),
+        (F.col("o_custkey") % 40).alias("v"))
+    return sketches.surprisal_profile(o, ["grp"], "v")
+
+
+SQL_SURPRISAL = """
+WITH cnt AS (
+  SELECT o_orderstatus AS grp, o_custkey % 40 AS v, count(*) AS cnt
+  FROM orders GROUP BY 1, 2),
+per AS (
+  SELECT grp, sum(cnt) AS n, count(*) AS n_distinct,
+         max(cnt) AS top_cnt,
+         sum(cnt * length(bin(cnt))) AS cb
+  FROM cnt GROUP BY grp)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(top_cnt AS BIGINT) AS top_cnt,
+       CAST(((n * length(bin(n)) - cb) * 1048576) // n AS BIGINT)
+         AS entropy_bits_q20
+FROM per
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8170,6 +8229,8 @@ GROUP_A = {
     "abc": (q_abc, SQL_ABC),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "minmax_decimate": (q_minmax_decimate, SQL_MINMAX_DECIMATE),
+    "unsharp_mask": (q_unsharp_mask, SQL_UNSHARP_MASK),
+    "surprisal": (q_surprisal, SQL_SURPRISAL),
 }
 
 

@@ -874,3 +874,34 @@ def test_minmax_decimate_envelope(spark):
     assert (0, 10, "both") in got
     # constant bucket 2 (t 8..11, all 10s): 'both' at earliest t
     assert (8, 10, "both") in got
+
+
+def test_unsharp_mask_flat_and_spike(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    rows = [(0, x, y, 50) for x in range(7) for y in range(7)]
+    rows += [(1, x, y, 100 if (x, y) == (3, 3) else 0)
+             for x in range(7) for y in range(7)]
+    df = spark.createDataFrame(rows, "img long, px long, py long, val long")
+    out = {(r.img, r.x, r.y): r.sharp_v for r in
+           rasterops.unsharp_mask_grid(df, radius=2, k_num=1,
+                                       k_den=2).collect()}
+    # flat field: highpass 0 everywhere -> identity
+    assert all(out[(0, x, y)] == 50 for x in range(7) for y in range(7))
+    # spike center: hp = 100*25-100 = 2400, +2400//50 = +48
+    assert out[(1, 3, 3)] == 148
+    # dark neighbor: hp = -100 -> -2, clamped at 0
+    assert out[(1, 2, 3)] == 0
+
+
+def test_surprisal_constant_vs_uniform(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    rows = [("c", 7)] * 4 + [("u", v) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r for r in
+           sketches.surprisal_profile(df, ["grp"], "v").collect()}
+    assert out["c"].entropy_bits_q20 == 0          # one value dominates
+    # 4 uniform singletons: exactly 2 bits (bitlen(4)-bitlen(1) = 2)
+    assert out["u"].entropy_bits_q20 == 2 << 20
+    assert out["u"].n_distinct == 4 and out["c"].top_cnt == 4
