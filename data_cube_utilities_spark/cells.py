@@ -648,3 +648,90 @@ def zorder_range_scan(df, lat_col: str, lon_col: str,
         return t.filter(F.lit(False))
     return t.filter(cond).filter(F.col("ix").between(ix0, ix1)
                                  & F.col("iy").between(iy0, iy1))
+
+
+# ---------------------------------------------------------------------------
+# H3-style hexagonal cells (pointy-top axial coordinates)
+# ---------------------------------------------------------------------------
+# Engine-portability argument: the encoder uses ONLY IEEE-exactly-rounded
+# operations (+ - * / sqrt floor abs) — sqrt is correctly rounded by IEEE
+# 754, unlike sin/cos/log, so Spark (JVM) and DuckDB produce bit-identical
+# doubles and the cell ids hash-oracle.  This is why the module offers a
+# HEX grid without transcendental great-circle math.
+
+_SQRT3 = 3.0 ** 0.5  # hex basis constant, exactly rounded
+
+
+def hex_encode_cols(x, y, size: float):
+    """Axial (q, r) hex cell of planar point (x, y) for pointy-top
+    hexes of the given size, via exact cube rounding (floor(t + 0.5)
+    explicitly — engines disagree on round()'s half rule, never on
+    floor).  Returns (q, r) integer Columns."""
+    qf = (x * F.lit(_SQRT3 / 3.0) - y * F.lit(1.0 / 3.0)) / F.lit(size)
+    rf = (y * F.lit(2.0 / 3.0)) / F.lit(size)
+    sf = -qf - rf
+    rq = F.floor(qf + F.lit(0.5))
+    rr = F.floor(rf + F.lit(0.5))
+    rs = F.floor(sf + F.lit(0.5))
+    dq = F.abs(rq - qf)
+    dr = F.abs(rr - rf)
+    ds = F.abs(rs - sf)
+    q_out = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    r_out = F.when(~((dq > dr) & (dq > ds)) & (dr > ds),
+                   -rq - rs).otherwise(rr)
+    return q_out.cast("long"), r_out.cast("long")
+
+
+def hex_encode_sql(x_expr: str, y_expr: str, size: float) -> "tuple[str, str]":
+    """DuckDB twin of hex_encode_cols — identical IEEE arithmetic."""
+    qf = f"((({x_expr}) * {_SQRT3 / 3.0!r} - ({y_expr}) * {1.0 / 3.0!r}) / {size!r})"
+    rf = f"((({y_expr}) * {2.0 / 3.0!r}) / {size!r})"
+    sf = f"(-{qf} - {rf})"
+    rq = f"floor({qf} + 0.5)"
+    rr = f"floor({rf} + 0.5)"
+    rs = f"floor({sf} + 0.5)"
+    dq = f"abs({rq} - {qf})"
+    dr = f"abs({rr} - {rf})"
+    ds = f"abs({rs} - {sf})"
+    fix_q = f"({dq} > {dr} AND {dq} > {ds})"
+    q_out = (f"CAST(CASE WHEN {fix_q} THEN -{rr} - {rs} "
+             f"ELSE {rq} END AS BIGINT)")
+    r_out = (f"CAST(CASE WHEN NOT {fix_q} AND {dr} > {ds} "
+             f"THEN -{rq} - {rs} ELSE {rr} END AS BIGINT)")
+    return q_out, r_out
+
+
+# axial ring-1 neighbor offsets (pointy-top)
+HEX_RING1 = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def hex_cell_stats(df, x_col: str, y_col: str, size: float):
+    """Hex-grid aggregation + ring-1 adjacency — the north-rule cell
+    shape (H3-style hexes tile without the square grid's anisotropic
+    diagonal adjacency; every neighbor shares a full edge): per
+    occupied cell, its point count and how many of its 6 ring-1
+    neighbors are ALSO occupied — the support count kNN ring expansion
+    and hotspot contagion both read.
+
+    One encode projection + one groupBy + one 6-offset broadcast
+    self-join on the cell key.  Returns (q, r, n_points,
+    n_occupied_neighbors)."""
+    qc, rc = hex_encode_cols(F.col(x_col), F.col(y_col), size)
+    cells_df = (df.select(qc.alias("q"), rc.alias("r"))
+                  .groupBy("q", "r").agg(F.count("*").alias("n_points")))
+    offs = df.sparkSession.createDataFrame(
+        list(HEX_RING1), "dq long, dr long")
+    nbr = cells_df.select(F.col("q").alias("nq"), F.col("r").alias("nr"))
+    adj = (cells_df.crossJoin(F.broadcast(offs))
+                   .withColumn("nq", F.col("q") + F.col("dq"))
+                   .withColumn("nr", F.col("r") + F.col("dr"))
+                   .join(nbr, ["nq", "nr"])
+                   .groupBy("q", "r")
+                   .agg(F.count("*").alias("n_occupied_neighbors")))
+    return (cells_df.join(adj, ["q", "r"], "left")
+                    .na.fill(0, ["n_occupied_neighbors"])
+                    .select("q", "r",
+                            F.col("n_points").cast("long")
+                            .alias("n_points"),
+                            F.col("n_occupied_neighbors").cast("long")
+                            .alias("n_occupied_neighbors")))

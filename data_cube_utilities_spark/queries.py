@@ -8043,6 +8043,103 @@ FROM per
 
 
 
+def q_hex_cells(spark, sf_dir):
+    """H3-style hex-grid aggregation (cells.hex_cell_stats, size 5.0)
+    over the supplier point cloud: axial cells by exact cube rounding
+    (IEEE-exact ops only — floor(t+0.5), never round()), per-cell
+    counts + ring-1 occupied-neighbor support."""
+    from . import cells
+
+    s = _t(spark, sf_dir, "supplier").withColumn("x", F.expr(SUP_X))                                      .withColumn("y", F.expr(SUP_Y))
+    return cells.hex_cell_stats(s, "x", "y", 5.0)
+
+
+def _hex_cells_sql() -> str:
+    from . import cells
+
+    qs, rs = cells.hex_encode_sql(SUP_X, SUP_Y, 5.0)
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in cells.HEX_RING1)
+    return f"""
+WITH pts AS (SELECT {qs} AS q, {rs} AS r FROM supplier),
+c AS (SELECT q, r, count(*) AS n_points FROM pts GROUP BY q, r),
+o(dq, dr) AS (VALUES {offs}),
+adj AS (
+  SELECT c.q, c.r, count(*) AS nn
+  FROM c CROSS JOIN o
+  JOIN c n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.q, c.r)
+SELECT c.q, c.r, CAST(n_points AS BIGINT) AS n_points,
+       CAST(coalesce(nn, 0) AS BIGINT) AS n_occupied_neighbors
+FROM c LEFT JOIN adj ON adj.q = c.q AND adj.r = c.r
+"""
+
+
+
+def q_streaming_kmv(spark, sf_dir):
+    """Streaming distinct-count KMV sketch (stateful.streaming_kmv,
+    k=16) driven through a REAL Structured Streaming query: documents
+    streamed by file, per-language distinct-text sketch carried in
+    GroupState; the settled rows (max n_kept, then min kth) must equal
+    the batch KMV — which the SQL twin recomputes.  Same LOCAL-ONLY
+    symlink caveat as q_dedup_gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from .operators import sketches
+    from .streaming import stateful
+
+    src_path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    d = tempfile.mkdtemp(prefix="kmvstream_src_")
+    os.symlink(src_path, os.path.join(d, "part-00000.parquet"))
+    name = "kmvstream_" + uuid.uuid4().hex[:8]
+    schema = spark.read.parquet(src_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d)
+              .select(F.col("lang").alias("grp"),
+                      sketches.kmv_hash_col("text").alias("hv")))
+    q = (stateful.streaming_kmv(stream, k=16)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        emitted = spark.table(name)
+        w = Window.partitionBy("grp").orderBy(
+            F.col("n_kept").desc(), F.col("kth").asc())
+        # materialize before dropping the sink + temp dir (repeated
+        # registry runs must not accumulate either)
+        return (emitted.withColumn("rn", F.row_number().over(w))
+                       .filter("rn = 1").drop("rn")
+                       .localCheckpoint(eager=True))
+    finally:
+        spark.catalog.dropTempView(name)
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_STREAMING_KMV = """
+WITH h AS (
+  SELECT DISTINCT lang,
+         CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS hv
+  FROM documents WHERE text IS NOT NULL),
+r AS (SELECT lang, hv,
+             row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+      FROM h),
+k AS (SELECT lang, count(*) AS n_kept, max(hv) AS kth
+      FROM r WHERE rn <= 16 GROUP BY lang)
+SELECT lang AS grp, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(kth AS BIGINT) AS kth,
+       CAST(CASE WHEN n_kept < 16 THEN n_kept
+                 ELSE (15 * 281474976710656) // kth END AS BIGINT)
+         AS est_distinct
+FROM k
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8231,6 +8328,8 @@ GROUP_A = {
     "minmax_decimate": (q_minmax_decimate, SQL_MINMAX_DECIMATE),
     "unsharp_mask": (q_unsharp_mask, SQL_UNSHARP_MASK),
     "surprisal": (q_surprisal, SQL_SURPRISAL),
+    "hex_cells": (q_hex_cells, _hex_cells_sql()),
+    "streaming_kmv": (q_streaming_kmv, SQL_STREAMING_KMV),
 }
 
 

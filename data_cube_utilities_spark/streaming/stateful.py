@@ -239,3 +239,71 @@ def phash_gate_batch(df: DataFrame, id_col: str = "image_id",
                          & (ham <= PHGATE_MAX_HAMMING))
                         .cast("int").alias("is_dup"),
                         F.col("n_seen").cast("long").alias("n_seen")))
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV distinct-count sketch (bounded state, order-insensitive)
+# ---------------------------------------------------------------------------
+
+KMV_OUT_SCHEMA = "grp string, n_kept long, kth long, est_distinct long"
+KMV_STATE_SCHEMA = "hashes array<bigint>"
+KMV_DOMAIN = 16 ** 12  # sketches.DOMAIN — 48-bit md5-prefix hash space
+
+
+def _kmv_fold_factory(k: int):
+    def fold(key, pdfs: "Iterator[pd.DataFrame]", state):
+        cur = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            cur.update(int(h) for h in pdf["hv"] if h is not None)
+        kept = sorted(cur)[:k]
+        state.update((kept,))
+        n = len(kept)
+        kth = kept[-1] if kept else 0
+        est = n if n < k else ((k - 1) * KMV_DOMAIN) // kth
+        yield pd.DataFrame({"grp": [key[0]], "n_kept": [n],
+                            "kth": [kth], "est_distinct": [est]})
+    return fold
+
+
+def streaming_kmv(stream: DataFrame, k: int = 16) -> DataFrame:
+    """Streaming per-group distinct-count KMV sketch: the batch
+    kmv_sketch carried as GroupState — the k smallest 48-bit hashes per
+    key, a pure SET-MIN fold, so it is order-insensitive (any
+    micro-batch arrival order settles to the batch sketch exactly —
+    the parity contract every stateful operator here pins) and state
+    is O(k) per key forever.  Input must carry (grp string, hv long)
+    — hash upstream with sketches.kmv_hash_col, JVM-side.
+
+    The streaming form answers "distinct captions/images per cell so
+    far" continuously at 10^12 scale without a distinct shuffle per
+    trigger."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (stream.select("grp", "hv")
+            .groupBy("grp")
+            .applyInPandasWithState(
+                _kmv_fold_factory(k), KMV_OUT_SCHEMA, KMV_STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))
+
+
+def kmv_batch_twin(df: DataFrame, k: int = 16) -> DataFrame:
+    """One-shot batch equivalent of streaming_kmv's settled state (for
+    parity tests): same columns from sketches.kmv internals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = df.select("grp", "hv").filter(F.col("hv").isNotNull()).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    kept = (h.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= k))
+    return (kept.groupBy("grp")
+                .agg(F.count("*").alias("n_kept"),
+                     F.max("hv").alias("kth"))
+                .withColumn(
+                    "est_distinct",
+                    F.when(F.col("n_kept") < k, F.col("n_kept"))
+                     .otherwise(F.expr(
+                         f"({k - 1}L * {KMV_DOMAIN}L) div kth")))
+                .select("grp", F.col("n_kept").cast("long").alias("n_kept"),
+                        "kth", F.col("est_distinct").cast("long")
+                        .alias("est_distinct")))

@@ -905,3 +905,86 @@ def test_surprisal_constant_vs_uniform(spark):
     # 4 uniform singletons: exactly 2 bits (bitlen(4)-bitlen(1) = 2)
     assert out["u"].entropy_bits_q20 == 2 << 20
     assert out["u"].n_distinct == 4 and out["c"].top_cnt == 4
+
+
+def _hex_py(x, y, size):
+    """Independent python twin of the axial cube-round encoder."""
+    import math
+
+    s3 = 3.0 ** 0.5
+    qf = (x * (s3 / 3.0) - y * (1.0 / 3.0)) / size
+    rf = (y * (2.0 / 3.0)) / size
+    sf = -qf - rf
+    rq, rr, rs = (math.floor(t + 0.5) for t in (qf, rf, sf))
+    dq, dr, ds = abs(rq - qf), abs(rr - rf), abs(rs - sf)
+    if dq > dr and dq > ds:
+        rq = -rr - rs
+    elif dr > ds:
+        rr = -rq - rs
+    return int(rq), int(rr)
+
+
+def test_hex_encode_matches_python_twin(spark):
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark import cells
+
+    pts = [(i, -31.0 + i * 2.37, -47.0 + i * 3.11) for i in range(60)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    qc, rc = cells.hex_encode_cols(F.col("x"), F.col("y"), 5.0)
+    got = {r.id: (r.q, r.r) for r in
+           df.select("id", qc.alias("q"), rc.alias("r")).collect()}
+    for i, x, y in pts:
+        assert got[i] == _hex_py(x, y, 5.0)
+
+
+def test_hex_cell_stats_ring1_adjacency(spark):
+    from data_cube_utilities_spark import cells
+
+    s3 = 3.0 ** 0.5
+    size = 2.0
+
+    def center(q, r):
+        return (size * s3 * (q + r / 2.0), size * 1.5 * r)
+
+    # cells (0,0) and (1,0) touch; (5,5) is isolated
+    pts = [center(0, 0), center(0, 0), center(1, 0), center(5, 5)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = {(r.q, r.r): r for r in
+           cells.hex_cell_stats(df, "x", "y", size).collect()}
+    assert out[(0, 0)].n_points == 2
+    assert out[(0, 0)].n_occupied_neighbors == 1
+    assert out[(1, 0)].n_occupied_neighbors == 1
+    assert out[(5, 5)].n_occupied_neighbors == 0
+
+
+def test_streaming_kmv_multibatch_equals_batch_twin(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from data_cube_utilities_spark.operators import sketches
+    from data_cube_utilities_spark.streaming import stateful
+
+    rows = [(f"g{i % 3}", f"val-{i % 40}") for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    hashed = df.select("grp", sketches.kmv_hash_col("v").alias("hv"))
+    d = str(tmp_path / "kmv")
+    hashed.repartition(5).write.parquet(d)   # 5 files -> 5 micro-batches
+
+    stream = (spark.readStream.schema("grp string, hv long")
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (stateful.streaming_kmv(stream, k=8)
+         .writeStream.format("memory").queryName("kmvtest")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    settled = (spark.sql(
+        "SELECT grp, n_kept, kth, est_distinct FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY grp"
+        "    ORDER BY n_kept DESC, kth ASC) AS rn FROM kmvtest) WHERE rn = 1")
+        .toPandas().sort_values("grp").reset_index(drop=True))
+    twin = (stateful.kmv_batch_twin(spark.read.parquet(d), k=8)
+            .toPandas().sort_values("grp").reset_index(drop=True))
+    assert settled.equals(twin[settled.columns])
+    # 40 distinct values over 3 groups: sketch saturated (k=8), so the
+    # estimate is the (k-1)/kth form, not the lossless count
+    assert (settled.n_kept == 8).all()
