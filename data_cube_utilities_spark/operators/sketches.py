@@ -817,3 +817,31 @@ def surprisal_profile(df: DataFrame, group_cols: Sequence[str],
         F.col("top_cnt").cast("long").alias("top_cnt"),
         F.expr("((n * length(bin(n)) - _cb) * 1048576) div n")
          .cast("long").alias("entropy_bits_q20"))
+
+
+def weighted_median(df: DataFrame, group_cols: Sequence[str],
+                    value_col: str, weight_col: str) -> DataFrame:
+    """Exact LOWER weighted median per group: the smallest value whose
+    cumulative weight reaches half the total — 2*cumw >= total as a
+    cross-multiplied integer predicate, (value, weight) sort order
+    id-free but deterministic because equal values merge their weight
+    mass (ties inside a value cannot reorder the answer).  The
+    aggregation a weighted quality-score gate or a per-cell weighted
+    composite needs where the plain median ignores observation weight.
+
+    One (group, value) pre-combine + one window + one min — the value
+    table is the shuffle unit, not the rows.  Returns (group, total_w,
+    wmedian)."""
+    g = (df.select(*group_cols, F.col(value_col).cast("long").alias("v"),
+                   F.col(weight_col).cast("long").alias("wt"))
+           .groupBy(*group_cols, "v")
+           .agg(F.sum("wt").alias("wt")))
+    w = (Window.partitionBy(*group_cols).orderBy("v")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy(*group_cols)
+    c = (g.withColumn("cumw", F.sum("wt").over(w))
+          .withColumn("total_w", F.sum("wt").over(tot)))
+    return (c.filter(2 * F.col("cumw") >= F.col("total_w"))
+             .groupBy(*group_cols)
+             .agg(F.max("total_w").cast("long").alias("total_w"),
+                  F.min("v").cast("long").alias("wmedian")))

@@ -2318,3 +2318,59 @@ def containment_dedup_pairs(df: DataFrame, min_contain_q20: int,
         out = out.localCheckpoint(eager=True)
         sh.unpersist()
     return out
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-gram of the token
+    stream, slide a w-wide window over the hash sequence, keep each
+    window's MINIMUM hash (rightmost position on ties — the paper's
+    rule, encoded in the packed key hash * 2^20 + (2^20 - 1 - pos) so
+    one min() implements both), dedup the selections.  Guarantees every
+    match of length >= w + k - 1 tokens shares a fingerprint, with ~2/w
+    of all k-grams kept — the position-robust local dedup/plagiarism
+    primitive that global simhash/minhash (whole-doc signatures) and
+    fixed-stride shingles both miss.
+
+    Hashes are 40-bit md5 prefixes (the kmv idiom narrowed so the
+    packed selection key hash * 2^20 + pos stays inside int64);
+    everything after tokenization is one window-min over (doc, pos)
+    order + a distinct — two shuffles on the doc key, no UDF.  Docs
+    shorter than k tokens emit nothing.  Returns (id, pos, fp_hash)
+    where pos is the k-gram's 0-based token position."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
+    grams = (toks.groupBy("id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "tok")))
+                       .alias("s")))
+    gram_arr = F.expr(
+        f"CASE WHEN size(s) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(s) - {k - 1}), "
+        f"i -> concat_ws(' ', " + ", ".join(
+            f"s[i + {j} - 1].tok" for j in range(k)) + ")) END")
+    kg = (grams.select("id", F.posexplode(gram_arr).alias("pos", "gram"))
+               .withColumn("h", F.conv(F.substring(F.md5("gram"), 1, 10),
+                                       16, 10).cast("long")))
+    big = 1 << 20  # pos bound: 2^20 token positions per doc
+    pack = F.col("h") * big + (F.lit(big - 1) - F.col("pos"))
+    win = (Window.partitionBy("id").orderBy("pos")
+                 .rowsBetween(0, w - 1))
+    sel = (kg.withColumn("_n", F.count("*").over(
+                Window.partitionBy("id")))
+             .withColumn("_sel", F.min(pack).over(win))
+             # only FULL windows select (the last w-1 starts are suffixes
+             # of earlier windows); short docs with < w k-grams keep their
+             # single global min via the pos = 0 window
+             .filter((F.col("pos") <= F.col("_n") - w)
+                     | (F.col("pos") == 0)))
+    return (sel.select(
+                "id",
+                (F.lit(big - 1) - F.col("_sel") % big).cast("long")
+                .alias("pos"),
+                F.expr(f"_sel div {big}L").cast("long").alias("fp_hash"))
+               .distinct())

@@ -8140,6 +8140,75 @@ FROM k
 
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (textops.winnow_fingerprints, k=3, w=4 —
+    the MOSS algorithm) over documents: every >= w+k-1-token match is
+    guaranteed a shared fingerprint; packed-key min encodes the
+    rightmost-tie rule."""
+    from .operators import textops
+
+    return textops.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+SQL_WINNOW = """
+WITH toks AS (
+  SELECT doc_id AS id, sp FROM (
+    SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+kg0 AS (
+  SELECT id, unnest([{'pos': i - 1,
+                      'h': CAST('0x' || substr(md5(sp[i] || ' ' || sp[i+1]
+                           || ' ' || sp[i+2]), 1, 10) AS BIGINT)}
+                     for i in generate_series(1, greatest(len(sp) - 2, 0))])
+           AS e
+  FROM toks),
+kg AS (SELECT id, e.pos AS pos, e.h AS h FROM kg0),
+n AS (SELECT id, count(*) AS n FROM kg GROUP BY id),
+sel AS (
+  SELECT kg.id, kg.pos,
+         min(kg.h * 1048576 + (1048575 - kg.pos))
+           OVER (PARTITION BY kg.id ORDER BY kg.pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+         n.n
+  FROM kg JOIN n USING (id))
+SELECT DISTINCT id, CAST(1048575 - s % 1048576 AS BIGINT) AS pos,
+       CAST(s // 1048576 AS BIGINT) AS fp_hash
+FROM sel WHERE pos <= n - 4 OR pos = 0
+"""
+
+
+def q_weighted_median(spark, sf_dir):
+    """Exact lower weighted median (sketches.weighted_median) of part
+    retail-price cents weighted by part size: cross-multiplied
+    2*cumw >= total predicate, per-value weight merge."""
+    from .operators import sketches
+
+    p = _t(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 5).alias("grp"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("v"),
+        (1 + F.col("p_size")).cast("long").alias("wt"))
+    return sketches.weighted_median(p, ["grp"], "v", "wt")
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH g AS (
+  SELECT p_partkey % 5 AS grp,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS v,
+         sum(1 + p_size) AS wt
+  FROM part GROUP BY 1, 2),
+c AS (
+  SELECT grp, v, wt,
+         sum(wt) OVER (PARTITION BY grp ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(wt) OVER (PARTITION BY grp) AS total_w
+  FROM g)
+SELECT grp, CAST(max(total_w) AS BIGINT) AS total_w,
+       CAST(min(v) AS BIGINT) AS wmedian
+FROM c WHERE 2 * cumw >= total_w GROUP BY grp
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8330,6 +8399,8 @@ GROUP_A = {
     "surprisal": (q_surprisal, SQL_SURPRISAL),
     "hex_cells": (q_hex_cells, _hex_cells_sql()),
     "streaming_kmv": (q_streaming_kmv, SQL_STREAMING_KMV),
+    "winnow": (q_winnow, SQL_WINNOW),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
 }
 
 

@@ -988,3 +988,47 @@ def test_streaming_kmv_multibatch_equals_batch_twin(spark, tmp_path):
     # 40 distinct values over 3 groups: sketch saturated (k=8), so the
     # estimate is the (k-1)/kth form, not the lossless count
     assert (settled.n_kept == 8).all()
+
+
+def test_winnow_guarantee_and_tie_rule(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    # two docs sharing a 6-token run: with k=3, w=4 every match of
+    # length >= w+k-1 = 6 tokens MUST share a fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, "xx yy " + shared + " tail1 tail2"),
+         (2, shared + " other words here"),
+         (3, "completely different tokens entirely present")],
+        "doc_id long, text string")
+    out = textops.winnow_fingerprints(df, k=3, w=4).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.id, set()).add(r.fp_hash)
+    assert by[1] & by[2]                     # the guarantee
+    assert not (by[3] & (by[1] | by[2]))
+    # density: ~2/w of k-grams selected, never more than n - w + 1
+    assert 0 < len(by[1]) <= 8
+
+
+def test_winnow_short_doc_keeps_global_min(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    df = spark.createDataFrame([(1, "a b c d")],  # 2 k-grams < w
+                               "doc_id long, text string")
+    out = textops.winnow_fingerprints(df, k=3, w=4).collect()
+    assert len(out) == 1 and out[0].pos in (0, 1)
+
+
+def test_weighted_median_exact(spark):
+    from data_cube_utilities_spark.operators import sketches
+
+    # values 1 (w 1), 5 (w 2), 9 (w 1): total 4, 2*cumw>=4 first at 5
+    rows = [(1, 1, 1), (1, 5, 2), (1, 9, 1),
+            # heavy tail: w(9) = 10 dominates
+            (2, 1, 1), (2, 9, 10)]
+    df = spark.createDataFrame(rows, "grp long, v long, wt long")
+    out = {r.grp: r for r in
+           sketches.weighted_median(df, ["grp"], "v", "wt").collect()}
+    assert out[1].wmedian == 5 and out[1].total_w == 4
+    assert out[2].wmedian == 9
