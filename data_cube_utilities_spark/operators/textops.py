@@ -2374,3 +2374,94 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
                 .alias("pos"),
                 F.expr(f"_sel div {big}L").cast("long").alias("fp_hash"))
                .distinct())
+
+
+# the classic RAKE stopword core (function words only — data, not code)
+RAKE_STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on or that "
+    "the to was were will with this these those not but they you your we "
+    "our i my me his her their them").split()
+
+
+def rake_keywords(df: DataFrame, min_words: int = 2,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — log-free and exact:
+    candidate phrases are maximal runs of non-stopword tokens (the
+    phrase id is a cumulative stopword count, the gaps-and-islands
+    idiom); each word scores deg(w)/freq(w) where freq counts the
+    word's occurrences and deg sums the lengths of the phrases it
+    appears in (both corpus-wide), quantized once per word to the Q20
+    grid; a phrase scores the SUM of its words' quantized scores —
+    deterministic where float fraction sums are order-dependent.
+
+    Shape at scale: one posexplode + one per-doc stopword-prefix window
+    (doc-keyed), word stats one groupBy, phrase assembly one
+    (doc, phrase) groupBy, scores joined back broadcast-size.  Returns
+    (id, phrase_start, phrase, n_words, score_q20) for phrases with
+    >= min_words words."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " "))
+        .alias("pos", "tok"))
+    is_stop = F.col("tok").isin(RAKE_STOPWORDS) | (F.col("tok") == "")
+    w = Window.partitionBy("id").orderBy("pos")
+    marked = (toks.withColumn("_stop", is_stop.cast("int"))
+                  .withColumn("ph", F.sum("_stop").over(w)))
+    content = marked.filter(F.col("_stop") == 0)
+    phrases = (content.groupBy("id", "ph")
+                      .agg(F.min("pos").alias("phrase_start"),
+                           F.count("*").alias("n_words"),
+                           F.concat_ws(" ", F.array_sort(
+                               F.collect_list(F.struct("pos", "tok")))
+                               .getField("tok")).alias("phrase")))
+    wordstat = (content.join(phrases.select("id", "ph", "n_words"),
+                             ["id", "ph"])
+                       .groupBy("tok")
+                       .agg(F.count("*").alias("freq"),
+                            F.sum("n_words").alias("deg"))
+                       .withColumn("wscore_q20",
+                                   F.expr("(deg * 1048576) div freq")))
+    scored = (content.join(F.broadcast(
+                  wordstat.select("tok", "wscore_q20")), "tok")
+                     .groupBy("id", "ph")
+                     .agg(F.sum("wscore_q20").alias("score_q20")))
+    return (phrases.join(scored, ["id", "ph"])
+                   .filter(F.col("n_words") >= min_words)
+                   .select("id", "phrase_start", "phrase",
+                           F.col("n_words").cast("long").alias("n_words"),
+                           F.col("score_q20").cast("long")
+                           .alias("score_q20")))
+
+
+def readability_scores(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease as EXACT rational arithmetic: syllables are
+    vowel-group runs ([aeiouy]+ — the standard heuristic, identical
+    regexp semantics in both engines), sentences are [.!?]+ runs
+    (clamped to >= 1), and the classic 206.835 - 1.015*(W/S) -
+    84.6*(Y/W) evaluates term-by-term on the Q20 grid with integer
+    constants (206835/1000, 1015/1000, 846/10) — no doubles, scores
+    can go negative on degenerate text (pinned).  A cheap fluency /
+    boilerplate axis for corpus quality gates.
+
+    One codegen projection + nothing else.  Returns (id, n_words,
+    n_sentences, n_syllables, flesch_q20)."""
+    lower = F.lower(F.col(text_col))
+    words = F.size(F.filter(F.split(lower, " "), lambda x: x != ""))
+    sents = F.greatest(F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")),
+                       F.lit(1))
+    syll = F.regexp_count(lower, F.lit("[aeiouy]+"))
+    q = 1 << 20
+    t1 = (206835 * q) // 1000
+    g = df.select(F.col(id_col).alias("id"),
+                  words.cast("long").alias("n_words"),
+                  sents.cast("long").alias("n_sentences"),
+                  syll.cast("long").alias("n_syllables"))
+    return g.select(
+        "id", "n_words", "n_sentences", "n_syllables",
+        (F.lit(t1)
+         - F.expr(f"(1015 * n_words * {q}L) div (1000 * n_sentences)")
+         - F.expr(f"(846 * n_syllables * {q}L) div (10 * "
+                  f"greatest(n_words, 1))"))
+        .cast("long").alias("flesch_q20"))

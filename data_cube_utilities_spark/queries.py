@@ -8209,6 +8209,88 @@ FROM c WHERE 2 * cumw >= total_w GROUP BY grp
 
 
 
+def q_rake(spark, sf_dir):
+    """RAKE keyword extraction (textops.rake_keywords) over documents:
+    stopword-delimited phrases, deg/freq word scores quantized ONCE to
+    Q20 then summed per phrase (order-independent where float fraction
+    sums are not)."""
+    from .operators import textops
+
+    return textops.rake_keywords(_t(spark, sf_dir, "documents"),
+                                 min_words=2)
+
+
+def _rake_sql() -> str:
+    from .operators import textops
+
+    stops = ", ".join(f"'{s}'" for s in textops.RAKE_STOPWORDS)
+    return f"""
+WITH t0 AS (
+  SELECT doc_id AS id,
+         unnest([{{'pos': i - 1, 'tok': sp[i]}}
+                 for i in generate_series(1, len(sp))]) AS e
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS sp
+        FROM documents)),
+toks AS (SELECT id, e.pos AS pos, e.tok AS tok FROM t0),
+marked AS (
+  SELECT id, pos, tok,
+         CASE WHEN tok IN ({stops}) OR tok = '' THEN 1 ELSE 0 END AS st,
+         sum(CASE WHEN tok IN ({stops}) OR tok = '' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos) AS ph
+  FROM toks),
+content AS (SELECT id, pos, tok, ph FROM marked WHERE st = 0),
+phrases AS (
+  SELECT id, ph, min(pos) AS phrase_start, count(*) AS n_words,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM content GROUP BY id, ph),
+wordstat AS (
+  SELECT tok, (sum(n_words) * 1048576) // count(*) AS wscore_q20
+  FROM content JOIN phrases USING (id, ph)
+  GROUP BY tok),
+scored AS (
+  SELECT id, ph, sum(wscore_q20) AS score_q20
+  FROM content JOIN wordstat USING (tok)
+  GROUP BY id, ph)
+SELECT id, CAST(phrase_start AS BIGINT) AS phrase_start, phrase,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(score_q20 AS BIGINT) AS score_q20
+FROM phrases JOIN scored USING (id, ph)
+WHERE n_words >= 2
+"""
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease (textops.readability_scores) as exact Q20
+    rationals: vowel-group syllables, [.!?]+ sentences clamped to 1,
+    the 206.835/1.015/84.6 constants as integer fractions."""
+    from .operators import textops
+
+    return textops.readability_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_READABILITY = """
+WITH g AS (
+  SELECT doc_id AS id,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> x <> '')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           AS n_syllables
+  FROM documents)
+SELECT id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST((206835 * CAST(1048576 AS BIGINT)) // 1000
+            - (1015 * n_words * CAST(1048576 AS BIGINT))
+              // (1000 * n_sentences)
+            - (846 * n_syllables * CAST(1048576 AS BIGINT))
+              // (10 * greatest(n_words, 1)) AS BIGINT) AS flesch_q20
+FROM g
+"""
+
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8401,6 +8483,8 @@ GROUP_A = {
     "streaming_kmv": (q_streaming_kmv, SQL_STREAMING_KMV),
     "winnow": (q_winnow, SQL_WINNOW),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "rake": (q_rake, _rake_sql()),
+    "readability": (q_readability, SQL_READABILITY),
 }
 
 

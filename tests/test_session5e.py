@@ -1032,3 +1032,47 @@ def test_weighted_median_exact(spark):
            sketches.weighted_median(df, ["grp"], "v", "wt").collect()}
     assert out[1].wmedian == 5 and out[1].total_w == 4
     assert out[2].wmedian == 9
+
+
+def test_rake_phrases_and_scores(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    # "red panda" twice, "red fox" once; 'the'/'is' are stopwords
+    df = spark.createDataFrame(
+        [(1, "the red panda is a red panda"), (2, "the red fox")],
+        "doc_id long, text string")
+    out = {(r.id, r.phrase): r for r in
+           textops.rake_keywords(df, min_words=2).collect()}
+    q = 1 << 20
+    # freq(red)=3, deg(red)=2+2+2=6 -> 2q; panda: 2q; fox: 2q
+    assert out[(1, "red panda")].score_q20 == 4 * q
+    assert out[(2, "red fox")].score_q20 == 4 * q
+    assert out[(1, "red panda")].n_words == 2
+
+
+def test_rake_single_word_phrases_filtered(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    df = spark.createDataFrame([(1, "alpha the beta")],
+                               "doc_id long, text string")
+    assert textops.rake_keywords(df, min_words=2).count() == 0
+    assert textops.rake_keywords(df, min_words=1).count() == 2
+
+
+def test_readability_exact_terms(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "See the cat. It sat!"), (2, "zzz qqq")],
+        "doc_id long, text string")
+    out = {r.id: r for r in
+           textops.readability_scores(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences) == (5, 2)
+    # vowel groups: see(ee) the(e) cat(a) it(i) sat(a) = 5
+    assert r1.n_syllables == 5
+    q = 1 << 20
+    want = (206835 * q) // 1000 - (1015 * 5 * q) // (1000 * 2) \
+        - (846 * 5 * q) // (10 * 5)
+    assert r1.flesch_q20 == want
+    assert out[2].n_syllables == 0 and out[2].n_sentences == 1
