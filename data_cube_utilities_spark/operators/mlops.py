@@ -1015,3 +1015,70 @@ def calibration_bins(df: DataFrame, score_col: str = "score_q20",
                      F.col("n_pos").cast("long").alias("n_pos"),
                      F.expr("_ssum div n").alias("mean_score_q20"),
                      F.expr(f"(n_pos * {q}L) div n").alias("pos_rate_q20")))
+
+
+def decision_stump(df: DataFrame, x_col: str, label_col: str,
+                   grp_cols: Sequence[str] = (),
+                   scale: int = 1 << 20) -> DataFrame:
+    """Exact-gini optimal decision stump (the 1R / depth-1 CART split)
+    per group: over integer feature x and 0/1 label, pick the threshold
+    t (split LEFT: x <= t) minimizing the Q20-quantized gini cost
+
+        cost(t) = (nL^2 - posL^2 - negL^2)*scale div nL
+                + (nR^2 - posR^2 - negR^2)*scale div nR
+
+    — the weighted impurity n*gini = (n^2 - pos^2 - neg^2)/n with ONE
+    truncating division per side, so the argmin is deterministic on any
+    engine/partitioning (a float gini ties unpredictably in ulps).
+    Ties break toward the smaller threshold.  Candidate thresholds are
+    the distinct x present (between them the cost is constant); the max
+    x is excluded (empty right side).
+
+    Shape at scale: groupBy(grps, x) — the only full shuffle, combiner
+    below the exchange — then windows over the per-group distinct-value
+    table (bounded by cardinality of x, not rows) and a row_number pick.
+    The same shape xgboost's exact-greedy split finder distributes.
+    Int64 bound: n^2 * scale < 2^63 -> n <= ~2.9e6 rows/group at Q20;
+    drop scale to Q10 for bigger groups (same argmin when cost gaps
+    exceed the grid).
+
+    Returns (grps..., threshold, cost_q20, n_left, pos_left, n_right,
+    pos_right) — one row per group.
+
+    Reference shape: dc_clustering / classification drills
+    (data_cube_utilities/dc_clustering.py) fit sklearn estimators on
+    collected arrays; here the split search itself is the dataflow."""
+    from pyspark.sql import Window
+
+    gk = list(grp_cols)
+    g = (df.groupBy(*gk, F.col(x_col).cast("long").alias("x"))
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum(F.col(label_col).cast("long")).alias("pos")))
+    cum = (Window.partitionBy(*gk).orderBy("x")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    tot = (Window.partitionBy(*gk)
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+    t = (g.withColumn("nl", F.sum("n").over(cum))
+          .withColumn("pl", F.sum("pos").over(cum))
+          .withColumn("nt", F.sum("n").over(tot))
+          .withColumn("pt", F.sum("pos").over(tot))
+          .filter(F.col("nl") < F.col("nt")))
+    t = (t.withColumn("nr", F.col("nt") - F.col("nl"))
+          .withColumn("pr", F.col("pt") - F.col("pl"))
+          .withColumn(
+              "cost",
+              F.expr(f"(nl*nl - pl*pl - (nl-pl)*(nl-pl)) * {scale}L"
+                     " div nl"
+                     f" + (nr*nr - pr*pr - (nr-pr)*(nr-pr)) * {scale}L"
+                     " div nr")))
+    pick = Window.partitionBy(*gk).orderBy(
+        F.col("cost").asc(), F.col("x").asc())
+    return (t.withColumn("_rn", F.row_number().over(pick))
+             .filter(F.col("_rn") == 1)
+             .select(*gk, F.col("x").alias("threshold"),
+                     F.col("cost").cast("long").alias("cost_q20"),
+                     F.col("nl").cast("long").alias("n_left"),
+                     F.col("pl").cast("long").alias("pos_left"),
+                     F.col("nr").cast("long").alias("n_right"),
+                     F.col("pr").cast("long").alias("pos_right")))

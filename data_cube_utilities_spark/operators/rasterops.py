@@ -3213,3 +3213,71 @@ def unsharp_mask_grid(pixels: DataFrame, radius: int = 2,
                     F.lit(vmax))
     return t.select("img", "x", "y", "v",
                     sharp.cast("long").alias("sharp_v"))
+
+
+# ---------------------------------------------------------------------------
+# integer block transform (codec-style)
+# ---------------------------------------------------------------------------
+
+# The H.264/AVC 4x4 core transform (Malvar et al. 2003, "Low-complexity
+# transform and quantization in H.264/AVC"): an integer approximation of
+# the DCT-II whose forward pass Y = C X C^T is EXACT int arithmetic —
+# the property every hardware codec exploits and exactly what a
+# cross-engine hash oracle needs (a float DCT would differ in ulps
+# between JVM and any other engine).
+DCT4_C = ((1, 1, 1, 1),
+          (2, 1, -1, -2),
+          (1, -1, -1, 1),
+          (1, -2, 2, -1))
+
+
+def int_dct_blocks_long(pixels: DataFrame, q: int = 8,
+                        img_col: str = "img", x_col: str = "px",
+                        y_col: str = "py",
+                        value_col: str = "val") -> DataFrame:
+    """Forward 4x4 integer DCT per block over a dense long-form pixel
+    grid, H.264-style: Y[u][v] = sum_{r,c} C[u][r]*C[v][c]*X[r][c]
+    with r = y mod 4 (row), c = x mod 4 (col) — all int64, engine-exact.
+    Each coefficient is then dead-zone quantized by `q` (truncate-
+    toward-zero division: Spark `div` == DuckDB `//` on negatives,
+    verified both truncate).  Returns per block (img, bx, by):
+    dc (unquantized Y00), ac_energy (sum of squared AC coefficients),
+    n_nonzero (quantized nonzero count incl. DC), and the 16 quantized
+    coefficients q00..q33 in (u, v) order.
+
+    Reference dataflow shape: the per-tile block statistics of
+    data_cube_utilities' xarray pipelines (dc_utilities tile walks),
+    re-expressed as ONE groupBy(img, bx, by) carrying 16 integer sum
+    aggregates — a single shuffle whose map-side combiner reduces 16
+    pixels to one row before the exchange; no UDF, whole-stage codegen
+    end to end.  Int64 bounds: |Y| <= 36 * vmax (sum|C_u| * sum|C_v| =
+    6*6), ac_energy <= 15 * (36*vmax)^2 — safe through 16-bit imagery.
+
+    Quantization never divides a negative by flooring: both engines
+    truncate toward zero, so q-coeffs hash identically."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    r, c = F.col("y") % 4, F.col("x") % 4
+    wrow = [F.element_at(F.array(*[F.lit(w) for w in DCT4_C[u]]),
+                         (r + 1).cast("int")) for u in range(4)]
+    wcol = [F.element_at(F.array(*[F.lit(w) for w in DCT4_C[v]]),
+                         (c + 1).cast("int")) for v in range(4)]
+    aggs = [F.sum(F.col("v") * wrow[u] * wcol[v]).cast("long")
+              .alias(f"y{u}{v}")
+            for u in range(4) for v in range(4)]
+    blocks = (p.groupBy("img", F.expr("x div 4").alias("bx"),
+                        F.expr("y div 4").alias("by"))
+               .agg(*aggs))
+    ac = [f"y{u}{v}" for u in range(4) for v in range(4)
+          if (u, v) != (0, 0)]
+    energy = " + ".join(f"{n} * {n}" for n in ac)
+    qcols = [F.expr(f"y{u}{v} div {q}").cast("long").alias(f"q{u}{v}")
+             for u in range(4) for v in range(4)]
+    nz = " + ".join(f"CASE WHEN y{u}{v} div {q} != 0 THEN 1 ELSE 0 END"
+                    for u in range(4) for v in range(4))
+    return blocks.select(
+        "img", "bx", "by", F.col("y00").alias("dc"),
+        F.expr(energy).cast("long").alias("ac_energy"),
+        F.expr(nz).cast("long").alias("n_nonzero"), *qcols)

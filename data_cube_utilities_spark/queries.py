@@ -8291,6 +8291,101 @@ FROM g
 
 
 
+
+
+def q_int_dct(spark, sf_dir):
+    """H.264-style 4x4 integer block DCT (rasterops.int_dct_blocks_long)
+    over the 4 dense lineitem tiles: Y = C X C^T in exact int64, dead-zone
+    quantization by 8 (truncate-toward-zero both engines), per-block DC /
+    AC energy / nonzero count + all 16 quantized coefficients."""
+    from .operators import rasterops
+
+    return rasterops.int_dct_blocks_long(_px_grid(spark, sf_dir), q=8)
+
+
+def _int_dct_sql(q: int = 8) -> str:
+    from .operators.rasterops import DCT4_C
+
+    def w(u, var):
+        a = DCT4_C[u]
+        return (f"(CASE {var} % 4 WHEN 0 THEN {a[0]} WHEN 1 THEN {a[1]}"
+                f" WHEN 2 THEN {a[2]} ELSE {a[3]} END)")
+
+    sums = ",\n         ".join(
+        f"sum(v * {w(u, 'y')} * {w(v, 'x')}) AS y{u}{v}"
+        for u in range(4) for v in range(4))
+    ac = [f"y{u}{v}" for u in range(4) for v in range(4)
+          if (u, v) != (0, 0)]
+    energy = " + ".join(f"{n} * {n}" for n in ac)
+    qcols = ",\n       ".join(
+        f"CAST(y{u}{v} // {q} AS BIGINT) AS q{u}{v}"
+        for u in range(4) for v in range(4))
+    nz = " + ".join(f"CASE WHEN y{u}{v} // {q} != 0 THEN 1 ELSE 0 END"
+                    for u in range(4) for v in range(4))
+    return f"""
+WITH {_PX_SQL},
+b AS (
+  SELECT img, x // 4 AS bx, y // 4 AS by,
+         {sums}
+  FROM px GROUP BY 1, 2, 3)
+SELECT img, bx, by, CAST(y00 AS BIGINT) AS dc,
+       CAST({energy} AS BIGINT) AS ac_energy,
+       CAST({nz} AS BIGINT) AS n_nonzero,
+       {qcols}
+FROM b
+"""
+
+
+def q_decision_stump(spark, sf_dir):
+    """Exact-gini depth-1 CART split (mlops.decision_stump) per
+    returnflag over lineitem: feature = quantity, label = discount >= 6%
+    (rounded to the integer-percent grid both engines agree on); the
+    Q20 gini cost has one truncating division per side so the argmin
+    threshold is engine- and partitioning-deterministic."""
+    from .operators import mlops
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.round(F.col("l_discount") * 100, 0).cast("long") >= 6)
+            .cast("long").alias("y"))
+    return mlops.decision_stump(li, "x", "y", ["grp"])
+
+
+SQL_DECISION_STUMP = """
+WITH g AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+         count(*) AS n,
+         sum(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) >= 6
+                  THEN 1 ELSE 0 END) AS pos
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT grp, x,
+         sum(n) OVER w AS nl, sum(pos) OVER w AS pl,
+         sum(n) OVER t AS nt, sum(pos) OVER t AS pt
+  FROM g
+  WINDOW w AS (PARTITION BY grp ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         t AS (PARTITION BY grp ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING)),
+s AS (
+  SELECT grp, x, nl, pl, nt - nl AS nr, pt - pl AS pr,
+         (nl*nl - pl*pl - (nl-pl)*(nl-pl)) * 1048576 // nl
+         + ((nt-nl)*(nt-nl) - (pt-pl)*(pt-pl)
+            - ((nt-nl)-(pt-pl))*((nt-nl)-(pt-pl))) * 1048576 // (nt - nl)
+           AS cost
+  FROM c WHERE nl < nt),
+r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY cost, x)
+             AS rn
+      FROM s)
+SELECT grp, CAST(x AS BIGINT) AS threshold,
+       CAST(cost AS BIGINT) AS cost_q20,
+       CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right
+FROM r WHERE rn = 1
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8484,6 +8579,8 @@ GROUP_A = {
     "winnow": (q_winnow, SQL_WINNOW),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "rake": (q_rake, _rake_sql()),
+    "int_dct": (q_int_dct, _int_dct_sql()),
+    "decision_stump": (q_decision_stump, SQL_DECISION_STUMP),
     "readability": (q_readability, SQL_READABILITY),
 }
 
