@@ -1206,3 +1206,64 @@ def minmax_decimate(df: DataFrame, key_cols: Sequence[str],
         .alias("t"),
         F.expr("e.p div 4294967296").cast("long").alias("v"),
         F.col("e.kind").alias("kind"))
+
+
+def sad_motifs(df: DataFrame, key_cols: Sequence[str], t_col: str,
+               v_col: str, w: int = 8, excl: int | None = None,
+               pack_bits: int = 20) -> DataFrame:
+    """Matrix-profile-style motif discovery under the SAD metric: for
+    every length-w window of each series, the nearest OTHER window of
+    the same series (trivial matches |i-j| < excl skipped, excl
+    defaults to w) by exact integer sum-of-absolute-differences, plus
+    that distance.  The float matrix profile (MASS/STOMP) z-normalizes
+    with sqrt — not cross-engine bit-stable; SAD keeps the whole
+    profile on the int64 lattice so the (distance, argmin) pair hashes
+    identically anywhere, and is itself a standard profile variant
+    (non-normalized motif/discord discovery).
+
+    Windows are one collect_list over an ordered frame (rows i..i+w-1)
+    — arrays, not a w-way self-join; the pair stage is a per-key
+    equi-join with j >= i + excl, SAD folded JVM-side by
+    zip_with + aggregate (no UDF), and the per-window argmin is ONE
+    min() over the packed key sad * 2^pack_bits + j (tie -> smaller j),
+    the same packed-argmin idiom as the winnowing rightmost rule.
+
+    Shape at scale: O(n_w^2) pairs per series — exact and fine when
+    series are bounded (the per-key n here); at million-point series
+    band the join by time-bucket or prefilter candidates with the
+    existing sax_words buckets, both of which keep this operator's
+    join+fold shape.  Requires sad < 2^(63-pack_bits) and window index
+    < 2^pack_bits (asserted nowhere hot: values are caller-scaled).
+
+    Returns (keys..., i, nn_j, nn_sad): i is the 1-based window start
+    rank in t-order."""
+    if excl is None:
+        excl = w
+    keys = list(key_cols)
+    ordw = Window.partitionBy(*keys).orderBy(t_col)
+    vecw = ordw.rowsBetween(0, w - 1)
+    win = (df.withColumn("i", F.row_number().over(ordw))
+             .withColumn("vec", F.collect_list(
+                 F.col(v_col).cast("long")).over(vecw))
+             .filter(F.size("vec") == w)
+             .select(*keys, "i", "vec"))
+    a = win.select(*keys, F.col("i").alias("ia"), F.col("vec").alias("va"))
+    b = win.select(*keys, F.col("i").alias("ib"), F.col("vec").alias("vb"))
+    sad = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    pairs = (a.join(b, keys)
+              .filter(F.col("ib") >= F.col("ia") + excl)
+              .select(*keys, "ia", "ib", sad.alias("sad")))
+    both = (pairs.select(*keys, F.col("ia").alias("i"),
+                         F.col("ib").alias("j"), "sad")
+                 .unionAll(pairs.select(*keys, F.col("ib").alias("i"),
+                                        F.col("ia").alias("j"), "sad")))
+    packed = both.select(
+        *keys, "i",
+        (F.col("sad") * (1 << pack_bits) + F.col("j")).alias("pk"))
+    best = packed.groupBy(*keys, "i").agg(F.min("pk").alias("pk"))
+    return best.select(
+        *keys, F.col("i").cast("long").alias("i"),
+        (F.col("pk") % (1 << pack_bits)).cast("long").alias("nn_j"),
+        F.expr(f"pk div {1 << pack_bits}").cast("long").alias("nn_sad"))

@@ -8386,6 +8386,101 @@ FROM r WHERE rn = 1
 """
 
 
+
+
+def q_motif_sad(spark, sf_dir):
+    """SAD matrix-profile motifs (temporal.sad_motifs, w=8, excl=8) over
+    the 16 event series of q_acf_profile: per length-8 window, the
+    nearest non-trivial window of the same series by exact integer SAD,
+    argmin via the packed sad*2^20+j min (tie -> smaller j)."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (ev.filter(F.col("event_id") % 5 == 0)
+             .select((F.col("user_id") % 16).alias("grp"),
+                     F.col("event_id").alias("t"),
+                     (F.expr("event_id div 5") % 4 * 10
+                      + (F.col("event_id") * 13) % 7).alias("v")))
+    return temporal.sad_motifs(ser, ["grp"], "t", "v", w=8, excl=8)
+
+
+SQL_MOTIF_SAD = """
+WITH ser AS (
+  SELECT user_id % 16 AS grp, event_id AS t,
+         ((event_id // 5) % 4) * 10 + (event_id * 13) % 7 AS v
+  FROM events WHERE event_id % 5 = 0),
+rk AS (
+  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY t) AS r
+  FROM ser),
+cnt AS (SELECT grp, count(*) AS n FROM rk GROUP BY grp),
+pairs AS (
+  SELECT a.grp, a.r AS ia, b.r AS ib, sum(abs(av.v - bv.v)) AS sad
+  FROM rk a
+  JOIN cnt c ON c.grp = a.grp
+  JOIN rk b ON b.grp = a.grp AND b.r >= a.r + 8
+  CROSS JOIN generate_series(0, 7) o(o)
+  JOIN rk av ON av.grp = a.grp AND av.r = a.r + o.o
+  JOIN rk bv ON bv.grp = a.grp AND bv.r = b.r + o.o
+  WHERE a.r + 7 <= c.n AND b.r + 7 <= c.n
+  GROUP BY 1, 2, 3),
+bidir AS (
+  SELECT grp, ia AS i, ib AS j, sad FROM pairs
+  UNION ALL
+  SELECT grp, ib AS i, ia AS j, sad FROM pairs),
+best AS (SELECT grp, i, min(sad * 1048576 + j) AS pk FROM bidir
+         GROUP BY 1, 2)
+SELECT grp, CAST(i AS BIGINT) AS i,
+       CAST(pk % 1048576 AS BIGINT) AS nn_j,
+       CAST(pk // 1048576 AS BIGINT) AS nn_sad
+FROM best
+"""
+
+
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency audit (catalog.fd_violations): the line-
+    number key determines partkey (holds); a customer does NOT determine
+    order priority (violated) — one summary row per FD."""
+    from .sources.catalog import fd_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    f1 = fd_violations(li, ["l_orderkey", "l_linenumber"], "l_partkey",
+                       label="lineitem: l_orderkey,l_linenumber->l_partkey")
+    f2 = fd_violations(o, ["o_custkey"], "o_orderpriority",
+                       label="orders: o_custkey->o_orderpriority")
+    return f1.unionByName(f2)
+
+
+SQL_FD_CHECK = """
+WITH g1 AS (
+  SELECT count(*) AS n, count(DISTINCT l_partkey) AS d
+  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+f1 AS (
+  SELECT 'lineitem: l_orderkey,l_linenumber->l_partkey' AS fd,
+         count(*) AS n_keys,
+         sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating_keys,
+         sum(CASE WHEN d > 1 THEN n ELSE 0 END) AS n_rows_in_violations,
+         max(d) AS max_distinct_rhs, max(d) <= 1 AS holds
+  FROM g1),
+g2 AS (
+  SELECT count(*) AS n, count(DISTINCT o_orderpriority) AS d
+  FROM orders GROUP BY o_custkey),
+f2 AS (
+  SELECT 'orders: o_custkey->o_orderpriority' AS fd,
+         count(*) AS n_keys,
+         sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating_keys,
+         sum(CASE WHEN d > 1 THEN n ELSE 0 END) AS n_rows_in_violations,
+         max(d) AS max_distinct_rhs, max(d) <= 1 AS holds
+  FROM g2),
+u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+SELECT fd, CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_violating_keys AS BIGINT) AS n_violating_keys,
+       CAST(n_rows_in_violations AS BIGINT) AS n_rows_in_violations,
+       CAST(max_distinct_rhs AS BIGINT) AS max_distinct_rhs, holds
+FROM u
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8581,6 +8676,8 @@ GROUP_A = {
     "rake": (q_rake, _rake_sql()),
     "int_dct": (q_int_dct, _int_dct_sql()),
     "decision_stump": (q_decision_stump, SQL_DECISION_STUMP),
+    "motif_sad": (q_motif_sad, SQL_MOTIF_SAD),
+    "fd_check": (q_fd_check, SQL_FD_CHECK),
     "readability": (q_readability, SQL_READABILITY),
 }
 

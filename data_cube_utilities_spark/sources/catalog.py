@@ -145,3 +145,35 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def fd_violations(df: DataFrame, lhs_cols: Sequence[str], rhs_col: str,
+                  label: str | None = None) -> DataFrame:
+    """Functional-dependency audit lhs -> rhs: does every lhs key map to
+    exactly one rhs value?  The schema-discovery / data-quality check
+    (TANE-style FD validation) behind dedup-key selection and dimension
+    conformance — run BEFORE trusting a join key at 100 TB.
+
+    One groupBy(lhs) with count + count_distinct(rhs), then a one-row
+    fold: n_keys, n_violating_keys (keys seeing >1 distinct rhs),
+    n_rows_in_violations (rows under those keys — the blast radius),
+    max_distinct_rhs, and holds (no violations).  count_distinct here is
+    EXACT per key (the shuffle unit is the key table; per-key distinct
+    is map-side partial-aggregated) — approx_count_distinct would break
+    the hash oracle and can misreport holds=false.
+
+    Returns one row: (fd, n_keys, n_violating_keys, n_rows_in_violations,
+    max_distinct_rhs, holds)."""
+    name = label or f"{','.join(lhs_cols)}->{rhs_col}"
+    per = (df.groupBy(*lhs_cols)
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.countDistinct(rhs_col).cast("long").alias("d")))
+    return per.agg(
+        F.lit(name).alias("fd"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+         .cast("long").alias("n_violating_keys"),
+        F.sum(F.when(F.col("d") > 1, F.col("n")).otherwise(0))
+         .cast("long").alias("n_rows_in_violations"),
+        F.max("d").cast("long").alias("max_distinct_rhs"),
+        (F.max("d") <= 1).alias("holds"))

@@ -99,3 +99,64 @@ def test_stump_cost_matches_hand_gini(spark):
     r = _stump(spark, rows)["d"]
     assert r.cost_q20 == (1 << 20)
     assert r.threshold == 1
+
+
+def _motifs(spark, vals, **kw):
+    from data_cube_utilities_spark.operators import temporal
+
+    rows = [("g", t + 1, int(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, t long, v long")
+    return {r.i: r for r in
+            temporal.sad_motifs(df, ["grp"], "t", "v", w=8).collect()}
+
+
+def test_motif_finds_planted_exact_repeat(spark):
+    pat = [5, 9, 1, 7, 3, 8, 2, 6]
+    ser = [0] * 30
+    ser[2:10] = pat          # window starting at rank 3
+    ser[19:27] = pat         # window starting at rank 20
+    m = _motifs(spark, ser)
+    assert m[3].nn_j == 20 and m[3].nn_sad == 0
+    assert m[20].nn_j == 3 and m[20].nn_sad == 0
+
+
+def test_motif_tie_breaks_to_smaller_j(spark):
+    m = _motifs(spark, [4] * 24)   # all windows identical: sad always 0
+    assert m[1].nn_j == 9          # smallest eligible j for i=1
+    assert m[17].nn_j == 1         # backward direction allowed
+
+
+def test_motif_exclusion_zone_and_coverage(spark):
+    # 16 points -> 9 windows; |i-j| >= 8 leaves only the pair (1, 9)
+    m = _motifs(spark, list(range(16)))
+    assert set(m) == {1, 9}
+    assert m[1].nn_j == 9 and m[9].nn_j == 1
+    # monotone ramp: windows 1 and 9 differ by 8 everywhere -> sad 64
+    assert m[1].nn_sad == 64
+
+
+def _fd(spark, rows, lhs, rhs):
+    from data_cube_utilities_spark.sources.catalog import fd_violations
+
+    df = spark.createDataFrame(rows, "a long, b long, c string")
+    return fd_violations(df, lhs, rhs).collect()[0]
+
+
+def test_fd_holds(spark):
+    r = _fd(spark, [(1, 1, "x"), (1, 1, "x"), (2, 1, "y")], ["a"], "c")
+    assert r.holds and r.n_violating_keys == 0 and r.n_keys == 2
+    assert r.max_distinct_rhs == 1
+
+
+def test_fd_violated_with_blast_radius(spark):
+    rows = [(1, 0, "x"), (1, 0, "y"), (1, 0, "y"), (2, 0, "z")]
+    r = _fd(spark, rows, ["a"], "c")
+    assert not r.holds
+    assert r.n_violating_keys == 1 and r.n_rows_in_violations == 3
+    assert r.max_distinct_rhs == 2
+
+
+def test_fd_composite_lhs(spark):
+    rows = [(1, 1, "x"), (1, 2, "y"), (1, 2, "y")]
+    r = _fd(spark, rows, ["a", "b"], "c")
+    assert r.holds and r.n_keys == 2
