@@ -3281,3 +3281,173 @@ def int_dct_blocks_long(pixels: DataFrame, q: int = 8,
         "img", "bx", "by", F.col("y00").alias("dc"),
         F.expr(energy).cast("long").alias("ac_energy"),
         F.expr(nz).cast("long").alias("n_nonzero"), *qcols)
+
+
+# ---------------------------------------------------------------------------
+# Bayer demosaic
+# ---------------------------------------------------------------------------
+
+def debayer_grid(pixels: DataFrame, img_col: str = "img",
+                 x_col: str = "px", y_col: str = "py",
+                 value_col: str = "val") -> DataFrame:
+    """Bilinear RGGB demosaic over a long-form raw mosaic, exact: each
+    pixel carries ONE channel by parity (R at even x/even y, B at odd/odd,
+    G elsewhere) and the two missing channels are reconstructed as the
+    truncating average (sum div count) of the 3x3 neighbors OF that
+    channel — which is exactly classic bilinear debayer, because within
+    any 3x3 window the R/G/B sites of a Bayer pattern sit precisely at
+    the positions the textbook kernels average (G at R/B centers: the 4
+    edge neighbors; R/B at G centers: the 2 in-row or in-column sites;
+    R at B and B at R: the 4 diagonals).  Border pixels average the
+    neighbors that exist (count adapts) — no padding convention.
+
+    ONE offset-explode + groupBy(center) — same single-shuffle fold
+    shape as the Sobel/Harris stack; no UDF.  The raw->RGB first stage
+    of any camera/satellite ingest pipeline (reference: the band
+    unstacking in data_cube_utilities' load paths), engine-exact so it
+    hash-oracles.  Returns (img, x, y, r, g, b)."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    w9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    shifted = p.select(
+        "img",
+        F.explode(F.array(*[
+            F.struct((F.col("x") - dx).alias("cx"),
+                     (F.col("y") - dy).alias("cy"),
+                     F.lit(dx == 0 and dy == 0).alias("ctr"))
+            for dx, dy in w9])).alias("o"),
+        F.col("x").alias("sx"), F.col("y").alias("sy"), "v")
+    is_r = (F.col("sx") % 2 == 0) & (F.col("sy") % 2 == 0)
+    is_b = (F.col("sx") % 2 == 1) & (F.col("sy") % 2 == 1)
+    is_g = ~is_r & ~is_b
+    nb = ~F.col("o.ctr")
+
+    def chan(pred, name):
+        return [F.sum(F.when(pred & nb, F.col("v"))).alias(f"{name}s"),
+                F.sum(F.when(pred & nb, 1).otherwise(0)).alias(f"{name}c")]
+
+    agg = (shifted.groupBy("img", F.col("o.cx").alias("x"),
+                           F.col("o.cy").alias("y"))
+                  .agg(F.max(F.when(F.col("o.ctr"), F.col("v")))
+                         .alias("cv"),
+                       *chan(is_r, "r"), *chan(is_g, "g"),
+                       *chan(is_b, "b"))
+                  .filter(F.col("cv").isNotNull()))
+    cr = (F.col("x") % 2 == 0) & (F.col("y") % 2 == 0)
+    cb = (F.col("x") % 2 == 1) & (F.col("y") % 2 == 1)
+    cg = ~cr & ~cb
+    out = lambda own, s, c: F.when(own, F.col("cv")).otherwise(
+        F.expr(f"{s} div {c}")).cast("long")
+    return agg.select("img", "x", "y",
+                      out(cr, "rs", "rc").alias("r"),
+                      out(cg, "gs", "gc").alias("g"),
+                      out(cb, "bs", "bc").alias("b"))
+
+
+# ---------------------------------------------------------------------------
+# BRIEF descriptors (ORB-lite)
+# ---------------------------------------------------------------------------
+
+def _brief_pair_table(n_bits: int = 64, radius: int = 3,
+                      seed: int = 12345) -> tuple:
+    """Deterministic BRIEF test-pair table (Calonder et al. 2010 use a
+    random pattern frozen at train time; this is that freeze, from a
+    31-bit LCG so any engine regenerates it identically)."""
+    pairs, s = [], seed
+    def nxt():
+        nonlocal s
+        s = (1103515245 * s + 12345) % (1 << 31)
+        return s
+    span = 2 * radius + 1
+    while len(pairs) < n_bits:
+        ax, ay = nxt() % span - radius, nxt() % span - radius
+        bx, by = nxt() % span - radius, nxt() % span - radius
+        if (ax, ay) != (bx, by):
+            pairs.append((len(pairs), ax, ay, bx, by))
+    return tuple(pairs)
+
+
+BRIEF_PAIRS = _brief_pair_table()
+
+
+def brief_descriptors(pixels: DataFrame, anchor_step: int = 8,
+                      anchor_phase: int = 4, img_col: str = "img",
+                      x_col: str = "px", y_col: str = "py",
+                      value_col: str = "val") -> DataFrame:
+    """64-bit BRIEF binary descriptors at deterministic grid anchors:
+    bit i is v(p + a_i) < v(p + b_i) over the frozen LCG pair table,
+    packed into two 32-bit halves (desc_hi, desc_lo) so no sum ever
+    touches the int64 sign bit.  Grid anchors (x % step == phase) keep
+    the keypoint set partition-deterministic; swap in fast_corners_long
+    output for a detector-driven set — the descriptor stage is the same
+    two equi-joins either way.
+
+    Shape at scale: anchors x 64 pair-offset explode, two joins back to
+    the pixel table on (img, x, y) — the probe side is anchors (tiny
+    vs pixels), so both joins broadcast at real image sizes; one
+    groupBy packs the bits.  Returns (img, x, y, desc_hi, desc_lo)."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    anchors = p.filter((F.col("x") % anchor_step == anchor_phase)
+                       & (F.col("y") % anchor_step == anchor_phase))
+    tests = anchors.select(
+        "img", "x", "y",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"),
+                     F.lit(1 << (i if i < 32 else i - 32)).cast("long")
+                       .alias("w"),
+                     (F.col("x") + ax).alias("xa"),
+                     (F.col("y") + ay).alias("ya"),
+                     (F.col("x") + bx).alias("xb"),
+                     (F.col("y") + by).alias("yb"))
+            for i, ax, ay, bx, by in BRIEF_PAIRS])).alias("t"))
+    pa = p.select("img", F.col("x").alias("xa"), F.col("y").alias("ya"),
+                  F.col("v").alias("va"))
+    pb = p.select("img", F.col("x").alias("xb"), F.col("y").alias("yb"),
+                  F.col("v").alias("vb"))
+    j = (tests.select("img", "x", "y", "t.i", "t.w",
+                      "t.xa", "t.ya", "t.xb", "t.yb")
+              .join(pa, ["img", "xa", "ya"])
+              .join(pb, ["img", "xb", "yb"]))
+    bit = F.when(F.col("va") < F.col("vb"), 1).otherwise(0)
+    lo = F.sum(F.when(F.col("i") < 32, bit * F.col("w")).otherwise(0))
+    hi = F.sum(F.when(F.col("i") >= 32, bit * F.col("w")).otherwise(0))
+    return (j.groupBy("img", "x", "y")
+             .agg(lo.cast("long").alias("desc_lo"),
+                  hi.cast("long").alias("desc_hi")))
+
+
+def brief_matches(desc: DataFrame, pack_bits: int = 20) -> DataFrame:
+    """Cross-image nearest-descriptor matching by exact Hamming
+    distance: for every ordered image pair (img_a < img_b) and every
+    anchor of img_a, the img_b anchor minimizing
+    bit_count(xor(lo)) + bit_count(xor(hi)), tie -> smaller packed
+    (xb, yb).  The packed hamming*2^pack_bits + anchor-key argmin — one
+    groupBy, deterministic.  At scale the descriptor table is tiny
+    relative to pixels; the pair join partitions by (img_a, img_b).
+
+    Returns (img_a, img_b, xa, ya, xb, yb, hamming)."""
+    a = desc.select(F.col("img").alias("img_a"), F.col("x").alias("xa"),
+                    F.col("y").alias("ya"), F.col("desc_lo").alias("la"),
+                    F.col("desc_hi").alias("ha"))
+    b = desc.select(F.col("img").alias("img_b"), F.col("x").alias("xb"),
+                    F.col("y").alias("yb"), F.col("desc_lo").alias("lb"),
+                    F.col("desc_hi").alias("hb"))
+    ham = (F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+           + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("long")
+    key = F.col("xb") * 4096 + F.col("yb")
+    pk = ham * (1 << pack_bits) + key
+    pairs = (a.join(b, F.col("img_a") < F.col("img_b"))
+              .select("img_a", "img_b", "xa", "ya", pk.alias("pk")))
+    best = (pairs.groupBy("img_a", "img_b", "xa", "ya")
+                 .agg(F.min("pk").alias("pk")))
+    return best.select(
+        "img_a", "img_b", "xa", "ya",
+        F.expr(f"(pk % {1 << pack_bits}) div 4096")
+          .cast("long").alias("xb"),
+        (F.col("pk") % 4096).cast("long").alias("yb"),
+        F.expr(f"pk div {1 << pack_bits}").cast("long").alias("hamming"))

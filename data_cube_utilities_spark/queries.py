@@ -8481,6 +8481,100 @@ FROM u
 """
 
 
+
+
+def q_debayer(spark, sf_dir):
+    """Bilinear RGGB demosaic (rasterops.debayer_grid) of the 4 dense
+    lineitem tiles read as raw Bayer mosaics: missing channels as
+    truncating 3x3 same-channel averages (the textbook kernels fall out
+    of the parity geometry), borders averaging what exists."""
+    from .operators import rasterops
+
+    return rasterops.debayer_grid(_px_grid(spark, sf_dir))
+
+
+SQL_DEBAYER = f"""
+WITH {_PX_SQL},
+nb AS (
+  SELECT p.img, p.x, p.y, p.v AS cv,
+         sum(CASE WHEN q.x % 2 = 0 AND q.y % 2 = 0
+                   AND NOT (q.x = p.x AND q.y = p.y) THEN q.v END) AS rs,
+         count(CASE WHEN q.x % 2 = 0 AND q.y % 2 = 0
+                     AND NOT (q.x = p.x AND q.y = p.y) THEN 1 END) AS rc,
+         sum(CASE WHEN (q.x + q.y) % 2 = 1
+                   AND NOT (q.x = p.x AND q.y = p.y) THEN q.v END) AS gs,
+         count(CASE WHEN (q.x + q.y) % 2 = 1
+                     AND NOT (q.x = p.x AND q.y = p.y) THEN 1 END) AS gc,
+         sum(CASE WHEN q.x % 2 = 1 AND q.y % 2 = 1
+                   AND NOT (q.x = p.x AND q.y = p.y) THEN q.v END) AS bs,
+         count(CASE WHEN q.x % 2 = 1 AND q.y % 2 = 1
+                     AND NOT (q.x = p.x AND q.y = p.y) THEN 1 END) AS bc
+  FROM px p JOIN px q ON q.img = p.img
+   AND abs(q.x - p.x) <= 1 AND abs(q.y - p.y) <= 1
+  GROUP BY 1, 2, 3, 4)
+SELECT img, x, y,
+       CAST(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN cv
+                 ELSE rs // rc END AS BIGINT) AS r,
+       CAST(CASE WHEN (x + y) % 2 = 1 THEN cv
+                 ELSE gs // gc END AS BIGINT) AS g,
+       CAST(CASE WHEN x % 2 = 1 AND y % 2 = 1 THEN cv
+                 ELSE bs // bc END AS BIGINT) AS b
+FROM nb
+"""
+
+
+def q_brief_match(spark, sf_dir):
+    """BRIEF-64 descriptors at grid anchors + cross-image Hamming
+    matching (rasterops.brief_descriptors/brief_matches) over the 4
+    lineitem tiles: frozen LCG pair table, bits packed into two 32-bit
+    halves, per (img_a, img_b, anchor) nearest img_b anchor by exact
+    bit_count(xor) with packed-key tie-break."""
+    from .operators import rasterops
+
+    d = rasterops.brief_descriptors(_px_grid(spark, sf_dir))
+    return rasterops.brief_matches(d)
+
+
+def _brief_match_sql() -> str:
+    from .operators.rasterops import BRIEF_PAIRS
+
+    vals = ", ".join(f"({i}, {ax}, {ay}, {bx}, {by})"
+                     for i, ax, ay, bx, by in BRIEF_PAIRS)
+    return f"""
+WITH {_PX_SQL},
+pr(i, ax, ay, bx, by) AS (VALUES {vals}),
+anch AS (SELECT img, x, y FROM px WHERE x % 8 = 4 AND y % 8 = 4),
+bits AS (
+  SELECT a.img, a.x, a.y, pr.i,
+         CASE WHEN pa.v < pb.v THEN 1 ELSE 0 END AS bit
+  FROM anch a CROSS JOIN pr
+  JOIN px pa ON pa.img = a.img AND pa.x = a.x + pr.ax
+            AND pa.y = a.y + pr.ay
+  JOIN px pb ON pb.img = a.img AND pb.x = a.x + pr.bx
+            AND pb.y = a.y + pr.by),
+dsc AS (
+  SELECT img, x, y,
+         sum(CASE WHEN i < 32
+                  THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS lo,
+         sum(CASE WHEN i >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                  ELSE 0 END) AS hi
+  FROM bits GROUP BY 1, 2, 3),
+m AS (
+  SELECT a.img AS img_a, b.img AS img_b, a.x AS xa, a.y AS ya,
+         min(CAST(bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) AS BIGINT) * 1048576
+             + b.x * 4096 + b.y) AS pk
+  FROM dsc a JOIN dsc b ON a.img < b.img
+  GROUP BY 1, 2, 3, 4)
+SELECT img_a, img_b, xa, ya,
+       CAST((pk % 1048576) // 4096 AS BIGINT) AS xb,
+       CAST(pk % 4096 AS BIGINT) AS yb,
+       CAST(pk // 1048576 AS BIGINT) AS hamming
+FROM m
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8678,6 +8772,8 @@ GROUP_A = {
     "decision_stump": (q_decision_stump, SQL_DECISION_STUMP),
     "motif_sad": (q_motif_sad, SQL_MOTIF_SAD),
     "fd_check": (q_fd_check, SQL_FD_CHECK),
+    "debayer": (q_debayer, SQL_DEBAYER),
+    "brief_match": (q_brief_match, _brief_match_sql()),
     "readability": (q_readability, SQL_READABILITY),
 }
 

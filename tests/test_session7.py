@@ -160,3 +160,86 @@ def test_fd_composite_lhs(spark):
     rows = [(1, 1, "x"), (1, 2, "y"), (1, 2, "y")]
     r = _fd(spark, rows, ["a", "b"], "c")
     assert r.holds and r.n_keys == 2
+
+
+def _grid_df(spark, imgs):
+    """imgs: {img_id: 2-D list [y][x]} -> long-form pixel frame."""
+    rows = [(i, x, y, int(g[y][x]))
+            for i, g in imgs.items()
+            for y in range(len(g)) for x in range(len(g[0]))]
+    return spark.createDataFrame(rows, "img long, px long, py long, val long")
+
+
+def test_debayer_2x2_hand_case(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = _grid_df(spark, {0: [[10, 20], [30, 40]]})
+    out = {(r.x, r.y): r for r in rasterops.debayer_grid(df).collect()}
+    assert (out[(0, 0)].r, out[(0, 0)].g, out[(0, 0)].b) == (10, 25, 40)
+    assert (out[(1, 0)].r, out[(1, 0)].g, out[(1, 0)].b) == (10, 20, 40)
+    assert (out[(0, 1)].r, out[(0, 1)].g, out[(0, 1)].b) == (10, 30, 40)
+    assert (out[(1, 1)].r, out[(1, 1)].g, out[(1, 1)].b) == (10, 25, 40)
+
+
+def test_debayer_uniform_and_truncation(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    uni = [[9] * 4 for _ in range(4)]
+    out = rasterops.debayer_grid(_grid_df(spark, {0: uni})).collect()
+    assert all((r.r, r.g, r.b) == (9, 9, 9) for r in out)
+    # G avg at interior R center (2,2) of the ramp v = x + 4y:
+    # N/S/E/W neighbors are 6, 14, 9, 11 -> truncating avg 10
+    ramp = [[x + 4 * y for x in range(5)] for y in range(5)]
+    o = {(r.x, r.y): r
+         for r in rasterops.debayer_grid(_grid_df(spark, {0: ramp})).collect()}
+    assert o[(2, 2)].g == (6 + 14 + 9 + 11) // 4
+    # B at (2,2): the four diagonals 5, 13, 7, 15 -> exact 10
+    assert o[(2, 2)].b == 10 and o[(2, 2)].r == 10
+
+
+def _brief_py(grid, ax_, ay_):
+    from data_cube_utilities_spark.operators.rasterops import BRIEF_PAIRS
+
+    lo = hi = 0
+    for i, ax, ay, bx, by in BRIEF_PAIRS:
+        if grid[ay_ + ay][ax_ + ax] < grid[ay_ + by][ax_ + bx]:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return lo, hi
+
+
+def test_brief_descriptor_matches_python_twin(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    g = [[(x * 7 + y * 13 + x * y) % 256 for x in range(16)]
+         for y in range(16)]
+    d = {(r.x, r.y): (r.desc_lo, r.desc_hi)
+         for r in rasterops.brief_descriptors(
+             _grid_df(spark, {0: g})).collect()}
+    assert set(d) == {(4, 4), (12, 4), (4, 12), (12, 12)}
+    for (x, y), got in d.items():
+        assert got == _brief_py(g, x, y), (x, y)
+
+
+def test_brief_constant_image_all_zero_bits(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    g = [[5] * 16 for _ in range(16)]
+    d = rasterops.brief_descriptors(_grid_df(spark, {0: g})).collect()
+    assert all(r.desc_lo == 0 and r.desc_hi == 0 for r in d)
+
+
+def test_brief_matches_identical_images_zero_hamming(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    g = [[(x * 31 + y * 17 + (x * x) % 11) % 256 for x in range(16)]
+         for y in range(16)]
+    desc = rasterops.brief_descriptors(_grid_df(spark, {0: g, 1: g}))
+    out = rasterops.brief_matches(desc).collect()
+    assert len(out) == 4 and all(r.hamming == 0 for r in out)
+    # distinct descriptors -> each anchor matches its own clone
+    uniq = len({(r.desc_lo, r.desc_hi) for r in desc.collect()})
+    if uniq == 8:  # 4 per image, distinct within image
+        assert all((r.xb, r.yb) == (r.xa, r.ya) for r in out)
