@@ -2688,3 +2688,82 @@ def downsample_mode_grid(cells_df: DataFrame, factor: int = 2,
                        F.col("b.v").alias("mode_v"),
                        F.col("n_cells").cast("long").alias("n_cells"),
                        F.col("n_classes").cast("long").alias("n_classes"))
+
+
+def segment_intersections(segs: DataFrame, cell: int = 16,
+                          id_col: str = "seg_id") -> DataFrame:
+    """All intersecting segment pairs (id_a < id_b) with the EXACT
+    rational intersection point — the pairwise core of every vector
+    overlay (union/clip/topology build), kept on the integer lattice:
+
+      orientation tests  cross(p2-p1, q-p1)  are exact int64, so the
+      "do they intersect" predicate (both straddle tests <= 0, plus
+      bbox overlap to close the collinear corner cases) has no epsilon;
+      for non-parallel pairs the point is returned as numerators over a
+      common denominator  (x_num/den, y_num/den),  den = cross(r, s)
+      sign-normalized positive — no division at all, so the result
+      hash-oracles and downstream snapping policy stays with the caller.
+      Collinear-overlapping pairs emit den = 0 with NULL numerators
+      (flagged, not silently dropped).
+
+    Shape at scale: segments explode onto the `cell`-sized grid cells
+    their bbox covers, pairs equi-join ON the cell, and duplicates from
+    multi-cell overlaps collapse with ONE distinct on (id_a, id_b) —
+    the standard spatial-join blocking already used by the PIP suite;
+    predicate and point are pure codegen arithmetic.  Int64 bounds:
+    |coord| < 2^15 keeps x_num = x*den + t*rx within 2^62.
+
+    Input: (seg_id, x1, y1, x2, y2) integer endpoints.  Returns
+    (id_a, id_b, x_num, y_num, den, collinear)."""
+    s = segs.select(
+        F.col(id_col).alias("sid"),
+        *[F.col(c).cast("long").alias(c)
+          for c in ("x1", "y1", "x2", "y2")])
+    lo = lambda a, b: F.least(F.col(a), F.col(b))
+    hi = lambda a, b: F.greatest(F.col(a), F.col(b))
+    cells = s.select(
+        "sid", "x1", "y1", "x2", "y2",
+        F.explode(F.sequence(
+            F.expr(f"least(x1, x2) div {cell}"),
+            F.expr(f"greatest(x1, x2) div {cell}"))).alias("cx"),
+        lo("y1", "y2").alias("_ylo"), hi("y1", "y2").alias("_yhi"))
+    cells = cells.select(
+        "sid", "x1", "y1", "x2", "y2", "cx",
+        F.explode(F.sequence(
+            F.expr(f"_ylo div {cell}"),
+            F.expr(f"_yhi div {cell}"))).alias("cy"))
+    a = cells.select(F.col("sid").alias("id_a"), "cx", "cy",
+                     *[F.col(c).alias(f"a{c}")
+                       for c in ("x1", "y1", "x2", "y2")])
+    b = cells.select(F.col("sid").alias("id_b"), "cx", "cy",
+                     *[F.col(c).alias(f"b{c}")
+                       for c in ("x1", "y1", "x2", "y2")])
+    j = (a.join(b, ["cx", "cy"])
+          .filter(F.col("id_a") < F.col("id_b"))
+          .drop("cx", "cy").distinct())
+    # orientation(p1, p2, q) = cross(p2 - p1, q - p1)
+    o = ("((ax2 - ax1) * ({qy} - ay1) - (ay2 - ay1) * ({qx} - ax1))",
+         "((bx2 - bx1) * ({qy} - by1) - (by2 - by1) * ({qx} - bx1))")
+    d1 = o[0].format(qx="bx1", qy="by1")
+    d2 = o[0].format(qx="bx2", qy="by2")
+    d3 = o[1].format(qx="ax1", qy="ay1")
+    d4 = o[1].format(qx="ax2", qy="ay2")
+    bbox = ("least(ax1, ax2) <= greatest(bx1, bx2) AND "
+            "least(bx1, bx2) <= greatest(ax1, ax2) AND "
+            "least(ay1, ay2) <= greatest(by1, by2) AND "
+            "least(by1, by2) <= greatest(ay1, ay2)")
+    hit = j.filter(F.expr(
+        f"{d1} * {d2} <= 0 AND {d3} * {d4} <= 0 AND {bbox}"))
+    den = "((ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1))"
+    tn = "((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1))"
+    sgn = f"CASE WHEN {den} < 0 THEN -1 ELSE 1 END"
+    return hit.select(
+        "id_a", "id_b",
+        F.expr(f"CASE WHEN {den} != 0 THEN "
+               f"(ax1 * {den} + {tn} * (ax2 - ax1)) * {sgn} END")
+         .cast("long").alias("x_num"),
+        F.expr(f"CASE WHEN {den} != 0 THEN "
+               f"(ay1 * {den} + {tn} * (ay2 - ay1)) * {sgn} END")
+         .cast("long").alias("y_num"),
+        F.expr(f"abs({den})").cast("long").alias("den"),
+        F.expr(f"{den} = 0").alias("collinear"))

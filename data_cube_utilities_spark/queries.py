@@ -8575,6 +8575,116 @@ FROM m
 """
 
 
+
+
+def q_seg_intersect(spark, sf_dir):
+    """Exact segment-intersection join (spatial.segment_intersections)
+    over 60 generated integer segments: grid-cell blocked pair join +
+    epsilon-free straddle predicate, intersection point as exact
+    rationals (x_num/den, y_num/den) with den sign-normalized.  The
+    oracle is the NAIVE all-pairs version — hash equality is the
+    covering proof that cell blocking loses no pair."""
+    from .operators import spatial
+
+    segs = spark.range(60).select(
+        F.col("id").alias("seg_id"),
+        ((F.col("id") * 17) % 64).alias("x1"),
+        ((F.col("id") * 29) % 64).alias("y1"),
+        ((F.col("id") * 23 + 7) % 64).alias("x2"),
+        ((F.col("id") * 13 + 11) % 64).alias("y2"))
+    return spatial.segment_intersections(segs)
+
+
+SQL_SEG_INTERSECT = """
+WITH s AS (
+  SELECT i.i AS sid, (i.i * 17) % 64 AS x1, (i.i * 29) % 64 AS y1,
+         (i.i * 23 + 7) % 64 AS x2, (i.i * 13 + 11) % 64 AS y2
+  FROM generate_series(0, 59) i(i)),
+p AS (
+  SELECT a.sid AS id_a, b.sid AS id_b,
+         a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+         b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+  FROM s a JOIN s b ON a.sid < b.sid),
+hit AS (
+  SELECT * FROM p
+  WHERE ((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1))
+        * ((ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)) <= 0
+    AND ((bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1))
+        * ((bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)) <= 0
+    AND least(ax1, ax2) <= greatest(bx1, bx2)
+    AND least(bx1, bx2) <= greatest(ax1, ax2)
+    AND least(ay1, ay2) <= greatest(by1, by2)
+    AND least(by1, by2) <= greatest(ay1, ay2)),
+w AS (
+  SELECT id_a, id_b,
+         (ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1) AS den,
+         (bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1) AS tn,
+         ax1, ay1, ax2, ay2
+  FROM hit)
+SELECT id_a, id_b,
+       CAST(CASE WHEN den != 0 THEN
+              (ax1 * den + tn * (ax2 - ax1))
+              * (CASE WHEN den < 0 THEN -1 ELSE 1 END) END
+            AS BIGINT) AS x_num,
+       CAST(CASE WHEN den != 0 THEN
+              (ay1 * den + tn * (ay2 - ay1))
+              * (CASE WHEN den < 0 THEN -1 ELSE 1 END) END
+            AS BIGINT) AS y_num,
+       CAST(abs(den) AS BIGINT) AS den,
+       den = 0 AS collinear
+FROM w
+"""
+
+
+def q_golden_record(spark, sf_dir):
+    """MDM survivorship (catalog.golden_record) over a two-field long
+    table from orders (priority + status per customer bucket): survivor
+    by non-null > freshest date > lowest source number > smallest
+    value, plus candidate counts and the conflict flag."""
+    from .sources.catalog import golden_record
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 200).alias("entity"),
+        F.col("o_orderpriority"), F.col("o_orderstatus"),
+        F.col("o_orderdate").alias("ts"),
+        (F.col("o_orderkey") % 3).alias("prio"))
+    f1 = o.select("entity", F.lit("priority").alias("field"),
+                  F.col("o_orderpriority").alias("value"), "ts", "prio")
+    f2 = o.select("entity", F.lit("status").alias("field"),
+                  F.col("o_orderstatus").alias("value"), "ts", "prio")
+    return golden_record(f1.unionAll(f2), "entity", "field", "value",
+                         "ts", "prio")
+
+
+SQL_GOLDEN_RECORD = """
+WITH longf AS (
+  SELECT o_custkey % 200 AS entity, 'priority' AS field,
+         o_orderpriority AS value, o_orderdate AS ts,
+         o_orderkey % 3 AS prio
+  FROM orders
+  UNION ALL
+  SELECT o_custkey % 200, 'status', o_orderstatus, o_orderdate,
+         o_orderkey % 3
+  FROM orders),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY entity, field
+           ORDER BY (value IS NULL), ts DESC, prio, value) AS rn
+  FROM longf),
+st AS (
+  SELECT entity, field, count(*) AS n_candidates,
+         count(DISTINCT value) AS n_distinct_values
+  FROM longf GROUP BY 1, 2)
+SELECT r.entity, r.field, r.value, r.ts AS value_ts,
+       CAST(r.prio AS BIGINT) AS value_priority,
+       CAST(st.n_candidates AS BIGINT) AS n_candidates,
+       CAST(st.n_distinct_values AS BIGINT) AS n_distinct_values,
+       st.n_distinct_values > 1 AS conflict
+FROM r JOIN st ON st.entity = r.entity AND st.field = r.field
+WHERE r.rn = 1
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8774,6 +8884,8 @@ GROUP_A = {
     "fd_check": (q_fd_check, SQL_FD_CHECK),
     "debayer": (q_debayer, SQL_DEBAYER),
     "brief_match": (q_brief_match, _brief_match_sql()),
+    "seg_intersect": (q_seg_intersect, SQL_SEG_INTERSECT),
+    "golden_record": (q_golden_record, SQL_GOLDEN_RECORD),
     "readability": (q_readability, SQL_READABILITY),
 }
 

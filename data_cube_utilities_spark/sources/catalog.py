@@ -177,3 +177,39 @@ def fd_violations(df: DataFrame, lhs_cols: Sequence[str], rhs_col: str,
          .cast("long").alias("n_rows_in_violations"),
         F.max("d").cast("long").alias("max_distinct_rhs"),
         (F.max("d") <= 1).alias("holds"))
+
+
+def golden_record(df: DataFrame, entity_col: str, field_col: str,
+                  value_col: str, ts_col: str,
+                  priority_col: str) -> DataFrame:
+    """MDM survivorship merge: per (entity, field) elect the surviving
+    value by the deterministic rule chain non-null first, freshest
+    timestamp, lowest source priority number, then smallest value — a
+    total order, so the golden record is reproducible on any engine and
+    partitioning (arg_max on floats or unordered ties is not).  Also
+    reports the candidate count, distinct non-null values, and a
+    conflict flag (>1 distinct survivor-eligible value) — the fields a
+    steward actually reviews.
+
+    One window rank + one groupBy over the same key — the per-key data
+    is the conflict set, bounded by sources per entity, so the shuffle
+    unit is entities x fields regardless of input width."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col, field_col).orderBy(
+        F.col(value_col).isNull().asc(), F.col(ts_col).desc(),
+        F.col(priority_col).asc(), F.col(value_col).asc())
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    stats = (df.groupBy(entity_col, field_col)
+               .agg(F.count("*").cast("long").alias("n_candidates"),
+                    F.countDistinct(value_col).cast("long")
+                     .alias("n_distinct_values")))
+    return (ranked.filter(F.col("_rn") == 1)
+                  .select(entity_col, field_col,
+                          F.col(value_col).alias("value"),
+                          F.col(ts_col).alias("value_ts"),
+                          F.col(priority_col).cast("long")
+                           .alias("value_priority"))
+                  .join(stats, [entity_col, field_col])
+                  .withColumn("conflict",
+                              F.col("n_distinct_values") > 1))

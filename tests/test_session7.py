@@ -243,3 +243,82 @@ def test_brief_matches_identical_images_zero_hamming(spark):
     uniq = len({(r.desc_lo, r.desc_hi) for r in desc.collect()})
     if uniq == 8:  # 4 per image, distinct within image
         assert all((r.xb, r.yb) == (r.xa, r.ya) for r in out)
+
+
+def _segs(spark, rows):
+    from data_cube_utilities_spark.operators import spatial
+
+    df = spark.createDataFrame(
+        rows, "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    return {(r.id_a, r.id_b): r
+            for r in spatial.segment_intersections(df).collect()}
+
+
+def test_seg_intersect_plus_cross_exact_point(spark):
+    # diagonal cross at (5, 5): x = 0..10 diag vs anti-diag
+    out = _segs(spark, [(0, 0, 0, 10, 10), (1, 0, 10, 10, 0)])
+    r = out[(0, 1)]
+    assert (r.x_num, r.y_num, r.den, r.collinear) == (
+        5 * r.den, 5 * r.den, r.den, False)
+    assert r.den > 0
+
+
+def test_seg_intersect_disjoint_and_touching(spark):
+    out = _segs(spark, [(0, 0, 0, 4, 0), (1, 0, 2, 4, 2),   # parallel
+                        (2, 4, 0, 4, 6)])                    # touches 0 at (4,0)
+    assert (0, 1) not in out
+    r = out[(0, 2)]
+    assert (r.x_num // r.den, r.y_num // r.den) == (4, 0)
+
+
+def test_seg_intersect_collinear_overlap_flagged(spark):
+    out = _segs(spark, [(0, 0, 0, 10, 0), (1, 5, 0, 15, 0)])
+    r = out[(0, 1)]
+    assert r.collinear and r.den == 0
+    assert r.x_num is None and r.y_num is None
+
+
+def test_seg_intersect_rational_point(spark):
+    # (0,0)-(3,1) meets (1,0)-(1,3): x=1, y=1/3 -> den carries the 3
+    out = _segs(spark, [(0, 0, 0, 3, 1), (1, 1, 0, 1, 3)])
+    r = out[(0, 1)]
+    assert r.x_num == 1 * r.den
+    assert r.y_num * 3 == 1 * r.den
+
+
+def test_seg_intersect_cell_blocking_spans_cells(spark):
+    # long segments spanning many 16px cells still pair exactly once
+    out = _segs(spark, [(0, 0, 0, 100, 100), (1, 0, 100, 100, 0)])
+    assert list(out) == [(0, 1)]
+    r = out[(0, 1)]
+    assert (r.x_num // r.den, r.y_num // r.den) == (50, 50)
+
+
+def _golden(spark, rows):
+    from data_cube_utilities_spark.sources.catalog import golden_record
+
+    df = spark.createDataFrame(
+        rows, "e long, f string, value string, ts timestamp, p long")
+    return {(r.e, r.f): r
+            for r in golden_record(df, "e", "f", "value", "ts",
+                                   "p").collect()}
+
+
+def test_golden_record_freshest_wins(spark):
+    import datetime as dt
+
+    t1, t2 = dt.datetime(2020, 1, 1), dt.datetime(2021, 1, 1)
+    g = _golden(spark, [(1, "a", "old", t1, 0), (1, "a", "new", t2, 2)])
+    r = g[(1, "a")]
+    assert r.value == "new" and r.conflict and r.n_candidates == 2
+
+
+def test_golden_record_null_loses_and_priority_breaks_ties(spark):
+    import datetime as dt
+
+    t = dt.datetime(2020, 6, 1)
+    g = _golden(spark, [(2, "a", None, dt.datetime(2022, 1, 1), 0),
+                        (2, "a", "x", t, 1), (2, "a", "y", t, 0)])
+    r = g[(2, "a")]
+    assert r.value == "y"          # null excluded; same ts -> prio 0 wins
+    assert r.n_distinct_values == 2
