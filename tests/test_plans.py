@@ -616,3 +616,62 @@ def test_bilateral_and_topology_are_jvm_equi_joins(spark):
     plan2 = plan_of(rasterops.region_topology_long(t))
     assert "CartesianProduct" not in plan2
     assert "BatchEvalPython" not in plan2
+
+
+def test_session7_folds_are_jvm_only(spark):
+    """int_dct / debayer / decision_stump / fd audit: single-shuffle
+    groupBy folds, zero Python eval nodes, no cartesian."""
+    from data_cube_utilities_spark.operators import mlops, rasterops
+    from data_cube_utilities_spark.sources.catalog import fd_violations
+
+    px = spark.range(1024).selectExpr(
+        "id % 2 AS img", "(id div 2) % 32 AS px", "id div 64 AS py",
+        "(id * 17) % 256 AS val")
+    for df in (rasterops.int_dct_blocks_long(px),
+               rasterops.debayer_grid(px)):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan
+    lab = spark.range(500).selectExpr(
+        "id % 3 AS g", "id % 40 AS x", "CAST(id % 2 AS LONG) AS y")
+    plan = plan_of(mlops.decision_stump(lab, "x", "y", ["g"]))
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    plan = plan_of(fd_violations(lab, ["g"], "x"))
+    assert "BatchEvalPython" not in plan
+
+
+def test_seg_intersect_and_brief_block_joins_no_cartesian(spark):
+    """segment_intersections pairs via the cell equi-join; BRIEF
+    descriptor lookups are (img, x, y) equi-joins.  brief_matches'
+    img_a < img_b join IS an intentional bounded-by-images
+    nested-loop (descriptor table ~ anchors, not pixels) — assert the
+    expensive stages instead."""
+    from data_cube_utilities_spark.operators import rasterops, spatial
+
+    segs = spark.range(100).selectExpr(
+        "id AS seg_id", "(id * 17) % 64 AS x1", "(id * 29) % 64 AS y1",
+        "(id * 23 + 7) % 64 AS x2", "(id * 13 + 11) % 64 AS y2")
+    plan = plan_of(spatial.segment_intersections(segs))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    px = spark.range(2048).selectExpr(
+        "id % 2 AS img", "(id div 2) % 32 AS px", "id div 64 AS py",
+        "(id * 31) % 256 AS val")
+    plan = plan_of(rasterops.brief_descriptors(px))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_motif_pairs_equi_join_on_keys(spark):
+    """sad_motifs: the window pair stage must be a per-key equi-join
+    (SortMerge/Hash on the series key), never a cartesian, and the SAD
+    fold stays JVM-side."""
+    from data_cube_utilities_spark.operators import temporal
+
+    ser = spark.range(400).selectExpr(
+        "id % 4 AS grp", "id AS t", "(id * 13) % 50 AS v")
+    plan = plan_of(temporal.sad_motifs(ser, ["grp"], "t", "v", w=8))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
