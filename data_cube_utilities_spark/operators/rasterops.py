@@ -3451,3 +3451,100 @@ def brief_matches(desc: DataFrame, pack_bits: int = 20) -> DataFrame:
           .cast("long").alias("xb"),
         (F.col("pk") % 4096).cast("long").alias("yb"),
         F.expr(f"pk div {1 << pack_bits}").cast("long").alias("hamming"))
+
+
+def glrlm_features_long(pixels: DataFrame, levels: int = 16,
+                        vmax: int = 255, img_col: str = "img",
+                        x_col: str = "px", y_col: str = "py",
+                        value_col: str = "val") -> DataFrame:
+    """Gray-level run-length texture features (Galloway 1975), the
+    run-based companion to the GLCM co-occurrence set: quantize to
+    `levels` gray bins, find maximal horizontal runs of equal level by
+    gaps-and-islands (x - row_number per (row, level) is constant
+    within a run — two window ranks, no self-join), then fold the
+    run-length matrix into the classic scalars:
+
+      n_runs, SRE = sum cnt/len^2, LRE = sum cnt*len^2,
+      GLN = sum_level (runs at level)^2, RLN = sum_len (runs of len)^2,
+      RP = n_runs / n_pixels
+
+    SRE and RP are Q20 with each TERM quantized before the sum
+    (truncating div) so the totals are order-independent exact ints;
+    LRE/GLN/RLN are already integers.  One groupBy chain per image —
+    the shuffle unit is runs, then the tiny matrix.  Returns one row
+    per image: (img, n_runs, sre_q20, lre, gln, rln, rp_q20)."""
+    q = 1 << 20
+    width = vmax + 1
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.expr(f"CAST({value_col} AS LONG)"
+                             f" div {max(1, width // levels)}").alias("lvl"))
+    row_w = Window.partitionBy("img", "y").orderBy("x")
+    lvl_w = Window.partitionBy("img", "y", "lvl").orderBy("x")
+    runs = (p.withColumn("isl", F.row_number().over(row_w)
+                         - F.row_number().over(lvl_w))
+             .groupBy("img", "y", "lvl", "isl")
+             .agg(F.count("*").cast("long").alias("len")))
+    rlm = (runs.groupBy("img", "lvl", "len")
+               .agg(F.count("*").cast("long").alias("cnt")))
+    per_lvl = (rlm.groupBy("img", "lvl")
+                  .agg(F.sum("cnt").alias("c"))
+                  .groupBy("img")
+                  .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                        .alias("gln")))
+    per_len = (rlm.groupBy("img", "len")
+                  .agg(F.sum("cnt").alias("c"))
+                  .groupBy("img")
+                  .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                        .alias("rln")))
+    npx = pixels.groupBy(F.col(img_col).alias("img")).agg(
+        F.count("*").cast("long").alias("n_px"))
+    base = (rlm.groupBy("img")
+               .agg(F.sum("cnt").cast("long").alias("n_runs"),
+                    F.sum(F.expr(f"(cnt * {q}L) div (len * len)"))
+                     .cast("long").alias("sre_q20"),
+                    F.sum(F.expr("cnt * len * len")).cast("long")
+                     .alias("lre")))
+    return (base.join(per_lvl, "img").join(per_len, "img")
+                .join(npx, "img")
+                .select("img", "n_runs", "sre_q20", "lre", "gln", "rln",
+                        F.expr(f"(n_runs * {q}L) div n_px")
+                         .cast("long").alias("rp_q20")))
+
+
+def radial_profile_long(pixels: DataFrame, ring_div: int = 64,
+                        img_col: str = "img", x_col: str = "px",
+                        y_col: str = "py",
+                        value_col: str = "val") -> DataFrame:
+    """Radial brightness profile: annulus statistics around the image
+    centroid of the pixel GRID (2*cx = max x so the center never needs
+    a half-pixel float), rings keyed by squared radius div ring_div —
+    monotone in true radius, integer-exact, no sqrt.  The diagnostic
+    behind vignetting / defocus / PSF checks in image-QC pipelines.
+
+    4*r2 uses the doubled offsets (2x - 2cx) so odd-sized grids stay on
+    the lattice.  One broadcast join of per-image extents + one
+    groupBy(img, ring): (img, ring, n, sum_v, sum_v2, mean_q20) with
+    mean truncating-Q20."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    ext = p.groupBy("img").agg(F.max("x").alias("mx"),
+                               F.max("y").alias("my"),
+                               F.min("x").alias("nx"),
+                               F.min("y").alias("ny"))
+    t = (p.join(F.broadcast(ext), "img")
+          .withColumn("r4", (2 * F.col("x") - F.col("nx") - F.col("mx"))
+                      * (2 * F.col("x") - F.col("nx") - F.col("mx"))
+                      + (2 * F.col("y") - F.col("ny") - F.col("my"))
+                      * (2 * F.col("y") - F.col("ny") - F.col("my"))))
+    return (t.groupBy("img", F.expr(f"r4 div {ring_div}").alias("ring"))
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum("v").cast("long").alias("sum_v"),
+                  F.sum(F.col("v") * F.col("v")).cast("long")
+                   .alias("sum_v2"))
+             .withColumn("mean_q20",
+                         F.expr("(sum_v * 1048576L) div n")
+                          .cast("long")))

@@ -8685,6 +8685,84 @@ WHERE r.rn = 1
 """
 
 
+
+
+def q_glrlm_texture(spark, sf_dir):
+    """Gray-level run-length texture (rasterops.glrlm_features_long,
+    16 levels) over the 4 dense lineitem tiles: gaps-and-islands runs,
+    per-image SRE/LRE/GLN/RLN/RP with per-term Q20 quantization."""
+    from .operators import rasterops
+
+    return rasterops.glrlm_features_long(_px_grid(spark, sf_dir))
+
+
+SQL_GLRLM_TEXTURE = f"""
+WITH {_PX_SQL},
+p AS (SELECT img, x, y, v // 16 AS lvl FROM px),
+ranked AS (
+  SELECT img, y, lvl,
+         row_number() OVER (PARTITION BY img, y ORDER BY x)
+         - row_number() OVER (PARTITION BY img, y, lvl ORDER BY x)
+           AS isl
+  FROM p),
+runs AS (
+  SELECT img, lvl, count(*) AS len
+  FROM ranked GROUP BY img, y, lvl, isl),
+rlm AS (
+  SELECT img, lvl, len, count(*) AS cnt
+  FROM runs GROUP BY 1, 2, 3),
+gln_t AS (
+  SELECT img, sum(c * c) AS gln FROM (
+    SELECT img, lvl, sum(cnt) AS c FROM rlm GROUP BY 1, 2) g
+  GROUP BY img),
+rln_t AS (
+  SELECT img, sum(c * c) AS rln FROM (
+    SELECT img, len, sum(cnt) AS c FROM rlm GROUP BY 1, 2) g
+  GROUP BY img),
+npx AS (SELECT img, count(*) AS n_px FROM px GROUP BY img),
+base AS (
+  SELECT img, sum(cnt) AS n_runs,
+         sum((cnt * 1048576) // (len * len)) AS sre_q20,
+         sum(cnt * len * len) AS lre
+  FROM rlm GROUP BY img)
+SELECT b.img, CAST(n_runs AS BIGINT) AS n_runs,
+       CAST(sre_q20 AS BIGINT) AS sre_q20, CAST(lre AS BIGINT) AS lre,
+       CAST(gln AS BIGINT) AS gln, CAST(rln AS BIGINT) AS rln,
+       CAST((n_runs * 1048576) // n_px AS BIGINT) AS rp_q20
+FROM base b JOIN gln_t USING (img) JOIN rln_t USING (img)
+JOIN npx USING (img)
+"""
+
+
+def q_radial_profile(spark, sf_dir):
+    """Radial annulus statistics (rasterops.radial_profile_long) around
+    each tile's grid centroid: rings by squared doubled-offset radius
+    div 64 (no sqrt, odd grids stay on the lattice), per-ring
+    n/sum/sum-of-squares/Q20 mean."""
+    from .operators import rasterops
+
+    return rasterops.radial_profile_long(_px_grid(spark, sf_dir))
+
+
+SQL_RADIAL_PROFILE = f"""
+WITH {_PX_SQL},
+ext AS (
+  SELECT img, min(x) AS nx, max(x) AS mx, min(y) AS ny, max(y) AS my
+  FROM px GROUP BY img),
+t AS (
+  SELECT p.img, p.v,
+         ((2 * p.x - e.nx - e.mx) * (2 * p.x - e.nx - e.mx)
+          + (2 * p.y - e.ny - e.my) * (2 * p.y - e.ny - e.my)) // 64
+           AS ring
+  FROM px p JOIN ext e ON e.img = p.img)
+SELECT img, CAST(ring AS BIGINT) AS ring,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum(v * v) AS BIGINT) AS sum_v2,
+       CAST((sum(v) * 1048576) // count(*) AS BIGINT) AS mean_q20
+FROM t GROUP BY 1, 2
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8886,6 +8964,8 @@ GROUP_A = {
     "brief_match": (q_brief_match, _brief_match_sql()),
     "seg_intersect": (q_seg_intersect, SQL_SEG_INTERSECT),
     "golden_record": (q_golden_record, SQL_GOLDEN_RECORD),
+    "glrlm_texture": (q_glrlm_texture, SQL_GLRLM_TEXTURE),
+    "radial_profile": (q_radial_profile, SQL_RADIAL_PROFILE),
     "readability": (q_readability, SQL_READABILITY),
 }
 

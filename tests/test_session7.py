@@ -322,3 +322,52 @@ def test_golden_record_null_loses_and_priority_breaks_ties(spark):
     r = g[(2, "a")]
     assert r.value == "y"          # null excluded; same ts -> prio 0 wins
     assert r.n_distinct_values == 2
+
+
+def test_glrlm_single_row_runs(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    # one row "aabbb": levels 0,0,1,1,1 at 16-wide bins -> runs len 2,3
+    df = _grid_df(spark, {0: [[0, 0, 16, 16, 16]]})
+    r = rasterops.glrlm_features_long(df).collect()[0]
+    assert r.n_runs == 2
+    assert r.lre == 1 * 4 + 1 * 9
+    q = 1 << 20
+    assert r.sre_q20 == (1 * q) // 4 + (1 * q) // 9
+    assert r.gln == 1 + 1          # one run at each of 2 levels
+    assert r.rln == 1 + 1          # one run of each length
+    assert r.rp_q20 == (2 * q) // 5
+
+
+def test_glrlm_constant_image_one_run_per_row(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = _grid_df(spark, {0: [[50] * 6 for _ in range(3)]})
+    r = rasterops.glrlm_features_long(df).collect()[0]
+    assert r.n_runs == 3 and r.lre == 3 * 36
+    assert r.gln == 9              # all 3 runs at one level
+    assert r.rln == 9              # all 3 runs of length 6
+
+
+def test_radial_profile_rings_partition_pixels(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = _grid_df(spark, {0: [[x + y for x in range(8)] for y in range(8)]})
+    out = rasterops.radial_profile_long(df, ring_div=8).collect()
+    assert sum(r.n for r in out) == 64
+    # center 4 pixels: doubled offsets +-1 -> 4*r2 = 2 -> ring 0
+    r0 = [r for r in out if r.ring == 0][0]
+    assert r0.n == 4
+    # corner (0,0): offsets -7,-7 -> 4*r2 = 98 -> ring 12 with 4 corners
+    r12 = [r for r in out if r.ring == 12][0]
+    assert r12.n == 4
+    assert r12.sum_v == (0 + 0) + (7 + 0) + (0 + 7) + (7 + 7)
+
+
+def test_radial_profile_mean_truncates(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = _grid_df(spark, {0: [[1, 2], [3, 5]]})  # all 4 px: 4*r2=2, ring 0
+    r = rasterops.radial_profile_long(df, ring_div=8).collect()
+    assert len(r) == 1 and r[0].n == 4
+    assert r[0].mean_q20 == (11 * (1 << 20)) // 4
