@@ -8763,6 +8763,104 @@ FROM t GROUP BY 1, 2
 """
 
 
+
+
+def q_image_ingest(spark, sf_dir):
+    """Composed camera-ingest QC pipeline — the image twin of
+    corpus_clean: raw Bayer mosaic -> bilinear demosaic
+    (rasterops.debayer_grid) -> integer BT.601 luma
+    ((299r + 587g + 114b) div 1000) -> per-image QC row joining the
+    exact Otsu threshold on the luma plane with global brightness
+    stats (Q20 mean, min/max, clip counts at the 8-bit rails).  One
+    dataflow, three reused operators, no intermediate materialization."""
+    from .operators import rasterops
+
+    rgb = rasterops.debayer_grid(_px_grid(spark, sf_dir))
+    luma = rgb.select(
+        "img", F.col("x").alias("px"), F.col("y").alias("py"),
+        F.expr("(299 * r + 587 * g + 114 * b) div 1000").alias("val"))
+    otsu = rasterops.otsu_threshold_long(luma)
+    stats = (luma.groupBy("img")
+                 .agg(F.count("*").cast("long").alias("n_px"),
+                      F.expr("(sum(val) * 1048576L) div count(*)")
+                       .cast("long").alias("luma_mean_q20"),
+                      F.min("val").cast("long").alias("luma_min"),
+                      F.max("val").cast("long").alias("luma_max"),
+                      F.sum(F.when(F.col("val") <= 2, 1).otherwise(0))
+                       .cast("long").alias("n_crushed"),
+                      F.sum(F.when(F.col("val") >= 253, 1).otherwise(0))
+                       .cast("long").alias("n_blown")))
+    return otsu.join(stats, "img")
+
+
+SQL_IMAGE_INGEST = f"""
+WITH {_PX_SQL},
+nb AS (
+  SELECT p.img, p.x, p.y, p.v AS cv,
+         sum(CASE WHEN q.x % 2 = 0 AND q.y % 2 = 0
+                   AND NOT (q.x = p.x AND q.y = p.y) THEN q.v END) AS rs,
+         count(CASE WHEN q.x % 2 = 0 AND q.y % 2 = 0
+                     AND NOT (q.x = p.x AND q.y = p.y) THEN 1 END) AS rc,
+         sum(CASE WHEN (q.x + q.y) % 2 = 1
+                   AND NOT (q.x = p.x AND q.y = p.y) THEN q.v END) AS gs,
+         count(CASE WHEN (q.x + q.y) % 2 = 1
+                     AND NOT (q.x = p.x AND q.y = p.y) THEN 1 END) AS gc,
+         sum(CASE WHEN q.x % 2 = 1 AND q.y % 2 = 1
+                   AND NOT (q.x = p.x AND q.y = p.y) THEN q.v END) AS bs,
+         count(CASE WHEN q.x % 2 = 1 AND q.y % 2 = 1
+                     AND NOT (q.x = p.x AND q.y = p.y) THEN 1 END) AS bc
+  FROM px p JOIN px q ON q.img = p.img
+   AND abs(q.x - p.x) <= 1 AND abs(q.y - p.y) <= 1
+  GROUP BY 1, 2, 3, 4),
+luma AS (
+  SELECT img, x, y,
+         (299 * (CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN cv
+                      ELSE rs // rc END)
+          + 587 * (CASE WHEN (x + y) % 2 = 1 THEN cv
+                        ELSE gs // gc END)
+          + 114 * (CASE WHEN x % 2 = 1 AND y % 2 = 1 THEN cv
+                        ELSE bs // bc END)) // 1000 AS v
+  FROM nb),
+h AS (SELECT img, v, CAST(count(*) AS BIGINT) AS c FROM luma
+      GROUP BY 1, 2),
+t AS (
+  SELECT img, v,
+         sum(c) OVER (PARTITION BY img ORDER BY v) AS w0,
+         sum(v * c) OVER (PARTITION BY img ORDER BY v) AS s0,
+         sum(c) OVER (PARTITION BY img) AS n,
+         sum(v * c) OVER (PARTITION BY img) AS s
+  FROM h),
+sc AS (
+  SELECT img, v,
+         CASE WHEN w0 > 0 AND n - w0 > 0 THEN
+           ((s0 * n - s * w0) * (s0 * n - s * w0)) // (w0 * (n - w0))
+         END AS score,
+         row_number() OVER (
+           PARTITION BY img
+           ORDER BY (CASE WHEN w0 > 0 AND n - w0 > 0 THEN
+             ((s0 * n - s * w0) * (s0 * n - s * w0)) // (w0 * (n - w0))
+           END) DESC NULLS LAST, v ASC) AS rn
+  FROM t),
+stats AS (
+  SELECT img, count(*) AS n_px,
+         (sum(v) * 1048576) // count(*) AS luma_mean_q20,
+         min(v) AS luma_min, max(v) AS luma_max,
+         sum(CASE WHEN v <= 2 THEN 1 ELSE 0 END) AS n_crushed,
+         sum(CASE WHEN v >= 253 THEN 1 ELSE 0 END) AS n_blown
+  FROM luma GROUP BY img)
+SELECT o.img, CAST(o.v AS BIGINT) AS threshold,
+       CAST(o.score AS BIGINT) AS score,
+       CAST(st.n_px AS BIGINT) AS n_px,
+       CAST(st.luma_mean_q20 AS BIGINT) AS luma_mean_q20,
+       CAST(st.luma_min AS BIGINT) AS luma_min,
+       CAST(st.luma_max AS BIGINT) AS luma_max,
+       CAST(st.n_crushed AS BIGINT) AS n_crushed,
+       CAST(st.n_blown AS BIGINT) AS n_blown
+FROM sc o JOIN stats st ON st.img = o.img
+WHERE o.rn = 1
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -8966,6 +9064,7 @@ GROUP_A = {
     "golden_record": (q_golden_record, SQL_GOLDEN_RECORD),
     "glrlm_texture": (q_glrlm_texture, SQL_GLRLM_TEXTURE),
     "radial_profile": (q_radial_profile, SQL_RADIAL_PROFILE),
+    "image_ingest": (q_image_ingest, SQL_IMAGE_INGEST),
     "readability": (q_readability, SQL_READABILITY),
 }
 

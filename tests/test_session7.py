@@ -371,3 +371,19 @@ def test_radial_profile_mean_truncates(spark):
     r = rasterops.radial_profile_long(df, ring_div=8).collect()
     assert len(r) == 1 and r[0].n == 4
     assert r[0].mean_q20 == (11 * (1 << 20)) // 4
+
+
+def test_image_ingest_composition_on_uniform_mosaic(spark):
+    """Uniform mosaic -> uniform luma -> degenerate Otsu (no valid
+    split -> NULL score, smallest v wins) and exact global stats."""
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = _grid_df(spark, {0: [[100] * 4 for _ in range(4)]})
+    rgb = rasterops.debayer_grid(df)
+    luma = rgb.select(
+        "img", F.col("x").alias("px"), F.col("y").alias("py"),
+        F.expr("(299 * r + 587 * g + 114 * b) div 1000").alias("val"))
+    vals = [r.val for r in luma.collect()]
+    assert set(vals) == {100}
+    otsu = rasterops.otsu_threshold_long(luma).collect()[0]
+    assert otsu.threshold == 100 and otsu.score is None
