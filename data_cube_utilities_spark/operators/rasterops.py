@@ -3548,3 +3548,50 @@ def radial_profile_long(pixels: DataFrame, ring_div: int = 64,
              .withColumn("mean_q20",
                          F.expr("(sum_v * 1048576L) div n")
                           .cast("long")))
+
+
+def haar_dwt_long(pixels: DataFrame, img_col: str = "img",
+                  x_col: str = "px", y_col: str = "py",
+                  value_col: str = "val") -> DataFrame:
+    """One-level 2-D reversible integer Haar (S-transform, the lifting
+    idea behind JPEG2000's reversible path): per 2x2 block the four
+    subband coefficients
+
+        horizontal:  d = odd - even,  s = even + (d tdiv 2)
+        vertical  :  same lifting on the s and d columns
+        ->  (ll, lh, hl, hh)
+
+    with EVERY division the truncate-toward-zero `div` (== DuckDB `//`),
+    so the transform is exactly invertible AND engine-exact — the
+    property that makes it a codec transform rather than a float DWT.
+    (The classic S-transform floors; the truncating variant is equally
+    invertible since d is carried unchanged — documented deviation.)
+
+    Shape at scale: two groupBys (pair columns, then pair rows) — the
+    map-side combiner collapses each pair before the exchange, and the
+    second shuffle operates on half the rows.  No UDF.  Returns
+    (img, bx, by, ll, lh, hl, hh); energy compaction lives downstream
+    (sum hh*hh / sum ll*ll etc.) without another scan."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    h = (p.groupBy("img", "y", F.expr("x div 2").alias("bx"))
+          .agg(F.max(F.when(F.col("x") % 2 == 0, F.col("v")))
+                .alias("e"),
+               F.max(F.when(F.col("x") % 2 == 1, F.col("v")))
+                .alias("o")))
+    h = h.select("img", "y", "bx",
+                 F.expr("e + ((o - e) div 2)").alias("s"),
+                 (F.col("o") - F.col("e")).alias("d"))
+    v = (h.groupBy("img", "bx", F.expr("y div 2").alias("by"))
+          .agg(F.max(F.when(F.col("y") % 2 == 0, F.col("s"))).alias("se"),
+               F.max(F.when(F.col("y") % 2 == 1, F.col("s"))).alias("so"),
+               F.max(F.when(F.col("y") % 2 == 0, F.col("d"))).alias("de"),
+               F.max(F.when(F.col("y") % 2 == 1, F.col("d"))).alias("do")))
+    return v.select(
+        "img", "bx", "by",
+        F.expr("se + ((so - se) div 2)").cast("long").alias("ll"),
+        (F.col("so") - F.col("se")).cast("long").alias("lh"),
+        F.expr("de + ((do - de) div 2)").cast("long").alias("hl"),
+        (F.col("do") - F.col("de")).cast("long").alias("hh"))

@@ -8861,6 +8861,43 @@ WHERE o.rn = 1
 """
 
 
+
+
+def q_haar_dwt(spark, sf_dir):
+    """One-level reversible integer Haar / S-transform
+    (rasterops.haar_dwt_long) over the 4 dense lineitem tiles: per 2x2
+    block (ll, lh, hl, hh) via two lifting groupBys, every division
+    truncate-toward-zero so the transform inverts exactly."""
+    from .operators import rasterops
+
+    return rasterops.haar_dwt_long(_px_grid(spark, sf_dir))
+
+
+SQL_HAAR_DWT = f"""
+WITH {_PX_SQL},
+h AS (
+  SELECT img, y, x // 2 AS bx,
+         max(CASE WHEN x % 2 = 0 THEN v END) AS e,
+         max(CASE WHEN x % 2 = 1 THEN v END) AS o
+  FROM px GROUP BY 1, 2, 3),
+hs AS (
+  SELECT img, y, bx, e + ((o - e) // 2) AS s, o - e AS d FROM h),
+v AS (
+  SELECT img, bx, y // 2 AS by,
+         max(CASE WHEN y % 2 = 0 THEN s END) AS se,
+         max(CASE WHEN y % 2 = 1 THEN s END) AS so,
+         max(CASE WHEN y % 2 = 0 THEN d END) AS de,
+         max(CASE WHEN y % 2 = 1 THEN d END) AS do_
+  FROM hs GROUP BY 1, 2, 3)
+SELECT img, bx, by,
+       CAST(se + ((so - se) // 2) AS BIGINT) AS ll,
+       CAST(so - se AS BIGINT) AS lh,
+       CAST(de + ((do_ - de) // 2) AS BIGINT) AS hl,
+       CAST(do_ - de AS BIGINT) AS hh
+FROM v
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -9065,6 +9102,7 @@ GROUP_A = {
     "glrlm_texture": (q_glrlm_texture, SQL_GLRLM_TEXTURE),
     "radial_profile": (q_radial_profile, SQL_RADIAL_PROFILE),
     "image_ingest": (q_image_ingest, SQL_IMAGE_INGEST),
+    "haar_dwt": (q_haar_dwt, SQL_HAAR_DWT),
     "readability": (q_readability, SQL_READABILITY),
 }
 

@@ -387,3 +387,33 @@ def test_image_ingest_composition_on_uniform_mosaic(spark):
     assert set(vals) == {100}
     otsu = rasterops.otsu_threshold_long(luma).collect()[0]
     assert otsu.threshold == 100 and otsu.score is None
+
+
+def test_haar_dwt_hand_block_and_inversion(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    # single 2x2 block [[a, b], [c, d]] = [[10, 14], [20, 30]]
+    df = _grid_df(spark, {0: [[10, 14], [20, 30]]})
+    r = rasterops.haar_dwt_long(df).collect()[0]
+    # horizontal: row0 s=10+(4 div 2)=12, d=4; row1 s=20+(10 div 2)=25, d=10
+    # vertical:   ll=12+(13 div 2)=18, lh=13, hl=4+(6 div 2)=7, hh=6
+    assert (r.ll, r.lh, r.hl, r.hh) == (18, 13, 7, 6)
+    # exact inversion: undo vertical then horizontal lifting
+    s0 = r.ll - (r.lh // 2 if r.lh >= 0 else -((-r.lh) // 2))
+    s1 = s0 + r.lh
+    d0 = r.hl - (r.hh // 2 if r.hh >= 0 else -((-r.hh) // 2))
+    d1 = d0 + r.hh
+    def unlift(s, d):
+        e = s - (d // 2 if d >= 0 else -((-d) // 2))
+        return e, e + d
+    assert unlift(s0, d0) == (10, 14)
+    assert unlift(s1, d1) == (20, 30)
+
+
+def test_haar_dwt_constant_image_energy_in_ll(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = _grid_df(spark, {0: [[9] * 4 for _ in range(4)]})
+    out = rasterops.haar_dwt_long(df).collect()
+    assert len(out) == 4
+    assert all((r.ll, r.lh, r.hl, r.hh) == (9, 0, 0, 0) for r in out)
