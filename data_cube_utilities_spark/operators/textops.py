@@ -2465,3 +2465,46 @@ def readability_scores(df: DataFrame, id_col: str = "doc_id",
          - F.expr(f"(846 * n_syllables * {q}L) div (10 * "
                   f"greatest(n_words, 1))"))
         .cast("long").alias("flesch_q20"))
+
+
+def blocking_eval(df: DataFrame, truth_key, block_key,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Entity-resolution blocking metrology: score a candidate-blocking
+    key against a ground-truth duplicate key with the two standard ER
+    metrics (Christen 2012) — REDUCTION RATIO (how many of the N(N-1)/2
+    comparisons the blocking avoids) and PAIR COMPLETENESS (how many
+    true duplicate pairs land in the same block) — the dials you turn
+    BEFORE burning a 100 TB pass on minhash_lsh_pairs with the wrong
+    geometry.
+
+    Everything is aggregation: pair counts come from sum(n*(n-1) div 2)
+    over group sizes (truth groups, block groups, and their
+    intersection), so NO pair set is ever materialized — three groupBys
+    on a table of N rows regardless of how quadratic the pair space is.
+    Ratios are Q20 truncating.  Returns one row: (n_docs, n_truth_pairs,
+    n_cand_pairs, n_captured_pairs, reduction_ratio_q20,
+    pair_completeness_q20; the last is NULL when there are no truth
+    pairs to capture)."""
+    q = 1 << 20
+    base = df.select(F.col(id_col).alias("id"),
+                     truth_key.alias("tk"), block_key.alias("bk"))
+
+    def npairs(keys):
+        return (base.groupBy(*keys).agg(F.count("*").alias("n"))
+                    .agg(F.sum(F.expr("n * (n - 1) div 2"))
+                          .cast("long").alias("p")))
+
+    t = npairs(["tk"]).select(F.col("p").alias("n_truth_pairs"))
+    c = npairs(["bk"]).select(F.col("p").alias("n_cand_pairs"))
+    tc = npairs(["tk", "bk"]).select(F.col("p").alias("n_captured_pairs"))
+    n = base.agg(F.count("*").cast("long").alias("n_docs"))
+    out = n.crossJoin(t).crossJoin(c).crossJoin(tc)
+    total = "n_docs * (n_docs - 1) div 2"
+    return out.select(
+        "n_docs", "n_truth_pairs", "n_cand_pairs", "n_captured_pairs",
+        F.expr(f"CASE WHEN {total} > 0 THEN "
+               f"(({total} - n_cand_pairs) * {q}L) div ({total}) END")
+         .cast("long").alias("reduction_ratio_q20"),
+        F.expr(f"CASE WHEN n_truth_pairs > 0 THEN "
+               f"(n_captured_pairs * {q}L) div n_truth_pairs END")
+         .cast("long").alias("pair_completeness_q20"))

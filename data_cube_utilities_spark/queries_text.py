@@ -1571,6 +1571,51 @@ WHERE l.id < p.id_r
 """
 
 
+
+
+def q_blocking_eval(spark, sf_dir):
+    """Blocking metrology (textops.blocking_eval) on documents: truth =
+    same sorted-token multiset (reorder-invariant duplicates), candidate
+    blocking = (lang, first token) — reduction ratio vs pair
+    completeness as exact Q20, all from group-size sums (no pair set
+    ever materialized)."""
+    from pyspark.sql import functions as F
+
+    from .operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    truth = F.md5(F.concat_ws(" ", F.array_sort(toks)))
+    block = F.concat_ws("|", F.col("lang"), F.element_at(toks, 1))
+    return textops.blocking_eval(docs, truth, block)
+
+
+SQL_BLOCKING_EVAL = """
+WITH base AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+           AS tk,
+         concat_ws('|', lang, string_split(text, ' ')[1]) AS bk
+  FROM documents),
+tp AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_truth_pairs
+       FROM (SELECT count(*) AS n FROM base GROUP BY tk) g),
+cp AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_cand_pairs
+       FROM (SELECT count(*) AS n FROM base GROUP BY bk) g),
+xp AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_captured_pairs
+       FROM (SELECT count(*) AS n FROM base GROUP BY tk, bk) g),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base)
+SELECT n_docs, n_truth_pairs, n_cand_pairs, n_captured_pairs,
+       CAST(CASE WHEN n_docs * (n_docs - 1) // 2 > 0 THEN
+         ((n_docs * (n_docs - 1) // 2 - n_cand_pairs) * 1048576)
+         // (n_docs * (n_docs - 1) // 2) END AS BIGINT)
+         AS reduction_ratio_q20,
+       CAST(CASE WHEN n_truth_pairs > 0 THEN
+         (n_captured_pairs * 1048576) // n_truth_pairs END AS BIGINT)
+         AS pair_completeness_q20
+FROM nd, tp, cp, xp
+"""
+
+
 GROUP_B = {
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
@@ -1616,4 +1661,5 @@ GROUP_B = {
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     "ivf_pq_exact": (q_ivf_pq_exact, SQL_IVF_PQ_EXACT),
     "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
+    "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
 }

@@ -417,3 +417,36 @@ def test_haar_dwt_constant_image_energy_in_ll(spark):
     out = rasterops.haar_dwt_long(df).collect()
     assert len(out) == 4
     assert all((r.ll, r.lh, r.hl, r.hh) == (9, 0, 0, 0) for r in out)
+
+
+def test_blocking_eval_hand_corpus(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    rows = [(1, "a b c"), (2, "c b a"),     # same multiset, diff first tok
+            (3, "a b c"),                   # same multiset AND first tok as 1
+            (4, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+    truth = F.md5(F.concat_ws(" ", F.array_sort(toks)))
+    block = F.element_at(toks, 1)
+    r = textops.blocking_eval(df, truth, block).collect()[0]
+    # truth pairs: {1,2,3} -> 3 pairs; candidates: block 'a'={1,3} 1 pair,
+    # 'c'={2}, 'x'={4} -> 1; captured: (tk,bk) group {1,3} -> 1
+    assert (r.n_docs, r.n_truth_pairs, r.n_cand_pairs,
+            r.n_captured_pairs) == (4, 3, 1, 1)
+    q = 1 << 20
+    assert r.reduction_ratio_q20 == ((6 - 1) * q) // 6
+    assert r.pair_completeness_q20 == (1 * q) // 3
+
+
+def test_blocking_eval_no_truth_pairs_null_pc(spark):
+    from data_cube_utilities_spark.operators import textops
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")],
+                               "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+    r = textops.blocking_eval(
+        df, F.md5(F.concat_ws(" ", F.array_sort(toks))),
+        F.element_at(toks, 1)).collect()[0]
+    assert r.n_truth_pairs == 0 and r.pair_completeness_q20 is None
+    assert r.reduction_ratio_q20 == (1 << 20)   # zero candidates
