@@ -95,6 +95,29 @@ def main():
                      lambda: catalog.golden_record(gr, "e", "f", "value",
                                                    "ts", "p").count()))
 
+    # Haar + GLRLM + radial over the 64x256x256 pixel set (1024x driver)
+    out.append(timed("haar_dwt_4m_px",
+                     lambda: rasterops.haar_dwt_long(px).count()))
+    out.append(timed("glrlm_64_imgs",
+                     lambda: rasterops.glrlm_features_long(px).count()))
+    out.append(timed("radial_profile_64_imgs",
+                     lambda: rasterops.radial_profile_long(px).count()))
+
+    # blocking metrology over 2M synthetic docs (4000x driver)
+    from data_cube_utilities_spark.operators import textops
+    docs = spark.range(2_000_000).selectExpr(
+        "id AS doc_id",
+        "concat('tok', CAST(id % 50000 AS STRING), ' w', "
+        "CAST((id * 31) % 997 AS STRING)) AS text",
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang")
+    toks = F.split(F.col("text"), " ")
+    out.append(timed(
+        "blocking_eval_2m",
+        lambda: textops.blocking_eval(
+            docs, F.md5(F.concat_ws(" ", F.array_sort(toks))),
+            F.concat_ws("|", F.col("lang"), F.element_at(toks, 1)))
+        .count()))
+
     with open("/root/repo/BENCH/S7_SCALE.md", "w") as f:
         f.write("# Session-7 operators at 60-1200x driver scale "
                 "(local[32])\n\n| op | rows out | wall s |\n|---|---|---|\n")
