@@ -3595,3 +3595,51 @@ def haar_dwt_long(pixels: DataFrame, img_col: str = "img",
         (F.col("so") - F.col("se")).cast("long").alias("lh"),
         F.expr("de + ((do - de) div 2)").cast("long").alias("hl"),
         (F.col("do") - F.col("de")).cast("long").alias("hh"))
+
+
+def percentile_stretch_grid(pixels: DataFrame, lo_pct: int = 2,
+                            hi_pct: int = 98, out_max: int = 255,
+                            img_col: str = "img", x_col: str = "px",
+                            y_col: str = "py",
+                            value_col: str = "val") -> DataFrame:
+    """Percentile contrast stretch — the 2-98% clip behind every
+    satellite RGB display (reference shape: dc_rgb / plotter_utils
+    percentile clipping, data_cube_utilities/dc_rgb.py), exact: the
+    per-image cut points are LOWER percentiles picked by integer rank
+    (smallest v whose cumulative count satisfies cum*100 >= pct*n — no
+    interpolation, no float), and the remap
+
+        out = clamp((v - lo) * out_max tdiv (hi - lo), 0, out_max)
+
+    is one truncating division.  Degenerate images (hi == lo) map to 0.
+
+    Shape at scale: histogram groupBy (combiner below the exchange),
+    windows over the per-image value table (<= L rows), then ONE
+    broadcast join of the two cut points back to the pixels — same
+    two-stage shape as otsu_threshold_long.  Returns
+    (img, x, y, v, lo_cut, hi_cut, stretched)."""
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    h = p.groupBy("img", "v").agg(F.count("*").cast("long").alias("c"))
+    cum = (Window.partitionBy("img").orderBy("v")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    tot = (Window.partitionBy("img")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+    t = (h.withColumn("cc", F.sum("c").over(cum))
+          .withColumn("n", F.sum("c").over(tot)))
+    cuts = (t.groupBy("img")
+             .agg(F.min(F.when(F.col("cc") * 100 >= lo_pct * F.col("n"),
+                               F.col("v"))).alias("lo_cut"),
+                  F.min(F.when(F.col("cc") * 100 >= hi_pct * F.col("n"),
+                               F.col("v"))).alias("hi_cut")))
+    j = p.join(F.broadcast(cuts), "img")
+    stretched = F.when(
+        F.col("hi_cut") > F.col("lo_cut"),
+        F.least(F.greatest(
+            F.expr(f"((v - lo_cut) * {out_max}) div (hi_cut - lo_cut)"),
+            F.lit(0)), F.lit(out_max))).otherwise(0)
+    return j.select("img", "x", "y", "v", "lo_cut", "hi_cut",
+                    stretched.cast("long").alias("stretched"))

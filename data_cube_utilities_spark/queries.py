@@ -8898,6 +8898,43 @@ FROM v
 """
 
 
+
+
+def q_percentile_stretch(spark, sf_dir):
+    """2-98% percentile contrast stretch
+    (rasterops.percentile_stretch_grid) over the 4 dense lineitem
+    tiles — the exact-integer twin of the reference's dc_rgb display
+    clip: lower-percentile cut points by integer rank, one truncating
+    remap division, clamped to [0, 255]."""
+    from .operators import rasterops
+
+    return rasterops.percentile_stretch_grid(_px_grid(spark, sf_dir))
+
+
+SQL_PERCENTILE_STRETCH = f"""
+WITH {_PX_SQL},
+h AS (SELECT img, v, CAST(count(*) AS BIGINT) AS c FROM px GROUP BY 1, 2),
+t AS (
+  SELECT img, v,
+         sum(c) OVER (PARTITION BY img ORDER BY v) AS cc,
+         sum(c) OVER (PARTITION BY img) AS n
+  FROM h),
+cuts AS (
+  SELECT img,
+         min(CASE WHEN cc * 100 >= 2 * n THEN v END) AS lo_cut,
+         min(CASE WHEN cc * 100 >= 98 * n THEN v END) AS hi_cut
+  FROM t GROUP BY img)
+SELECT p.img, p.x, p.y, p.v,
+       CAST(c.lo_cut AS BIGINT) AS lo_cut,
+       CAST(c.hi_cut AS BIGINT) AS hi_cut,
+       CAST(CASE WHEN c.hi_cut > c.lo_cut THEN
+              least(greatest(((p.v - c.lo_cut) * 255)
+                             // (c.hi_cut - c.lo_cut), 0), 255)
+            ELSE 0 END AS BIGINT) AS stretched
+FROM px p JOIN cuts c ON c.img = p.img
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -9103,6 +9140,7 @@ GROUP_A = {
     "radial_profile": (q_radial_profile, SQL_RADIAL_PROFILE),
     "image_ingest": (q_image_ingest, SQL_IMAGE_INGEST),
     "haar_dwt": (q_haar_dwt, SQL_HAAR_DWT),
+    "percentile_stretch": (q_percentile_stretch, SQL_PERCENTILE_STRETCH),
     "readability": (q_readability, SQL_READABILITY),
 }
 

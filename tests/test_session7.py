@@ -450,3 +450,29 @@ def test_blocking_eval_no_truth_pairs_null_pc(spark):
         F.element_at(toks, 1)).collect()[0]
     assert r.n_truth_pairs == 0 and r.pair_completeness_q20 is None
     assert r.reduction_ratio_q20 == (1 << 20)   # zero candidates
+
+
+def test_percentile_stretch_ramp_and_clamp(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    # 100-pixel row 0..99: p2 = 1, p98 = 97 (lower percentiles)
+    df = spark.createDataFrame(
+        [(0, x, 0, x) for x in range(100)],
+        "img long, px long, py long, val long")
+    out = {r.x: r for r in
+           rasterops.percentile_stretch_grid(df).collect()}
+    assert out[0].lo_cut == 1 and out[0].hi_cut == 97
+    assert out[0].stretched == 0            # below lo clamps
+    assert out[99].stretched == 255         # above hi clamps
+    assert out[49].stretched == ((49 - 1) * 255) // 96
+
+
+def test_percentile_stretch_degenerate_flat_image(spark):
+    from data_cube_utilities_spark.operators import rasterops
+
+    df = spark.createDataFrame(
+        [(0, x, 0, 42) for x in range(10)],
+        "img long, px long, py long, val long")
+    out = rasterops.percentile_stretch_grid(df).collect()
+    assert all(r.stretched == 0 and r.lo_cut == 42 == r.hi_cut
+               for r in out)
