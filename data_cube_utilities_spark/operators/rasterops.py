@@ -3643,3 +3643,33 @@ def percentile_stretch_grid(pixels: DataFrame, lo_pct: int = 2,
             F.lit(0)), F.lit(out_max))).otherwise(0)
     return j.select("img", "x", "y", "v", "lo_cut", "hi_cut",
                     stretched.cast("long").alias("stretched"))
+
+
+# index matrix of the classic 4x4 ordered-dither (Bayer 1973) —
+# recursively constructed, here frozen as data
+DITHER4 = ((0, 8, 2, 10),
+           (12, 4, 14, 6),
+           (3, 11, 1, 9),
+           (15, 7, 13, 5))
+
+
+def ordered_dither_grid(pixels: DataFrame, img_col: str = "img",
+                        x_col: str = "px", y_col: str = "py",
+                        value_col: str = "val") -> DataFrame:
+    """Ordered dithering (Bayer 1973) to 1-bit — the halftone every
+    display/print pipeline ships, exact: pixel (x, y) fires when
+    v > (M(x, y) + 0.5) * 255/16, cross-multiplied to the integer
+    predicate 32*v > 510*M + 255 so there is no float threshold at all.
+    Pure elementwise codegen (one element_at on the frozen matrix by
+    (y mod 4)*4 + x mod 4) — zero shuffles, zero UDFs; the 100 TB cost
+    is the scan.  Returns (img, x, y, v, on)."""
+    flat = [DITHER4[r][c] for r in range(4) for c in range(4)]
+    p = pixels.select(F.col(img_col).alias("img"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    m = F.element_at(F.array(*[F.lit(w) for w in flat]),
+                     ((F.col("y") % 4) * 4 + F.col("x") % 4 + 1)
+                     .cast("int"))
+    return p.select("img", "x", "y", "v",
+                    (32 * F.col("v") > 510 * m + 255).alias("on"))

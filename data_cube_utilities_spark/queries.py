@@ -8935,6 +8935,31 @@ FROM px p JOIN cuts c ON c.img = p.img
 """
 
 
+
+
+def q_ordered_dither(spark, sf_dir):
+    """Bayer 4x4 ordered dithering (rasterops.ordered_dither_grid) of
+    the 4 dense lineitem tiles: the cross-multiplied integer predicate
+    32v > 510M + 255, pure elementwise codegen."""
+    from .operators import rasterops
+
+    return rasterops.ordered_dither_grid(_px_grid(spark, sf_dir))
+
+
+def _ordered_dither_sql() -> str:
+    from .operators.rasterops import DITHER4
+
+    flat = ", ".join(str(DITHER4[r][c])
+                     for r in range(4) for c in range(4))
+    return f"""
+WITH {_PX_SQL}
+SELECT img, x, y, v,
+       32 * v > 510 * ([{flat}][CAST((y % 4) * 4 + x % 4 + 1 AS INTEGER)])
+                + 255 AS on
+FROM px
+"""
+
+
 GROUP_A = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "query_metadata": (q_query_metadata, SQL_QUERY_METADATA),
@@ -9141,6 +9166,7 @@ GROUP_A = {
     "image_ingest": (q_image_ingest, SQL_IMAGE_INGEST),
     "haar_dwt": (q_haar_dwt, SQL_HAAR_DWT),
     "percentile_stretch": (q_percentile_stretch, SQL_PERCENTILE_STRETCH),
+    "ordered_dither": (q_ordered_dither, _ordered_dither_sql()),
     "readability": (q_readability, SQL_READABILITY),
 }
 

@@ -476,3 +476,28 @@ def test_percentile_stretch_degenerate_flat_image(spark):
     out = rasterops.percentile_stretch_grid(df).collect()
     assert all(r.stretched == 0 and r.lo_cut == 42 == r.hi_cut
                for r in out)
+
+
+def test_ordered_dither_thresholds_and_gradient(spark):
+    from data_cube_utilities_spark.operators import rasterops
+    from data_cube_utilities_spark.operators.rasterops import DITHER4
+
+    # full gray ramp on one dither row: firing count grows with v
+    df = spark.createDataFrame(
+        [(0, x, y, v) for v in (0, 64, 128, 192, 255)
+         for y in range(4) for x in range(4)
+         if False] +
+        [(v, x, y, v * 51) for v in range(6)
+         for y in range(4) for x in range(4)],
+        "img long, px long, py long, val long")
+    out = rasterops.ordered_dither_grid(df).collect()
+    fired = {}
+    for r in out:
+        fired[r.img] = fired.get(r.img, 0) + int(r.on)
+    # v=0 never fires; v=255 always fires; monotone in between
+    assert fired[0] == 0 and fired[5] == 16
+    assert all(fired[i] <= fired[i + 1] for i in range(5))
+    # exact predicate check at one cell: M(1,0)=8 -> fires iff 32v > 4335
+    v_cell = [(r.v, r.on) for r in out if r.img == 3
+              and r.x == 1 and r.y == 0][0]
+    assert v_cell[1] == (32 * v_cell[0] > 510 * DITHER4[0][1] + 255)
