@@ -400,12 +400,78 @@ def q_median_mosaic(spark, sf_dir):
           .withColumn("qty_i", F.round("l_quantity", 0).cast("long")))
     # 2x-median of exact integer cents/quantities is always an integer —
     # interpolated medians of doubles differ in ulps between engines and
-    # can straddle a round boundary (r3 tie-proof sweep)
-    return (li.groupBy("l_returnflag")
-              .agg((2 * F.expr("percentile(price_c, 0.5)")).cast("long")
-                    .alias("median2_price_c"),
-                   (2 * F.expr("percentile(qty_i, 0.5)")).cast("long")
-                    .alias("median2_qty")))
+    # can straddle a round boundary (r3 tie-proof sweep).
+    #
+    # Computed as a two-level bucket-histogram rank pick instead of exact
+    # percentile(): percentile accumulates a value->count map per group
+    # and sorts it on ONE reducer per group — price_c has ~n/3 distinct
+    # values, so at 100x each of 3 group buffers holds tens of millions
+    # of entries (VERDICT r5 What's-wrong #2).  Here:
+    #   (1) a coarse histogram groupBy(flag, which, v DIV width) has only
+    #       ~2.5k buckets -> map-side combine makes the shuffle tiny;
+    #   (2) a window cumsum over the tiny histogram locates the bucket
+    #       covering each target rank (and the rank base below it);
+    #   (3) only the target buckets' raw rows (~bucket_width * density)
+    #       are re-scanned and rank-picked with a trivial window.
+    # qty_i has 50 distinct values -> bucket width 1, and the covering
+    # "bucket" IS the value (no step-3 rescan).
+    # Exactness: for sorted values s[0..N-1], percentile(v, 0.5) is
+    # s[lo] + 0.5*(s[hi]-s[lo]) with lo=(N-1) DIV 2, hi=N DIV 2; doubled
+    # it is EXACTLY s[lo]+s[hi] (every step exact in double for cent
+    # magnitudes), so median2 = value-at-rank(lo) + value-at-rank(hi).
+    PW = 4096   # price bucket width (values non-negative: DIV truncation
+    #             toward zero == floor here, so buckets are order-aligned)
+    m = (li.select("l_returnflag", F.explode(F.array(
+            F.struct(F.lit(0).alias("which"),
+                     F.col("price_c").alias("v"),
+                     (F.col("price_c") - F.col("price_c") % PW).alias("b")),
+            F.struct(F.lit(1).alias("which"),
+                     F.col("qty_i").alias("v"),
+                     F.col("qty_i").alias("b"))))
+           .alias("e"))
+           .select("l_returnflag", "e.which", "e.v", "e.b")
+           .filter(F.col("v").isNotNull()))
+    hist = m.groupBy("l_returnflag", "which", "b") \
+            .agg(F.count("*").alias("cnt"))
+    wcum = (Window.partitionBy("l_returnflag", "which").orderBy("b")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = Window.partitionBy("l_returnflag", "which")
+    h = (hist.withColumn("cum", F.sum("cnt").over(wcum))
+             .withColumn("tot", F.sum("cnt").over(wtot)))
+    # 0-based target ranks; bucket b covers ranks [cum-cnt, cum-1]
+    marks = (h.select(
+        "l_returnflag", "which", "b",
+        (F.col("cum") - F.col("cnt")).alias("base"), "cum",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("tag"),
+                     F.expr("(tot - 1) DIV 2").alias("r")),
+            F.struct(F.lit(1).alias("tag"),
+                     F.expr("tot DIV 2").alias("r")))).alias("t"))
+        .select("l_returnflag", "which", "b", "base",
+                "t.tag", "t.r")
+        .filter((F.col("base") <= F.col("r")) & (F.col("cum") > F.col("r"))))
+    # qty (which=1): bucket width 1 -> picked value is the bucket itself
+    qty_pick = (marks.filter(F.col("which") == 1)
+                     .select("l_returnflag", "which", "tag",
+                             F.col("b").alias("pv")))
+    # price (which=0): rank-pick within the (tiny) covering bucket
+    pm = marks.filter(F.col("which") == 0) \
+              .select("l_returnflag", "which", "b", "base", "tag", "r")
+    in_b = m.filter(F.col("which") == 0) \
+            .join(F.broadcast(pm), ["l_returnflag", "which", "b"])
+    wpk = Window.partitionBy("l_returnflag", "which", "tag").orderBy("v")
+    price_pick = (in_b.withColumn("rn", F.row_number().over(wpk))
+                      .filter(F.col("base") + F.col("rn") - 1 == F.col("r"))
+                      .select("l_returnflag", "which", "tag",
+                              F.col("v").alias("pv")))
+    picked = (qty_pick.unionByName(price_pick)
+              .groupBy("l_returnflag", "which")
+              .agg(F.sum("pv").alias("median2")))
+    return (picked.groupBy("l_returnflag")
+            .agg(F.max(F.when(F.col("which") == 0, F.col("median2")))
+                  .cast("long").alias("median2_price_c"),
+                 F.max(F.when(F.col("which") == 1, F.col("median2")))
+                  .cast("long").alias("median2_qty")))
 
 
 SQL_MEDIAN_MOSAIC = """
@@ -592,15 +658,25 @@ def q_anti_join_quality_gate(spark, sf_dir):
     # between engines (summation-order ulps on groups whose true avg IS
     # 0.05) — at sf0.1 that moved whole orders in/out of the anti join.
     # avg(d) > 0.05  <=>  sum(d*100 as int) > 5*count, exactly.
+    #
+    # One pass: every output is a per-order aggregate (row count, order
+    # count, cent sum), so the gate folds into the SAME groupBy that
+    # computes it — the anti join back against lineitem (a second full
+    # scan + 6M-row shuffle) carried no extra information.  The kept
+    # per-order partials re-aggregate to the identical totals: integer
+    # sums are associative, and every kept order has >= 1 row so
+    # count(DISTINCT l_orderkey) == count of kept groups.
     d100 = F.round(F.col("l_discount") * 100, 0).cast("long")
-    bad = (li.groupBy("l_orderkey")
-             .agg(F.sum(d100).alias("s"), F.count("*").alias("c"))
-             .filter(F.col("s") > 5 * F.col("c")).select("l_orderkey"))
-    kept = li.join(bad, "l_orderkey", "left_anti")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    return kept.agg(F.count("*").alias("n_rows"),
-                    F.countDistinct("l_orderkey").alias("n_orders"),
-                    F.round(F.sum(cents).cast("double") / 100.0, 2)
+    per_order = (li.groupBy("l_orderkey")
+                   .agg(F.sum(d100).alias("s"), F.count("*").alias("c"),
+                        F.sum(cents).alias("cents")))
+    # bad = (s IS NOT NULL AND s > 5c); kept orders are the complement
+    good = per_order.filter(F.col("s").isNull()
+                            | (F.col("s") <= 5 * F.col("c")))
+    return good.agg(F.sum("c").alias("n_rows"),
+                    F.count("*").alias("n_orders"),
+                    F.round(F.sum("cents").cast("double") / 100.0, 2)
                      .alias("kept_value"))
 
 
