@@ -154,12 +154,33 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, n_bands: int,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """(id, band, sig): sig = min over shingles of md5(shingle || '#' || band)."""
-    sh = explode_trigrams(_fanout(df), id_col, text_col)
-    bands = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))))
-    keyed = bands.withColumn(
-        "h", F.md5(F.concat_ws("#", F.col("shingle"), F.col("band"))))
-    return keyed.groupBy(id_col, "band").agg(F.min("h").alias("sig"))
+    """(id, band, sig): sig = min over shingles of md5(shingle || '#' || band).
+
+    Computed IN-ROW: per document, each band's signature is
+    array_min(transform(shingles, s -> md5(s || '#' || band))) over the
+    (distinct) shingle array — no shingle x band explode, so the
+    n_shingles * n_bands md5 fan-out never crosses an exchange.  The old
+    explode -> groupBy(id, band) shape shuffled every hashed shingle
+    (~60M 50-byte rows at sf1.0) just to take a per-(doc, band) min that
+    a higher-order fold computes where the row already sits.
+    array_distinct first: duplicate shingles cannot change a min, and
+    hashing each distinct shingle once drops the md5 count by the
+    duplicate mass.  Docs with no shingles yield NULL array_min rows and
+    are filtered — exactly the docs the explode path never emitted."""
+    t = with_tokens(_fanout(df), text_col)
+    sh = t.withColumn("shingles", F.array_distinct(F.expr(_ngram_expr(3))))
+
+    # closure factory, NOT a default-arg lambda: a two-parameter lambda
+    # would be read by F.transform as its (element, index) form
+    def _band_hash(b: int):
+        tag = F.lit(str(b))
+        return lambda s: F.md5(F.concat_ws("#", s, tag))
+
+    sigs = F.array(*[
+        F.array_min(F.transform(F.col("shingles"), _band_hash(b)))
+        for b in range(n_bands)])
+    return (sh.select(id_col, F.posexplode(sigs).alias("band", "sig"))
+              .filter(F.col("sig").isNotNull()))
 
 
 def minhash_lsh_pairs(df: DataFrame, n_bands: int = 8,
