@@ -624,9 +624,16 @@ def d8_flow_grid(cells_df: DataFrame, ix_col: str = "ix",
     Shape at scale: one equi-join of the grid against its 8 shifted
     selves (broadcast offset table, co-partitioned on the cell key) +
     one per-cell window rank.  No cross product, no collect."""
+    # The grid is referenced THREE times below (candidate side, shifted
+    # neighbor side, final left join) and is usually itself an expensive
+    # aggregation of the raw table — localCheckpoint (lazy) pins it to
+    # one evaluation and truncates the lineage each reference would
+    # otherwise replay (sf1.0: the 6M-row grid agg ran 3x per flow
+    # evaluation, and callers evaluate flow 2-3x on top).
     g = cells_df.select(F.col(ix_col).cast("long").alias("ix"),
                         F.col(iy_col).cast("long").alias("iy"),
-                        F.col(value_col).cast("long").alias("v"))
+                        F.col(value_col).cast("long").alias("v")) \
+                .localCheckpoint(eager=False)
     offs = cells_df.sparkSession.createDataFrame(
         D8_OFFSETS, "dx long, dy long, code long, w long")
     nbr = g.select(F.col("ix").alias("jx"), F.col("iy").alias("jy"),
@@ -701,13 +708,18 @@ def flow_accumulation_grid(cells_df: DataFrame, ix_col: str = "ix",
 
     Not SQL-free-expressible in one query — the DuckDB twin uses a
     recursive CTE; the Spark side is the scale path."""
-    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col)
+    # flow is consumed twice (closure seed + final join) — persist it so
+    # the D8 join/window pipeline runs once (stream_order's lifecycle)
+    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col).persist()
     pairs = _d8_pair_closure(flow, max_iters)
     acc = pairs.groupBy("tx", "ty").agg(F.count("*").alias("n_upstream"))
     out = (flow.join(acc, (flow.ix == acc.tx) & (flow.iy == acc.ty), "left")
                .select(flow.ix, flow.iy, flow.v,
                        F.coalesce("n_upstream", F.lit(0)).cast("long")
                         .alias("n_upstream")))
+    out = out.localCheckpoint()
+    flow.unpersist()
+    pairs.unpersist()
     return out
 
 
@@ -943,7 +955,7 @@ def watershed_basins_grid(cells_df: DataFrame, ix_col: str = "ix",
 
     Convergence is tested by counting unresolved rows (pointer not yet a
     pit); the DuckDB twin walks the same paths with a recursive CTE."""
-    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col)
+    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col).persist()
     ptr = (flow.select(
         "ix", "iy",
         F.coalesce("to_ix", F.col("ix")).alias("px"),
@@ -969,11 +981,14 @@ def watershed_basins_grid(cells_df: DataFrame, ix_col: str = "ix",
     out = flow.select("ix", "iy", "v").join(
         ptr.select("ix", "iy", F.col("px").alias("basin_ix"),
                    F.col("py").alias("basin_iy")), ["ix", "iy"])
-    return out.select("ix", "iy", "v",
-                      F.col("basin_ix").cast("long").alias("basin_ix"),
-                      F.col("basin_iy").cast("long").alias("basin_iy"),
-                      (F.col("basin_ix") * 100000 + F.col("basin_iy"))
-                      .cast("long").alias("basin_id"))
+    out = out.select("ix", "iy", "v",
+                     F.col("basin_ix").cast("long").alias("basin_ix"),
+                     F.col("basin_iy").cast("long").alias("basin_iy"),
+                     (F.col("basin_ix") * 100000 + F.col("basin_iy"))
+                     .cast("long").alias("basin_id")).localCheckpoint()
+    flow.unpersist()
+    ptr.unpersist()
+    return out
 
 
 def theil_sen_grid(series_df: DataFrame, ix_col: str = "ix",
@@ -1296,7 +1311,7 @@ def flow_path_length_grid(cells_df: DataFrame, ix_col: str = "ix",
     exact path length of 2^k-step walks is available after k rounds —
     O(log depth) n-row equi-joins, no pair table.  The DuckDB twin
     step-walks the same graph with a recursive CTE counter."""
-    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col)
+    flow = d8_flow_grid(cells_df, ix_col, iy_col, value_col).persist()
     ptr = (flow.select(
         "ix", "iy",
         F.coalesce("to_ix", F.col("ix")).alias("px"),
@@ -1323,8 +1338,12 @@ def flow_path_length_grid(cells_df: DataFrame, ix_col: str = "ix",
             break
     out = flow.select("ix", "iy", "v").join(
         ptr.select("ix", "iy", F.col("d").alias("path_len")), ["ix", "iy"])
-    return out.select("ix", "iy", "v",
-                      F.col("path_len").cast("long").alias("path_len"))
+    out = out.select("ix", "iy", "v",
+                     F.col("path_len").cast("long").alias("path_len")) \
+             .localCheckpoint()
+    flow.unpersist()
+    ptr.unpersist()
+    return out
 
 
 def stream_order_shreve_grid(cells_df: DataFrame, ix_col: str = "ix",
