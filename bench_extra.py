@@ -29,6 +29,18 @@ HEADLINE = [
 ]
 
 
+def _host_calibration(seconds: float = 2.0) -> int:
+    """Single-thread spin count per `seconds` (bench.py's anchor): the
+    host clock oscillates ~1.6x between phases and throttles under load,
+    so walls/cpu-s are only comparable between runs whose spins agree.
+    r1-r4 fast band: ~14-22M per 2s."""
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        n += 1
+    return n
+
+
 def _busy_cpu_s() -> float:
     with open("/proc/stat") as f:
         parts = f.readline().split()
@@ -65,6 +77,8 @@ def main():
     # warm JVM + python workers once, untimed
     reg["pricing_summary"][0](spark, args.sf).write.format("noop") \
         .mode("overwrite").save()
+
+    print(json.dumps({"host_spins_2s": _host_calibration()}), flush=True)
 
     out = {}
     for name in names:

@@ -548,16 +548,49 @@ def _cosine_col(va, vb):
     return cos(va, vb)
 
 
+def _cosine_chain_col(va, vb, dims: int):
+    """Exact cosine(va, vb) as a whole-stage-codegen JVM expression chain
+    — BIT-IDENTICAL to the _cosine_col Arrow kernel when the dimension is
+    statically known: the same left-to-right ((0 + p0) + p1) + ... fold
+    per element (the leading 0.0 reproduces the kernel's zero-initialized
+    accumulator, incl. the -0.0 edge), one multiply per term, each norm a
+    sqrt of the same chain, and a zero denominator yields NULL (Spark's
+    non-ANSI x/0 — the kernel's explicit zero-norm nan).  NULL vectors
+    propagate to NULL cosine through the element_at chain.
+
+    Why: the kernel moves BOTH 8*dims-byte vectors of EVERY row across
+    the JVM<->Python Arrow boundary — for pair-fanout consumers
+    (embedding_near_dup's ~7M candidate pairs at sf1.0 = ~7.5 GB framed)
+    the serialization dwarfs the 3*dims flops.  A flat literal chain
+    compiles into the surrounding WholeStageCodegen stage instead (guide
+    §4.1: built-ins over UDFs), removing the Python worker entirely.
+    _cosine_col stays for dimension-agnostic callers."""
+    zero = F.lit(0.0)
+    dot, na, nb = zero, zero, zero
+    for i in range(dims):
+        a, b = va.getItem(i), vb.getItem(i)
+        dot = dot + a * b
+        na = na + a * a
+        nb = nb + b * b
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def _cosine(va, vb, dims: int | None):
+    """Dispatch: codegen chain when dims is known, Arrow kernel otherwise."""
+    return _cosine_chain_col(va, vb, dims) if dims else _cosine_col(va, vb)
+
+
 def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dims: int | None = None) -> DataFrame:
     """Brute-force cosine top-k against one stored vector — the exact
-    baseline (JVM higher-order functions, no Python)."""
+    baseline (JVM-only when dims is given, no Python)."""
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
     q = (e.filter(F.col("vec_id") == query_id)
           .select(F.col("v").alias("qv")))
     j = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != query_id)
-    cos = _cosine_col(F.col("v"), F.col("qv"))
+    cos = _cosine(F.col("v"), F.col("qv"), dims)
     return _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                         k, "vec_id", "cosine")
 
@@ -703,7 +736,15 @@ def lsh_band_key_sqls(dims: int, vec_expr: str = "em",
 def _banded_signatures(e: DataFrame, dims: int, bands: int = N_BANDS_LSH,
                        planes: int = PLANES_PER_BAND) -> DataFrame:
     """(vec_id, v) -> (vec_id, v, band, key): one row per band, the table
-    you'd materialize at 100 TB ((band, key) is the partition key)."""
+    you'd materialize at 100 TB ((band, key) is the partition key).
+
+    Stays on the Arrow kernel deliberately: an r6 experiment generated
+    the keys as the literal bands*planes*dims JVM expression chain (the
+    _cosine_chain_col treatment) and execution was fine but CATALYST was
+    not — a ~4096-term tree costs ~50 s of analysis/optimization per
+    query at any data size.  The 3*dims cosine chain is two orders of
+    magnitude smaller and plans instantly; the key kernel amortizes its
+    Python crossing over the whole corpus scan."""
     return (e.withColumn("keys", _band_keys_udf(dims, bands, planes)("v"))
              .select("vec_id", "v",
                      F.posexplode("keys").alias("band", "key")))
@@ -753,7 +794,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     j = cand.join(va, "vec_a").join(vb, "vec_b")
-    cos = F.round(_cosine_col(F.col("va"), F.col("vb")), 6)
+    cos = F.round(_cosine(F.col("va"), F.col("vb"), dims), 6)
     out = (j.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("vec_a", "vec_b", "n_bands_shared", "cosine"))
@@ -803,7 +844,7 @@ def ivf_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
 
     j = (e.join(F.broadcast(probes), "list_id")
           .filter(F.col("vec_id") != F.col("query_id")))
-    cos = _cosine_col(F.col("v"), F.col("qv"))
+    cos = _cosine(F.col("v"), F.col("qv"), dims)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     return (j.withColumn("cosine", F.round(cos, 6))
@@ -851,7 +892,7 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                     (F.col("vec_id") != query_id))
     q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
     j = cand.crossJoin(F.broadcast(q))
-    cos = _cosine_col(F.col("v"), F.col("qv"))
+    cos = _cosine(F.col("v"), F.col("qv"), dims)
     return _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                         k, "vec_id", "list_id", "cosine")
 
@@ -902,7 +943,7 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     qv = (e.filter(F.col("vec_id").isin(ids))
            .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
     j = cand.join(e, "vec_id").join(F.broadcast(qv), "query_id")
-    cos = _cosine_col(F.col("v"), F.col("qv"))
+    cos = _cosine(F.col("v"), F.col("qv"), dims)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     out = (j.withColumn("cosine", F.round(cos, 6))
@@ -944,7 +985,7 @@ def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
     qv = (e.filter(F.col("vec_id") == query_id)
            .select(F.col("v").alias("qv")))
     j = cand.join(e, "vec_id").crossJoin(F.broadcast(qv))
-    cos = _cosine_col(F.col("v"), F.col("qv"))
+    cos = _cosine(F.col("v"), F.col("qv"), dims)
     out = _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                        k, "vec_id", "n_bands_shared", "cosine")
     if release_cache:
