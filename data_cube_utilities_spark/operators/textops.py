@@ -717,7 +717,13 @@ def _band_keys_udf(dims: int, bands: int = N_BANDS_LSH,
                 res[pos] = row
         return pd.Series(res)
 
-    return keys
+    # asNondeterministic: posexplode's implicit `size(keys) > 0 AND
+    # isnotnull(keys)` filter is otherwise pushed BELOW the projection and
+    # the optimizer duplicates the UDF around it (guide §4.4) — the whole
+    # corpus paid the kernel twice (two ArrowEvalPython nodes in the r6
+    # before-plan).  The function is pure; the flag only pins a single
+    # evaluation.
+    return keys.asNondeterministic()
 
 
 def lsh_band_key_sqls(dims: int, vec_expr: str = "em",
@@ -935,8 +941,11 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
     planes = _resolve_planes(e, planes, n_rows)
-    sig = (_banded_signatures(e, dims, bands, planes).drop("v")
-           .repartition("band", "key").persist())
+    # no repartition("band", "key") here: unlike the near-dup SELF-join,
+    # the bucket probe joins sig against a BROADCAST query block, so
+    # sig's partitioning is irrelevant — the repartition only added a
+    # full exchange of the signature table to every batch
+    sig = _banded_signatures(e, dims, bands, planes).drop("v").persist()
     ids = [int(i) for i in query_ids]
     q = (sig.filter(F.col("vec_id").isin(ids))
             .select(F.col("vec_id").alias("query_id"), "band", "key"))
