@@ -635,7 +635,19 @@ def zorder_range_scan(df, lat_col: str, lon_col: str,
     ix0, iy_a = _quant_py(lat_max, lon_min, bits)   # lat max -> iy min
     ix1, iy_b = _quant_py(lat_min, lon_max, bits)
     iy0, iy1 = min(iy_a, iy_b), max(iy_a, iy_b)
-    ranges = zorder_bbox_ranges(ix0, ix1, iy0, iy1, bits, max_ranges)
+    # Antimeridian crossing (ADVICE r5): a wrapped bbox quantizes to
+    # ix0 > ix1; the scan splits into the conventional two sub-scans
+    # [ix0, n-1] and [0, ix1] (iy cannot wrap — latitude is bounded)
+    # instead of silently planning zero ranges and returning empty.
+    n_cells = 1 << bits
+    if ix0 > ix1:
+        ix_spans = [(ix0, n_cells - 1), (0, ix1)]
+    else:
+        ix_spans = [(ix0, ix1)]
+    ranges = []
+    for sx0, sx1 in ix_spans:
+        ranges.extend(zorder_bbox_ranges(sx0, sx1, iy0, iy1, bits,
+                                         max_ranges))
     lat, lon = F.col(lat_col), F.col(lon_col)
     ix, iy = _quant_col(lat, lon, bits)
     z = zorder_col(lat, lon, bits)
@@ -646,7 +658,11 @@ def zorder_range_scan(df, lat_col: str, lon_col: str,
         cond = c if cond is None else (cond | c)
     if cond is None:
         return t.filter(F.lit(False))
-    return t.filter(cond).filter(F.col("ix").between(ix0, ix1)
+    ix_res = None
+    for sx0, sx1 in ix_spans:
+        c = F.col("ix").between(sx0, sx1)
+        ix_res = c if ix_res is None else (ix_res | c)
+    return t.filter(cond).filter(ix_res
                                  & F.col("iy").between(iy0, iy1))
 
 

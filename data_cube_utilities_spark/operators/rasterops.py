@@ -2914,9 +2914,25 @@ def box_nms(boxes: DataFrame, iou_num: int = 1, iou_den: int = 2,
     Shape at scale: one self-join keyed on the image id (boxes per
     image are detector-bounded, so no skew blow-up) + one left-anti
     join of survivors — two shuffles on the same key.  Returns the
-    surviving rows (img, box_id, x1, y1, x2, y2, score)."""
+    surviving rows (img, box_id, x1, y1, x2, y2, score).
+
+    Integer-score contract (ADVICE r5): coordinates AND score are int64
+    (the cross-multiplied IoU and the priority comparison are exact);
+    a fractional score would silently truncate and flip suppression
+    priority onto the id tie-break, so the cast is validated in-plan —
+    a lossy score fails the query instead of mis-suppressing."""
     cols = [img_col, id_col, "x1", "y1", "x2", "y2", score_col]
-    b = boxes.select(*[F.col(c).cast("long") if c != img_col else F.col(c)
+    sc_raw = F.col(score_col)
+    checked_score = F.when(sc_raw.isNull()
+                           | (sc_raw.cast("long") == sc_raw),
+                           sc_raw.cast("long")) \
+                     .otherwise(F.raise_error(F.concat(
+                         F.lit("box_nms: fractional score would truncate "
+                               "and corrupt suppression priority: "),
+                         sc_raw.cast("string"))))
+    b = boxes.select(*[checked_score.alias(score_col) if c == score_col
+                       else F.col(c).cast("long") if c != img_col
+                       else F.col(c)
                        for c in cols])
     a = b.select(F.col(img_col),
                  *[F.col(c).alias(f"a_{c}") for c in cols[1:]])
@@ -3430,6 +3446,14 @@ def brief_matches(desc: DataFrame, pack_bits: int = 20) -> DataFrame:
     groupBy, deterministic.  At scale the descriptor table is tiny
     relative to pixels; the pair join partitions by (img_a, img_b).
 
+    Packing contract (ADVICE r5): the anchor key xb*4096 + yb must fit
+    in pack_bits, i.e. 0 <= xb < 2^(pack_bits-12) and 0 <= yb < 4096 —
+    otherwise the key would silently spill into the hamming bits and
+    corrupt both the argmin and the decode.  The bound is enforced
+    in-plan (raise_error, no extra job): an out-of-range anchor fails
+    the query instead of mis-matching.  Widen pack_bits for larger
+    frames (the decode derives from the same constant).
+
     Returns (img_a, img_b, xa, ya, xb, yb, hamming)."""
     a = desc.select(F.col("img").alias("img_a"), F.col("x").alias("xa"),
                     F.col("y").alias("ya"), F.col("desc_lo").alias("la"),
@@ -3439,7 +3463,16 @@ def brief_matches(desc: DataFrame, pack_bits: int = 20) -> DataFrame:
                     F.col("desc_hi").alias("hb"))
     ham = (F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
            + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("long")
-    key = F.col("xb") * 4096 + F.col("yb")
+    x_lim = 1 << (pack_bits - 12)
+    in_range = ((F.col("xb") >= 0) & (F.col("xb") < x_lim)
+                & (F.col("yb") >= 0) & (F.col("yb") < 4096))
+    key = F.when(in_range, F.col("xb") * 4096 + F.col("yb")) \
+           .otherwise(F.raise_error(F.concat(
+               F.lit(f"brief_matches: anchor (xb, yb) out of the "
+                     f"pack_bits={pack_bits} key range "
+                     f"(xb < {x_lim}, yb < 4096): xb="),
+               F.col("xb").cast("string"), F.lit(" yb="),
+               F.col("yb").cast("string"))))
     pk = ham * (1 << pack_bits) + key
     pairs = (a.join(b, F.col("img_a") < F.col("img_b"))
               .select("img_a", "img_b", "xa", "ya", pk.alias("pk")))

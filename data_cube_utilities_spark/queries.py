@@ -7596,7 +7596,9 @@ def q_zorder_scan(spark, sf_dir):
     covering-correctness proof."""
     from . import cells
 
-    s = _t(spark, sf_dir, "supplier").withColumn("x", F.expr(SUP_X))                                      .withColumn("y", F.expr(SUP_Y))
+    s = (_t(spark, sf_dir, "supplier")
+         .withColumn("x", F.expr(SUP_X))
+         .withColumn("y", F.expr(SUP_Y)))
     out = cells.zorder_range_scan(s, "y", "x", -30.0, 40.0, -60.0, 20.0,
                                   bits=8, max_ranges=16)
     return out.select("s_suppkey", "zkey", "ix", "iy")
@@ -8135,7 +8137,9 @@ def q_hex_cells(spark, sf_dir):
     counts + ring-1 occupied-neighbor support."""
     from . import cells
 
-    s = _t(spark, sf_dir, "supplier").withColumn("x", F.expr(SUP_X))                                      .withColumn("y", F.expr(SUP_Y))
+    s = (_t(spark, sf_dir, "supplier")
+         .withColumn("x", F.expr(SUP_X))
+         .withColumn("y", F.expr(SUP_Y)))
     return cells.hex_cell_stats(s, "x", "y", 5.0)
 
 

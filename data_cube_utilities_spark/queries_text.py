@@ -269,7 +269,7 @@ FROM sh GROUP BY doc_id
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k against stored vector QUERY_VEC."""
     return textops.cosine_topk(_t(spark, sf_dir, "embeddings"),
-                               query_id=QUERY_VEC, k=TOPK, dims=EMB_DIMS)
+                               query_id=QUERY_VEC, k=TOPK)
 
 
 def _sql_cosine_topk(k: int) -> str:

@@ -585,13 +585,28 @@ def table_diff(spark: SparkSession, left: DataFrame, right: DataFrame,
 
     The per-key classification is the expensive part — one
     co-partitioned shuffle join; the summary is a tiny aggregate.
-    Column sets must match (asserted)."""
+    Column sets must match (asserted).  Keys must be UNIQUE per side
+    (ADVICE r5): duplicates would multiply rows through the full-outer
+    join and silently inflate every count — enforced in-plan via the
+    aggregated presence frames (no extra job; a duplicate key fails the
+    query deterministically)."""
     assert set(left.columns) == set(right.columns), "schema mismatch"
     vals = [c for c in left.columns if c not in key_cols]
     # presence must come from the join sides, not value nullability:
-    # join key-only presence frames alongside the value columns
-    lk = left.select(*key_cols).withColumn("_in_l", F.lit(1))
-    rk = right.select(*key_cols).withColumn("_in_r", F.lit(1))
+    # join key-only AGGREGATED presence frames alongside the values —
+    # the per-key count both marks presence and guards uniqueness
+    def _presence(df, tag):
+        n = F.col(f"_n_{tag}")
+        guard = F.when(n > 1, F.raise_error(F.lit(
+            f"table_diff: duplicate key on the {tag} side — results "
+            f"would be silently inflated; dedupe or widen key_cols"))
+            .cast("int")).otherwise(F.lit(1))
+        return (df.groupBy(*key_cols)
+                  .agg(F.count("*").alias(f"_n_{tag}"))
+                  .select(*key_cols, guard.alias(f"_in_{tag[0]}")))
+
+    lk = _presence(left, "left")
+    rk = _presence(right, "right")
     j = (left.select(*key_cols,
                      *[F.col(c).alias(f"_l_{c}") for c in vals])
              .join(right.select(*key_cols,
