@@ -637,6 +637,11 @@ LSH_SEED = 7
 # Auto-sizing target: keep expected bucket occupancy on uncorrelated
 # vectors near this many rows, i.e. planes >= log2(n_rows / target).
 LSH_TARGET_BUCKET = 4
+# Corpus size above which the codegen cosine chain beats the Arrow kernel
+# for pair-fanout consumers: the chain's flat ~0.7 s Catalyst/codegen cost
+# amortizes once the candidate-pair Arrow payload passes ~1 GB (n ~ 8k at
+# the 8x8 default geometry; measured at sf0.1 vs sf1.0).
+CHAIN_MIN_ROWS = 8192
 
 
 def auto_planes(n_rows: int,
@@ -797,10 +802,22 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     caller for the plan's lifetime).
 
     planes=None auto-sizes the band width from the corpus row count
-    (auto_planes; n_rows skips the count when the caller knows it)."""
+    (auto_planes; n_rows skips the count when the caller knows it).
+
+    Cosine dispatch is SIZE-AWARE: the candidate-pair mass grows
+    ~bands * n^2 / 2^planes, and for a large corpus shipping both
+    8*dims-byte vectors of every pair through the Arrow kernel is the
+    dominant cost (sf1.0: 7.3M pairs = ~7.5 GB framed; the codegen chain
+    cut the query 12.5 s -> 5.4 s).  The chain itself costs a flat
+    ~0.7 s of Catalyst/codegen work per run, so a small corpus (sf0.1:
+    2k rows, 60k pairs) is FASTER on the kernel (1.6 s vs 2.4 s
+    measured).  One cheap count() decides when the caller did not pass
+    n_rows."""
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
-    planes = _resolve_planes(e, planes, n_rows)
+    n = n_rows if n_rows is not None else e.count()
+    planes = planes if planes is not None else auto_planes(n)
+    chain_cosine = n >= CHAIN_MIN_ROWS
     # Repartition on the composite join key, then persist: (band, key) IS
     # the partition key of the scale design, and the persisted table stops
     # the signature pass running once per self-join side (no
@@ -816,7 +833,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     j = cand.join(va, "vec_a").join(vb, "vec_b")
-    cos = F.round(_cosine(F.col("va"), F.col("vb"), dims), 6)
+    cos = F.round(_cosine(F.col("va"), F.col("vb"),
+                          dims if chain_cosine else None), 6)
     out = (j.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("vec_a", "vec_b", "n_bands_shared", "cosine"))
@@ -866,7 +884,7 @@ def ivf_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
 
     j = (e.join(F.broadcast(probes), "list_id")
           .filter(F.col("vec_id") != F.col("query_id")))
-    cos = _cosine(F.col("v"), F.col("qv"), dims)
+    cos = _cosine_col(F.col("v"), F.col("qv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     return (j.withColumn("cosine", F.round(cos, 6))
@@ -914,7 +932,7 @@ def ivf_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
                     (F.col("vec_id") != query_id))
     q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
     j = cand.crossJoin(F.broadcast(q))
-    cos = _cosine(F.col("v"), F.col("qv"), dims)
+    cos = _cosine_col(F.col("v"), F.col("qv"))
     return _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                         k, "vec_id", "list_id", "cosine")
 
@@ -968,7 +986,7 @@ def lsh_ann_topk_batch(emb: DataFrame, query_ids: "Sequence[int]",
     qv = (e.filter(F.col("vec_id").isin(ids))
            .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
     j = cand.join(e, "vec_id").join(F.broadcast(qv), "query_id")
-    cos = _cosine(F.col("v"), F.col("qv"), dims)
+    cos = _cosine_col(F.col("v"), F.col("qv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     out = (j.withColumn("cosine", F.round(cos, 6))
@@ -1010,7 +1028,7 @@ def lsh_ann_topk(emb: DataFrame, query_id: int, dims: int, k: int = 5,
     qv = (e.filter(F.col("vec_id") == query_id)
            .select(F.col("v").alias("qv")))
     j = cand.join(e, "vec_id").crossJoin(F.broadcast(qv))
-    cos = _cosine(F.col("v"), F.col("qv"), dims)
+    cos = _cosine_col(F.col("v"), F.col("qv"))
     out = _ranked_topk(j.withColumn("cosine", F.round(cos, 6)),
                        k, "vec_id", "n_bands_shared", "cosine")
     if release_cache:
