@@ -579,14 +579,34 @@ def _cosine_chain_col(va, vb, dims: int):
     compiles into the surrounding WholeStageCodegen stage instead (guide
     §4.1: built-ins over UDFs), removing the Python worker entirely.
     _cosine_col stays for dimension-agnostic callers."""
-    zero = F.lit(0.0)
-    dot, na, nb = zero, zero, zero
+    return _dot_chain_col(va, vb, dims) \
+        / (F.sqrt(_norm2_chain_col(va, dims))
+           * F.sqrt(_norm2_chain_col(vb, dims)))
+
+
+def _dot_chain_col(va, vb, dims: int):
+    """dot(va, vb) as the same ((0 + p0) + p1) + ... left fold the Arrow
+    kernel uses — the pair-dependent third of the cosine chain."""
+    acc = F.lit(0.0)
     for i in range(dims):
-        a, b = va.getItem(i), vb.getItem(i)
-        dot = dot + a * b
-        na = na + a * a
-        nb = nb + b * b
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+        acc = acc + va.getItem(i) * vb.getItem(i)
+    return acc
+
+
+def _norm2_chain_col(v, dims: int):
+    """Squared norm as the same left fold.  NOTE: hoisting this onto the
+    vector tables of a pair-fanout consumer (norms per vector, dot per
+    pair) was measured 2.4x SLOWER end to end than the fused
+    _cosine_chain_col (8x the busy-cpu: the split expression drops the
+    pair stage out of efficient codegen evaluation) — see the rejection
+    note in embedding_near_dup_pairs.  Kept as the bit-exact building
+    block _cosine_chain_col composes, nothing more.  NULL vector ->
+    NULL, zero vector -> 0.0 (-> NULL cosine through x/0)."""
+    acc = F.lit(0.0)
+    for i in range(dims):
+        x = v.getItem(i)
+        acc = acc + x * x
+    return acc
 
 
 def _cosine(va, vb, dims: int | None):
@@ -840,6 +860,13 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     j = cand.join(va, "vec_a").join(vb, "vec_b")
+    # Measured and REJECTED (r6): hoisting the two squared-norm chains
+    # onto the 60k-row vector tables (_norm2_chain_col at broadcast-build
+    # time, only the dot chain per pair) looks like a 3x flop cut but ran
+    # 21.3 s / 450 cpu-s vs 9.0 s / 52 cpu-s fused on a 20k-row / 7M-pair
+    # corpus — the split expression drops the pair stage out of efficient
+    # codegen evaluation, an 8x interpreted-evaluation penalty that dwarfs
+    # the arithmetic saved.  Keep the cosine as ONE fused expression.
     cos = F.round(_cosine(F.col("va"), F.col("vb"),
                           dims if chain_cosine else None), 6)
     return (j.withColumn("cosine", cos)

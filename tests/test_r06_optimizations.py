@@ -39,6 +39,54 @@ def test_cosine_chain_matches_kernel_bitwise(spark):
             assert r["k"] == r["c"], r
 
 
+def test_cosine_factored_norms_match_kernel_bitwise(spark):
+    # the hoisted-norm form (dot chain / precomputed sqrt norms) must
+    # reproduce the fused chain and the Arrow kernel bit for bit
+    dims = 17
+    rows = []
+    for i in range(300):
+        rows.append((i, RNG.randn(dims).tolist(), RNG.randn(dims).tolist()))
+    rows.append((300, None, RNG.randn(dims).tolist()))      # NULL vector
+    rows.append((301, [0.0] * dims, RNG.randn(dims).tolist()))  # zero norm
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>")
+    pre = df.select(
+        "id", "a", "b",
+        textops._norm2_chain_col(F.col("a"), dims).alias("na2"),
+        textops._norm2_chain_col(F.col("b"), dims).alias("nb2"))
+    out = pre.select(
+        "id",
+        textops._cosine_col(F.col("a"), F.col("b")).alias("k"),
+        (textops._dot_chain_col(F.col("a"), F.col("b"), dims)
+         / (F.sqrt("na2") * F.sqrt("nb2"))).alias("c"),
+    ).collect()
+    for r in out:
+        if r["k"] is None:
+            assert r["c"] is None, r
+        else:
+            assert r["k"] == r["c"], r
+
+
+def test_embedding_near_dup_chain_branch_matches_kernel_branch(spark):
+    # force the chain branch (n_rows override) on a small corpus and
+    # compare the full operator output against the kernel branch
+    dims = 8
+    rows = []
+    for i in range(80):
+        base = RNG.randn(dims)
+        rows.append((i, base.tolist()))
+        if i % 4 == 0:   # plant near-dups so pairs survive the threshold
+            rows.append((1000 + i, (base + 0.01 * RNG.randn(dims)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kern = textops.embedding_near_dup_pairs(
+        df, threshold=0.3, dims=dims, planes=4, n_rows=1)        # kernel arm
+    chain = textops.embedding_near_dup_pairs(
+        df, threshold=0.3, dims=dims, planes=4, n_rows=10 ** 9)  # chain arm
+    a = sorted(map(tuple, kern.collect()))
+    b = sorted(map(tuple, chain.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_cosine_dispatch_uses_chain_no_python(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0], [3.0, 4.0])],
                                "id long, a array<double>, b array<double>")
